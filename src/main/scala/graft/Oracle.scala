@@ -1,0 +1,63 @@
+package graft
+
+/** DuckDB oracle SQL fragments shared by [[SparkEntry.oracleSql]].
+  *
+  * Every fragment mirrors, in ANSI-ish DuckDB SQL, a deterministic view the
+  * Spark side builds in code, so both engines compute byte-identical results
+  * on the same parquet inputs. Two portability rules applied throughout:
+  *
+  *  - double aggregation goes through DECIMAL so the sum is exact and
+  *    independent of partial-aggregation order (Spark sums per partition,
+  *    DuckDB in scan order; raw double sums would differ in the last ulp):
+  *    `CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)`.
+  *  - epoch math uses `floor(epoch(ts))` (DuckDB `epoch` keeps fractional
+  *    seconds; Spark's `unix_timestamp` truncates).
+  */
+object Oracle {
+
+  /** The transfers view over `events` — same arithmetic as
+    * [[Tables.transfers]]. */
+  val transfersCte: String =
+    """transfers AS (
+      |  SELECT
+      |    CAST(user_id AS VARCHAR) AS from_address,
+      |    CAST((user_id * 7 + event_id) % 1000 AS VARCHAR) AS to_address,
+      |    event_type AS contract_address,
+      |    event_id AS block_number,
+      |    event_id % 100 AS log_index,
+      |    value,
+      |    epoch_ns(ts) // 1000000000 AS transact_at
+      |  FROM events
+      |)""".stripMargin
+
+  /** The literal dapp registry — same rows as [[Tables.DappRegistry]]. */
+  val dappsCte: String = {
+    val rows = Tables.DappRegistry.map { case (id, name, addrs) =>
+      s"('$id', '$name', [${addrs.map(a => s"'$a'").mkString(", ")}])"
+    }.mkString(",\n    ")
+    s"""dapps AS (
+       |  SELECT * FROM (VALUES
+       |    $rows
+       |  ) AS t(dapp_id, dapp_name, addresses)
+       |)""".stripMargin
+  }
+
+  /** Prefix a query with the shared transfers CTE. */
+  def withTransfers(sql: String): String =
+    s"WITH $transfersCte\n$sql"
+
+  def withTransfersAndDapps(sql: String): String =
+    s"WITH $transfersCte,\n$dappsCte\n$sql"
+
+  /** Exact decimal sum rendered back as DOUBLE — mirror of
+    * [[graft.ops.Num.dsum]]. */
+  def dsum(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(25,$scale))) AS DOUBLE)"
+
+  /** Hour bucket on epoch seconds — mirror of [[graft.ops.Num.hourBucket]]. */
+  def hourBucket(expr: String): String =
+    s"CAST(floor($expr / 3600) AS BIGINT) * 3600"
+
+  def dayBucket(expr: String): String =
+    s"CAST(floor($expr / 86400) AS BIGINT) * 86400"
+}

@@ -1,13 +1,156 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ §7.2.9 extensions), each with DuckDB oracle SQL in
+  * [[oracleSql]] computing the identical result on the same parquet.
+  *
+  * Registry lives in [[Catalog.entries]]; this object only adapts it to the
+  * driver's shape.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Metrics.tokenDocument(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Catalog.entries.map(e => e.name -> e.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    Catalog.entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
+}
+
+/** One registered query: Spark implementation + optional DuckDB oracle
+  * (None → the driver records a weaker rows-only check; used only for
+  * genuinely non-SQL-expressible or approximate operators). */
+final case class QEntry(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Catalog {
+  import Oracle._
+
+  val entries: Seq[QEntry] = Seq(
+
+    // ── Token-analytics change-log metrics (SURVEY §2.6 A1-A4, §2.10 C1) ──
+    QEntry("q_volume_hourly", Metrics.hourlyVolume, Some(withTransfers(
+      s"""SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |       ${dsum("value")} AS volume
+         |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    QEntry("q_txcount_hourly", Metrics.hourlyTxCount, Some(withTransfers(
+      s"""SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |       count(*) AS tx_count
+         |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    QEntry("q_avg_tx_per_day", Metrics.avgTxPerDay, Some(withTransfers(
+      s"""SELECT contract_address, ${dayBucket("transact_at")} AS d,
+         |       count(*) AS daily_count,
+         |       CAST(count(*) AS DOUBLE) / 24.0 AS avg_tx
+         |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    QEntry("q_unique_wallets_hourly", Metrics.hourlyUniqueWallets,
+      Some(withTransfers(
+        s"""SELECT contract_address, t, count(DISTINCT address) AS unique_wallets
+           |FROM (
+           |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+           |         from_address AS address FROM transfers
+           |  UNION ALL
+           |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+           |         to_address AS address FROM transfers
+           |)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    QEntry("q_unique_wallets_hll", Metrics.hourlyUniqueWalletsApprox, None),
+
+    QEntry("q_token_document", Metrics.tokenDocument, Some(withTransfers(
+      s"""SELECT *,
+         |       CAST(n_transfers AS DOUBLE) / CAST(active_days AS DOUBLE)
+         |         AS avg_tx_per_day
+         |FROM (
+         |  SELECT contract_address,
+         |         count(*) AS n_transfers,
+         |         ${dsum("value")} AS total_volume,
+         |         count(DISTINCT from_address) AS unique_senders,
+         |         count(DISTINCT to_address) AS unique_receivers,
+         |         min(transact_at) AS first_ts,
+         |         max(transact_at) AS last_ts,
+         |         min(block_number) AS min_block,
+         |         max(block_number) AS max_block,
+         |         count(DISTINCT ${dayBucket("transact_at")}) AS active_days
+         |  FROM transfers GROUP BY 1
+         |) ORDER BY contract_address""".stripMargin))),
+
+    // ── Relational suite over TPC-H-ish tables (SURVEY §2.5, §2.6) ──
+    QEntry("q_pricing_summary", Relational.pricingSummary, Some(
+      s"""SELECT *,
+         |       sum_qty / count_order AS avg_qty,
+         |       sum_base_price / count_order AS avg_price
+         |FROM (
+         |  SELECT l_returnflag, l_linestatus,
+         |         ${dsum("l_quantity")} AS sum_qty,
+         |         ${dsum("l_extendedprice")} AS sum_base_price,
+         |         ${dsum("l_extendedprice * (1.0 - l_discount)", 8)} AS sum_disc_price,
+         |         ${dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 8)} AS sum_charge,
+         |         count(*) AS count_order
+         |  FROM lineitem
+         |  WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |  GROUP BY 1, 2
+         |) ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QEntry("q_revenue_by_segment", Relational.revenueBySegment, Some(
+      s"""SELECT c.c_mktsegment,
+         |       CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+         |       ${dsum("l.l_extendedprice * (1.0 - l.l_discount)", 8)} AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QEntry("q_revenue_by_nation", Relational.revenueByNation, Some(
+      s"""SELECT n.n_name,
+         |       ${dsum("l.l_extendedprice * (1.0 - l.l_discount)", 8)} AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |WHERE r.r_name IN ('ASIA', 'EUROPE')
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QEntry("q_semi_join", Relational.customersWithOrders, Some(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QEntry("q_anti_join", Relational.customersWithoutOrders, Some(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QEntry("q_top_orders_per_customer", Relational.topOrdersPerCustomer, Some(
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)),
+
+    QEntry("q_orders_rollup", Relational.ordersRollup, Some(
+      s"""SELECT r.r_name, n.n_name,
+         |       count(*) AS n_orders,
+         |       ${dsum("o.o_totalprice")} AS total
+         |FROM orders o
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY ROLLUP(r.r_name, n.n_name)
+         |ORDER BY r.r_name ASC NULLS FIRST, n.n_name ASC NULLS FIRST""".stripMargin)))
 }

@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational query suite over the TPC-H-ish tables — exercises the join /
+  * aggregation / window surface at bench scale (SURVEY.md §2.5, §2.6) with
+  * the physical shapes a 1000-executor cluster wants: dimension tables
+  * broadcast (no shuffle of the fact side), facts pre-filtered before the
+  * join so the parquet scan prunes, exact decimal accumulation for
+  * hash-stable doubles ([[Num.dsum]]).
+  */
+object Relational {
+  import Num._
+
+  /** Pricing summary (TPC-H Q1 shape): wide multi-aggregate grouped scan —
+    * the canonical map-side-combinable hash aggregate (A1/A2/A3). */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8)
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")), 8).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue by market segment and order month: customer ⋈ orders ⋈ lineitem
+    * with the dimension side broadcast (J1-class equi-join; the fact table
+    * never shuffles for the join, only for the final group-by). */
+  def revenueBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment", "order_month")
+  }
+
+  /** Revenue per nation (TPC-H Q5 shape): 6-way join where every dimension
+    * chain (customer→nation→region, supplier→nation) is broadcast — the plan
+    * is a single pass over lineitem with hash-lookup joins, which is exactly
+    * the 100 TB-safe shape (no sort-merge, no fact-side shuffle). */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir)
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+
+    val natInRegion = nation
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val custNation = cust
+      .join(broadcast(natInRegion), cust("c_nationkey") === natInRegion("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(custNation), ord("o_custkey") === custNation("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Customers having at least one order — semi-join (J5: the reference
+    * expresses existence as `filter(...).count() > 0` per key,
+    * reference: utils/CheckAddress.scala:22-24; the distributed form is a
+    * LEFT SEMI join, one pass, no row duplication). */
+  def customersWithOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Customers with no orders — anti-join. */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Top-3 orders per customer by total price — ranking window (extension
+    * beyond the reference, which has only sum/lag windows; SURVEY.md §2.7).
+    * Tie-break on o_orderkey keeps the result deterministic. */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Order counts with ROLLUP over (region, nation) of the customer — grouping
+    * sets (extension; not present in the reference, SURVEY.md §2.6 note).
+    *
+    * Expressed through `spark.sql`: the DataFrame `rollup` API after a join
+    * false-positives Spark 4.1's ambiguous-self-join check (grouping-set
+    * expansion duplicates the grouping attributes, which still carry the
+    * joined Datasets' provenance metadata); the SQL path plans the identical
+    * Expand + Aggregate without the Dataset-provenance bookkeeping. */
+  def ordersRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_ord")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_cust")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("graft_nat")
+    Tables.region(spark, sfDir).createOrReplaceTempView("graft_reg")
+    spark.sql(
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM graft_ord o
+        |JOIN graft_cust c ON o.o_custkey = c.c_custkey
+        |JOIN graft_nat n ON c.c_nationkey = n.n_nationkey
+        |JOIN graft_reg r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+}
