@@ -49,6 +49,33 @@ object Oracle {
   def withTransfersAndDapps(sql: String): String =
     s"WITH $transfersCte,\n$dappsCte\n$sql"
 
+  /** Double-entry legs + hourly net deltas for one token — mirror of
+    * [[graft.ops.Balances.hourlyDeltas]]. Prepend after [[transfersCte]]. */
+  def balanceCtes(token: String): String =
+    s"""legs AS (
+       |  SELECT from_address AS address, ${hourBucket("transact_at")} AS t,
+       |         -value AS delta
+       |  FROM transfers WHERE contract_address = '$token'
+       |  UNION ALL
+       |  SELECT to_address AS address, ${hourBucket("transact_at")} AS t,
+       |         value AS delta
+       |  FROM transfers WHERE contract_address = '$token'
+       |),
+       |hourly AS (
+       |  SELECT address, t, SUM(CAST(delta AS DECIMAL(25,2))) AS ddelta
+       |  FROM legs GROUP BY 1, 2
+       |),
+       |bal AS (
+       |  SELECT address, t, CAST(ddelta AS DOUBLE) AS delta,
+       |         CAST(SUM(ddelta) OVER (PARTITION BY address ORDER BY t
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |           AS balance
+       |  FROM hourly
+       |)""".stripMargin
+
+  def withBalances(token: String, sql: String): String =
+    s"WITH $transfersCte,\n${balanceCtes(token)}\n$sql"
+
   /** Exact decimal sum rendered back as DOUBLE — mirror of
     * [[graft.ops.Num.dsum]]. */
   def dsum(expr: String, scale: Int = 2): String =

@@ -85,6 +85,52 @@ object Catalog {
          |  FROM transfers GROUP BY 1
          |) ORDER BY contract_address""".stripMargin))),
 
+    // ── Balance engine (SURVEY §2.7 W1/W2, §2.9 U1, §2.4 F7, §2.5 J2/J3) ──
+    QEntry("q_balance_history",
+      (s, d) => Balances.balanceHistory(s, d),
+      Some(withBalances(Tables.FocusToken,
+        "SELECT address, t, delta, balance FROM bal ORDER BY address, t"))),
+
+    QEntry("q_holder_count", Balances.holderCount,
+      Some(withBalances(Tables.FocusToken,
+        s"""SELECT t, CAST(SUM(ih) AS BIGINT) AS holder_count FROM (
+           |  SELECT t, CASE WHEN balance > ${Tables.HolderThreshold}
+           |         OR (lag(balance, 1) OVER (PARTITION BY address ORDER BY t)
+           |               > ${Tables.HolderThreshold}
+           |             AND balance IS NULL)
+           |    THEN 1 ELSE 0 END AS ih
+           |  FROM bal
+           |) GROUP BY t ORDER BY t""".stripMargin))),
+
+    QEntry("q_whale_count", Balances.whaleCount,
+      Some(withBalances(Tables.FocusToken,
+        s"""SELECT t, count(*) AS whale_count FROM bal
+           |WHERE balance >= ${Tables.WhaleThreshold}
+           |GROUP BY t ORDER BY t""".stripMargin))),
+
+    QEntry("q_densified_balance",
+      (s, d) => Balances.densifiedBalances(s, d),
+      Some(withBalances(Tables.FocusToken,
+        s"""SELECT address, t, balance, balance >= ${Tables.WhaleThreshold} AS is_whale
+           |FROM (
+           |  SELECT g.address, g.t,
+           |         CAST(SUM(COALESCE(h.ddelta, CAST(0 AS DECIMAL(25,2))))
+           |           OVER (PARTITION BY g.address ORDER BY g.t
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS DOUBLE) AS balance
+           |  FROM (
+           |    SELECT a.address, r.t
+           |    FROM (SELECT DISTINCT address FROM hourly) a
+           |    CROSS JOIN (
+           |      SELECT unnest(range((SELECT min(t) FROM hourly),
+           |                          (SELECT max(t) FROM hourly) + 3600,
+           |                          3600)) AS t) r
+           |  ) g
+           |  LEFT JOIN hourly h ON g.address = h.address AND g.t = h.t
+           |) ORDER BY address, t""".stripMargin))),
+
+    QEntry("q_wallet_balance_maps", Balances.walletBalanceMaps, None),
+
     // ── Relational suite over TPC-H-ish tables (SURVEY §2.5, §2.6) ──
     QEntry("q_pricing_summary", Relational.pricingSummary, Some(
       s"""SELECT *,

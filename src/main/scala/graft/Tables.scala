@@ -70,7 +70,7 @@ object Tables {
     * (reference: common/Coingecko.scala:50-55,
     * src/main/scala/etl/WalletEnricher.scala:24-25). Modeled as a constant
     * lookup so the oracle can repeat it. */
-  val WhaleThreshold = 500.0
+  val WhaleThreshold = 150.0
 
   /** Holder threshold (reference: constants, holder flag
     * src/main/scala/etl/BaseEnricher.scala:141-155). */
