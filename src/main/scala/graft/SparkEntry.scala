@@ -131,6 +131,137 @@ object Catalog {
 
     QEntry("q_wallet_balance_maps", Balances.walletBalanceMaps, None),
 
+    // ── Wallet clustering (SURVEY §2.4 F8, §2.6 A5/A8, §2.10 C7/C10) ──
+    QEntry("q_wallet_clusters", Clusters.hourlyClusters, Some(withTransfers(
+      s"""SELECT t, CASE WHEN n < ${Tables.ClusterLow} THEN 'LOW'
+         |            WHEN n < ${Tables.ClusterHigh} THEN 'MEDIUM'
+         |            ELSE 'HIGH' END AS cluster, address, n
+         |FROM (
+         |  SELECT t, address, count(*) AS n FROM (
+         |    SELECT ${hourBucket("transact_at")} AS t, from_address AS address
+         |    FROM transfers WHERE contract_address = '${Tables.FocusToken}'
+         |    UNION ALL
+         |    SELECT ${hourBucket("transact_at")} AS t, to_address AS address
+         |    FROM transfers WHERE contract_address = '${Tables.FocusToken}'
+         |  ) GROUP BY t, address
+         |) ORDER BY t, address""".stripMargin))),
+
+    QEntry("q_cluster_pivot", Clusters.clusterPivot, Some(withTransfers(
+      s"""SELECT contract_address,
+         |       count(CASE WHEN cluster = 'LOW' THEN 1 END) AS "LOW",
+         |       count(CASE WHEN cluster = 'MEDIUM' THEN 1 END) AS "MEDIUM",
+         |       count(CASE WHEN cluster = 'HIGH' THEN 1 END) AS "HIGH"
+         |FROM (
+         |  SELECT contract_address, address,
+         |         CASE WHEN count(*) < ${Tables.ClusterLow} THEN 'LOW'
+         |              WHEN count(*) < ${Tables.ClusterHigh} THEN 'MEDIUM'
+         |              ELSE 'HIGH' END AS cluster
+         |  FROM (
+         |    SELECT contract_address, from_address AS address FROM transfers
+         |    UNION ALL
+         |    SELECT contract_address, to_address AS address FROM transfers
+         |  ) GROUP BY contract_address, address
+         |) GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    QEntry("q_cluster_map", (s, d) => Clusters.clusterMap(s, d), None),
+
+    // ── Dapp membership (SURVEY §2.5 J1, §2.6 A4/A7, §2.4 F9) ──
+    QEntry("q_dapp_hourly", Dapps.hourlyDappCounts, Some(withTransfersAndDapps(
+      s"""SELECT t, count(DISTINCT da.dapp_id) AS n_dapps, count(*) AS n_interactions
+         |FROM (
+         |  SELECT ${hourBucket("transact_at")} AS t, from_address AS address
+         |  FROM transfers
+         |  UNION ALL
+         |  SELECT ${hourBucket("transact_at")} AS t, to_address AS address
+         |  FROM transfers
+         |) l
+         |JOIN (SELECT dapp_id, unnest(addresses) AS address FROM dapps) da
+         |  ON l.address = da.address
+         |GROUP BY t ORDER BY t""".stripMargin))),
+
+    QEntry("q_dapp_totals", Dapps.dappTotals, Some(withTransfersAndDapps(
+      """SELECT da.dapp_id, da.dapp_name,
+        |       count(*) AS n_interactions,
+        |       count(DISTINCT l.address) AS n_wallets
+        |FROM (
+        |  SELECT from_address AS address FROM transfers
+        |  UNION ALL
+        |  SELECT to_address AS address FROM transfers
+        |) l
+        |JOIN (SELECT dapp_id, dapp_name, unnest(addresses) AS address FROM dapps) da
+        |  ON l.address = da.address
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin))),
+
+    QEntry("q_dapp_wallets", Dapps.dappWallets, Some(withTransfersAndDapps(
+      """SELECT DISTINCT da.dapp_id, l.address
+        |FROM (
+        |  SELECT from_address AS address FROM transfers
+        |  UNION ALL
+        |  SELECT to_address AS address FROM transfers
+        |) l
+        |JOIN (SELECT dapp_id, unnest(addresses) AS address FROM dapps) da
+        |  ON l.address = da.address
+        |ORDER BY 1, 2""".stripMargin))),
+
+    QEntry("q_dapp_info", (s, _) => Dapps.dappInfo(s), Some {
+      val rows = Tables.DappImages.map { case (id, img) =>
+        s"('$id', ${img.map(i => s"'$i'").getOrElse("NULL")})"
+      }.mkString(", ")
+      s"""SELECT dapp_id, COALESCE(image, 'default.png') AS image
+         |FROM (VALUES $rows) AS t(dapp_id, image)
+         |ORDER BY dapp_id""".stripMargin
+    }),
+
+    // ── Key synthesis / filters / upsert-dedup (SURVEY §2.10 C11-C15,
+    //    §2.4 F1/F2/F4, §2.2 K1) ──
+    QEntry("q_transfer_edges", Keys.transferEdges, Some(withTransfers(
+      """SELECT concat_ws('_', log_index, block_number, from_address, to_address) AS _key,
+        |       'wallets/' || from_address AS _from,
+        |       'wallets/' || to_address AS _to,
+        |       contract_address, block_number
+        |FROM transfers ORDER BY _key""".stripMargin))),
+
+    QEntry("q_prefix_strip", Keys.prefixStripCounts, Some(withTransfers(
+      """SELECT split_part('wallets/' || from_address, '/', 2) AS address,
+        |       count(*) AS n
+        |FROM transfers GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    QEntry("q_filtered_transfers", Keys.filteredTransferCounts,
+      Some(withTransfers(
+        s"""SELECT contract_address, count(*) AS n, ${dsum("value")} AS volume
+           |FROM transfers
+           |WHERE contract_address NOT IN ('error', 'signup')
+           |  AND from_address LIKE '1%'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    QEntry("q_block_range", Keys.blockRangeScan, Some(withTransfers(
+      s"""SELECT contract_address, count(*) AS n,
+         |       min(block_number) AS first_block,
+         |       max(block_number) AS last_block
+         |FROM transfers
+         |WHERE block_number BETWEEN 100 AND 7000
+         |  AND transact_at BETWEEN ${1704067200L + 5 * 86400}
+         |                      AND ${1704067200L + 20 * 86400}
+         |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    QEntry("q_upsert_dedup", Keys.upsertDedupCounts, Some(withTransfers(
+      """SELECT contract_address, count(*) AS n FROM (
+        |  SELECT DISTINCT _key, contract_address FROM (
+        |    SELECT concat_ws('_', log_index, block_number, from_address, to_address)
+        |             AS _key, contract_address FROM transfers
+        |    UNION ALL
+        |    SELECT concat_ws('_', log_index, block_number, from_address, to_address)
+        |             AS _key, contract_address FROM transfers
+        |  )
+        |) GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    QEntry("q_map_roundtrip", Keys.mapRoundTrip, Some(withTransfers(
+      s"""SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |       ${dsum("value")} AS volume
+         |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    QEntry("q_change_log_maps", Keys.changeLogMaps, None),
+
     // ── Relational suite over TPC-H-ish tables (SURVEY §2.5, §2.6) ──
     QEntry("q_pricing_summary", Relational.pricingSummary, Some(
       s"""SELECT *,

@@ -97,4 +97,13 @@ object Tables {
     import spark.implicits._
     DappRegistry.toDF("dapp_id", "dapp_name", "addresses")
   }
+
+  /** Dapp images with gaps — exercises null-fill defaulting (reference:
+    * src/main/scala/etl/DappEnricher.scala:47-48). Mirrored in oracle SQL. */
+  val DappImages: Seq[(String, Option[String])] = Seq(
+    ("d01", Some("alpha.png")),
+    ("d02", None),
+    ("d03", Some("gamma.png")),
+    ("d04", None),
+    ("d05", Some("eps.png")))
 }

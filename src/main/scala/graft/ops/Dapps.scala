@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dapp-interaction analytics (reference:
+  * src/main/scala/etl/DappEnricher.scala and
+  * src/main/scala/etl/BaseEnricher.scala:328-389): which registered dapps a
+  * token's transfer counterparties touch.
+  *
+  * The membership join is J1 — both sides exploded to (key, address) rows,
+  * then an equi-join. The registry side is a handful of rows, so it is
+  * explicitly `broadcast()`: at 100 TB the fact legs never shuffle for this
+  * join — each executor hash-probes the tiny registry locally.
+  */
+object Dapps {
+  import Num._
+
+  /** Registry exploded to one row per (dapp, address). */
+  private def dappAddresses(spark: SparkSession): DataFrame =
+    Tables.dapps(spark).select(
+      col("dapp_id"), col("dapp_name"),
+      explode(col("addresses")).as("address"))
+
+  /** Both transfer legs as (t, address) rows — the reference unions a
+    * from-leg and a to-leg before the membership join (U1,
+    * reference: src/main/scala/etl/BaseEnricher.scala:333-343). */
+  private def legs(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+    t.select(hourBucket(col("transact_at")).as("t"),
+        col("from_address").as("address"))
+      .unionByName(
+        t.select(hourBucket(col("transact_at")).as("t"),
+          col("to_address").as("address")))
+  }
+
+  /** Distinct dapps touched per hour (J1 + A4, reference :345-368). */
+  def hourlyDappCounts(spark: SparkSession, sfDir: String): DataFrame =
+    legs(spark, sfDir)
+      .join(broadcast(dappAddresses(spark)), Seq("address"))
+      .groupBy("t")
+      .agg(countDistinct("dapp_id").as("n_dapps"),
+        count(lit(1)).as("n_interactions"))
+      .orderBy("t")
+
+  /** Per-dapp totals: interactions and distinct counterparty wallets. */
+  def dappTotals(spark: SparkSession, sfDir: String): DataFrame =
+    legs(spark, sfDir)
+      .join(broadcast(dappAddresses(spark)), Seq("address"))
+      .groupBy("dapp_id", "dapp_name")
+      .agg(count(lit(1)).as("n_interactions"),
+        countDistinct("address").as("n_wallets"))
+      .orderBy("dapp_id")
+
+  /** Distinct wallets per dapp, exploded (DappEnricher's collect_list output
+    * in relational form; A7 distinct, reference:
+    * src/main/scala/etl/DappEnricher.scala:31-40). */
+  def dappWallets(spark: SparkSession, sfDir: String): DataFrame =
+    legs(spark, sfDir)
+      .join(broadcast(dappAddresses(spark)), Seq("address"))
+      .select("dapp_id", "address").distinct()
+      .orderBy("dapp_id", "address")
+
+  /** Registry with missing images defaulted (F9 na.fill, reference:
+    * src/main/scala/etl/DappEnricher.scala:47-48). */
+  def dappInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Tables.DappImages.toDF("dapp_id", "image")
+      .na.fill(Map("image" -> "default.png"))
+      .orderBy("dapp_id")
+  }
+}
