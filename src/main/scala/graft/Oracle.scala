@@ -81,6 +81,44 @@ object Oracle {
   def dsum(expr: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(25,$scale))) AS DOUBLE)"
 
+  /** Tokenized documents — mirror of [[graft.ops.TextAnalysis]]'s `toks`. */
+  val docsCte: String =
+    """docs AS (
+      |  SELECT doc_id, text, lang, source,
+      |         string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Distinct 3-word shingles — mirror of
+    * [[graft.ops.TextAnalysis.shingles]] (DuckDB lists are 1-based; Spark
+    * arrays 0-based — both enumerate len-2 windows). */
+  val shinglesCte: String =
+    """shingles AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS sh
+      |  FROM docs WHERE len(toks) >= 3
+      |)""".stripMargin
+
+  def withDocs(sql: String): String = s"WITH $docsCte\n$sql"
+  def withShingles(sql: String): String = s"WITH $docsCte,\n$shinglesCte\n$sql"
+
+  /** Marker-hit count for one language — mirror of
+    * [[graft.ops.TextAnalysis.LangMarkers]]. */
+  def markerCount(lang: String): String = {
+    val list = graft.ops.TextAnalysis.LangMarkers.toMap.apply(lang)
+      .map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(toks, x -> x IN ($list))) AS BIGINT)"
+  }
+
+  /** Embedding components with 0-based dim index, as doubles — mirror of the
+    * Spark `posexplode` over the double-cast embedding array. */
+  val embIdxCte: String =
+    """idx AS (
+      |  SELECT e.vec_id, t.i - 1 AS i, CAST(e.embedding[t.i] AS DOUBLE) AS x
+      |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+      |)""".stripMargin
+
   /** Hour bucket on epoch seconds — mirror of [[graft.ops.Num.hourBucket]]. */
   def hourBucket(expr: String): String =
     s"CAST(floor($expr / 3600) AS BIGINT) * 3600"

@@ -320,6 +320,207 @@ object Catalog {
         |  FROM orders
         |) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)),
 
+    // ── Text analysis over documents (training-data pipeline ops) ──
+    QEntry("q_lang_id", TextAnalysis.langId, Some(withDocs(
+      s"""SELECT *, predicted_lang = actual_lang AS is_match FROM (
+         |  SELECT *, CASE WHEN s_de = best_score THEN 'de'
+         |                 WHEN s_en = best_score THEN 'en'
+         |                 WHEN s_es = best_score THEN 'es'
+         |                 WHEN s_fr = best_score THEN 'fr'
+         |                 WHEN s_zh = best_score THEN 'zh'
+         |                 ELSE 'und' END AS predicted_lang
+         |  FROM (
+         |    SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best_score
+         |    FROM (
+         |      SELECT doc_id, lang AS actual_lang,
+         |             ${markerCount("de")} AS s_de,
+         |             ${markerCount("en")} AS s_en,
+         |             ${markerCount("es")} AS s_es,
+         |             ${markerCount("fr")} AS s_fr,
+         |             ${markerCount("zh")} AS s_zh
+         |      FROM docs
+         |    )
+         |  )
+         |) ORDER BY doc_id""".stripMargin))),
+
+    QEntry("q_text_quality", TextAnalysis.quality, Some(withDocs(
+      s"""SELECT *,
+         |  round(least(1.0, CAST(n_words AS DOUBLE) / 20.0)
+         |        * (1.0 - 0.5 * stop_ratio), 6) AS quality_score
+         |FROM (
+         |  SELECT *,
+         |    CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len,
+         |    CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio
+         |  FROM (
+         |    SELECT doc_id,
+         |           CAST(length(text) AS BIGINT) AS n_chars,
+         |           CAST(len(toks) AS BIGINT) AS n_words,
+         |           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+         |                AS BIGINT) AS sum_word_len,
+         |           ${markerCount("en")} AS n_stopwords
+         |    FROM docs
+         |  )
+         |) ORDER BY doc_id""".stripMargin))),
+
+    QEntry("q_token_count", TextAnalysis.tokenCounts, Some(withDocs(
+      """SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |            AS BIGINT) AS n_bpe_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM docs ORDER BY doc_id""".stripMargin))),
+
+    QEntry("q_fingerprint", TextAnalysis.fingerprints, Some(withShingles(
+      """SELECT doc_id, count(*) AS n_shingles, min(md5(sh)) AS fingerprint
+        |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+
+    // ── Deduplication (exact / MinHash-LSH / Jaccard / SimHash) ──
+    QEntry("q_dedup_exact", Dedup.exactGroups, Some(
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs,
+        |       min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QEntry("q_minhash_sigs", Dedup.minhashSignatures, Some(withShingles(
+      s"""SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
+         |FROM shingles
+         |CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    QEntry("q_minhash_pairs", Dedup.minhashPairs, Some(withShingles(
+      s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM (
+         |  SELECT doc_id, j // ${Dedup.BandRows} AS band,
+         |         md5(string_agg(mh, '|' ORDER BY j)) AS bh
+         |  FROM (
+         |    SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
+         |    FROM shingles
+         |    CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
+         |    GROUP BY 1, 2
+         |  ) GROUP BY doc_id, j // ${Dedup.BandRows}
+         |) a JOIN (
+         |  SELECT doc_id, j // ${Dedup.BandRows} AS band,
+         |         md5(string_agg(mh, '|' ORDER BY j)) AS bh
+         |  FROM (
+         |    SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
+         |    FROM shingles
+         |    CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
+         |    GROUP BY 1, 2
+         |  ) GROUP BY doc_id, j // ${Dedup.BandRows}
+         |) b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY 1, 2""".stripMargin))),
+
+    QEntry("q_jaccard_top1", Dedup.jaccardTop1, Some(withShingles(
+      """SELECT doc_a AS doc_id, doc_b AS partner_id,
+        |       round(jaccard, 6) AS jaccard
+        |FROM (
+        |  SELECT doc_a, doc_b, jaccard,
+        |         row_number() OVER (PARTITION BY doc_a
+        |           ORDER BY jaccard DESC, doc_b ASC) AS rn
+        |  FROM (
+        |    SELECT i.doc_a, i.doc_b,
+        |           CAST(i.inter AS DOUBLE)
+        |             / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+        |    FROM (
+        |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM shingles a JOIN shingles b
+        |        ON a.sh = b.sh AND a.doc_id != b.doc_id
+        |      GROUP BY 1, 2
+        |    ) i
+        |    JOIN (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1) sa
+        |      ON sa.doc_id = i.doc_a
+        |    JOIN (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1) sb
+        |      ON sb.doc_id = i.doc_b
+        |  )
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin))),
+
+    QEntry("q_simhash", Dedup.simhash, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |)
+         |SELECT doc_id, string_agg(bitc, '' ORDER BY b) AS simhash FROM (
+         |  SELECT doc_id, b,
+         |         CASE WHEN SUM(bit * 2 - 1) > 0 THEN '1' ELSE '0' END AS bitc
+         |  FROM (
+         |    SELECT doc_id, b,
+         |      CAST(floor((strpos('0123456789abcdef',
+         |              substr(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1)
+         |            / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2 AS bit
+         |    FROM toks
+         |    CROSS JOIN (SELECT unnest(range(${Dedup.SimHashBits})) AS b)
+         |  ) GROUP BY doc_id, b
+         |) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── Embedding similarity (brute-force exact + hyperplane LSH) ──
+    QEntry("q_embedding_topk", Similarity.bruteForceTopK, Some(
+      s"""WITH $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM idx q JOIN idx d ON q.i = d.i
+         |  WHERE q.vec_id % ${Similarity.QueryStride} = 0
+         |    AND d.vec_id != q.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |cos AS (
+         |  SELECT query_id, neighbor_id,
+         |         dot / (sqrt(nq.sq) * sqrt(nd.sq)) AS c
+         |  FROM dots
+         |  JOIN norms nq ON nq.vec_id = query_id
+         |  JOIN norms nd ON nd.vec_id = neighbor_id
+         |)
+         |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY c DESC, neighbor_id ASC) AS rnk
+         |  FROM cos
+         |) WHERE rnk <= ${Similarity.K} ORDER BY query_id, rnk""".stripMargin)),
+
+    QEntry("q_lsh_buckets", Similarity.hyperplaneBuckets, Some(
+      s"""WITH $embIdxCte,
+         |planes AS (
+         |  SELECT p.p, i.i,
+         |         CAST(strpos('0123456789abcdef',
+         |           substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)),
+         |                  1, 1)) - 1 AS DOUBLE) - 7.5 AS c
+         |  FROM (SELECT unnest(range(${Similarity.NumPlanes})) AS p) p,
+         |       (SELECT unnest(range(64)) AS i) i
+         |),
+         |dots AS (
+         |  SELECT idx.vec_id, planes.p,
+         |         SUM(CAST(idx.x * planes.c AS DECIMAL(38,18))) AS s
+         |  FROM idx JOIN planes ON planes.i = idx.i
+         |  GROUP BY 1, 2
+         |)
+         |SELECT vec_id,
+         |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+         |         AS bucket
+         |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    QEntry("q_bucketed_ann", Similarity.bucketedTopK, None),
+
+    // ── Multimodal binary columns (stubbed decode, real plumbing) ──
+    QEntry("q_multimodal_features", Multimodal.extractFeatures, Some(
+      """SELECT doc_id,
+        |       n_bytes,
+        |       16 + n_bytes % 640 AS width,
+        |       16 + (n_bytes * 7) % 480 AS height,
+        |       (n_bytes - 1) // 1024 + 1 AS n_frames,
+        |       md5(text) AS content_hash
+        |FROM (
+        |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin)),
+
+    QEntry("q_frame_sample_plan", Multimodal.frameSamplePlan, Some(
+      """SELECT doc_id, n_bytes, unnest(range(0, n_bytes, 1024)) AS frame_offset
+        |FROM (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |) ORDER BY doc_id, frame_offset""".stripMargin)),
+
     QEntry("q_orders_rollup", Relational.ordersRollup, Some(
       s"""SELECT r.r_name, n.n_name,
          |       count(*) AS n_orders,

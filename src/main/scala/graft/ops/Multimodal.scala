@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, batch-decoded per partition.
+  *
+  * No media codecs exist in this environment, so the decode step is a
+  * clearly-marked deterministic STUB ([[decodeStub]]) — but the Spark-side
+  * plumbing is real: a typed `Dataset[MediaRecord]`, `mapPartitions` with a
+  * per-partition batch loop (the Scala analogue of an arrow-batched
+  * `mapInPandas` decode), an explicit feature schema, and partition-count
+  * independence. Swapping [[decodeStub]] for a real JNI/codec call changes
+  * nothing else. The stub's arithmetic is mirrored in the oracle, so even
+  * the mapPartitions path is hash-verified.
+  */
+object Multimodal {
+
+  /** One media object: id + raw bytes (here synthesized from document text —
+    * the only binary source in the testdata). */
+  final case class MediaRecord(doc_id: Long, content: Array[Byte])
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      content_hash: String)
+
+  /** STUB decode: deterministic pseudo-metadata from the byte stream. A real
+    * implementation would parse the container header; the shapes (one
+    * struct per record, pure function of bytes) are identical. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val n = r.content.length.toLong
+    MediaFeatures(
+      doc_id = r.doc_id,
+      n_bytes = n,
+      width = 16L + n % 640L,
+      height = 16L + (n * 7L) % 480L,
+      n_frames = (n - 1L) / 1024L + 1L,
+      content_hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.content).map("%02x".format(_)).mkString)
+  }
+
+  /** Documents as a binary media table (text bytes stand in for image/audio
+    * payloads). */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRecord]
+  }
+
+  /** Batch feature extraction: one `mapPartitions` pass, iterator-to-iterator
+    * (no per-partition materialization — spill-safe at any partition size). */
+  def extractFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling plan: for each media object, the byte offsets a sampler
+    * would decode (every 1024 bytes) — generated per row with `sequence`,
+    * exploded; pure column ops, no driver loop. */
+  def frameSamplePlan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        explode(sequence(lit(0L), col("n_bytes") - 1, lit(1024L))).as("frame_offset"))
+      .orderBy("doc_id", "frame_offset")
+}

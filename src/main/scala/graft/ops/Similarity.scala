@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The query side is a small filtered subset and is broadcast, so the big
+  *    side streams once with no shuffle for the join; per-pair dot products
+  *    run inside codegen'd higher-order functions.
+  *  - [[hyperplaneBuckets]]/[[bucketedTopK]]: random-hyperplane LSH — the
+  *    100 TB path. Vectors hash to a 16-bit bucket (16 deterministic
+  *    md5-derived hyperplanes); near-neighbors collide with high probability
+  *    and exact reranking runs only within buckets (equi-join, not cross).
+  *
+  * Determinism: per-pair dot products accumulate in DECIMAL(38,18) (left
+  * fold in Spark, SUM in DuckDB — exact arithmetic makes the order
+  * irrelevant), then render to double; IEEE sqrt/divide are exactly rounded,
+  * so both engines produce bit-identical cosines.
+  */
+object Similarity {
+
+  /** Every 50th vector is a "query" — scales with the table. */
+  val QueryStride = 50
+  val K = 5
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** Exact decimal dot product of two double arrays, rendered as double. */
+  private val dotExpr: String =
+    """CAST(aggregate(zip_with(qv, v, (x, y) -> CAST(x * y AS DECIMAL(38,18))),
+      |  CAST(0 AS DECIMAL(38,18)),
+      |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
+      |AS DOUBLE)""".stripMargin
+
+  private val normSqExpr: String =
+    """CAST(aggregate(transform(v, x -> CAST(x * x AS DECIMAL(38,18))),
+      |  CAST(0 AS DECIMAL(38,18)),
+      |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
+      |AS DOUBLE)""".stripMargin
+
+  /** Exact cosine top-K for each query vector (vec_id ≡ 0 mod stride),
+    * self excluded; ties broken by neighbor id. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = emb(spark, sfDir).withColumn("sq", expr(normSqExpr))
+    val queries = base.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("sq").as("qsq"))
+    val pairs = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cosine", col("dot") / (sqrt(col("qsq")) * sqrt(col("sq"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val NumPlanes = 16
+
+  /** Deterministic pseudo-random hyperplanes: component (p, i) is the first
+    * hex digit of md5(p || '_' || i) centered at 7.5 — reproducible in SQL,
+    * no RNG state. Returns (p, i, c). */
+  def planes(spark: SparkSession): DataFrame =
+    spark.range(NumPlanes).select(col("id").as("p"),
+        explode(sequence(lit(0), lit(63))).as("i"))
+      .withColumn("c",
+        expr("CAST(instr('0123456789abcdef', substr(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 1)) - 1 AS DOUBLE) - 7.5"))
+
+  /** 16-bit LSH bucket per vector: bit p = sign(v · plane_p). */
+  def hyperplaneBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .join(broadcast(planes(spark)), Seq("i"))
+      .groupBy("vec_id", "p")
+      .agg(sum(expr("CAST(x * c AS DECIMAL(38,18))")).as("s"))
+      .groupBy("vec_id")
+      .agg(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(p, s))), e -> CASE WHEN e.s > 0 THEN '1' ELSE '0' END)"))
+        .as("bucket"))
+      .orderBy("vec_id")
+
+  /** Scale-path ANN: exact cosine rerank only within LSH buckets (equi-join
+    * on bucket). Top-1 per vector among same-bucket candidates. */
+  def bucketedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = hyperplaneBuckets(spark, sfDir)
+    val withVec = b.join(emb(spark, sfDir), Seq("vec_id"))
+      .withColumn("sq", expr(normSqExpr))
+    val l = withVec.select(col("bucket"), col("vec_id").as("query_id"),
+      col("v").as("qv"), col("sq").as("qsq"))
+    val r = withVec.select(col("bucket"), col("vec_id"), col("v"), col("sq"))
+    val pairs = l.join(r, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cosine", col("dot") / (sqrt(col("qsq")) * sqrt(col("sq"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language-ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is built from codegen'd native/higher-order functions — no
+  * UDFs — so at 100 TB each document is processed in one whole-stage-codegen
+  * pass over the scan with zero shuffles until the (optional) aggregate.
+  * Every score is deterministic arithmetic mirrored 1:1 in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization, shared by all text operators. */
+  val toksExpr = "split(trim(text), '\\\\s+')"
+
+  /** Per-language marker-word lists for the n-gram/stopword language-ID
+    * heuristic. Mirrored in the oracle SQL — keep in sync with
+    * [[graft.Oracle.langMarkers]]. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "y", "un"),
+    "fr" -> Seq("le", "la", "et", "est", "un"),
+    "zh" -> Seq("de", "shi", "zai", "le", "wo"))
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).withColumn("toks", expr(toksExpr))
+
+  private def markerCount(lang: String): Column = {
+    val list = LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(toks, x -> x IN ($list)))").cast("long")
+  }
+
+  /** Language ID: score each candidate language by marker-word hits, pick the
+    * argmax (ties resolved alphabetically by the CASE order — deterministic). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = docs(spark, sfDir)
+      .select(col("doc_id") +: col("lang").as("actual_lang") +:
+        LangMarkers.map { case (l, _) => markerCount(l).as(s"s_$l") }: _*)
+    val best = greatest(LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val predicted = LangMarkers.foldRight(lit("und")) { case ((l, _), rest) =>
+      when(col(s"s_$l") === col("best_score"), l).otherwise(rest)
+    }
+    scored.withColumn("best_score", best)
+      .withColumn("predicted_lang", predicted)
+      .withColumn("is_match", col("predicted_lang") === col("actual_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: word/char counts, average word length, stopword ratio,
+    * and a composite [0,1] score — length-normalized and stopword-penalized. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("size(toks)").cast("long").as("n_words"),
+        expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
+          .as("sum_word_len"),
+        markerCount("en").as("n_stopwords"))
+      .withColumn("avg_word_len",
+        col("sum_word_len").cast("double") / col("n_words").cast("double"))
+      .withColumn("stop_ratio",
+        col("n_stopwords").cast("double") / col("n_words").cast("double"))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_words").cast("double") / 20.0)
+          * (lit(1.0) - lit(0.5) * col("stop_ratio")), 6))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        expr("size(toks)").cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Distinct 3-word shingles per document — the base for fingerprinting and
+    * MinHash ([[Dedup]]). Docs shorter than 3 tokens are excluded (both
+    * engines). */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .filter(expr("size(toks) >= 3"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""".stripMargin))
+        .as("sh"))
+
+  /** Document fingerprint: min-hash-of-shingles (winnowing-style content
+    * signature — equal fingerprints ⇒ near-identical leading content) plus
+    * the distinct-shingle count. */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    shingles(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), min(md5(col("sh"))).as("fingerprint"))
+      .orderBy("doc_id")
+}
