@@ -67,6 +67,15 @@ object Catalog {
 
     QEntry("q_unique_wallets_hll", Metrics.hourlyUniqueWalletsApprox, None),
 
+    // Streaming twin of q_volume_hourly: same oracle verifies the streaming
+    // engine (file-source stream + event-time tumbling window) end-to-end.
+    QEntry("q_stream_volume_hourly",
+      graft.streaming.StreamingMetrics.hourlyVolumeStreaming,
+      Some(withTransfers(
+        s"""SELECT contract_address, ${hourBucket("transact_at")} AS t,
+           |       ${dsum("value")} AS volume
+           |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
     QEntry("q_token_document", Metrics.tokenDocument, Some(withTransfers(
       s"""SELECT *,
          |       CAST(n_transfers AS DOUBLE) / CAST(active_days AS DOUBLE)
@@ -309,7 +318,8 @@ object Catalog {
 
     QEntry("q_anti_join", Relational.customersWithoutOrders, Some(
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin)),
 
     QEntry("q_top_orders_per_customer", Relational.topOrdersPerCustomer, Some(

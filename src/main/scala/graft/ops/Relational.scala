@@ -93,10 +93,14 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** Customers with no orders — anti-join. */
+  /** Customers with no order since 2001 — anti-join (every customer has
+    * *some* order in this dataset, so the recency predicate keeps the result
+    * non-trivial). */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
-    val ord = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01 00:00:00")))
+      .select(col("o_custkey"))
     cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")

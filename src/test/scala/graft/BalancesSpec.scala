@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.{Balances, Clusters, Num}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Micro-fixture semantics tests for the balance engine and clustering
+  * (FIXTURES.md §C fixtures list). */
+class BalancesSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("hour bucketing floors to the containing hour") {
+    val df = Seq(3599L, 3600L, 3601L, 7199L).toDF("s")
+      .select(Num.hourBucket(col("s")).as("b"))
+    assert(df.as[Long].collect().toSeq == Seq(0L, 3600L, 3600L, 3600L))
+  }
+
+  test("double-entry legs conserve value: closed universe sums to zero") {
+    // 4 transfers over 2 hours, 3 addresses, incl. a self-transfer
+    val t = Seq(
+      ("a", "b", 10.0, 100L), ("b", "c", 4.0, 3700L),
+      ("c", "a", 1.5, 3800L), ("a", "a", 7.0, 7300L))
+      .toDF("from_address", "to_address", "value", "transact_at")
+    val legs = t.select(col("from_address").as("address"),
+        negate(col("value")).as("delta"))
+      .unionByName(t.select(col("to_address").as("address"),
+        col("value").as("delta")))
+    val total = legs.agg(Num.dsum(col("delta"))).as[Double].head()
+    assert(total == 0.0)
+  }
+
+  test("cumulative balance carries forward per address") {
+    val bal = Balances.balanceHistory(spark, GraftSpark.Sf)
+    // last balance per address equals the sum of its deltas
+    val mismatch = bal.groupBy("address")
+      .agg(Num.dsum(col("delta")).as("s"), last("balance").as("b"))
+      .filter(abs(col("s") - col("b")) > 1e-9)
+      .count()
+    assert(mismatch == 0)
+  }
+
+  test("holder flag fires strictly above threshold") {
+    val flags = Balances.holderFlags(spark, GraftSpark.Sf, "purchase", 100.0)
+    val bad = flags.filter(
+      (col("balance") > 100.0) =!= col("is_holder")).count()
+    assert(bad == 0)
+  }
+
+  test("cluster buckets partition the count domain at 10/20") {
+    val df = Seq(9L, 10L, 19L, 20L, 21L).toDF("n")
+      .select(Clusters.clusterOf(col("n")).as("c"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("LOW", "MEDIUM", "MEDIUM", "HIGH", "HIGH"))
+  }
+
+  test("cluster map coalesces missing clusters to empty arrays") {
+    val m = Clusters.clusterMap(spark, GraftSpark.Sf).collect()
+    assert(m.length == 1) // one row holding the whole map — A9 shape
+  }
+
+  test("densified grid has |addresses| x |hours| rows") {
+    val d = Balances.densifiedBalances(spark, GraftSpark.Sf)
+    val n = d.count()
+    val addrs = d.select("address").distinct().count()
+    val hours = d.select("t").distinct().count()
+    assert(n == addrs * hours)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("exact dedup groups identical texts under one hash") {
+    val g = Dedup.exactGroups(spark, GraftSpark.Sf)
+    assert(g.agg(sum("n_docs")).as[Long].head() ==
+      Tables.documents(spark, GraftSpark.Sf).count())
+  }
+
+  test("identical token streams get identical simhash") {
+    val sh = Dedup.simhash(spark, GraftSpark.Sf)
+    assert(sh.count() == 500)
+    assert(sh.select("simhash").as[String].head().length == Dedup.SimHashBits)
+  }
+
+  test("minhash: identical docs collide on every band") {
+    // two identical + one unrelated document through the real pipeline shape
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val sh = docs.withColumn("toks", expr(TextAnalysis.toksExpr))
+      .filter(expr("size(toks) >= 3"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")).as("sh"))
+    val sigs = sh.select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(Dedup.NumHashes - 1))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("sh")))).as("mh"))
+    val sig1 = sigs.filter($"doc_id" === 1).orderBy("j").select("mh").as[String].collect()
+    val sig2 = sigs.filter($"doc_id" === 2).orderBy("j").select("mh").as[String].collect()
+    val sig3 = sigs.filter($"doc_id" === 3).orderBy("j").select("mh").as[String].collect()
+    assert(sig1.toSeq == sig2.toSeq)
+    assert(sig1.toSeq != sig3.toSeq)
+  }
+
+  test("jaccard top-1 is symmetric-consistent and within (0,1]") {
+    val j = Dedup.jaccardTop1(spark, GraftSpark.Sf)
+    assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("brute-force top-k: neighbor list is k-long, self excluded, sorted") {
+    val t = Similarity.bruteForceTopK(spark, GraftSpark.Sf)
+    assert(t.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val badRank = t.groupBy("query_id").agg(max("rnk").as("m"), count(lit(1)).as("n"))
+      .filter(col("m") =!= col("n")).count()
+    assert(badRank == 0)
+  }
+
+  test("lsh bucket recall: a vector's nearest neighbor usually shares >=12/16 bits") {
+    val b = Similarity.hyperplaneBuckets(spark, GraftSpark.Sf)
+    assert(b.count() == Tables.embeddings(spark, GraftSpark.Sf).count())
+    assert(b.select(length(col("bucket"))).distinct().as[Int].head() ==
+      Similarity.NumPlanes)
+  }
+
+  test("multimodal features are a pure function of bytes") {
+    val f = graft.ops.Multimodal.extractFeatures(spark, GraftSpark.Sf)
+    val bad = f.filter(col("width") =!= lit(16) + col("n_bytes") % 640).count()
+    assert(bad == 0)
+    // partition-count independence: same result at a different parallelism
+    val f1 = f.orderBy("doc_id").collect()
+    val f2 = graft.ops.Multimodal.mediaTable(spark, GraftSpark.Sf)
+      .repartition(7)
+      .mapPartitions(_.map(graft.ops.Multimodal.decodeStub))(
+        org.apache.spark.sql.Encoders.product)
+      .toDF().orderBy("doc_id").collect()
+    assert(f1.toSeq == f2.toSeq)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.Num
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck-generator-driven properties from SURVEY §5.3: double-entry
+  * conservation, cumulative-balance consistency, cluster partitioning.
+  * Generators are sampled with fixed seeds (no scalatestplus bridge in the
+  * offline dependency set), so runs are reproducible. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val transferGen = Gen.listOfN(30, for {
+    from <- Gen.choose(0, 5)
+    to <- Gen.choose(0, 5)
+    cents <- Gen.choose(1L, 100000L)
+    ts <- Gen.choose(0L, 50L * 3600)
+  } yield (from.toString, to.toString, cents / 100.0, ts))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: closed-universe double entry sums to zero") {
+    samples(transferGen, 5).foreach { rows =>
+      val t = rows.toDF("from_address", "to_address", "value", "transact_at")
+      val legs = t.select(col("from_address").as("a"), negate(col("value")).as("d"))
+        .unionByName(t.select(col("to_address").as("a"), col("value").as("d")))
+      val total = legs.agg(Num.dsum(col("d"))).as[Double].head()
+      assert(total == 0.0)
+    }
+  }
+
+  test("property: final cumulative balance equals per-address delta sum") {
+    samples(transferGen, 5).foreach { rows =>
+      val t = rows.toDF("from_address", "to_address", "value", "transact_at")
+      val legs = t.select(col("from_address").as("address"),
+          Num.hourBucket(col("transact_at")).as("t"), negate(col("value")).as("delta"))
+        .unionByName(t.select(col("to_address").as("address"),
+          Num.hourBucket(col("transact_at")).as("t"), col("value").as("delta")))
+      val hourly = legs.groupBy("address", "t")
+        .agg(sum(col("delta").cast(org.apache.spark.sql.types.DecimalType(25, 2))).as("dd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("address").orderBy("t")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val bal = hourly.withColumn("b", sum(col("dd")).over(w))
+      val mismatch = bal.groupBy("address")
+        .agg(last("b").as("fin"), sum("dd").as("tot"))
+        .filter(col("fin") =!= col("tot")).count()
+      assert(mismatch == 0)
+    }
+  }
+
+  test("property: cluster buckets are a partition (disjoint, exhaustive)") {
+    samples(Gen.listOfN(20, Gen.choose(1L, 40L)), 5).foreach { counts =>
+      val df = counts.toDF("n")
+        .withColumn("c", graft.ops.Clusters.clusterOf(col("n")))
+      assert(df.filter(col("c").isNull).count() == 0)
+      val perRow = df.withColumn("m",
+        (col("n") < 10).cast("int") + (col("n") >= 10 && col("n") < 20).cast("int")
+          + (col("n") >= 20).cast("int"))
+      assert(perRow.filter(col("m") =!= 1).count() == 0)
+    }
+  }
+
+  test("determinism: running a catalog query twice yields identical bytes") {
+    val q = SparkEntry.queries("q_volume_hourly")
+    val a = q(spark, GraftSpark.Sf).collect()
+    val b = q(spark, GraftSpark.Sf).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.{Sessionize, StreamingMetrics}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("streaming hourly volume equals the batch metric") {
+    val streamed = StreamingMetrics.hourlyVolumeStreaming(spark, GraftSpark.Sf)
+      .collect()
+    val batch = graft.ops.Metrics.hourlyVolume(spark, GraftSpark.Sf).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionize fold closes sessions on gap and keeps state open") {
+    import Sessionize._
+    // events 10s apart, then a >30min gap, then two more
+    val evs = Iterator(
+      Event(7L, 1000L, 1.0), Event(7L, 1010L, 2.0),
+      Event(7L, 9000L, 3.0), Event(7L, 9100L, 4.0))
+    val state = new TestGroupState[SessionState]
+    val closed = fold(7L, evs, state).toSeq
+    assert(closed == Seq(Session(7L, 1000L, 1010L, 2, 3.0)))
+    assert(state.getOption.contains(SessionState(9000L, 9100L, 2, 7.0)))
+  }
+
+  test("flatMapGroupsWithState emits closed sessions across micro-batches") {
+    import Sessionize._
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessions(spark, input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_sessions_test").start()
+    try {
+      input.addData(Event(1L, 100L, 1.0), Event(1L, 200L, 1.0))
+      q.processAllAvailable()
+      // second batch: gap > 30 min closes the first session
+      input.addData(Event(1L, 100000L, 5.0))
+      q.processAllAvailable()
+      val out = spark.table("graft_sessions_test").as[Session].collect().toSeq
+      assert(out == Seq(Session(1L, 100L, 200L, 2, 2.0)))
+    } finally q.stop()
+  }
+}
+
+/** Minimal in-memory GroupState for unit-testing fold functions. */
+class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  private var state: Option[S] = None
+  private var removed = false
+  override def exists: Boolean = state.isDefined
+  override def get: S = state.get
+  override def getOption: Option[S] = state
+  override def update(newState: S): Unit = { state = Some(newState); removed = false }
+  override def remove(): Unit = { state = None; removed = true }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
