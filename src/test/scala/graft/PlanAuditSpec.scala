@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the shapes that matter at 100 TB.
+  * `explain` output is checked for pushed filters, broadcast joins, and
+  * absence of redundant exchanges — regressions here are perf bugs even when
+  * results stay correct. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, GraftSpark.Sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("block-range predicates are pushed to the parquet scan") {
+    val p = plan("q_block_range")
+    assert(p.contains("PushedFilters: ["), p)
+    // event_id (block_number source column) range reaches the scan
+    assert(p.contains("GreaterThanOrEqual(event_id"), p)
+  }
+
+  test("token filter is pushed down in per-token balance pipeline") {
+    val p = plan("q_balance_history")
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+  }
+
+  test("dimension joins broadcast; fact side never shuffles for the join") {
+    val p = plan("q_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dapp registry membership join is broadcast") {
+    val p = plan("q_dapp_hourly")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("groupBy and window share one exchange in balance history") {
+    val p = plan("q_balance_history")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected exchange count $exchanges\n$p")
+  }
+
+  test("pricing summary stays in whole-stage codegen") {
+    val df = SparkEntry.queries("q_pricing_summary")(spark, GraftSpark.Sf)
+    df.collect() // AQE only finalizes (and codegens) this exact plan on execution
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd spans print as "*(n) Operator" in the final adaptive plan
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined, p)
+  }
+}
