@@ -511,6 +511,58 @@ object Catalog {
 
     QEntry("q_bucketed_ann", Similarity.bucketedTopK, None),
 
+    // Same oracle as q_embedding_topk — proves the custom bounded-top-k
+    // Aggregator (partial-aggregating formulation) equivalent to the window.
+    QEntry("q_embedding_topk_agg", Similarity.aggregatorTopK, Some(
+      s"""WITH $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM idx q JOIN idx d ON q.i = d.i
+         |  WHERE q.vec_id % ${Similarity.QueryStride} = 0
+         |    AND d.vec_id != q.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |cos AS (
+         |  SELECT query_id, neighbor_id,
+         |         dot / (sqrt(nq.sq) * sqrt(nd.sq)) AS c
+         |  FROM dots
+         |  JOIN norms nq ON nq.vec_id = query_id
+         |  JOIN norms nd ON nd.vec_id = neighbor_id
+         |)
+         |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY c DESC, neighbor_id ASC) AS rnk
+         |  FROM cos
+         |) WHERE rnk <= ${Similarity.K} ORDER BY query_id, rnk""".stripMargin)),
+
+    // Multiline-JSON registry scan + higher-order cleanup (S5/S6).
+    QEntry("q_json_registry", (s, _) => graft.sources.JsonRegistry.cleaned(s),
+      Some(
+        """SELECT id, name, address FROM (
+          |  SELECT t.id, t.name, unnest(t.addresses) AS address
+          |  FROM (VALUES
+          |    ('d01', 'AlphaSwap', ['defi','dex'],
+          |     ['1','8','15','103','204','305','406']),
+          |    ('d02', 'BetaLend', ['defi'],
+          |     ['22','33','44','155','266','377','488']),
+          |    ('d03', 'GammaNft', ['nft','marketplace'],
+          |     ['5','55','505','550','555']),
+          |    ('d04', 'DeltaDao', ['dao'],
+          |     ['7','77','177','277','777','877','977']),
+          |    ('d05', 'EpsBridge', ['bridge','defi'],
+          |     ['12','120','212','312','412','512','612','712']),
+          |    ('d06', 'ZetaMeta', ['dao'], NULL)
+          |  ) AS t(id, name, sources, addresses)
+          |  WHERE NOT list_contains(t.sources, 'nft')
+          |    AND t.addresses IS NOT NULL
+          |) WHERE address LIKE '1%'
+          |ORDER BY id, address""".stripMargin)),
+
     // ── Multimodal binary columns (stubbed decode, real plumbing) ──
     QEntry("q_multimodal_features", Multimodal.extractFeatures, Some(
       """SELECT doc_id,

@@ -45,22 +45,51 @@ object Similarity {
       |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
       |AS DOUBLE)""".stripMargin
 
-  /** Exact cosine top-K for each query vector (vec_id ≡ 0 mod stride),
-    * self excluded; ties broken by neighbor id. */
-  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  /** All (query, candidate, cosine) pairs — query side broadcast. */
+  private def cosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val base = emb(spark, sfDir).withColumn("sq", expr(normSqExpr))
     val queries = base.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("sq").as("qsq"))
-    val pairs = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("dot", expr(dotExpr))
       .withColumn("cosine", col("dot") / (sqrt(col("qsq")) * sqrt(col("sq"))))
+      .select("query_id", "vec_id", "cosine")
+  }
+
+  /** Exact cosine top-K for each query vector (vec_id ≡ 0 mod stride),
+    * self excluded; ties broken by neighbor id. Window formulation: every
+    * candidate row shuffles to its query's partition for ranking. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+    cosinePairs(spark, sfDir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= K)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Same result through the custom bounded [[graft.functions.TopKAggregator]]
+    * — partial-aggregates to ≤K rows per partition *before* the shuffle
+    * (the 100 TB formulation; the identical DuckDB oracle proves it
+    * equivalent to the window path). */
+  def aggregatorTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val agg = new TopKAggregator(K).toColumn
+    cosinePairs(spark, sfDir)
+      .select(col("query_id"), col("vec_id").as("id"), col("cosine").as("score"))
+      .as[(Long, Long, Double)]
+      .map { case (q, id, s) => (q, Scored(id, s)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("cosine"))
       .orderBy("query_id", "rnk")
   }
 
