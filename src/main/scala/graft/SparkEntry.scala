@@ -140,6 +140,25 @@ object Catalog {
 
     QEntry("q_wallet_balance_maps", Balances.walletBalanceMaps, None),
 
+    // ── Skew handling: salted agg/join, oracle-proven equivalent ──
+    QEntry("q_salted_agg", Skew.saltedVolume, Some(withTransfers(
+      s"""SELECT contract_address, ${dsum("value")} AS volume, count(*) AS n
+         |FROM transfers GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    QEntry("q_salted_join", Skew.saltedJoinVolume, Some {
+      val rows = Skew.TokenMarket
+        .map { case (t, s) => s"('$t', $s)" }.mkString(", ")
+      withTransfers(
+        s"""SELECT t.contract_address, m.circulating_supply,
+           |       ${dsum("t.value")} AS volume,
+           |       round(${dsum("t.value")} / m.circulating_supply, 6)
+           |         AS volume_share
+           |FROM transfers t
+           |JOIN (VALUES $rows) AS m(contract_address, circulating_supply)
+           |  ON t.contract_address = m.contract_address
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+    }),
+
     // ── Wallet clustering (SURVEY §2.4 F8, §2.6 A5/A8, §2.10 C7/C10) ──
     QEntry("q_wallet_clusters", Clusters.hourlyClusters, Some(withTransfers(
       s"""SELECT t, CASE WHEN n < ${Tables.ClusterLow} THEN 'LOW'

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling patterns, demonstrated with oracle-proven equivalence to
+  * their naive formulations.
+  *
+  * The transfers fact table has only 5 token values, so any shuffle keyed by
+  * `contract_address` alone concentrates the whole table on 5 reducers — at
+  * 100 TB, 5 straggler tasks. Both operators below spread each hot key over
+  * [[Salts]] deterministic salt buckets first. (Salts derive from data
+  * columns, not `rand()`: the correctness gate hash-compares results, and
+  * nondeterministic salting would still be *correct* but untestable —
+  * determinism costs nothing here.)
+  *
+  * AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`) handles the
+  * same problem reactively at runtime; explicit salting is the declarative
+  * form that also covers aggregations, which AQE does not split.
+  */
+object Skew {
+  import Num._
+
+  val Salts = 16
+
+  /** Two-phase salted aggregation: partial per (token, salt) — 5×16 groups
+    * spread across the cluster — then final per token. Result provably equal
+    * to the direct single-key aggregation (same oracle). */
+  def saltedVolume(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.transfers(spark, sfDir)
+      .withColumn("salt", col("block_number") % Salts)
+      .groupBy("contract_address", "salt")
+      .agg(dsumDec(col("value")).as("pvol"), count(lit(1)).as("pn"))
+      .groupBy("contract_address")
+      .agg(sum(col("pvol")).cast("double").as("volume"), sum(col("pn")).as("n"))
+      .orderBy("contract_address")
+
+  /** Salted join: the skewed fact side salts its key; the (replicable) dim
+    * side explodes once per salt value, so the join key (token, salt) spreads
+    * each hot token over [[Salts]] partitions. With a 5-row dim you would
+    * broadcast instead — this shape is for a dim too large to broadcast
+    * joined against a skewed fact. Oracle: the plain join. */
+  def saltedJoinVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val market = tokenMarket(spark)
+      .withColumn("salt", explode(sequence(lit(0L), lit(Salts - 1L))))
+    Tables.transfers(spark, sfDir)
+      .withColumn("salt", col("block_number") % Salts)
+      .join(market, Seq("contract_address", "salt"))
+      .groupBy("contract_address", "circulating_supply")
+      .agg(dsum(col("value")).as("volume"))
+      .withColumn("volume_share",
+        round(col("volume") / col("circulating_supply"), 6))
+      .orderBy("contract_address")
+  }
+
+  /** Literal market lookup — stands in for the reference's per-token
+    * Coingecko HTTP fetches (reference: common/Coingecko.scala:8-55),
+    * modeled as a joinable table. Mirrored in the oracle as VALUES. */
+  val TokenMarket: Seq[(String, Double)] = Seq(
+    ("click", 125000.0), ("error", 50000.0), ("purchase", 350000.0),
+    ("signup", 75000.0), ("view", 500000.0))
+
+  def tokenMarket(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    TokenMarket.toDF("contract_address", "circulating_supply")
+  }
+}

@@ -45,6 +45,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(out == Seq(Session(1L, 100L, 200L, 2, 2.0)))
     } finally q.stop()
   }
+  test("foreachBatch drives the upsert sink incrementally (K1 streaming form)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+    val path = s"$dir/t"
+    val input = MemoryStream[(String, Long, String)]
+    val q = input.toDS().toDF("key", "ver", "payload")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.io.Sinks.upsertParquet(spark, batch, "key", "ver", path)
+      }
+      .start()
+    try {
+      input.addData(("k1", 1L, "a"), ("k2", 1L, "b"))
+      q.processAllAvailable()
+      input.addData(("k2", 2L, "b2"), ("k3", 1L, "c")) // k2 upgraded
+      q.processAllAvailable()
+      val got = spark.read.parquet(path).orderBy("key")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      assert(got.toSeq == Seq(("k1", 1L, "a"), ("k2", 2L, "b2"), ("k3", 1L, "c")))
+    } finally q.stop()
+  }
 }
 
 /** Minimal in-memory GroupState for unit-testing fold functions. */
