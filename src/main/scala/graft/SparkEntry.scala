@@ -479,6 +479,39 @@ object Catalog {
          |  ) GROUP BY doc_id, b
          |) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    QEntry("q_simhash_pairs", Dedup.simhashPairs, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |),
+         |sh AS (
+         |  SELECT doc_id, string_agg(bitc, '' ORDER BY b) AS simhash FROM (
+         |    SELECT doc_id, b,
+         |           CASE WHEN SUM(bit * 2 - 1) > 0 THEN '1' ELSE '0' END AS bitc
+         |    FROM (
+         |      SELECT doc_id, b,
+         |        CAST(floor((strpos('0123456789abcdef',
+         |                substr(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1)
+         |              / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2 AS bit
+         |      FROM toks
+         |      CROSS JOIN (SELECT unnest(range(${Dedup.SimHashBits})) AS b)
+         |    ) GROUP BY doc_id, b
+         |  ) GROUP BY doc_id
+         |),
+         |blocked AS (SELECT s.doc_id, s.simhash, d.source
+         |            FROM sh s JOIN documents d ON d.doc_id = s.doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(len(list_filter(range(1, ${Dedup.SimHashBits} + 1),
+         |         i -> substr(a.simhash, CAST(i AS INT), 1)
+         |              != substr(b.simhash, CAST(i AS INT), 1))) AS INT) AS dist
+         |FROM blocked a JOIN blocked b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_filter(range(1, ${Dedup.SimHashBits} + 1),
+         |    i -> substr(a.simhash, CAST(i AS INT), 1)
+         |         != substr(b.simhash, CAST(i AS INT), 1)))
+         |  <= ${Dedup.SimHashMaxDist}
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ── Embedding similarity (brute-force exact + hyperplane LSH) ──
     QEntry("q_embedding_topk", Similarity.bruteForceTopK, Some(
       s"""WITH $embIdxCte,
