@@ -45,6 +45,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(out == Seq(Session(1L, 100L, 200L, 2, 2.0)))
     } finally q.stop()
   }
+  test("watermark + append emits only finalized windows, drops late data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Double)] // (epoch_sec, value)
+    val agg = input.toDS().toDF("sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sum("value").as("v"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_wm_test").start()
+    try {
+      input.addData((100L, 1.0), (200L, 2.0))   // window [0, 3600)
+      q.processAllAvailable()
+      // nothing finalized yet: watermark = 200s - 10min < 3600
+      assert(spark.table("graft_wm_test").count() == 0)
+      input.addData((8000L, 5.0))               // advances watermark past 3600
+      q.processAllAvailable()
+      val out = spark.table("graft_wm_test")
+        .select(unix_timestamp(col("window.start")).as("t"), col("v"))
+        .as[(Long, Double)].collect().toSeq
+      assert(out == Seq((0L, 3.0)))             // first window emitted once
+      input.addData((300L, 99.0))               // late beyond watermark
+      q.processAllAvailable()
+      assert(spark.table("graft_wm_test").count() == 1) // late row dropped
+    } finally q.stop()
+  }
+
   test("foreachBatch drives the upsert sink incrementally (K1 streaming form)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
