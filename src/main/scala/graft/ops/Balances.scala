@@ -137,14 +137,14 @@ object Balances {
     * collect_list is run-dependent, SURVEY §7.4.1). Map-typed ⇒ rows-only
     * driver check; the exploded twin [[balanceHistory]] is the oracle
     * witness. */
-  def walletBalanceMaps(spark: SparkSession, sfDir: String): DataFrame =
-    holderFlags(spark, sfDir, Tables.FocusToken, Tables.HolderThreshold)
+  def walletBalanceMaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val flags = holderFlags(spark, sfDir, Tables.FocusToken, Tables.HolderThreshold)
       .withColumn("is_whale", col("balance") >= Tables.WhaleThreshold)
-      .groupBy("address")
-      .agg(map_from_entries(array_sort(collect_list(struct(
-        col("t"), struct(col("is_whale"), col("balance").as("balance"))))))
-        .as("balance_change_logs"))
+    ChangeLogs.perKey(flags, col("address"), col("t"),
+        struct(col("is_whale"), col("balance").as("balance")),
+        "balance_change_logs")
       .select(
         concat(lit(Tables.FocusToken), lit("_"), col("address")).as("_key"),
         col("address"), col("balance_change_logs"))
+  }
 }
