@@ -12,9 +12,11 @@ import graft.ops._
   */
 object SparkEntry {
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The full
+    * EnhanceTokenEnricher-equivalent: one document per token with all eight
+    * change-log map columns, computed without driver loops. */
   def entry(spark: SparkSession): DataFrame =
-    Metrics.tokenDocument(spark, "/root/testdata/sf0.001")
+    graft.pipelines.Pipelines.tokenDocuments(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Catalog.entries.map(e => e.name -> e.fn).toMap
@@ -289,6 +291,11 @@ object Catalog {
          |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
     QEntry("q_change_log_maps", Keys.changeLogMaps, None),
+
+    // Full enriched token document (all 8 map columns) — map-typed ⇒
+    // rows-only; every constituent metric has an oracle-checked exploded twin.
+    QEntry("q_token_documents_full",
+      (s, d) => graft.pipelines.Pipelines.tokenDocuments(s, d), None),
 
     // ── Relational suite over TPC-H-ish tables (SURVEY §2.5, §2.6) ──
     QEntry("q_pricing_summary", Relational.pricingSummary, Some(
