@@ -244,7 +244,8 @@ object Catalog {
 
     // ── Key synthesis / filters / upsert-dedup (SURVEY §2.10 C11-C15,
     //    §2.4 F1/F2/F4, §2.2 K1) ──
-    QEntry("q_transfer_edges", Keys.transferEdges, Some(withTransfers(
+    QEntry("q_transfer_edges",
+      (s, d) => Keys.transferEdges(s, d).orderBy("_key"), Some(withTransfers(
       """SELECT concat_ws('_', log_index, block_number, from_address, to_address) AS _key,
         |       'wallets/' || from_address AS _from,
         |       'wallets/' || to_address AS _to,

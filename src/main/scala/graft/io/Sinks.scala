@@ -26,32 +26,56 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).json(path)
 
   /** K1: upsert-by-key parquet merge. New rows win over existing rows with
-    * the same key; within a batch the highest `versionCol` wins (ties by
-    * presence order are eliminated — deterministic). One shuffle on the key;
-    * at cluster scale the same shape works over partitioned table dirs with
-    * dynamic partition overwrite. */
+    * the same key; within a batch the highest `versionCol` wins, and full
+    * (key, version) ties resolve by whole-row hash so the survivor is
+    * deterministic at any partitioning. One shuffle on the key; at cluster
+    * scale the same shape works over partitioned table dirs with dynamic
+    * partition overwrite.
+    *
+    * Crash safety: the merge stages to `__staged`, moves the live dir aside
+    * to `__old`, promotes the stage, then drops `__old`. Every rename is
+    * checked, and a read that finds no live dir falls back to `__old`
+    * (a crash between the two renames leaves the previous table intact
+    * there) — so a died-and-retried upsert never loses earlier keys. */
   def upsertParquet(spark: SparkSession, incoming: DataFrame, keyCol: String,
       versionCol: String, path: String): Unit = {
-    val existing =
-      try spark.read.parquet(path).withColumn("_is_new", lit(0))
-      catch { case _: Exception => null }
-    val merged = Option(existing) match {
-      case Some(old) => old.unionByName(incoming.withColumn("_is_new", lit(1)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val staged = new org.apache.hadoop.fs.Path(path + "__staged")
+
+    // recover from a crash that promoted nothing after moving the live dir
+    val liveDir =
+      if (fs.exists(dst)) Some(path)
+      else if (fs.exists(old)) Some(path + "__old")
+      else None
+    val existing = liveDir.map(p =>
+      spark.read.parquet(p).withColumn("_is_new", lit(0)))
+
+    val merged = existing match {
+      case Some(prev) => prev.unionByName(incoming.withColumn("_is_new", lit(1)))
       case None => incoming.withColumn("_is_new", lit(1))
     }
+    // whole-row tie-break via JSON (hash() rejects MAP-typed columns)
+    val tieBreak = xxhash64(to_json(struct(
+      merged.columns.filterNot(_ == "_is_new").map(col): _*)))
     val w = Window.partitionBy(keyCol)
-      .orderBy(col("_is_new").desc, col(versionCol).desc)
+      .orderBy(col("_is_new").desc, col(versionCol).desc, tieBreak.asc)
     val winner = merged
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_is_new")
-    // parquet can't overwrite its own input in place — stage then swap
-    val tmp = path + "__staged"
-    winner.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+
+    // parquet can't overwrite its own input in place — stage, then swap
+    winner.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    def mustRename(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"upsertParquet: rename $from -> $to failed")
+    fs.delete(old, true)
+    if (fs.exists(dst)) mustRename(dst, old)
+    mustRename(staged, dst)
+    fs.delete(old, true)
   }
 }

@@ -26,7 +26,9 @@ object Keys {
       concat(lit("wallets/"), col("from_address")).as("_from"),
       concat(lit("wallets/"), col("to_address")).as("_to"),
       col("contract_address"), col("block_number"))
-      .orderBy("_key")
+  // NOTE: deliberately unsorted — consumers (upsert sink, aggregations)
+  // would pay a full-table sort whose ordering their own shuffle destroys;
+  // the q_transfer_edges catalog entry adds orderBy for oracle output only.
 
   /** Round-trip: strip the collection prefix back off the vertex handle with
     * a native split (C13/D1 — the reference's removePrefix UDF,

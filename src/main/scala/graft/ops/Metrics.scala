@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *
   * Results are emitted in exploded relational form (token, bucket, value),
   * ordered, for oracle comparison; the map-typed "change log" assembly the
-  * reference stores is [[ChangeLogs.toChangeLog]].
+  * reference stores is [[ChangeLogs.perKey]]/[[ChangeLogs.global]].
   */
 object Metrics {
   import Num._

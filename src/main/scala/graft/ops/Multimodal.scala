@@ -40,7 +40,7 @@ object Multimodal {
       n_bytes = n,
       width = 16L + n % 640L,
       height = 16L + (n * 7L) % 480L,
-      n_frames = (n - 1L) / 1024L + 1L,
+      n_frames = Math.floorDiv(n - 1L, 1024L) + 1L, // floor (not truncate): n=0 must give 0 like the oracle's //
       content_hash = java.security.MessageDigest.getInstance("MD5")
         .digest(r.content).map("%02x".format(_)).mkString)
   }
@@ -71,6 +71,9 @@ object Multimodal {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      // empty payloads sample no frames (sequence(0,-1) would throw; the
+      // oracle's range(0, 0, 1024) emits no row — match it with a filter)
+      .filter(col("n_bytes") > 0)
       .select(col("doc_id"), col("n_bytes"),
         explode(sequence(lit(0L), col("n_bytes") - 1, lit(1024L))).as("frame_offset"))
       .orderBy("doc_id", "frame_offset")

@@ -34,7 +34,8 @@ class BalancesSpec extends AnyFunSuite {
     val bal = Balances.balanceHistory(spark, GraftSpark.Sf)
     // last balance per address equals the sum of its deltas
     val mismatch = bal.groupBy("address")
-      .agg(Num.dsum(col("delta")).as("s"), last("balance").as("b"))
+      .agg(Num.dsum(col("delta")).as("s"),
+        max_by(col("balance"), col("t")).as("b")) // deterministic "latest", unlike last()
       .filter(abs(col("s") - col("b")) > 1e-9)
       .count()
     assert(mismatch == 0)

@@ -48,7 +48,7 @@ class PropertySpec extends AnyFunSuite {
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val bal = hourly.withColumn("b", sum(col("dd")).over(w))
       val mismatch = bal.groupBy("address")
-        .agg(last("b").as("fin"), sum("dd").as("tot"))
+        .agg(max_by(col("b"), col("t")).as("fin"), sum("dd").as("tot"))
         .filter(col("fin") =!= col("tot")).count()
       assert(mismatch == 0)
     }
