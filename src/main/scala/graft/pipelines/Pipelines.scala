@@ -115,12 +115,18 @@ object Pipelines {
     val t = Tables.transfers(spark, sfDir)
     val tok = col("contract_address")
 
-    val hourlyAgg = t.groupBy(tok, Num.hourBucket(col("transact_at")).as("t"))
+    // volume + tx-count maps from ONE scan/shuffle: both change logs
+    // aggregate out of the same hourly frame in a single pass (the reference
+    // re-scans its source once per metric — SURVEY §4, caching absent).
+    val volumeAndTxMaps = t
+      .groupBy(tok, Num.hourBucket(col("transact_at")).as("t"))
       .agg(Num.dsum(col("value")).as("volume"), count(lit(1)).as("n"))
-    val volumeMap = ChangeLogs.perKey(hourlyAgg, tok, col("t"), col("volume"),
-      "tradingVolumeChangeLogs")
-    val txMap = ChangeLogs.perKey(hourlyAgg, tok, col("t"), col("n"),
-      "numberOfTransferChangeLogs")
+      .groupBy(tok)
+      .agg(
+        map_from_entries(array_sort(collect_list(struct(col("t"), col("volume")))))
+          .as("tradingVolumeChangeLogs"),
+        map_from_entries(array_sort(collect_list(struct(col("t"), col("n")))))
+          .as("numberOfTransferChangeLogs"))
 
     val uniqueMap = ChangeLogs.perKey(
       t.select(tok, Num.hourBucket(col("transact_at")).as("t"),
@@ -144,15 +150,18 @@ object Pipelines {
         .agg(countDistinct("dapp_id").as("nd")),
       tok, col("t"), col("nd"), "numberOfDappChangeLogs")
 
-    val states = walletStates(spark, sfDir)
-    val holderMap = ChangeLogs.perKey(
-      states.groupBy(tok, col("t"))
-        .agg(sum(col("is_holder").cast("int")).as("h")),
-      tok, col("t"), col("h"), "numberOfHolderChangeLogs")
-    val whaleMap = ChangeLogs.perKey(
-      states.groupBy(tok, col("t"))
-        .agg(sum(col("is_whale").cast("int")).as("w")),
-      tok, col("t"), col("w"), "numberOfWhaleWalletChangeLogs")
+    // holder + whale maps share the (expensive) windowed wallet-state
+    // subtree: one pass produces both counts, then both maps.
+    val holderAndWhaleMaps = walletStates(spark, sfDir)
+      .groupBy(tok, col("t"))
+      .agg(sum(col("is_holder").cast("int")).as("h"),
+        sum(col("is_whale").cast("int")).as("w"))
+      .groupBy(tok)
+      .agg(
+        map_from_entries(array_sort(collect_list(struct(col("t"), col("h")))))
+          .as("numberOfHolderChangeLogs"),
+        map_from_entries(array_sort(collect_list(struct(col("t"), col("w")))))
+          .as("numberOfWhaleWalletChangeLogs"))
 
     val empty = array().cast("array<string>")
     val clusterMap = ChangeLogs.perKey(
@@ -175,7 +184,7 @@ object Pipelines {
       .select(tok, col("contract_address").as("address"),
         col("circulating_supply"))
 
-    Seq(volumeMap, txMap, uniqueMap, avgMap, dappMap, holderMap, whaleMap,
+    Seq(volumeAndTxMaps, uniqueMap, avgMap, dappMap, holderAndWhaleMaps,
         clusterMap)
       .foldLeft(info)((acc, m) => acc.join(m, Seq("contract_address"), "left"))
       .withColumn("_key", col("contract_address"))
