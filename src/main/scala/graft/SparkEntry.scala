@@ -286,6 +286,37 @@ object Catalog {
         |  )
         |) GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    // D4 replacement: per-row RPC → broadcast lookup join on block_number.
+    QEntry("q_block_enrich", Membership.enrichBlockTimestamps,
+      Some(withTransfers(
+        """SELECT t.block_number, t.from_address, t.to_address,
+          |       t.contract_address, t.value,
+          |       b.block_timestamp AS transact_at
+          |FROM (SELECT block_number, from_address, to_address,
+          |             contract_address, value FROM transfers) t
+          |JOIN (SELECT event_id AS block_number,
+          |             epoch_ns(ts) // 1000000000 AS block_timestamp
+          |      FROM events) b
+          |  ON t.block_number = b.block_number
+          |ORDER BY t.block_number""".stripMargin))),
+
+    // D6 replacement: per-row nested-read UDF → one semi-join flag pass.
+    QEntry("q_dapp_wallet_flags", Membership.flagDappWallets,
+      Some(withTransfersAndDapps(
+        """SELECT w.address,
+          |       coalesce(d.is_dapp, false) AS is_dapp
+          |FROM (
+          |  SELECT DISTINCT address FROM (
+          |    SELECT from_address AS address FROM transfers
+          |    UNION ALL SELECT to_address FROM transfers
+          |  )
+          |) w
+          |LEFT JOIN (
+          |  SELECT DISTINCT unnest(addresses) AS address, true AS is_dapp
+          |  FROM dapps
+          |) d ON w.address = d.address
+          |ORDER BY w.address""".stripMargin))),
+
     QEntry("q_map_roundtrip", Keys.mapRoundTrip, Some(withTransfers(
       s"""SELECT contract_address, ${hourBucket("transact_at")} AS t,
          |       ${dsum("value")} AS volume

@@ -55,14 +55,29 @@ object Skew {
   }
 
   /** Literal market lookup — stands in for the reference's per-token
-    * Coingecko HTTP fetches (reference: common/Coingecko.scala:8-55),
-    * modeled as a joinable table. Mirrored in the oracle as VALUES. */
+    * Coingecko HTTP fetches (reference: common/Coingecko.scala:8-55:
+    * circulating supply + id/name/symbol/logo), modeled as a joinable table.
+    * Mirrored in the oracle as VALUES. */
   val TokenMarket: Seq[(String, Double)] = Seq(
     ("click", 125000.0), ("error", 50000.0), ("purchase", 350000.0),
     ("signup", 75000.0), ("view", 500000.0))
 
+  /** (token, name, symbol, decimals, logo) — the tokensCollection scalars
+    * (reference: databases/Arango.scala:16-25). */
+  val TokenInfo: Seq[(String, String, String, Int, String)] = Seq(
+    ("click", "Click Token", "CLK", 18, "clk.png"),
+    ("error", "Error Token", "ERR", 18, "err.png"),
+    ("purchase", "Purchase Token", "PUR", 8, "pur.png"),
+    ("signup", "Signup Token", "SGN", 18, "sgn.png"),
+    ("view", "View Token", "VIW", 6, "viw.png"))
+
   def tokenMarket(spark: SparkSession): DataFrame = {
     import spark.implicits._
     TokenMarket.toDF("contract_address", "circulating_supply")
+  }
+
+  def tokenInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    TokenInfo.toDF("contract_address", "name", "symbol", "decimals", "logo")
   }
 }

@@ -181,8 +181,10 @@ object Pipelines {
       tok, col("t"), col("clusters"), "walletClusterByNumberOfTransfer")
 
     val info = Skew.tokenMarket(spark)
+      .join(Skew.tokenInfo(spark), Seq("contract_address"))
       .select(tok, col("contract_address").as("address"),
-        col("circulating_supply"))
+        col("circulating_supply"), col("name"), col("symbol"),
+        col("decimals"), col("logo"))
 
     Seq(volumeAndTxMaps, uniqueMap, avgMap, dappMap, holderAndWhaleMaps,
         clusterMap)
