@@ -286,6 +286,18 @@ object Catalog {
         |  )
         |) GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    // As-of join by composition, proven against DuckDB's native ASOF JOIN.
+    QEntry("q_asof_price", AsOf.transfersWithPrice, Some(withTransfers(
+      """SELECT t.contract_address, t.transact_at, t.block_number, t.value,
+        |       p.price AS price_at
+        |FROM transfers t
+        |ASOF LEFT JOIN (
+        |  SELECT contract_address, transact_at AS pt, max(value) AS price
+        |  FROM transfers WHERE block_number % 97 = 0 GROUP BY 1, 2
+        |) p ON t.contract_address = p.contract_address
+        |   AND t.transact_at >= p.pt
+        |ORDER BY 1, 2, 3""".stripMargin))),
+
     // D4 replacement: per-row RPC → broadcast lookup join on block_number.
     QEntry("q_block_enrich", Membership.enrichBlockTimestamps,
       Some(withTransfers(
