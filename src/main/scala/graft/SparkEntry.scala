@@ -69,6 +69,42 @@ object Catalog {
 
     QEntry("q_unique_wallets_hll", Metrics.hourlyUniqueWalletsApprox, None),
 
+    QEntry("q_sliding_volume", Metrics.slidingVolume, Some(
+      s"""SELECT contract_address, w_start, w_start + 7200 AS w_end,
+         |       ${dsum("value")} AS volume, count(*) AS n
+         |FROM (
+         |  SELECT event_type AS contract_address, value,
+         |         ${hourBucket("epoch_ns(ts) // 1000000000")}
+         |           - 3600 * (1 - off) AS w_start
+         |  FROM events
+         |  CROSS JOIN (SELECT unnest(range(2)) AS off)
+         |)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QEntry("q_session_volume", Metrics.sessionVolume, Some(
+      s"""WITH ev AS (
+         |  SELECT event_type AS contract_address, value,
+         |         epoch_ns(ts) // 1000 AS us
+         |  FROM events
+         |),
+         |brk AS (
+         |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+         |                   OR lag(us) OVER w IS NULL
+         |            THEN 1 ELSE 0 END AS is_new
+         |  FROM ev WINDOW w AS (PARTITION BY contract_address ORDER BY us)
+         |),
+         |sess AS (
+         |  SELECT *, SUM(is_new) OVER (PARTITION BY contract_address ORDER BY us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM brk
+         |)
+         |SELECT contract_address,
+         |       min(us) // 1000000 AS s_start,
+         |       (max(us) + 1800000000) // 1000000 AS s_end,
+         |       ${dsum("value")} AS volume, count(*) AS n
+         |FROM sess GROUP BY contract_address, sid
+         |ORDER BY 1, 2""".stripMargin)),
+
     // Streaming twin of q_volume_hourly: same oracle verifies the streaming
     // engine (file-source stream + event-time tumbling window) end-to-end.
     QEntry("q_stream_volume_hourly",

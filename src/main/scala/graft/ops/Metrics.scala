@@ -77,6 +77,35 @@ object Metrics {
       .agg(approx_count_distinct("address", 0.01).as("unique_wallets"))
       .orderBy("contract_address", "t")
 
+  /** Sliding-window volume: 2-hour windows sliding by 1 hour (each event
+    * lands in two windows). Uses the event-time `window()` function in batch
+    * mode — identical semantics to its streaming use
+    * ([[graft.streaming.StreamingMetrics]]). */
+  def slidingVolume(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("contract_address"),
+        window(col("ts_t"), "2 hours", "1 hour"))
+      .agg(dsum(col("value")).as("volume"), count(lit(1)).as("n"))
+      .select(col("contract_address"),
+        unix_timestamp(col("window.start")).as("w_start"),
+        unix_timestamp(col("window.end")).as("w_end"),
+        col("volume"), col("n"))
+      .orderBy("contract_address", "w_start")
+
+  /** Session-window volume: 30-minute-gap sessions per token via native
+    * `session_window` (micro-second gap math — the oracle reproduces it as
+    * a gaps-and-islands computation over epoch-microseconds). */
+  def sessionVolume(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("contract_address"),
+        session_window(col("ts_t"), "30 minutes"))
+      .agg(dsum(col("value")).as("volume"), count(lit(1)).as("n"))
+      .select(col("contract_address"),
+        unix_timestamp(col("session_window.start")).as("s_start"),
+        unix_timestamp(col("session_window.end")).as("s_end"),
+        col("volume"), col("n"))
+      .orderBy("contract_address", "s_start")
+
   /** Flagship per-token document: the reference stitches 9 single-row metric
     * frames with a reduce-join on monotonically_increasing_id
     * (reference: utils/HandleDataframe.scala:7-14,
