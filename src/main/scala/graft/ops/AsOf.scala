@@ -28,27 +28,41 @@ object AsOf {
       .groupBy(col("contract_address"), col("transact_at").as("pt"))
       .agg(max(col("value")).as("price"))
 
+  /** Generic as-of join: every `probes` row gains `outCol` = the latest
+    * `updates.valueCol` with `updates.tsCol <= probes.tsCol` on the same
+    * `keyCol` (null before the first update — left semantics; same-instant
+    * updates apply, matching ASOF `>=` ties: update rows sort before probe
+    * rows at equal timestamps). `updates` must be unique per (key, ts). */
+  def asofJoin(probes: DataFrame, updates: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, outCol: String): DataFrame = {
+    val probeExtra = probes.columns.filterNot(c => c == keyCol || c == tsCol)
+    val valueType = updates.schema(valueCol).dataType
+    val u = updates.select(
+      Seq(col(keyCol), col(tsCol)) ++
+        probeExtra.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
+        Seq(col(valueCol).as("__v"), lit(1).as("__upd")): _*)
+    val p = probes.select(
+      Seq(col(keyCol), col(tsCol)) ++ probeExtra.map(col) ++
+        Seq(lit(null).cast(valueType).as("__v"), lit(0).as("__upd")): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__upd").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.unionByName(p)
+      .withColumn(outCol, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__upd") === 0)
+      .drop("__v", "__upd")
+  }
+
   /** Every transfer priced as-of its timestamp. */
   def transfersWithPrice(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = priceUpdates(spark, sfDir).select(
-      col("contract_address"), col("pt").as("ts"),
-      lit(null).cast("long").as("block_number"),
-      lit(null).cast("double").as("value"),
-      col("price"), lit(1).as("is_price"))
-    val t = Tables.transfers(spark, sfDir).select(
-      col("contract_address"), col("transact_at").as("ts"),
-      col("block_number"), col("value"),
-      lit(null).cast("double").as("price"), lit(0).as("is_price"))
-    // price rows sort before transfer rows at equal ts, so a same-second
-    // update applies to that second's transfers (DuckDB ASOF `>=` ties)
-    val w = Window.partitionBy("contract_address")
-      .orderBy(col("ts").asc, col("is_price").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    p.unionByName(t)
-      .withColumn("price_at", last(col("price"), ignoreNulls = true).over(w))
-      .filter(col("is_price") === 0)
-      .select(col("contract_address"), col("ts").as("transact_at"),
-        col("block_number"), col("value"), col("price_at"))
+    val probes = Tables.transfers(spark, sfDir)
+      .select("contract_address", "transact_at", "block_number", "value")
+    val updates = priceUpdates(spark, sfDir)
+      .withColumnRenamed("pt", "transact_at")
+    asofJoin(probes, updates, "contract_address", "transact_at",
+        "price", "price_at")
+      .select("contract_address", "transact_at", "block_number", "value",
+        "price_at")
       .orderBy("contract_address", "transact_at", "block_number")
   }
 }

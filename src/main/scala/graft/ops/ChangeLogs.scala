@@ -25,6 +25,17 @@ object ChangeLogs {
       .agg(map_from_entries(array_sort(collect_list(struct(mapKey, mapValue))))
         .as(as))
 
+  /** Several map columns per group key in ONE aggregation pass — the fused
+    * form for metrics sharing an upstream frame (keeps the sorted-entries
+    * determinism invariant in one place). */
+  def perKeyMulti(df: DataFrame, groupKey: Column, mapKey: Column,
+      values: Seq[(Column, String)]): DataFrame = {
+    val aggs = values.map { case (v, name) =>
+      map_from_entries(array_sort(collect_list(struct(mapKey, v)))).as(name)
+    }
+    df.groupBy(groupKey).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Whole-frame collapse to a single map row (the reference's shape). */
   def global(df: DataFrame, mapKey: Column, mapValue: Column,
       as: String): DataFrame =

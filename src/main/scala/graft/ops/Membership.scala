@@ -27,12 +27,16 @@ object Membership {
       .select(col("event_id").as("block_number"),
         col("ts_sec").as("block_timestamp"))
 
-  /** Timestamp enrichment of timestamp-less transfer rows via broadcast
-    * lookup join (the D4 replacement). */
+  /** Timestamp enrichment of timestamp-less transfer rows via lookup join
+    * (the D4 replacement). No broadcast hint: the blocks table grows with
+    * chain height (here it is 1:1 with the fact table), so the join strategy
+    * is left to Catalyst/AQE — broadcast when the scanned range is small,
+    * shuffle join when it is not. Either way it is one join, not one RPC
+    * per row. */
   def enrichBlockTimestamps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.transfers(spark, sfDir)
       .drop("transact_at") // simulate the raw feed lacking timestamps
-      .join(broadcast(blocks(spark, sfDir)), Seq("block_number"))
+      .join(blocks(spark, sfDir), Seq("block_number"))
       .select(col("block_number"), col("from_address"), col("to_address"),
         col("contract_address"), col("value"),
         col("block_timestamp").as("transact_at"))

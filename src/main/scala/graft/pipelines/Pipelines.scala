@@ -118,21 +118,23 @@ object Pipelines {
     // volume + tx-count maps from ONE scan/shuffle: both change logs
     // aggregate out of the same hourly frame in a single pass (the reference
     // re-scans its source once per metric — SURVEY §4, caching absent).
-    val volumeAndTxMaps = t
-      .groupBy(tok, Num.hourBucket(col("transact_at")).as("t"))
-      .agg(Num.dsum(col("value")).as("volume"), count(lit(1)).as("n"))
-      .groupBy(tok)
-      .agg(
-        map_from_entries(array_sort(collect_list(struct(col("t"), col("volume")))))
-          .as("tradingVolumeChangeLogs"),
-        map_from_entries(array_sort(collect_list(struct(col("t"), col("n")))))
-          .as("numberOfTransferChangeLogs"))
+    val volumeAndTxMaps = ChangeLogs.perKeyMulti(
+      t.groupBy(tok, Num.hourBucket(col("transact_at")).as("t"))
+        .agg(Num.dsum(col("value")).as("volume"), count(lit(1)).as("n")),
+      tok, col("t"), Seq(
+        col("volume") -> "tradingVolumeChangeLogs",
+        col("n") -> "numberOfTransferChangeLogs"))
+
+    // one grouped (token, hour, address) frame feeds BOTH the unique-wallet
+    // map (rows per (token, hour) = distinct addresses) and the cluster map.
+    val perAddrHourly = t
+      .select(tok, Num.hourBucket(col("transact_at")).as("t"),
+        explode(array(col("from_address"), col("to_address"))).as("address"))
+      .groupBy(tok, col("t"), col("address"))
+      .agg(count(lit(1)).as("n"))
 
     val uniqueMap = ChangeLogs.perKey(
-      t.select(tok, Num.hourBucket(col("transact_at")).as("t"),
-          explode(array(col("from_address"), col("to_address"))).as("address"))
-        .groupBy(tok, col("t"))
-        .agg(countDistinct("address").as("u")),
+      perAddrHourly.groupBy(tok, col("t")).agg(count(lit(1)).as("u")),
       tok, col("t"), col("u"), "numberOfAddressChangeLogs")
 
     val avgMap = ChangeLogs.perKey(
@@ -152,23 +154,18 @@ object Pipelines {
 
     // holder + whale maps share the (expensive) windowed wallet-state
     // subtree: one pass produces both counts, then both maps.
-    val holderAndWhaleMaps = walletStates(spark, sfDir)
-      .groupBy(tok, col("t"))
-      .agg(sum(col("is_holder").cast("int")).as("h"),
-        sum(col("is_whale").cast("int")).as("w"))
-      .groupBy(tok)
-      .agg(
-        map_from_entries(array_sort(collect_list(struct(col("t"), col("h")))))
-          .as("numberOfHolderChangeLogs"),
-        map_from_entries(array_sort(collect_list(struct(col("t"), col("w")))))
-          .as("numberOfWhaleWalletChangeLogs"))
+    val holderAndWhaleMaps = ChangeLogs.perKeyMulti(
+      walletStates(spark, sfDir)
+        .groupBy(tok, col("t"))
+        .agg(sum(col("is_holder").cast("int")).as("h"),
+          sum(col("is_whale").cast("int")).as("w")),
+      tok, col("t"), Seq(
+        col("h") -> "numberOfHolderChangeLogs",
+        col("w") -> "numberOfWhaleWalletChangeLogs"))
 
     val empty = array().cast("array<string>")
     val clusterMap = ChangeLogs.perKey(
-      t.select(tok, Num.hourBucket(col("transact_at")).as("t"),
-          explode(array(col("from_address"), col("to_address"))).as("address"))
-        .groupBy(tok, col("t"), col("address"))
-        .agg(count(lit(1)).as("n"))
+      perAddrHourly
         .withColumn("cluster", Clusters.clusterOf(col("n")))
         .groupBy(tok, col("t"))
         .pivot("cluster", Seq("LOW", "MEDIUM", "HIGH"))

@@ -1,37 +1,36 @@
 package graft
 
-import org.apache.spark.sql.expressions.Window
+import graft.ops.AsOf
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Edge semantics of the composed as-of join (same fixture DuckDB's native
-  * ASOF verified in the oracle test at catalog level). */
+/** Edge semantics of [[AsOf.asofJoin]] — the same code path the catalog's
+  * `q_asof_price` runs (DuckDB's native ASOF verifies it at catalog level). */
 class AsOfSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
   import spark.implicits._
 
-  test("carry-forward picks latest at-or-before; earlier rows get null") {
-    val p = Seq(("a", 10L, 1.0), ("a", 20L, 2.0), ("b", 5L, 9.0))
+  test("asofJoin picks latest at-or-before; earlier rows get null") {
+    val updates = Seq(("a", 10L, 1.0), ("a", 20L, 2.0), ("b", 5L, 9.0))
       .toDF("k", "ts", "price")
-      .select(col("k"), col("ts"), lit(null).cast("long").as("id"),
-        col("price"), lit(1).as("is_price"))
-    val e = Seq(("a", 5L, 1L), ("a", 15L, 2L), ("a", 20L, 3L), ("b", 100L, 4L))
+    val probes = Seq(("a", 5L, 1L), ("a", 15L, 2L), ("a", 20L, 3L), ("b", 100L, 4L))
       .toDF("k", "ts", "id")
-      .select(col("k"), col("ts"), col("id"),
-        lit(null).cast("double").as("price"), lit(0).as("is_price"))
-    val w = Window.partitionBy("k").orderBy(col("ts").asc, col("is_price").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val got = p.unionByName(e)
-      .withColumn("price_at", last(col("price"), ignoreNulls = true).over(w))
-      .filter(col("is_price") === 0)
-      .select("k", "ts", "price_at")
+    val got = AsOf.asofJoin(probes, updates, "k", "ts", "price", "price_at")
       .orderBy("k", "ts")
       .collect().map(r => (r.getString(0), r.getLong(1),
-        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+        Option(r.get(r.fieldIndex("price_at"))).map(_.asInstanceOf[Double]))).toSeq
     assert(got == Seq(
       ("a", 5L, None),          // before first observation
       ("a", 15L, Some(1.0)),    // latest prior
       ("a", 20L, Some(2.0)),    // same-ts tie: update applies
       ("b", 100L, Some(9.0))))  // far future still carries
+  }
+
+  test("probe-only columns survive the join unchanged") {
+    val updates = Seq(("a", 10L, 1.0)).toDF("k", "ts", "v")
+    val probes = Seq(("a", 15L, "payload", 7)).toDF("k", "ts", "s", "n")
+    val row = AsOf.asofJoin(probes, updates, "k", "ts", "v", "v_at").head()
+    assert(row.getAs[String]("s") == "payload" && row.getAs[Int]("n") == 7
+      && row.getAs[Double]("v_at") == 1.0)
   }
 }
