@@ -490,6 +490,23 @@ object Catalog {
       """SELECT doc_id, count(*) AS n_shingles, min(md5(sh)) AS fingerprint
         |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
 
+    // Composed corpus filter: dedup-keeper semi-join + quality thresholds.
+    QEntry("q_training_corpus", TextAnalysis.trainingCorpus, Some(withDocs(
+      s"""SELECT doc_id, n_words, quality_score FROM (
+         |  SELECT doc_id, n_words,
+         |    round(least(1.0, CAST(n_words AS DOUBLE) / 20.0)
+         |          * (1.0 - 0.5 * CAST(n_stopwords AS DOUBLE)
+         |                       / CAST(n_words AS DOUBLE)), 6) AS quality_score
+         |  FROM (
+         |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |           ${markerCount("en")} AS n_stopwords
+         |    FROM docs
+         |  )
+         |) q
+         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+         |  AND n_words >= 20 AND quality_score >= 0.5
+         |ORDER BY doc_id""".stripMargin))),
+
     // ── Deduplication (exact / MinHash-LSH / Jaccard / SimHash) ──
     QEntry("q_dedup_exact", Dedup.exactGroups, Some(
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,

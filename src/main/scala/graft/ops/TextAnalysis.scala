@@ -81,6 +81,23 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id")
 
+  /** End-to-end corpus filter — the composed LLM-training-data use case:
+    * keep one survivor per exact-duplicate group, drop short and
+    * stopword-heavy documents. One scan feeds the dedup keeper choice and
+    * the quality features; the keeper check is a join back on (hash, min
+    * doc_id), i.e. work ∝ documents, never pairs. */
+  def trainingCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quality(spark, sfDir)
+    val keepers = Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    q.join(keepers, Seq("doc_id"), "left_semi")
+      .filter(col("n_words") >= 20 && col("quality_score") >= 0.5)
+      .select("doc_id", "n_words", "quality_score")
+      .orderBy("doc_id")
+  }
+
   /** Distinct 3-word shingles per document — the base for fingerprinting and
     * MinHash ([[Dedup]]). Docs shorter than 3 tokens are excluded (both
     * engines). */

@@ -74,6 +74,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: watermarked dropDuplicates suppresses replays") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(String, Long)] // (doc_key, epoch_sec)
+    val deduped = input.toDS().toDF("doc_key", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_key")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_dedup_test").start()
+    try {
+      input.addData(("d1", 100L), ("d2", 200L), ("d1", 300L)) // d1 replayed in-batch
+      q.processAllAvailable()
+      input.addData(("d1", 400L), ("d3", 500L))               // d1 replayed cross-batch
+      q.processAllAvailable()
+      val keys = spark.table("graft_dedup_test")
+        .select("doc_key").as[String].collect().sorted.toSeq
+      assert(keys == Seq("d1", "d2", "d3"))
+    } finally q.stop()
+  }
+
   test("foreachBatch drives the upsert sink incrementally (K1 streaming form)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
