@@ -667,6 +667,89 @@ object Catalog {
 
     QEntry("q_bucketed_ann", Similarity.bucketedTopK, None),
 
+    QEntry("q_ivf_assign", Similarity.ivfAssignments, Some(
+      s"""WITH $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS cid,
+         |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM idx v JOIN idx c ON v.i = c.i
+         |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
+         |  GROUP BY 1, 2
+         |),
+         |cos AS (
+         |  SELECT d.vec_id, d.cid,
+         |         d.dot / (sqrt(nv.sq) * sqrt(nc.sq)) AS c
+         |  FROM cdots d
+         |  JOIN norms nv ON nv.vec_id = d.vec_id
+         |  JOIN norms nc ON nc.vec_id = d.cid
+         |)
+         |SELECT vec_id, cid, round(c, 6) AS centroid_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c DESC, cid ASC) AS rnk FROM cos
+         |) WHERE rnk = 1 ORDER BY vec_id""".stripMargin)),
+
+    QEntry("q_ivf_ann", Similarity.ivfTopNeighbor, Some(
+      s"""WITH $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS cid,
+         |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM idx v JOIN idx c ON v.i = c.i
+         |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
+         |  GROUP BY 1, 2
+         |),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT d.vec_id, d.cid,
+         |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |             d.dot / (sqrt(nv.sq) * sqrt(nc.sq)) DESC, d.cid ASC) AS rnk
+         |    FROM cdots d
+         |    JOIN norms nv ON nv.vec_id = d.vec_id
+         |    JOIN norms nc ON nc.vec_id = d.cid
+         |  ) WHERE rnk = 1
+         |),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id,
+         |         CAST(SUM(CAST(qi.x * vi.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM assign q
+         |  JOIN assign v ON q.cid = v.cid AND v.vec_id != q.vec_id
+         |  JOIN idx qi ON qi.vec_id = q.vec_id
+         |  JOIN idx vi ON vi.vec_id = v.vec_id AND vi.i = qi.i
+         |  WHERE q.vec_id % ${Similarity.QueryStride} = 0
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cosine FROM (
+         |  SELECT p.query_id, p.vec_id,
+         |         p.dot / (sqrt(nq.sq) * sqrt(nv.sq)) AS c,
+         |         row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |           p.dot / (sqrt(nq.sq) * sqrt(nv.sq)) DESC, p.vec_id ASC) AS rnk
+         |  FROM pairs p
+         |  JOIN norms nq ON nq.vec_id = p.query_id
+         |  JOIN norms nv ON nv.vec_id = p.vec_id
+         |) WHERE rnk = 1 ORDER BY query_id""".stripMargin)),
+
+    QEntry("q_interval_join", Intervals.campaignVolume, Some(withTransfers(
+      s"""SELECT t.contract_address, iv.s, count(*) AS n,
+         |       ${dsum("t.value")} AS volume
+         |FROM transfers t
+         |JOIN (
+         |  SELECT contract_address, day, day + 21600 AS s, day + 64800 AS e
+         |  FROM (
+         |    SELECT DISTINCT contract_address,
+         |           CAST(floor(transact_at / 86400) AS BIGINT) * 86400 AS day
+         |    FROM transfers
+         |  ) WHERE (day / 86400) % 3 = 0
+         |) iv ON t.contract_address = iv.contract_address
+         |    AND t.transact_at >= iv.s AND t.transact_at < iv.e
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
     // Same oracle as q_embedding_topk — proves the custom bounded-top-k
     // Aggregator (partial-aggregating formulation) equivalent to the window.
     QEntry("q_embedding_topk_agg", Similarity.aggregatorTopK, Some(

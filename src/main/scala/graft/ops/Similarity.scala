@@ -93,6 +93,58 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Every 100th vector (offset 1) serves as an IVF centroid — deterministic
+    * stand-in for trained centroids; the structure (assign → search own cell)
+    * is what matters, and swapping in k-means output changes nothing else. */
+  val CentroidStride = 100
+
+  private def centroids(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).filter(col("vec_id") % CentroidStride === 1)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .withColumn("csq", expr("""CAST(aggregate(transform(cv, x -> CAST(x * x AS DECIMAL(38,18))),
+        |  CAST(0 AS DECIMAL(38,18)), (acc, p) -> CAST(acc + p AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin))
+
+  /** IVF cell assignment: nearest centroid by cosine (ties → smaller cid).
+    * Centroids broadcast; one pass over the vectors. */
+  def ivfAssignments(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = emb(spark, sfDir).withColumn("sq", expr(normSqExpr))
+    val pairs = base.join(broadcast(centroids(spark, sfDir)))
+      .withColumn("dot", expr(
+        """CAST(aggregate(zip_with(cv, v, (x, y) -> CAST(x * y AS DECIMAL(38,18))),
+          |  CAST(0 AS DECIMAL(38,18)),
+          |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin))
+      .withColumn("cos", col("dot") / (sqrt(col("sq")) * sqrt(col("csq"))))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cid").asc)
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cid"), round(col("cos"), 6).as("centroid_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF ANN: nearest neighbor among vectors sharing the probe's cell —
+    * search cost |cell| instead of |table| (queries whose cell holds no
+    * other vector produce no row). */
+  def ivfTopNeighbor(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = ivfAssignments(spark, sfDir).select("vec_id", "cid")
+      .join(emb(spark, sfDir), Seq("vec_id"))
+      .withColumn("sq", expr(normSqExpr))
+    val probes = assigned.filter(col("vec_id") % QueryStride === 0)
+      .select(col("cid"), col("vec_id").as("query_id"), col("v").as("qv"),
+        col("sq").as("qsq"))
+    val pairs = probes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cosine", col("dot") / (sqrt(col("qsq")) * sqrt(col("sq"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id")
+  }
+
   val NumPlanes = 16
 
   /** Deterministic pseudo-random hyperplanes: component (p, i) is the first
