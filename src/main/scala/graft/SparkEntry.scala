@@ -822,6 +822,35 @@ object Catalog {
         |  FROM documents
         |) ORDER BY doc_id, frame_offset""".stripMargin)),
 
+    QEntry("q_orders_cube", Relational.ordersCube, Some(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |       ${dsum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST,
+         |         o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    QEntry("q_customer_set_ops", Relational.customerSetOps, Some(
+      """SELECT o_custkey, 'both' AS set_op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |)
+        |UNION ALL
+        |SELECT o_custkey, 'early_only' AS set_op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |)
+        |ORDER BY set_op, o_custkey""".stripMargin)),
+
+    QEntry("q_order_percentiles", Relational.orderPercentiles, Some(
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |       round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QEntry("q_orders_rollup", Relational.ordersRollup, Some(
       s"""SELECT r.r_name, n.n_name,
          |       count(*) AS n_orders,

@@ -120,6 +120,39 @@ object Relational {
       .orderBy("o_custkey", "rnk")
   }
 
+  /** CUBE over (status, priority): all four grouping sets in one pass. */
+  def ordersCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Set operations the reference lacks (SURVEY §2.9 note): customers active
+    * in both halves of the order history (INTERSECT) and only in the first
+    * (EXCEPT). */
+  def customerSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val split = to_timestamp(lit("1998-01-01 00:00:00"))
+    val early = ord.filter(col("o_orderdate") < split).select("o_custkey")
+    val late = ord.filter(col("o_orderdate") >= split).select("o_custkey")
+    early.intersect(late).withColumn("set_op", lit("both"))
+      .unionByName(early.except(late).withColumn("set_op", lit("early_only")))
+      .orderBy("set_op", "o_custkey")
+  }
+
+  /** Exact interpolated percentiles of order value per status — `percentile`
+    * (Spark) and `quantile_cont` (DuckDB) share the (1-f)·a + f·b
+    * definition, so results hash-match. */
+  def orderPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
+      .orderBy("o_orderstatus")
+
   /** Order counts with ROLLUP over (region, nation) of the customer — grouping
     * sets (extension; not present in the reference, SURVEY.md §2.6 note).
     *
