@@ -743,7 +743,7 @@ object Catalog {
          |  SELECT contract_address, day, day + 21600 AS s, day + 64800 AS e
          |  FROM (
          |    SELECT DISTINCT contract_address,
-         |           CAST(floor(transact_at / 86400) AS BIGINT) * 86400 AS day
+         |           ${dayBucket("transact_at")} AS day
          |    FROM transfers
          |  ) WHERE (day / 86400) % 3 = 0
          |) iv ON t.contract_address = iv.contract_address

@@ -25,6 +25,18 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Partitioned corpus sink with DYNAMIC partition overwrite: rewriting a
+    * subset of partitions (one language, one day) leaves the rest of the
+    * table untouched, and partition values prune at scan time — the standard
+    * layout for a 100 TB corpus store. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write
+      .partitionBy(partitionCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
   /** K1: upsert-by-key parquet merge. New rows win over existing rows with
     * the same key; within a batch the highest `versionCol` wins, and full
     * (key, version) ties resolve by whole-row hash so the survivor is

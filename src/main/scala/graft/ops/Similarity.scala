@@ -32,18 +32,23 @@ object Similarity {
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
-  /** Exact decimal dot product of two double arrays, rendered as double. */
-  private val dotExpr: String =
-    """CAST(aggregate(zip_with(qv, v, (x, y) -> CAST(x * y AS DECIMAL(38,18))),
-      |  CAST(0 AS DECIMAL(38,18)),
-      |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
-      |AS DOUBLE)""".stripMargin
+  /** Exact decimal dot product of two double-array columns, rendered as
+    * double — THE single spelling of the bit-stable-cosine contract; every
+    * dot/norm in this module must route through these two helpers. */
+  private def dotOf(a: String, b: String): String =
+    s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DECIMAL(38,18))),
+       |  CAST(0 AS DECIMAL(38,18)),
+       |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
+       |AS DOUBLE)""".stripMargin
 
-  private val normSqExpr: String =
-    """CAST(aggregate(transform(v, x -> CAST(x * x AS DECIMAL(38,18))),
-      |  CAST(0 AS DECIMAL(38,18)),
-      |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
-      |AS DOUBLE)""".stripMargin
+  private def normSqOf(a: String): String =
+    s"""CAST(aggregate(transform($a, x -> CAST(x * x AS DECIMAL(38,18))),
+       |  CAST(0 AS DECIMAL(38,18)),
+       |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
+       |AS DOUBLE)""".stripMargin
+
+  private val dotExpr: String = dotOf("qv", "v")
+  private val normSqExpr: String = normSqOf("v")
 
   /** All (query, candidate, cosine) pairs — query side broadcast. */
   private def cosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
@@ -101,18 +106,14 @@ object Similarity {
   private def centroids(spark: SparkSession, sfDir: String): DataFrame =
     emb(spark, sfDir).filter(col("vec_id") % CentroidStride === 1)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-      .withColumn("csq", expr("""CAST(aggregate(transform(cv, x -> CAST(x * x AS DECIMAL(38,18))),
-        |  CAST(0 AS DECIMAL(38,18)), (acc, p) -> CAST(acc + p AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin))
+      .withColumn("csq", expr(normSqOf("cv")))
 
   /** IVF cell assignment: nearest centroid by cosine (ties → smaller cid).
     * Centroids broadcast; one pass over the vectors. */
   def ivfAssignments(spark: SparkSession, sfDir: String): DataFrame = {
     val base = emb(spark, sfDir).withColumn("sq", expr(normSqExpr))
     val pairs = base.join(broadcast(centroids(spark, sfDir)))
-      .withColumn("dot", expr(
-        """CAST(aggregate(zip_with(cv, v, (x, y) -> CAST(x * y AS DECIMAL(38,18))),
-          |  CAST(0 AS DECIMAL(38,18)),
-          |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin))
+      .withColumn("dot", expr(dotOf("cv", "v")))
       .withColumn("cos", col("dot") / (sqrt(col("sq")) * sqrt(col("csq"))))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("cid").asc)

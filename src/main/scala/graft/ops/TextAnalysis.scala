@@ -83,16 +83,22 @@ object TextAnalysis {
 
   /** End-to-end corpus filter — the composed LLM-training-data use case:
     * keep one survivor per exact-duplicate group, drop short and
-    * stopword-heavy documents. One scan feeds the dedup keeper choice and
-    * the quality features; the keeper check is a join back on (hash, min
-    * doc_id), i.e. work ∝ documents, never pairs. */
+    * stopword-heavy documents. Genuinely ONE scan: quality features and the
+    * content hash come off the same projection, and the keeper choice is a
+    * min-over-hash window on that frame (no second read, no pair work). */
   def trainingCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = quality(spark, sfDir)
-    val keepers = Tables.documents(spark, sfDir)
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    q.join(keepers, Seq("doc_id"), "left_semi")
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        expr("size(toks)").cast("long").as("n_words"),
+        markerCount("en").as("n_stopwords"))
+      .withColumn("keeper", min("doc_id").over(byHash))
+      .filter(col("doc_id") === col("keeper"))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_words").cast("double") / 20.0)
+          * (lit(1.0) - lit(0.5) * col("n_stopwords").cast("double")
+            / col("n_words").cast("double")), 6))
       .filter(col("n_words") >= 20 && col("quality_score") >= 0.5)
       .select("doc_id", "n_words", "quality_score")
       .orderBy("doc_id")

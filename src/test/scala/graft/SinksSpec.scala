@@ -41,21 +41,18 @@ class SinksSpec extends AnyFunSuite {
   test("partitioned write: lang-partitioned corpus with dynamic overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val docs = Tables.documents(spark, GraftSpark.Sf)
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      docs.write.partitionBy("lang").mode("overwrite").parquet(s"$dir/corpus")
-      // rewriting ONE partition must leave the others untouched
-      docs.filter(col("lang") === "en").withColumn("n_chars", lit(0L))
-        .write.partitionBy("lang").mode("overwrite").parquet(s"$dir/corpus")
-      val back = spark.read.parquet(s"$dir/corpus")
-      assert(back.count() == docs.count())
-      assert(back.filter(col("lang") === "de").filter(col("n_chars") === 0).count() == 0)
-      assert(back.filter(col("lang") === "en").filter(col("n_chars") =!= 0).count() == 0)
-      // partition pruning: a lang filter scans only that subdirectory
-      val plan = back.filter(col("lang") === "fr").queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
-    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    Sinks.writePartitioned(docs, s"$dir/corpus", Seq("lang"))
+    // rewriting ONE partition must leave the others untouched
+    Sinks.writePartitioned(
+      docs.filter(col("lang") === "en").withColumn("n_chars", lit(0L)),
+      s"$dir/corpus", Seq("lang"))
+    val back = spark.read.parquet(s"$dir/corpus")
+    assert(back.count() == docs.count())
+    assert(back.filter(col("lang") === "de").filter(col("n_chars") === 0).count() == 0)
+    assert(back.filter(col("lang") === "en").filter(col("n_chars") =!= 0).count() == 0)
+    // partition pruning: a lang filter scans only that subdirectory
+    val plan = back.filter(col("lang") === "fr").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
 
   test("json registry source: nft-sourced and address-less records dropped") {

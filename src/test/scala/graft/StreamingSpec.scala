@@ -79,10 +79,10 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.functions._
     val input = MemoryStream[(String, Long)] // (doc_key, epoch_sec)
-    val deduped = input.toDS().toDF("doc_key", "sec")
-      .withColumn("ts", timestamp_seconds(col("sec")))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("doc_key")
+    val deduped = graft.streaming.StreamDedup.dedupedStream(
+      input.toDS().toDF("doc_key", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      "ts", "1 hour", Seq("doc_key"))
     val q = deduped.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("graft_dedup_test").start()
     try {
