@@ -170,6 +170,27 @@ object Similarity {
         .as("bucket"))
       .orderBy("vec_id")
 
+  /** Embedding-cosine near-duplicate pairs: candidates from shared LSH
+    * buckets (equi-join — work ∝ collisions), exact cosine refine at the
+    * threshold. The dedup-flavored counterpart of [[bucketedTopK]]. */
+  def cosineNearDupPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.05): DataFrame = {
+    val withVec = hyperplaneBuckets(spark, sfDir)
+      .join(emb(spark, sfDir), Seq("vec_id"))
+      .withColumn("sq", expr(normSqExpr))
+    val l = withVec.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("qv"), col("sq").as("qsq"))
+    val r = withVec.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("v"), col("sq"))
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cosine", col("dot") / (sqrt(col("qsq")) * sqrt(col("sq"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Scale-path ANN: exact cosine rerank only within LSH buckets (equi-join
     * on bucket). Top-1 per vector among same-bucket candidates. */
   def bucketedTopK(spark: SparkSession, sfDir: String): DataFrame = {
