@@ -869,6 +869,14 @@ object Catalog {
         |  FROM documents
         |) ORDER BY doc_id, frame_offset""".stripMargin)),
 
+    QEntry("q_weighted_avg", Relational.weightedAvgPrice, Some(
+      """SELECT l_returnflag,
+        |       round(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8)))
+        |                  AS DOUBLE)
+        |             / CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE),
+        |             6) AS wavg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QEntry("q_orders_cube", Relational.ordersCube, Some(
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          |       ${dsum("o_totalprice")} AS total

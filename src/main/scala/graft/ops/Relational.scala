@@ -120,6 +120,19 @@ object Relational {
       .orderBy("o_custkey", "rnk")
   }
 
+  /** Quantity-weighted average price per return flag through the custom
+    * [[graft.functions.WeightedAvg]] DeclarativeAggregate — oracle-proven
+    * equal to the two-sum SQL formulation. */
+  def weightedAvgPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.WeightedAvg.register(spark)
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(expr(s"${graft.functions.WeightedAvg.Name}(l_extendedprice, l_quantity)")
+        .as("wavg_price"))
+      .withColumn("wavg_price", round(col("wavg_price"), 6))
+      .orderBy("l_returnflag")
+  }
+
   /** CUBE over (status, priority): all four grouping sets in one pass. */
   def ordersCube(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -49,4 +49,31 @@ class PlanAuditSpec extends AnyFunSuite {
     // codegen'd spans print as "*(n) Operator" in the final adaptive plan
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined, p)
   }
+
+  test("catalog-wide: unused events columns are pruned from every scan") {
+    // `props` is never used by any operator; a scan reading it means a
+    // column-pruning regression (at 100 TB, reading a dead wide column is
+    // a material I/O cost). Streaming query excluded: building it executes.
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot(_._1 == "q_stream_volume_hourly")
+      .flatMap { case (n, fn) =>
+        val plan = fn(spark, GraftSpark.Sf).queryExecution.executedPlan.toString
+        if (plan.contains("props")) Some(n) else None
+      }
+    assert(offenders.isEmpty, s"queries scanning dead columns: $offenders")
+  }
+
+  test("catalog-wide: shuffle counts stay within per-query ceilings") {
+    // measured headroom over current plans; a jump past the ceiling means a
+    // new unintended exchange (lost broadcast, lost exchange reuse).
+    val ceilings = Map("q_token_documents_full" -> 30).withDefaultValue(14)
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot(_._1 == "q_stream_volume_hourly")
+      .flatMap { case (n, fn) =>
+        val plan = fn(spark, GraftSpark.Sf).queryExecution.executedPlan.toString
+        val ex = "Exchange ".r.findAllIn(plan).size
+        if (ex > ceilings(n)) Some(s"$n=$ex") else None
+      }
+    assert(offenders.isEmpty, s"queries over shuffle ceiling: $offenders")
+  }
 }

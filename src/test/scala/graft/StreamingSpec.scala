@@ -96,6 +96,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus ingest: foreachBatch into the partitioned sink") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_corpus").toString
+    val input = MemoryStream[(Long, String, String)] // (doc_id, lang, text)
+    val q = input.toDS().toDF("doc_id", "lang", "text")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.io.Sinks.writePartitioned(batch, s"$dir/corpus", Seq("lang"))
+      }
+      .start()
+    try {
+      input.addData((1L, "en", "hello"), (2L, "de", "hallo"))
+      q.processAllAvailable()
+      input.addData((3L, "en", "world")) // dynamic overwrite: replaces only lang=en
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/corpus")
+      assert(back.filter(col("lang") === "de").count() == 1) // survived batch 2
+      assert(back.filter(col("lang") === "en").select("doc_id")
+        .as[Long].collect().toSeq == Seq(3L))
+    } finally q.stop()
+  }
+
   test("foreachBatch drives the upsert sink incrementally (K1 streaming form)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
