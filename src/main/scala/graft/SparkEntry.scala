@@ -782,6 +782,55 @@ object Catalog {
          |  JOIN norms nv ON nv.vec_id = p.vec_id
          |) WHERE rnk = 1 ORDER BY query_id""".stripMargin)),
 
+    QEntry("q_kmeans_assign", Similarity.kmeansAssignments, Some(
+      s"""WITH $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS cid,
+         |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM idx v JOIN idx c ON v.i = c.i
+         |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
+         |  GROUP BY 1, 2
+         |),
+         |assign0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT d.vec_id, d.cid,
+         |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |             d.dot / (sqrt(nv.sq) * sqrt(nc.sq)) DESC, d.cid ASC) AS rnk
+         |    FROM cdots d
+         |    JOIN norms nv ON nv.vec_id = d.vec_id
+         |    JOIN norms nc ON nc.vec_id = d.cid
+         |  ) WHERE rnk = 1
+         |),
+         |means AS (
+         |  SELECT a.cid, i.i,
+         |         CAST(SUM(CAST(i.x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+         |  FROM assign0 a JOIN idx i ON i.vec_id = a.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |cnorms AS (
+         |  SELECT cid, CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS csq
+         |  FROM means GROUP BY 1
+         |),
+         |tdots AS (
+         |  SELECT v.vec_id, mm.cid,
+         |         CAST(SUM(CAST(v.x * mm.m AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM idx v JOIN means mm ON mm.i = v.i
+         |  GROUP BY 1, 2
+         |)
+         |SELECT vec_id, cid, round(c, 6) AS centroid_cos FROM (
+         |  SELECT t.vec_id, t.cid,
+         |         t.dot / (sqrt(nv.sq) * sqrt(cn.csq)) AS c,
+         |         row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |           t.dot / (sqrt(nv.sq) * sqrt(cn.csq)) DESC, t.cid ASC) AS rnk
+         |  FROM tdots t
+         |  JOIN norms nv ON nv.vec_id = t.vec_id
+         |  JOIN cnorms cn ON cn.cid = t.cid
+         |) WHERE rnk = 1 ORDER BY vec_id""".stripMargin)),
+
     QEntry("q_interval_join", Intervals.campaignVolume, Some(withTransfers(
       s"""SELECT t.contract_address, iv.s, count(*) AS n,
          |       ${dsum("t.value")} AS volume

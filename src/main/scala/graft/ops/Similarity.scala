@@ -108,11 +108,12 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
       .withColumn("csq", expr(normSqOf("cv")))
 
-  /** IVF cell assignment: nearest centroid by cosine (ties → smaller cid).
-    * Centroids broadcast; one pass over the vectors. */
-  def ivfAssignments(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Assign every vector to its nearest centroid from `cents(cid, cv, csq)`
+    * by cosine (ties → smaller cid). Centroids broadcast; one pass. */
+  private def assignTo(spark: SparkSession, sfDir: String,
+      cents: DataFrame): DataFrame = {
     val base = emb(spark, sfDir).withColumn("sq", expr(normSqExpr))
-    val pairs = base.join(broadcast(centroids(spark, sfDir)))
+    val pairs = base.join(broadcast(cents))
       .withColumn("dot", expr(dotOf("cv", "v")))
       .withColumn("cos", col("dot") / (sqrt(col("sq")) * sqrt(col("csq"))))
     val w = Window.partitionBy("vec_id")
@@ -122,6 +123,33 @@ object Similarity {
       .select(col("vec_id"), col("cid"), round(col("cos"), 6).as("centroid_cos"))
       .orderBy("vec_id")
   }
+
+  /** IVF cell assignment against the deterministic seed centroids. */
+  def ivfAssignments(spark: SparkSession, sfDir: String): DataFrame =
+    assignTo(spark, sfDir, centroids(spark, sfDir))
+
+  /** One Lloyd step: per-dimension exact means of each seed cell become the
+    * trained centroids (decimal sums / exact counts — deterministic at any
+    * partitioning, so the oracle can reproduce them bit-for-bit). */
+  def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = ivfAssignments(spark, sfDir).select("vec_id", "cid")
+      .join(emb(spark, sfDir), Seq("vec_id"))
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double") / count(lit(1))).as("m"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
+        .as("cv"))
+      .withColumn("csq", expr(normSqOf("cv")))
+  }
+
+  /** Reassignment against the trained centroids — the full assign → update →
+    * reassign k-means cycle, every stage oracle-checked. Further iterations
+    * are the same two operators composed again. */
+  def kmeansAssignments(spark: SparkSession, sfDir: String): DataFrame =
+    assignTo(spark, sfDir, trainedCentroids(spark, sfDir))
 
   /** IVF ANN: nearest neighbor among vectors sharing the probe's cell —
     * search cost |cell| instead of |table| (queries whose cell holds no
