@@ -918,6 +918,22 @@ object Catalog {
         |  FROM documents
         |) ORDER BY doc_id, frame_offset""".stripMargin)),
 
+    // Injected optimizer rule: a PLAIN sum(double) in user code is rewritten
+    // to exact decimal accumulation — the oracle's decimal SQL only matches
+    // because the rule fired.
+    QEntry("q_rule_decimal_sum", (s, d) => {
+      graft.plans.DeterministicSums.register(s)
+      import org.apache.spark.sql.functions._
+      Tables.transfers(s, d)
+        .groupBy("contract_address")
+        .agg(sum("value").as("volume_sum"), count(lit(1)).as("n"))
+        .orderBy("contract_address")
+    }, Some(withTransfers(
+      """SELECT contract_address,
+        |       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS volume_sum,
+        |       count(*) AS n
+        |FROM transfers GROUP BY 1 ORDER BY 1""".stripMargin))),
+
     QEntry("q_weighted_avg", Relational.weightedAvgPrice, Some(
       """SELECT l_returnflag,
         |       round(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8)))

@@ -1,0 +1,43 @@
+package graft
+
+import graft.plans.DeterministicSums
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DeterministicSumsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("plain double sums rewrite to decimal accumulation in the plan") {
+    DeterministicSums.register(spark)
+    val plan = Tables.transfers(spark, GraftSpark.Sf)
+      .groupBy("contract_address").agg(sum("value").as("s"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("decimal(27,6)"), plan)
+  }
+
+  test("distinct double sums are NOT rewritten") {
+    DeterministicSums.register(spark)
+    val plan = Tables.transfers(spark, GraftSpark.Sf)
+      .groupBy("contract_address").agg(sum_distinct(col("value")).as("s"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("decimal(27,6)"), plan)
+  }
+
+  test("rewritten sums are partition-count independent") {
+    DeterministicSums.register(spark)
+    val df = (1 to 20000).map(i => (i % 7, i * 0.0001 + 1e9)).toDF("k", "v")
+    val a = df.repartition(1).groupBy("k").agg(sum("v").as("s"))
+      .orderBy("k").as[(Int, Double)].collect().toSeq
+    val b = df.repartition(17).groupBy("k").agg(sum("v").as("s"))
+      .orderBy("k").as[(Int, Double)].collect().toSeq
+    assert(a == b) // raw double accumulation would differ in the last ulp
+  }
+
+  test("registration is idempotent") {
+    DeterministicSums.register(spark)
+    DeterministicSums.register(spark)
+    assert(spark.experimental.extraOptimizations
+      .count(_ eq DeterministicSums) == 1)
+  }
+}
