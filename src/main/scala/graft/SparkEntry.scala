@@ -36,6 +36,163 @@ final case class QEntry(
 object Catalog {
   import Oracle._
 
+  /** DuckDB mirror of [[graft.pipelines.Pipelines.tokenDocumentsJson]]:
+    * rebuilds all eight change-log maps as string_agg JSON objects over the
+    * same grouped frames the Spark side aggregates, joined to the literal
+    * market/info dimension. Whale thresholds are forced through DOUBLE
+    * arithmetic so the `balance >= supply * 0.001` comparison is the same
+    * IEEE multiply on both engines. */
+  private val tokenDocumentsOracle: String = {
+    import graft.pipelines.Pipelines
+    val market = graft.ops.Skew.TokenMarket
+      .map { case (t, s) => s"('$t', $s)" }.mkString(", ")
+    val info = graft.ops.Skew.TokenInfo
+      .map { case (t, n, sym, d, l) => s"('$t', '$n', '$sym', $d, '$l')" }
+      .mkString(", ")
+    def strAgg(cluster: String): String =
+      s"""COALESCE('["' || string_agg(address, '","' ORDER BY address)
+         |  FILTER (WHERE c = '$cluster') || '"]', '[]')""".stripMargin
+    withTransfersAndDapps(
+      s""", info AS (
+         |  SELECT m.contract_address, m.contract_address AS address,
+         |         m.circulating_supply, i.name, i.symbol, i.decimals, i.logo,
+         |         CAST(m.circulating_supply AS DOUBLE) * ${Pipelines.WhaleRatio}
+         |           AS whale_threshold
+         |  FROM (VALUES $market) m(contract_address, circulating_supply)
+         |  JOIN (VALUES $info) i(contract_address, name, symbol, decimals, logo)
+         |    ON m.contract_address = i.contract_address
+         |),
+         |hourly_vt AS (
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |         SUM(CAST(value AS DECIMAL(25,2))) AS volume, count(*) AS n
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |voltx AS (
+         |  SELECT contract_address,
+         |         '{' || string_agg('"' || t || '":' || CAST(volume AS VARCHAR),
+         |                           ',' ORDER BY t) || '}' AS tradingVolumeChangeLogs,
+         |         '{' || string_agg('"' || t || '":' || n,
+         |                           ',' ORDER BY t) || '}' AS numberOfTransferChangeLogs
+         |  FROM hourly_vt GROUP BY 1
+         |),
+         |legsu AS (
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |         from_address AS address FROM transfers
+         |  UNION ALL
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |         to_address AS address FROM transfers
+         |),
+         |peraddr AS (
+         |  SELECT contract_address, t, address, count(*) AS n
+         |  FROM legsu GROUP BY 1, 2, 3
+         |),
+         |uniq AS (
+         |  SELECT contract_address,
+         |         '{' || string_agg('"' || t || '":' || u, ',' ORDER BY t) || '}'
+         |           AS numberOfAddressChangeLogs
+         |  FROM (SELECT contract_address, t, count(*) AS u FROM peraddr GROUP BY 1, 2)
+         |  GROUP BY 1
+         |),
+         |davg AS (
+         |  SELECT contract_address,
+         |         '{' || string_agg('"' || d || '":'
+         |             || printf('%.6f', CAST(n AS DOUBLE) / 24.0),
+         |             ',' ORDER BY d) || '}' AS averageNumberOfTransactionPerDay
+         |  FROM (SELECT contract_address, ${dayBucket("transact_at")} AS d,
+         |               count(*) AS n FROM transfers GROUP BY 1, 2)
+         |  GROUP BY 1
+         |),
+         |dapph AS (
+         |  SELECT contract_address,
+         |         '{' || string_agg('"' || t || '":' || nd, ',' ORDER BY t) || '}'
+         |           AS numberOfDappChangeLogs
+         |  FROM (
+         |    SELECT l.contract_address, l.t, count(DISTINCT da.dapp_id) AS nd
+         |    FROM legsu l
+         |    JOIN (SELECT dapp_id, unnest(addresses) AS address FROM dapps) da
+         |      ON l.address = da.address
+         |    GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |),
+         |whourly AS (
+         |  SELECT contract_address, address, t,
+         |         SUM(CAST(delta AS DECIMAL(25,2))) AS ddelta FROM (
+         |    SELECT contract_address, from_address AS address,
+         |           ${hourBucket("transact_at")} AS t, -value AS delta FROM transfers
+         |    UNION ALL
+         |    SELECT contract_address, to_address AS address,
+         |           ${hourBucket("transact_at")} AS t, value AS delta FROM transfers
+         |  ) GROUP BY 1, 2, 3
+         |),
+         |wbal AS (
+         |  SELECT contract_address, address, t,
+         |         CAST(SUM(ddelta) OVER (PARTITION BY contract_address, address
+         |           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS DOUBLE) AS balance
+         |  FROM whourly
+         |),
+         |wflags AS (
+         |  SELECT b.contract_address, b.t,
+         |         CASE WHEN b.balance > ${Pipelines.HolderThreshold}
+         |                OR (lag(b.balance) OVER (PARTITION BY b.contract_address,
+         |                      b.address ORDER BY b.t) > ${Pipelines.HolderThreshold}
+         |                    AND b.balance IS NULL)
+         |              THEN 1 ELSE 0 END AS ih,
+         |         CASE WHEN b.balance >= i.whale_threshold THEN 1 ELSE 0 END AS iw
+         |  FROM wbal b JOIN info i ON b.contract_address = i.contract_address
+         |),
+         |hw AS (
+         |  SELECT contract_address,
+         |         '{' || string_agg('"' || t || '":' || h, ',' ORDER BY t) || '}'
+         |           AS numberOfHolderChangeLogs,
+         |         '{' || string_agg('"' || t || '":' || w, ',' ORDER BY t) || '}'
+         |           AS numberOfWhaleWalletChangeLogs
+         |  FROM (
+         |    SELECT contract_address, t, CAST(SUM(ih) AS BIGINT) AS h,
+         |           CAST(SUM(iw) AS BIGINT) AS w
+         |    FROM wflags GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |),
+         |clus AS (
+         |  SELECT contract_address,
+         |         '{' || string_agg('"' || t || '":' || cj, ',' ORDER BY t) || '}'
+         |           AS walletClusterByNumberOfTransfer
+         |  FROM (
+         |    SELECT contract_address, t,
+         |      '{"LOW":{"addresses":' || ${strAgg("LOW")}
+         |      || '},"MEDIUM":{"addresses":' || ${strAgg("MEDIUM")}
+         |      || '},"HIGH":{"addresses":' || ${strAgg("HIGH")}
+         |      || '}}' AS cj
+         |    FROM (
+         |      SELECT contract_address, t, address,
+         |             CASE WHEN n < ${Tables.ClusterLow} THEN 'LOW'
+         |                  WHEN n < ${Tables.ClusterHigh} THEN 'MEDIUM'
+         |                  ELSE 'HIGH' END AS c
+         |      FROM peraddr
+         |    ) GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |)
+         |SELECT i.contract_address, i.address, i.circulating_supply, i.name,
+         |       i.symbol, i.decimals, i.logo,
+         |       COALESCE(voltx.tradingVolumeChangeLogs, '{}') AS tradingVolumeChangeLogs,
+         |       COALESCE(voltx.numberOfTransferChangeLogs, '{}') AS numberOfTransferChangeLogs,
+         |       COALESCE(uniq.numberOfAddressChangeLogs, '{}') AS numberOfAddressChangeLogs,
+         |       COALESCE(davg.averageNumberOfTransactionPerDay, '{}') AS averageNumberOfTransactionPerDay,
+         |       COALESCE(dapph.numberOfDappChangeLogs, '{}') AS numberOfDappChangeLogs,
+         |       COALESCE(hw.numberOfHolderChangeLogs, '{}') AS numberOfHolderChangeLogs,
+         |       COALESCE(hw.numberOfWhaleWalletChangeLogs, '{}') AS numberOfWhaleWalletChangeLogs,
+         |       COALESCE(clus.walletClusterByNumberOfTransfer, '{}') AS walletClusterByNumberOfTransfer,
+         |       i.contract_address AS _key
+         |FROM info i
+         |LEFT JOIN voltx ON voltx.contract_address = i.contract_address
+         |LEFT JOIN uniq  ON uniq.contract_address = i.contract_address
+         |LEFT JOIN davg  ON davg.contract_address = i.contract_address
+         |LEFT JOIN dapph ON dapph.contract_address = i.contract_address
+         |LEFT JOIN hw    ON hw.contract_address = i.contract_address
+         |LEFT JOIN clus  ON clus.contract_address = i.contract_address
+         |ORDER BY i.contract_address""".stripMargin)
+  }
+
   val entries: Seq[QEntry] = Seq(
 
     // ── Token-analytics change-log metrics (SURVEY §2.6 A1-A4, §2.10 C1) ──
@@ -176,7 +333,23 @@ object Catalog {
            |  LEFT JOIN hourly h ON g.address = h.address AND g.t = h.t
            |) ORDER BY address, t""".stripMargin))),
 
-    QEntry("q_wallet_balance_maps", Balances.walletBalanceMaps, None),
+    // Map-typed library form: [[Balances.walletBalanceMaps]]. The catalog
+    // serves the JSON-string rendering so the driver's hash gate verifies
+    // the per-wallet change-log collapse end-to-end.
+    QEntry("q_wallet_balance_maps", Balances.walletBalanceMapsJson,
+      Some(withBalances(Tables.FocusToken,
+        s"""SELECT '${Tables.FocusToken}_' || address AS _key, address,
+           |  '{' || string_agg(
+           |      '"' || t || '":{"is_whale":'
+           |      || CASE WHEN CAST(bal AS DOUBLE) >= ${Tables.WhaleThreshold}
+           |         THEN 'true' ELSE 'false' END
+           |      || ',"balance":' || CAST(bal AS VARCHAR) || '}',
+           |      ',' ORDER BY t) || '}' AS balance_change_logs
+           |FROM (
+           |  SELECT address, t, SUM(ddelta) OVER (PARTITION BY address ORDER BY t
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+           |  FROM hourly
+           |) GROUP BY address ORDER BY _key""".stripMargin))),
 
     // ── Skew handling: salted agg/join, oracle-proven equivalent ──
     QEntry("q_salted_agg", Skew.saltedVolume, Some(withTransfers(
@@ -370,12 +543,28 @@ object Catalog {
          |       ${dsum("value")} AS volume
          |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
-    QEntry("q_change_log_maps", Keys.changeLogMaps, None),
+    // Map-typed library form: [[Keys.changeLogMaps]]; catalog serves the
+    // JSON rendering (volumes DECIMAL all the way into the string).
+    QEntry("q_change_log_maps", Keys.changeLogMapsJson, Some(withTransfers(
+      s"""SELECT contract_address,
+         |  '{' || string_agg('"' || t || '":' || CAST(volume AS VARCHAR),
+         |                    ',' ORDER BY t) || '}' AS tradingVolumeChangeLogs,
+         |  '{' || string_agg('"' || t || '":' || tx_count,
+         |                    ',' ORDER BY t) || '}' AS numberOfTransferChangeLogs
+         |FROM (
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |         SUM(CAST(value AS DECIMAL(25,2))) AS volume,
+         |         count(*) AS tx_count
+         |  FROM transfers GROUP BY 1, 2
+         |) GROUP BY 1 ORDER BY 1""".stripMargin))),
 
-    // Full enriched token document (all 8 map columns) — map-typed ⇒
-    // rows-only; every constituent metric has an oracle-checked exploded twin.
+    // Full enriched token document (all 8 change-log columns), JSON-rendered
+    // — the flagship EnhanceTokenEnricher shape, hash-checked end-to-end
+    // against a DuckDB oracle that rebuilds every map as a string_agg.
+    // Map-typed library form: [[graft.pipelines.Pipelines.tokenDocuments]].
     QEntry("q_token_documents_full",
-      (s, d) => graft.pipelines.Pipelines.tokenDocuments(s, d), None),
+      (s, d) => graft.pipelines.Pipelines.tokenDocumentsJson(s, d),
+      Some(tokenDocumentsOracle)),
 
     // ── Relational suite over TPC-H-ish tables (SURVEY §2.5, §2.6) ──
     QEntry("q_pricing_summary", Relational.pricingSummary, Some(

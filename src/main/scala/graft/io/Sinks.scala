@@ -85,8 +85,16 @@ object Sinks {
         to: org.apache.hadoop.fs.Path): Unit =
       if (!fs.rename(from, to))
         throw new java.io.IOException(s"upsertParquet: rename $from -> $to failed")
-    fs.delete(old, true)
-    if (fs.exists(dst)) mustRename(dst, old)
+    // __old is only rotated when dst exists: when recovering from a crash
+    // that already moved the live table to __old, deleting __old here would
+    // leave a window with NO live copy on disk (a second crash before the
+    // staged promote would silently drop every earlier key on the next
+    // retry). Leaving __old in place until the promote keeps a live copy at
+    // every instant.
+    if (fs.exists(dst)) {
+      fs.delete(old, true)
+      mustRename(dst, old)
+    }
     mustRename(staged, dst)
     fs.delete(old, true)
   }

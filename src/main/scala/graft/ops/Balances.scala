@@ -147,4 +147,25 @@ object Balances {
         concat(lit(Tables.FocusToken), lit("_"), col("address")).as("_key"),
         col("address"), col("balance_change_logs"))
   }
+
+  /** [[walletBalanceMaps]] rendered as sorted JSON strings for the hash
+    * gate: each entry is `"t":{"is_whale":…,"balance":…}` with the balance
+    * kept DECIMAL into the string (double toString is not portable across
+    * engines; the whale flag compares on the double rendering, same as the
+    * oracle). */
+  def walletBalanceMapsJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val bal = hourlyDeltas(spark, sfDir, Tables.FocusToken)
+      .select(col("address"), col("t"),
+        sum(col("ddelta")).over(byAddrTime).as("bal"))
+      .withColumn("is_whale", col("bal").cast("double") >= Tables.WhaleThreshold)
+    bal.groupBy("address")
+      .agg(ChangeLogs.jsonLog(col("t"),
+        concat(lit("{\"is_whale\":"), ChangeLogs.jsonBool(col("is_whale")),
+          lit(",\"balance\":"), col("bal").cast("string"), lit("}")))
+        .as("balance_change_logs"))
+      .select(
+        concat(lit(Tables.FocusToken), lit("_"), col("address")).as("_key"),
+        col("address"), col("balance_change_logs"))
+      .orderBy("_key")
+  }
 }

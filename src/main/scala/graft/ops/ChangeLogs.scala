@@ -42,4 +42,31 @@ object ChangeLogs {
     df.groupBy()
       .agg(map_from_entries(array_sort(collect_list(struct(mapKey, mapValue))))
         .as(as))
+
+  // ── JSON-string change logs ──────────────────────────────────────────
+  // The map-typed forms above are the library surface; hash-based harnesses
+  // (and DuckDB string_agg oracles) need a flat, byte-stable rendering. The
+  // helpers below build the JSON text explicitly — every numeric value is
+  // rendered through DECIMAL casts or fixed-precision printf, never raw
+  // double toString, so Spark and DuckDB produce identical bytes.
+
+  /** Aggregate: `{"k1":v1,"k2":v2,…}` with entries sorted by key. `jsonValue`
+    * must already be a valid JSON fragment (number / boolean / object /
+    * quoted string); keys render unquoted via CAST(.. AS STRING). */
+  def jsonLog(mapKey: Column, jsonValue: Column): Column =
+    concat(lit("{"),
+      concat_ws(",",
+        transform(
+          array_sort(collect_list(struct(mapKey.as("k"), jsonValue.as("j")))),
+          e => concat(lit("\""), e("k").cast("string"), lit("\":"), e("j")))),
+      lit("}"))
+
+  /** JSON boolean fragment. */
+  def jsonBool(c: Column): Column =
+    when(c, lit("true")).otherwise(lit("false"))
+
+  /** JSON array of (escape-free) strings: `["a","b"]`, `[]` when empty. */
+  def jsonStrArray(arr: Column): Column =
+    when(size(arr) === 0, lit("[]"))
+      .otherwise(concat(lit("[\""), concat_ws("\",\"", arr), lit("\"]")))
 }

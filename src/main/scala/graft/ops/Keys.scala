@@ -105,8 +105,8 @@ object Keys {
   }
 
   /** Per-token map-typed change log (A9/C9 as stored by the reference) —
-    * rows-only check; [[mapRoundTrip]] and the hourly metrics are the
-    * oracle-checked witnesses. */
+    * the library-facing map form; [[changeLogMapsJson]] is the
+    * driver-verifiable serialization of the same aggregation. */
   def changeLogMaps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.transfers(spark, sfDir)
       .groupBy(col("contract_address"), hourBucket(col("transact_at")).as("t"))
@@ -117,4 +117,20 @@ object Keys {
           .as("tradingVolumeChangeLogs"),
         map_from_entries(array_sort(collect_list(struct(col("t"), col("tx_count")))))
           .as("numberOfTransferChangeLogs"))
+
+  /** [[changeLogMaps]] rendered as sorted JSON strings — byte-identical to a
+    * DuckDB string_agg oracle, so the hash gate verifies the A9 collapse
+    * end-to-end (volumes stay DECIMAL all the way into the string; a double
+    * toString would not be portable). */
+  def changeLogMapsJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"), hourBucket(col("transact_at")).as("t"))
+      .agg(Num.dsumDec(col("value")).as("volume"), count(lit(1)).as("tx_count"))
+      .groupBy("contract_address")
+      .agg(
+        ChangeLogs.jsonLog(col("t"), col("volume").cast("string"))
+          .as("tradingVolumeChangeLogs"),
+        ChangeLogs.jsonLog(col("t"), col("tx_count").cast("string"))
+          .as("numberOfTransferChangeLogs"))
+      .orderBy("contract_address")
 }

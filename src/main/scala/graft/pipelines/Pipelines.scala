@@ -106,86 +106,185 @@ object Pipelines {
       dappDocuments(spark, sfDir).withColumn("ver", lit(1L)),
       "_key", "ver", s"$outDir/dapps")
 
+  // ── Shared per-metric frames for the token documents ─────────────────
+  // Each is one grouped aggregation; BOTH document renderings (map-typed
+  // library form and JSON-string driver form) assemble from these, so the
+  // expensive subtrees exist exactly once in the code.
+
+  private val tok = col("contract_address")
+
+  /** (token, hour, exact-decimal volume, tx count) — one scan/shuffle feeds
+    * both the volume and tx-count change logs (the reference re-scans its
+    * source once per metric — SURVEY §4, caching absent). */
+  private def hourlyVolTx(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.transfers(spark, sfDir)
+      .groupBy(tok, Num.hourBucket(col("transact_at")).as("t"))
+      .agg(Num.dsumDec(col("value")).as("volume"), count(lit(1)).as("n"))
+
+  /** One grouped (token, hour, address) frame feeds BOTH the unique-wallet
+    * map (rows per (token, hour) = distinct addresses) and the cluster map. */
+  private def perAddrHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.transfers(spark, sfDir)
+      .select(tok, Num.hourBucket(col("transact_at")).as("t"),
+        explode(array(col("from_address"), col("to_address"))).as("address"))
+      .groupBy(tok, col("t"), col("address"))
+      .agg(count(lit(1)).as("n"))
+
+  /** (token, day, avg = n/24.0) — the reference's /24 quirk (C3). */
+  private def dailyAvg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.transfers(spark, sfDir)
+      .groupBy(tok, Num.dayBucket(col("transact_at")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("avg", col("n").cast("double") / 24.0)
+
+  /** (token, hour, distinct interacting dapps). */
+  private def dappHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val reg = Tables.dapps(spark)
+      .select(col("dapp_id"), explode(col("addresses")).as("address"))
+    legsAll(spark, sfDir)
+      .join(broadcast(reg), Seq("address"))
+      .groupBy(tok, col("t"))
+      .agg(countDistinct("dapp_id").as("nd"))
+  }
+
+  /** (token, hour, holder count, whale count) — one pass over the
+    * (expensive) windowed wallet-state subtree produces both counts. */
+  private def holderWhaleHourly(spark: SparkSession, sfDir: String): DataFrame =
+    walletStates(spark, sfDir)
+      .groupBy(tok, col("t"))
+      .agg(sum(col("is_holder").cast("int")).as("h"),
+        sum(col("is_whale").cast("int")).as("w"))
+
+  /** (token, hour, LOW/MEDIUM/HIGH sorted wallet lists). */
+  private def clusterArrays(spark: SparkSession, sfDir: String): DataFrame = {
+    val empty = array().cast("array<string>")
+    perAddrHourly(spark, sfDir)
+      .withColumn("cluster", Clusters.clusterOf(col("n")))
+      .groupBy(tok, col("t"))
+      .pivot("cluster", Seq("LOW", "MEDIUM", "HIGH"))
+      .agg(sort_array(collect_list(col("address"))))
+      .select(tok, col("t"),
+        coalesce(col("LOW"), empty).as("LOW"),
+        coalesce(col("MEDIUM"), empty).as("MEDIUM"),
+        coalesce(col("HIGH"), empty).as("HIGH"))
+  }
+
+  /** Per-token market/info scalars (broadcastable 5-row dimension). */
+  private def infoFrame(spark: SparkSession): DataFrame =
+    Skew.tokenMarket(spark)
+      .join(Skew.tokenInfo(spark), Seq("contract_address"))
+      .select(tok, col("contract_address").as("address"),
+        col("circulating_supply"), col("name"), col("symbol"),
+        col("decimals"), col("logo"))
+
   /** Token enrichment (EnhanceTokenEnricher): one document per token holding
     * every change-log map the reference stores — computed as grouped
     * aggregations over shared scans and stitched with tiny per-token joins
     * (5 rows a side, broadcast), not the reference's 9-frame
     * monotonically_increasing_id reduce-join. */
   def tokenDocuments(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = Tables.transfers(spark, sfDir)
-    val tok = col("contract_address")
-
-    // volume + tx-count maps from ONE scan/shuffle: both change logs
-    // aggregate out of the same hourly frame in a single pass (the reference
-    // re-scans its source once per metric — SURVEY §4, caching absent).
     val volumeAndTxMaps = ChangeLogs.perKeyMulti(
-      t.groupBy(tok, Num.hourBucket(col("transact_at")).as("t"))
-        .agg(Num.dsum(col("value")).as("volume"), count(lit(1)).as("n")),
+      hourlyVolTx(spark, sfDir)
+        .withColumn("volume", col("volume").cast("double")),
       tok, col("t"), Seq(
         col("volume") -> "tradingVolumeChangeLogs",
         col("n") -> "numberOfTransferChangeLogs"))
 
-    // one grouped (token, hour, address) frame feeds BOTH the unique-wallet
-    // map (rows per (token, hour) = distinct addresses) and the cluster map.
-    val perAddrHourly = t
-      .select(tok, Num.hourBucket(col("transact_at")).as("t"),
-        explode(array(col("from_address"), col("to_address"))).as("address"))
-      .groupBy(tok, col("t"), col("address"))
-      .agg(count(lit(1)).as("n"))
-
     val uniqueMap = ChangeLogs.perKey(
-      perAddrHourly.groupBy(tok, col("t")).agg(count(lit(1)).as("u")),
+      perAddrHourly(spark, sfDir).groupBy(tok, col("t")).agg(count(lit(1)).as("u")),
       tok, col("t"), col("u"), "numberOfAddressChangeLogs")
 
-    val avgMap = ChangeLogs.perKey(
-      t.groupBy(tok, Num.dayBucket(col("transact_at")).as("d"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("avg", col("n").cast("double") / 24.0), // reference quirk C3
+    val avgMap = ChangeLogs.perKey(dailyAvg(spark, sfDir),
       tok, col("d"), col("avg"), "averageNumberOfTransactionPerDay")
 
-    val reg = Tables.dapps(spark)
-      .select(col("dapp_id"), explode(col("addresses")).as("address"))
-    val dappMap = ChangeLogs.perKey(
-      legsAll(spark, sfDir)
-        .join(broadcast(reg), Seq("address"))
-        .groupBy(tok, col("t"))
-        .agg(countDistinct("dapp_id").as("nd")),
+    val dappMap = ChangeLogs.perKey(dappHourly(spark, sfDir),
       tok, col("t"), col("nd"), "numberOfDappChangeLogs")
 
-    // holder + whale maps share the (expensive) windowed wallet-state
-    // subtree: one pass produces both counts, then both maps.
     val holderAndWhaleMaps = ChangeLogs.perKeyMulti(
-      walletStates(spark, sfDir)
-        .groupBy(tok, col("t"))
-        .agg(sum(col("is_holder").cast("int")).as("h"),
-          sum(col("is_whale").cast("int")).as("w")),
+      holderWhaleHourly(spark, sfDir),
       tok, col("t"), Seq(
         col("h") -> "numberOfHolderChangeLogs",
         col("w") -> "numberOfWhaleWalletChangeLogs"))
 
-    val empty = array().cast("array<string>")
     val clusterMap = ChangeLogs.perKey(
-      perAddrHourly
-        .withColumn("cluster", Clusters.clusterOf(col("n")))
-        .groupBy(tok, col("t"))
-        .pivot("cluster", Seq("LOW", "MEDIUM", "HIGH"))
-        .agg(sort_array(collect_list(col("address"))))
+      clusterArrays(spark, sfDir)
         .select(tok, col("t"), struct(
-          struct(coalesce(col("LOW"), empty).as("addresses")).as("LOW"),
-          struct(coalesce(col("MEDIUM"), empty).as("addresses")).as("MEDIUM"),
-          struct(coalesce(col("HIGH"), empty).as("addresses")).as("HIGH"))
+          struct(col("LOW").as("addresses")).as("LOW"),
+          struct(col("MEDIUM").as("addresses")).as("MEDIUM"),
+          struct(col("HIGH").as("addresses")).as("HIGH"))
           .as("clusters")),
       tok, col("t"), col("clusters"), "walletClusterByNumberOfTransfer")
 
-    val info = Skew.tokenMarket(spark)
-      .join(Skew.tokenInfo(spark), Seq("contract_address"))
-      .select(tok, col("contract_address").as("address"),
-        col("circulating_supply"), col("name"), col("symbol"),
-        col("decimals"), col("logo"))
-
     Seq(volumeAndTxMaps, uniqueMap, avgMap, dappMap, holderAndWhaleMaps,
         clusterMap)
-      .foldLeft(info)((acc, m) => acc.join(m, Seq("contract_address"), "left"))
+      .foldLeft(infoFrame(spark))((acc, m) =>
+        acc.join(m, Seq("contract_address"), "left"))
+      .withColumn("_key", col("contract_address"))
+      .orderBy("contract_address")
+  }
+
+  /** [[tokenDocuments]] with every change-log map rendered as a sorted JSON
+    * string — the driver-verifiable form of the flagship document (reference
+    * EnhanceTokenEnricher shape): byte-identical to a DuckDB string_agg
+    * oracle. Rendering rules: volumes stay DECIMAL into the string, counts
+    * are integers, the /24 average renders through fixed `%.6f` (raw double
+    * toString differs across engines), cluster lists are sorted JSON string
+    * arrays. Tokens missing a metric coalesce to the empty object. */
+  def tokenDocumentsJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val volumeAndTxJson = hourlyVolTx(spark, sfDir)
+      .groupBy(tok)
+      .agg(
+        ChangeLogs.jsonLog(col("t"), col("volume").cast("string"))
+          .as("tradingVolumeChangeLogs"),
+        ChangeLogs.jsonLog(col("t"), col("n").cast("string"))
+          .as("numberOfTransferChangeLogs"))
+
+    val uniqueJson = perAddrHourly(spark, sfDir)
+      .groupBy(tok, col("t")).agg(count(lit(1)).as("u"))
+      .groupBy(tok)
+      .agg(ChangeLogs.jsonLog(col("t"), col("u").cast("string"))
+        .as("numberOfAddressChangeLogs"))
+
+    val avgJson = dailyAvg(spark, sfDir)
+      .groupBy(tok)
+      .agg(ChangeLogs.jsonLog(col("d"), format_string("%.6f", col("avg")))
+        .as("averageNumberOfTransactionPerDay"))
+
+    val dappJson = dappHourly(spark, sfDir)
+      .groupBy(tok)
+      .agg(ChangeLogs.jsonLog(col("t"), col("nd").cast("string"))
+        .as("numberOfDappChangeLogs"))
+
+    val holderWhaleJson = holderWhaleHourly(spark, sfDir)
+      .groupBy(tok)
+      .agg(
+        ChangeLogs.jsonLog(col("t"), col("h").cast("string"))
+          .as("numberOfHolderChangeLogs"),
+        ChangeLogs.jsonLog(col("t"), col("w").cast("string"))
+          .as("numberOfWhaleWalletChangeLogs"))
+
+    val clusterJson = clusterArrays(spark, sfDir)
+      .groupBy(tok)
+      .agg(ChangeLogs.jsonLog(col("t"), concat(
+        lit("{\"LOW\":{\"addresses\":"), ChangeLogs.jsonStrArray(col("LOW")),
+        lit("},\"MEDIUM\":{\"addresses\":"), ChangeLogs.jsonStrArray(col("MEDIUM")),
+        lit("},\"HIGH\":{\"addresses\":"), ChangeLogs.jsonStrArray(col("HIGH")),
+        lit("}}")))
+        .as("walletClusterByNumberOfTransfer"))
+
+    val logCols = Seq("tradingVolumeChangeLogs", "numberOfTransferChangeLogs",
+      "numberOfAddressChangeLogs", "averageNumberOfTransactionPerDay",
+      "numberOfDappChangeLogs", "numberOfHolderChangeLogs",
+      "numberOfWhaleWalletChangeLogs", "walletClusterByNumberOfTransfer")
+
+    Seq(volumeAndTxJson, uniqueJson, avgJson, dappJson, holderWhaleJson,
+        clusterJson)
+      .foldLeft(infoFrame(spark))((acc, m) =>
+        acc.join(m, Seq("contract_address"), "left"))
+      .select(col("contract_address") +: col("address") +:
+        col("circulating_supply") +: col("name") +: col("symbol") +:
+        col("decimals") +: col("logo") +:
+        logCols.map(c => coalesce(col(c), lit("{}")).as(c)): _*)
       .withColumn("_key", col("contract_address"))
       .orderBy("contract_address")
   }

@@ -29,6 +29,26 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("upsert recovers from a crash that left the table in __old") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert3").toString
+    val path = s"$dir/t"
+    val v1 = Seq(("k1", 1L, "a"), ("k2", 1L, "b")).toDF("key", "ver", "payload")
+    Sinks.upsertParquet(spark, v1, "key", "ver", path)
+    // simulate a crash between the two renames: live dir moved aside,
+    // staged never promoted
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    val v2 = Seq(("k2", 2L, "b2"), ("k3", 1L, "c")).toDF("key", "ver", "payload")
+    Sinks.upsertParquet(spark, v2, "key", "ver", path)
+    val got = spark.read.parquet(path)
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // the earlier keys survived the retry — nothing was lost
+    assert(got.toSeq == Seq(("k1", 1L, "a"), ("k2", 2L, "b2"), ("k3", 1L, "c")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
+
   test("csv sink round-trips with header") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
