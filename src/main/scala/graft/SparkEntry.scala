@@ -193,6 +193,68 @@ object Catalog {
          |ORDER BY i.contract_address""".stripMargin)
   }
 
+  /** DuckDB mirror of [[graft.ops.Similarity.kmeansIterAssignments]]:
+    * `iters` Lloyd iterations unrolled as a CTE chain — assign0 is the seed
+    * (stride) assignment; each step derives exact decimal per-dimension
+    * means and reassigns by cosine (row_number formulation, provably equal
+    * to the Spark side's arg-max aggregate). */
+  private def kmeansOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""means$k AS (
+         |  SELECT a.cid, i.i,
+         |         CAST(SUM(CAST(i.x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+         |  FROM assign${k - 1} a JOIN idx i ON i.vec_id = a.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |cnorms$k AS (
+         |  SELECT cid, CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS csq
+         |  FROM means$k GROUP BY 1
+         |),
+         |tdots$k AS (
+         |  SELECT v.vec_id, mm.cid,
+         |         CAST(SUM(CAST(v.x * mm.m AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM idx v JOIN means$k mm ON mm.i = v.i
+         |  GROUP BY 1, 2
+         |),
+         |assign$k AS (
+         |  SELECT vec_id, cid, c FROM (
+         |    SELECT t.vec_id, t.cid,
+         |           t.dot / (sqrt(nv.sq) * sqrt(cn.csq)) AS c,
+         |           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |             t.dot / (sqrt(nv.sq) * sqrt(cn.csq)) DESC, t.cid ASC) AS rnk
+         |    FROM tdots$k t
+         |    JOIN norms nv ON nv.vec_id = t.vec_id
+         |    JOIN cnorms$k cn ON cn.cid = t.cid
+         |  ) WHERE rnk = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embIdxCte,
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+       |  FROM idx GROUP BY 1
+       |),
+       |cdots AS (
+       |  SELECT v.vec_id, c.vec_id AS cid,
+       |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM idx v JOIN idx c ON v.i = c.i
+       |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
+       |  GROUP BY 1, 2
+       |),
+       |assign0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT d.vec_id, d.cid,
+       |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |             d.dot / (sqrt(nv.sq) * sqrt(nc.sq)) DESC, d.cid ASC) AS rnk
+       |    FROM cdots d
+       |    JOIN norms nv ON nv.vec_id = d.vec_id
+       |    JOIN norms nc ON nc.vec_id = d.cid
+       |  ) WHERE rnk = 1
+       |),
+       |$steps
+       |SELECT vec_id, cid, round(c, 6) AS centroid_cos
+       |FROM assign$iters ORDER BY vec_id""".stripMargin
+  }
+
   val entries: Seq[QEntry] = Seq(
 
     // ── Token-analytics change-log metrics (SURVEY §2.6 A1-A4, §2.10 C1) ──
@@ -731,28 +793,30 @@ object Catalog {
          |ORDER BY 1, 2""".stripMargin))),
 
     QEntry("q_jaccard_top1", Dedup.jaccardTop1, Some(withShingles(
-      """SELECT doc_a AS doc_id, doc_b AS partner_id,
-        |       round(jaccard, 6) AS jaccard
-        |FROM (
-        |  SELECT doc_a, doc_b, jaccard,
-        |         row_number() OVER (PARTITION BY doc_a
-        |           ORDER BY jaccard DESC, doc_b ASC) AS rn
-        |  FROM (
-        |    SELECT i.doc_a, i.doc_b,
-        |           CAST(i.inter AS DOUBLE)
-        |             / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
-        |    FROM (
-        |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |      FROM shingles a JOIN shingles b
-        |        ON a.sh = b.sh AND a.doc_id != b.doc_id
-        |      GROUP BY 1, 2
-        |    ) i
-        |    JOIN (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1) sa
-        |      ON sa.doc_id = i.doc_a
-        |    JOIN (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1) sb
-        |      ON sb.doc_id = i.doc_b
-        |  )
-        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin))),
+      s"""SELECT doc_a AS doc_id, doc_b AS partner_id,
+         |       round(jaccard, 6) AS jaccard
+         |FROM (
+         |  SELECT doc_a, doc_b, jaccard,
+         |         row_number() OVER (PARTITION BY doc_a
+         |           ORDER BY jaccard DESC, doc_b ASC) AS rn
+         |  FROM (
+         |    SELECT i.doc_a, i.doc_b,
+         |           CAST(i.inter AS DOUBLE)
+         |             / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+         |    FROM (
+         |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM shingles a JOIN shingles b
+         |        ON a.sh = b.sh AND a.doc_id != b.doc_id
+         |      WHERE a.sh IN (SELECT sh FROM shingles
+         |                     GROUP BY sh HAVING count(*) <= ${Dedup.MaxShingleDf})
+         |      GROUP BY 1, 2
+         |    ) i
+         |    JOIN (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1) sa
+         |      ON sa.doc_id = i.doc_a
+         |    JOIN (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1) sb
+         |      ON sb.doc_id = i.doc_b
+         |  )
+         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin))),
 
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (
@@ -791,17 +855,27 @@ object Catalog {
          |    ) GROUP BY doc_id, b
          |  ) GROUP BY doc_id
          |),
-         |blocked AS (SELECT s.doc_id, s.simhash, d.source
-         |            FROM sh s JOIN documents d ON d.doc_id = s.doc_id)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |banded AS (
+         |  SELECT doc_id, simhash, bb.b AS band,
+         |         substr(simhash, bb.b * ${Dedup.SimHashBandBits} + 1,
+         |                ${Dedup.SimHashBandBits}) AS bits
+         |  FROM sh CROSS JOIN
+         |       (SELECT unnest(range(${Dedup.SimHashMaxDist + 1})) AS b) bb
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                  a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
          |       CAST(len(list_filter(range(1, ${Dedup.SimHashBits} + 1),
-         |         i -> substr(a.simhash, CAST(i AS INT), 1)
-         |              != substr(b.simhash, CAST(i AS INT), 1))) AS INT) AS dist
-         |FROM blocked a JOIN blocked b
-         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         |         i -> substr(sh_a, CAST(i AS INT), 1)
+         |              != substr(sh_b, CAST(i AS INT), 1))) AS INT) AS dist
+         |FROM cand
          |WHERE len(list_filter(range(1, ${Dedup.SimHashBits} + 1),
-         |    i -> substr(a.simhash, CAST(i AS INT), 1)
-         |         != substr(b.simhash, CAST(i AS INT), 1)))
+         |    i -> substr(sh_a, CAST(i AS INT), 1)
+         |         != substr(sh_b, CAST(i AS INT), 1)))
          |  <= ${Dedup.SimHashMaxDist}
          |ORDER BY doc_a, doc_b""".stripMargin)),
 
@@ -816,7 +890,7 @@ object Catalog {
          |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
          |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
          |  FROM idx q JOIN idx d ON q.i = d.i
-         |  WHERE q.vec_id % ${Similarity.QueryStride} = 0
+         |  WHERE q.vec_id < ${Similarity.ProbeCount}
          |    AND d.vec_id != q.vec_id
          |  GROUP BY 1, 2
          |),
@@ -958,7 +1032,7 @@ object Catalog {
          |  JOIN assign v ON q.cid = v.cid AND v.vec_id != q.vec_id
          |  JOIN idx qi ON qi.vec_id = q.vec_id
          |  JOIN idx vi ON vi.vec_id = v.vec_id AND vi.i = qi.i
-         |  WHERE q.vec_id % ${Similarity.QueryStride} = 0
+         |  WHERE q.vec_id < ${Similarity.ProbeCount}
          |  GROUP BY 1, 2
          |)
          |SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cosine FROM (
@@ -971,54 +1045,12 @@ object Catalog {
          |  JOIN norms nv ON nv.vec_id = p.vec_id
          |) WHERE rnk = 1 ORDER BY query_id""".stripMargin)),
 
-    QEntry("q_kmeans_assign", Similarity.kmeansAssignments, Some(
-      s"""WITH $embIdxCte,
-         |norms AS (
-         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
-         |  FROM idx GROUP BY 1
-         |),
-         |cdots AS (
-         |  SELECT v.vec_id, c.vec_id AS cid,
-         |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
-         |  FROM idx v JOIN idx c ON v.i = c.i
-         |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
-         |  GROUP BY 1, 2
-         |),
-         |assign0 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT d.vec_id, d.cid,
-         |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
-         |             d.dot / (sqrt(nv.sq) * sqrt(nc.sq)) DESC, d.cid ASC) AS rnk
-         |    FROM cdots d
-         |    JOIN norms nv ON nv.vec_id = d.vec_id
-         |    JOIN norms nc ON nc.vec_id = d.cid
-         |  ) WHERE rnk = 1
-         |),
-         |means AS (
-         |  SELECT a.cid, i.i,
-         |         CAST(SUM(CAST(i.x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
-         |  FROM assign0 a JOIN idx i ON i.vec_id = a.vec_id
-         |  GROUP BY 1, 2
-         |),
-         |cnorms AS (
-         |  SELECT cid, CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS csq
-         |  FROM means GROUP BY 1
-         |),
-         |tdots AS (
-         |  SELECT v.vec_id, mm.cid,
-         |         CAST(SUM(CAST(v.x * mm.m AS DECIMAL(38,18))) AS DOUBLE) AS dot
-         |  FROM idx v JOIN means mm ON mm.i = v.i
-         |  GROUP BY 1, 2
-         |)
-         |SELECT vec_id, cid, round(c, 6) AS centroid_cos FROM (
-         |  SELECT t.vec_id, t.cid,
-         |         t.dot / (sqrt(nv.sq) * sqrt(cn.csq)) AS c,
-         |         row_number() OVER (PARTITION BY t.vec_id ORDER BY
-         |           t.dot / (sqrt(nv.sq) * sqrt(cn.csq)) DESC, t.cid ASC) AS rnk
-         |  FROM tdots t
-         |  JOIN norms nv ON nv.vec_id = t.vec_id
-         |  JOIN cnorms cn ON cn.cid = t.cid
-         |) WHERE rnk = 1 ORDER BY vec_id""".stripMargin)),
+    QEntry("q_kmeans_assign", Similarity.kmeansAssignments,
+      Some(kmeansOracle(1))),
+
+    // Multi-iteration k-means: three full Lloyd cycles, every intermediate
+    // mean/assignment bit-reproducible in DuckDB (exact decimal sums).
+    QEntry("q_kmeans_iter3", Similarity.kmeansIter3, Some(kmeansOracle(3))),
 
     QEntry("q_interval_join", Intervals.campaignVolume, Some(withTransfers(
       s"""SELECT t.contract_address, iv.s, count(*) AS n,
@@ -1047,7 +1079,7 @@ object Catalog {
          |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
          |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
          |  FROM idx q JOIN idx d ON q.i = d.i
-         |  WHERE q.vec_id % ${Similarity.QueryStride} = 0
+         |  WHERE q.vec_id < ${Similarity.ProbeCount}
          |    AND d.vec_id != q.vec_id
          |  GROUP BY 1, 2
          |),
@@ -1109,7 +1141,9 @@ object Catalog {
 
     // Injected optimizer rule: a PLAIN sum(double) in user code is rewritten
     // to exact decimal accumulation — the oracle's decimal SQL only matches
-    // because the rule fired.
+    // because the rule fired. The rule is active session-wide via
+    // GraftExtensions (spark.sql.extensions) in every engine-built session;
+    // register() is the idempotent fallback for foreign sessions.
     QEntry("q_rule_decimal_sum", (s, d) => {
       graft.plans.DeterministicSums.register(s)
       import org.apache.spark.sql.functions._

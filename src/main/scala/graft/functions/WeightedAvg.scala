@@ -15,6 +15,13 @@ import org.apache.spark.sql.types._
   * — required by the engine's hash-compared oracle gate) and evaluates to
   * DOUBLE at the edge, matching the oracle's
   * `CAST(SUM(CAST(v*w AS DECIMAL)) AS DOUBLE) / CAST(SUM(...) AS DOUBLE)`.
+  *
+  * Overflow semantics (mirrors [[graft.plans.DeterministicSums]]'s bound
+  * note): DECIMAL(30,8) holds |Σ| < 1e22. Under non-ANSI casts an
+  * overflowing accumulator addition yields NULL, which then propagates —
+  * the aggregate returns NULL, indistinguishable from the legitimate
+  * all-null / zero-weight NULL. Enable ANSI mode to fail loudly on
+  * overflow, or widen `sumType` for deployments with larger magnitudes.
   */
 case class WeightedAvg(value: Expression, weight: Expression)
     extends DeclarativeAggregate {

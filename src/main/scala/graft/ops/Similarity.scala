@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Every 50th vector is a "query" — scales with the table. */
-  val QueryStride = 50
+  /** Fixed-size probe set: the first [[ProbeCount]] vector ids serve as
+    * queries. A stride-based probe set ("every 50th vector") grows linearly
+    * with the table, so its broadcast would die at 100 TB; a bounded id
+    * range keeps the query side O(1) in table size. */
+  val ProbeCount = 50
   val K = 5
 
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
@@ -53,7 +56,7 @@ object Similarity {
   /** All (query, candidate, cosine) pairs — query side broadcast. */
   private def cosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val base = emb(spark, sfDir).withColumn("sq", expr(normSqExpr))
-    val queries = base.filter(col("vec_id") % QueryStride === 0)
+    val queries = base.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("sq").as("qsq"))
     base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -108,33 +111,43 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
       .withColumn("csq", expr(normSqOf("cv")))
 
-  /** Assign every vector to its nearest centroid from `cents(cid, cv, csq)`
-    * by cosine (ties → smaller cid). Centroids broadcast; one pass. */
-  private def assignTo(spark: SparkSession, sfDir: String,
-      cents: DataFrame): DataFrame = {
-    val base = emb(spark, sfDir).withColumn("sq", expr(normSqExpr))
-    val pairs = base.join(broadcast(cents))
+  /** Embeddings + cached squared norms, persisted: the k-means cycle
+    * (assign → mean → reassign, iterated) references this frame at every
+    * stage — without the cache each iteration re-scans and re-normalizes
+    * the whole vector table. Spark's CacheManager matches the canonicalized
+    * plan, so every similarity query in the session shares one copy
+    * (64 doubles/vector — MBs at test scale, and at cluster scale an
+    * explicitly managed, spill-safe cache). */
+  private def cachedBase(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).withColumn("sq", expr(normSqExpr))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Assign every vector of `base(vec_id, v, sq)` to its nearest centroid
+    * from `cents(cid, cv, csq)` by cosine (ties → smaller cid). Centroids
+    * broadcast; the arg-max is a map-side-combinable `max(struct)` aggregate
+    * — no per-vector sort shuffle (a row_number window would sort |V|×K rows
+    * every iteration); equal cosines break to the smaller cid via the
+    * negated id in the struct ordering. */
+  private def assignCore(base: DataFrame, cents: DataFrame): DataFrame =
+    base.join(broadcast(cents))
       .withColumn("dot", expr(dotOf("cv", "v")))
       .withColumn("cos", col("dot") / (sqrt(col("sq")) * sqrt(col("csq"))))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("cid").asc)
-    pairs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("cid"), round(col("cos"), 6).as("centroid_cos"))
-      .orderBy("vec_id")
-  }
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"),
+        round(col("best.cos"), 6).as("centroid_cos"))
 
   /** IVF cell assignment against the deterministic seed centroids. */
   def ivfAssignments(spark: SparkSession, sfDir: String): DataFrame =
-    assignTo(spark, sfDir, centroids(spark, sfDir))
+    assignCore(cachedBase(spark, sfDir), centroids(spark, sfDir))
+      .orderBy("vec_id")
 
-  /** One Lloyd step: per-dimension exact means of each seed cell become the
-    * trained centroids (decimal sums / exact counts — deterministic at any
-    * partitioning, so the oracle can reproduce them bit-for-bit). */
-  def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val assigned = ivfAssignments(spark, sfDir).select("vec_id", "cid")
-      .join(emb(spark, sfDir), Seq("vec_id"))
-    assigned
+  /** One Lloyd step: per-dimension exact means of each cell of `assignment`
+    * become the next centroids (decimal sums / exact counts — deterministic
+    * at any partitioning, so the oracle reproduces them bit-for-bit). */
+  private def lloydStep(base: DataFrame, assignment: DataFrame): DataFrame =
+    assignment.select("vec_id", "cid")
+      .join(base.select("vec_id", "v"), Seq("vec_id"))
       .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("cid", "i")
       .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
@@ -143,22 +156,42 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
         .as("cv"))
       .withColumn("csq", expr(normSqOf("cv")))
+
+  /** Centroids after one Lloyd step from the seed assignment. */
+  def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = cachedBase(spark, sfDir)
+    lloydStep(base, assignCore(base, centroids(spark, sfDir)))
   }
 
-  /** Reassignment against the trained centroids — the full assign → update →
-    * reassign k-means cycle, every stage oracle-checked. Further iterations
-    * are the same two operators composed again. */
+  /** `iters` full Lloyd iterations (assign → exact mean → reassign) from the
+    * seed centroids. Every intermediate assignment persists: iteration k+1's
+    * mean step re-reads assignment k, and without the cache the lineage —
+    * and the recomputation — would double per iteration. Each stage is
+    * bit-reproducible, so any iteration count stays oracle-checkable. */
+  def kmeansIterAssignments(spark: SparkSession, sfDir: String,
+      iters: Int): DataFrame = {
+    val base = cachedBase(spark, sfDir)
+    var assign = assignCore(base, centroids(spark, sfDir)).persist()
+    for (_ <- 1 to iters)
+      assign = assignCore(base, lloydStep(base, assign)).persist()
+    assign.orderBy("vec_id")
+  }
+
+  /** The single assign → update → reassign cycle (one Lloyd iteration). */
   def kmeansAssignments(spark: SparkSession, sfDir: String): DataFrame =
-    assignTo(spark, sfDir, trainedCentroids(spark, sfDir))
+    kmeansIterAssignments(spark, sfDir, 1)
+
+  /** Three Lloyd iterations — the (near-)converged IVF training path. */
+  def kmeansIter3(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansIterAssignments(spark, sfDir, 3)
 
   /** IVF ANN: nearest neighbor among vectors sharing the probe's cell —
     * search cost |cell| instead of |table| (queries whose cell holds no
     * other vector produce no row). */
   def ivfTopNeighbor(spark: SparkSession, sfDir: String): DataFrame = {
     val assigned = ivfAssignments(spark, sfDir).select("vec_id", "cid")
-      .join(emb(spark, sfDir), Seq("vec_id"))
-      .withColumn("sq", expr(normSqExpr))
-    val probes = assigned.filter(col("vec_id") % QueryStride === 0)
+      .join(cachedBase(spark, sfDir), Seq("vec_id"))
+    val probes = assigned.filter(col("vec_id") < ProbeCount)
       .select(col("cid"), col("vec_id").as("query_id"), col("v").as("qv"),
         col("sq").as("qsq"))
     val pairs = probes.join(assigned, Seq("cid"))

@@ -18,11 +18,26 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * their names and expression ids, so downstream plan references are
   * untouched.
   *
-  * Registered through the public `spark.experimental.extraOptimizations`
-  * hook ([[register]]) — no session rebuild needed; the same class drops
-  * into `SparkSessionExtensions.injectOptimizerRule` for cluster-wide
-  * deployment. DECIMAL(27,6) bounds: 1e21 absolute sum at µ-precision 1e-6,
-  * wide enough for value-like metrics; widen per-deployment if needed.
+  * Deployed through [[GraftExtensions]] (`spark.sql.extensions`, active
+  * from the session's first query); [[register]] remains as an idempotent
+  * `spark.experimental.extraOptimizations` fallback for sessions built
+  * without the extension.
+  *
+  * == Numeric domain (read before relying on the rewrite) ==
+  *
+  * DECIMAL(27,6) accumulation changes more than last-ulp ordering for
+  * inputs outside the engine's value-metric domain — under non-ANSI casts:
+  *
+  *  - NaN / ±Infinity cast to NULL and are then *skipped* by Sum, so a sum
+  *    over data containing them returns a finite number where plain double
+  *    summation would return NaN/Infinity;
+  *  - |x| ≥ 1e21 casts to NULL (skipped) — the sum silently drops it;
+  *  - |x| < 1e-6 rounds to 0 (micro-precision floor).
+  *
+  * The engine's own tables hold finite value-like metrics, where the
+  * rewrite is exact. Deployments whose data may contain non-finite values
+  * must either pre-filter them, enable ANSI mode (the cast then fails
+  * loudly instead of skipping), or not inject this rule.
   */
 object DeterministicSums extends Rule[LogicalPlan] {
 

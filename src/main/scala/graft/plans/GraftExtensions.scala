@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine-wide Catalyst injection point — tier (c) of the extension ladder:
+  * build sessions with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * and the engine's semantics are active from the session's first query:
+  *
+  *  - [[DeterministicSums]] as an injected optimizer rule (plain
+  *    `sum(double)` becomes exact decimal accumulation engine-wide), and
+  *  - the custom function surface (`graft_hamming`, `graft_wavg`) in the
+  *    function registry, so plain-SQL users get them without Scala calls.
+  *
+  * This replaces registering the rule from inside a catalog entry (a
+  * session-global mutation that made semantics order-dependent on which
+  * query ran first); the `register(spark)` helpers remain as idempotent
+  * fallbacks for sessions built without the extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => DeterministicSums)
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.HammingDistance.Name),
+      new ExpressionInfo(
+        classOf[graft.functions.HammingDistance].getName,
+        graft.functions.HammingDistance.Name),
+      (exprs: Seq[Expression]) =>
+        graft.functions.HammingDistance(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.WeightedAvg.Name),
+      new ExpressionInfo(
+        classOf[graft.functions.WeightedAvg].getName,
+        graft.functions.WeightedAvg.Name),
+      (exprs: Seq[Expression]) =>
+        graft.functions.WeightedAvg(exprs(0), exprs(1))))
+  }
+}

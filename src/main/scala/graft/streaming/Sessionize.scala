@@ -19,10 +19,23 @@ object Sessionize {
       total_value: Double)
 
   /** Per-group transition: fold sorted events into the open session, emitting
-    * closed sessions. Pure w.r.t. (events, prior state) — unit-testable
-    * without a streaming query. */
+    * closed sessions. Pure w.r.t. (events, prior state, watermark) —
+    * unit-testable without a streaming query.
+    *
+    * State lifecycle: every open session arms an event-time timeout at
+    * `last + gap`; when the watermark passes it with no new events, the
+    * session is emitted on the timeout path and its state removed — so the
+    * final session of an idle user is not withheld forever and state-store
+    * size is bounded by the number of *currently open* sessions, not the
+    * stream's lifetime. */
   def fold(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // watermark passed last + gap with no new events: close and evict
+      val s = state.get
+      state.remove()
+      return Iterator.single(Session(userId, s.start, s.last, s.n, s.total))
+    }
     val sorted = events.toSeq.sortBy(e => (e.ts_sec, e.value))
     var open = state.getOption
     val closed = Seq.newBuilder[Session]
@@ -38,17 +51,29 @@ object Sessionize {
       }
     }
     open match {
-      case Some(s) => state.update(s)
+      case Some(s) =>
+        state.update(s)
+        // timeout must sit past the current watermark (late-arriving groups
+        // could otherwise arm a timestamp the engine rejects)
+        state.setTimeoutTimestamp(math.max((s.last + GapSeconds) * 1000L,
+          state.getCurrentWatermarkMs() + 1L))
       case None => state.remove()
     }
     closed.result().iterator
   }
 
-  /** Wire [[fold]] into a streaming Dataset. */
+  /** Wire [[fold]] into a streaming Dataset: watermark on the event time
+    * (derived from `ts_sec`) + event-time timeout, so idle sessions are
+    * closed, emitted, and their state evicted. */
   def sessions(spark: SparkSession, events: Dataset[Event]): Dataset[Session] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    import org.apache.spark.sql.functions._
+    events
+      .withColumn("ts_t", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts_t", s"$GapSeconds seconds")
+      .as[Event]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fold)
+        GroupStateTimeout.EventTimeTimeout)(fold)
   }
 }

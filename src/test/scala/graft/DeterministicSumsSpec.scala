@@ -34,6 +34,22 @@ class DeterministicSumsSpec extends AnyFunSuite {
     assert(a == b) // raw double accumulation would differ in the last ulp
   }
 
+  test("GraftExtensions injects the rule at session build (no register call)") {
+    // newSession() inherits the parent's spark.sql.extensions but starts
+    // with an EMPTY experimental.extraOptimizations — if the rewrite still
+    // fires, it came from the SparkSessionExtensions injection point.
+    val fresh = spark.newSession()
+    assert(fresh.experimental.extraOptimizations.isEmpty)
+    val plan = Tables.transfers(fresh, GraftSpark.Sf)
+      .groupBy("contract_address").agg(sum("value").as("s"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("decimal(27,6)"), plan)
+    // and the injected function surface resolves in plain SQL
+    assert(fresh.sql(
+      s"SELECT ${graft.functions.HammingDistance.Name}('1010', '1001') AS d")
+      .head().getInt(0) == 2)
+  }
+
   test("registration is idempotent") {
     DeterministicSums.register(spark)
     DeterministicSums.register(spark)

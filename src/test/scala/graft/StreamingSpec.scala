@@ -45,6 +45,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(out == Seq(Session(1L, 100L, 200L, 2, 2.0)))
     } finally q.stop()
   }
+  test("sessionize event-time timeout closes idle sessions and evicts state") {
+    import Sessionize._
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessions(spark, input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_sessions_timeout_test").start()
+    try {
+      input.addData(Event(1L, 100000L, 5.0))         // opens user 1's session
+      q.processAllAvailable()
+      // a DIFFERENT user's events drive the watermark far past user 1's
+      // timeout (last + gap); user 1 itself stays idle
+      input.addData(Event(2L, 200000L, 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2L, 200100L, 1.0))         // timeout fires this batch
+      q.processAllAvailable()
+      val out = spark.table("graft_sessions_timeout_test")
+        .as[Session].collect().toSeq
+      // user 1's idle session was emitted by the timeout path, not withheld
+      assert(out.contains(Session(1L, 100000L, 100000L, 1, 5.0)), out.toString)
+    } finally q.stop()
+  }
+
   test("watermark + append emits only finalized windows, drops late data") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
