@@ -154,11 +154,17 @@ object Dedup {
   val SimHashBandBits: Int = SimHashBits / (SimHashMaxDist + 1)
 
   /** Near-duplicate pairs by simhash Hamming distance ≤ [[SimHashMaxDist]].
-    * Candidates come from pigeonhole multi-index banding (one equi-join per
-    * the guarantee above) via bucket-collect + in-bucket pair expansion —
-    * the signature subtree runs once, output cost ∝ band collisions. The
-    * exact refine is the codegen'd custom expression
-    * [[graft.functions.HammingDistance]]. */
+    * Candidates come from pigeonhole multi-index banding (equi-join on
+    * (band, band_bits) per the guarantee above) over a PERSISTED banded
+    * frame — the signature subtree runs once, and hot buckets (simhash bits
+    * are majority votes, so popular tokens bias them hard: the hottest
+    * 4-bit bucket holds ~40% of this corpus) stream through the join's
+    * parallel tasks (AQE can split a skewed shuffle join) instead of being
+    * materialized as one giant in-row pair array. The codegen'd
+    * [[graft.functions.HammingDistance]] refine kills ~all candidates in
+    * the scan, so the multi-band `distinct` only shuffles true survivors.
+    * At a production 64-bit fingerprint the bands are 16-bit and bucket
+    * skew collapses; the shape is unchanged. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.HammingDistance.register(spark)
     val banded = simhash(spark, sfDir)
@@ -166,20 +172,17 @@ object Dedup {
         explode(sequence(lit(0), lit(SimHashMaxDist))).as("band"))
       .withColumn("bits",
         expr(s"substr(simhash, band * $SimHashBandBits + 1, $SimHashBandBits)"))
-    banded.groupBy("band", "bits")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds,
-          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
-          |    y -> struct(x.doc_id AS doc_a, x.simhash AS sh_a,
-          |                y.doc_id AS doc_b, y.simhash AS sh_b))))""".stripMargin))
-        .as("p"))
-      .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
-      .distinct() // a close pair may collide in several bands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = banded.select(col("band"), col("bits"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("bits"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
       .withColumn("dist", expr(s"${graft.functions.HammingDistance.Name}(sh_a, sh_b)"))
       .filter(col("dist") <= SimHashMaxDist)
       .select("doc_a", "doc_b", "dist")
+      .distinct() // a close pair collides in several bands
       .orderBy("doc_a", "doc_b")
   }
 }

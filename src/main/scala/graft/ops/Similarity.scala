@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *    md5-derived hyperplanes); near-neighbors collide with high probability
   *    and exact reranking runs only within buckets (equi-join, not cross).
   *
-  * Determinism: per-pair dot products accumulate in DECIMAL(38,18) (left
+  * Determinism: per-pair dot products accumulate in DECIMAL(18,15) (left
   * fold in Spark, SUM in DuckDB — exact arithmetic makes the order
   * irrelevant), then render to double; IEEE sqrt/divide are exactly rounded,
   * so both engines produce bit-identical cosines.
@@ -39,15 +39,15 @@ object Similarity {
     * double — THE single spelling of the bit-stable-cosine contract; every
     * dot/norm in this module must route through these two helpers. */
   private def dotOf(a: String, b: String): String =
-    s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DECIMAL(38,18))),
-       |  CAST(0 AS DECIMAL(38,18)),
-       |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
+    s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DECIMAL(18,15))),
+       |  CAST(0 AS DECIMAL(18,15)),
+       |  (acc, p) -> CAST(acc + p AS DECIMAL(18,15)))
        |AS DOUBLE)""".stripMargin
 
   private def normSqOf(a: String): String =
-    s"""CAST(aggregate(transform($a, x -> CAST(x * x AS DECIMAL(38,18))),
-       |  CAST(0 AS DECIMAL(38,18)),
-       |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
+    s"""CAST(aggregate(transform($a, x -> CAST(x * x AS DECIMAL(18,15))),
+       |  CAST(0 AS DECIMAL(18,15)),
+       |  (acc, p) -> CAST(acc + p AS DECIMAL(18,15)))
        |AS DOUBLE)""".stripMargin
 
   private val dotExpr: String = dotOf("qv", "v")
@@ -150,7 +150,7 @@ object Similarity {
       .join(base.select("vec_id", "v"), Seq("vec_id"))
       .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("cid", "i")
-      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 15)))
         .cast("double") / count(lit(1))).as("m"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
@@ -194,16 +194,16 @@ object Similarity {
     val probes = assigned.filter(col("vec_id") < ProbeCount)
       .select(col("cid"), col("vec_id").as("query_id"), col("v").as("qv"),
         col("sq").as("qsq"))
-    val pairs = probes.join(assigned, Seq("cid"))
+    // top-1 as a map-side-combinable arg-max (see assignCore): ties break
+    // to the smaller neighbor id via the negated id in the struct ordering
+    probes.join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("dot", expr(dotExpr))
       .withColumn("cosine", col("dot") / (sqrt(col("qsq")) * sqrt(col("sq"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    pairs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .groupBy("query_id")
+      .agg(max(struct(col("cosine"), (-col("vec_id")).as("nid"))).as("best"))
+      .select(col("query_id"), (-col("best.nid")).as("neighbor_id"),
+        round(col("best.cosine"), 6).as("cosine"))
       .orderBy("query_id")
   }
 
@@ -224,21 +224,30 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
       .join(broadcast(planes(spark)), Seq("i"))
       .groupBy("vec_id", "p")
-      .agg(sum(expr("CAST(x * c AS DECIMAL(38,18))")).as("s"))
+      .agg(sum(expr("CAST(x * c AS DECIMAL(18,15))")).as("s"))
       .groupBy("vec_id")
       .agg(concat_ws("", expr(
         "transform(array_sort(collect_list(struct(p, s))), e -> CASE WHEN e.s > 0 THEN '1' ELSE '0' END)"))
         .as("bucket"))
       .orderBy("vec_id")
 
+  /** Vectors tagged with their LSH bucket + cached norms, persisted: both
+    * sides of the in-bucket candidate equi-joins ([[cosineNearDupPairs]],
+    * [[bucketedTopK]]) reference this frame — Spark does not reuse an
+    * exchange across the two aliases of a self-join, so without the cache
+    * the bucket subtree (plane dots + sign aggregation) would run twice
+    * per query. */
+  private def bucketedVectors(spark: SparkSession, sfDir: String): DataFrame =
+    hyperplaneBuckets(spark, sfDir)
+      .join(cachedBase(spark, sfDir), Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Embedding-cosine near-duplicate pairs: candidates from shared LSH
     * buckets (equi-join — work ∝ collisions), exact cosine refine at the
     * threshold. The dedup-flavored counterpart of [[bucketedTopK]]. */
   def cosineNearDupPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.05): DataFrame = {
-    val withVec = hyperplaneBuckets(spark, sfDir)
-      .join(emb(spark, sfDir), Seq("vec_id"))
-      .withColumn("sq", expr(normSqExpr))
+    val withVec = bucketedVectors(spark, sfDir)
     val l = withVec.select(col("bucket"), col("vec_id").as("vec_a"),
       col("v").as("qv"), col("sq").as("qsq"))
     val r = withVec.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -255,22 +264,18 @@ object Similarity {
   /** Scale-path ANN: exact cosine rerank only within LSH buckets (equi-join
     * on bucket). Top-1 per vector among same-bucket candidates. */
   def bucketedTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = hyperplaneBuckets(spark, sfDir)
-    val withVec = b.join(emb(spark, sfDir), Seq("vec_id"))
-      .withColumn("sq", expr(normSqExpr))
+    val withVec = bucketedVectors(spark, sfDir)
     val l = withVec.select(col("bucket"), col("vec_id").as("query_id"),
       col("v").as("qv"), col("sq").as("qsq"))
     val r = withVec.select(col("bucket"), col("vec_id"), col("v"), col("sq"))
-    val pairs = l.join(r, Seq("bucket"))
+    l.join(r, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("dot", expr(dotExpr))
       .withColumn("cosine", col("dot") / (sqrt(col("qsq")) * sqrt(col("sq"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    pairs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .groupBy("query_id")
+      .agg(max(struct(col("cosine"), (-col("vec_id")).as("nid"))).as("best"))
+      .select(col("query_id"), (-col("best.nid")).as("neighbor_id"),
+        round(col("best.cosine"), 6).as("cosine"))
       .orderBy("query_id")
   }
 }
