@@ -1194,6 +1194,12 @@ object Catalog {
         |       round(quantile_cont(o_totalprice, 0.99), 6) AS p99
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Approximate-percentile scale twin — sketch internals differ across
+    // engines, so rows-only here; MetricsSpec bounds its error vs the exact
+    // q_order_percentiles.
+    QEntry("q_order_percentiles_approx", Relational.orderPercentilesApprox,
+      None),
+
     QEntry("q_orders_rollup", Relational.ordersRollup, Some(
       s"""SELECT r.r_name, n.n_name,
          |       count(*) AS n_orders,

@@ -25,6 +25,12 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Columnar ORC sibling of the parquet surface — format parity for
+    * stores that standardize on ORC (same distributed writer, predicate
+    * pushdown and column pruning apply on read). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Partitioned corpus sink with DYNAMIC partition overwrite: rewriting a
     * subset of partitions (one language, one day) leaves the rest of the
     * table untouched, and partition values prune at scan time — the standard

@@ -166,6 +166,21 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
       .orderBy("o_orderstatus")
 
+  /** The 100 TB twin of [[orderPercentiles]]: `percentile_approx`
+    * (KLL-style sketch — fixed-size state per group, single pass, mergeable
+    * map-side) where the exact form buffers every value per group. Sketch
+    * internals differ across engines ⇒ rows-only in the driver; the
+    * accuracy contract vs the exact percentiles is asserted in
+    * `MetricsSpec`. */
+  def orderPercentilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50"),
+        expr("percentile_approx(o_totalprice, 0.9, 1000)").as("p90"),
+        expr("percentile_approx(o_totalprice, 0.99, 1000)").as("p99"))
+      .orderBy("o_orderstatus")
+
   /** Order counts with ROLLUP over (region, nation) of the customer — grouping
     * sets (extension; not present in the reference, SURVEY.md §2.6 note).
     *

@@ -23,4 +23,23 @@ class MetricsSpec extends AnyFunSuite {
     val worst = errs.max
     assert(worst <= 0.05, s"worst HLL relative error $worst exceeds 5%")
   }
+
+  test("approx percentiles stay close to the exact percentiles") {
+    import spark.implicits._
+    // percentile_approx(accuracy=1000) guarantees rank error <= n/1000 per
+    // group; at test cardinalities assert each quantile within 2% relative
+    // value error of the exact computation.
+    val exact = graft.ops.Relational.orderPercentiles(spark, GraftSpark.Sf)
+    val approx = graft.ops.Relational.orderPercentilesApprox(spark, GraftSpark.Sf)
+    val joined = exact.alias("e").join(approx.alias("a"), "o_orderstatus")
+      .select(col("e.p50"), col("a.p50"), col("e.p90"), col("a.p90"),
+        col("e.p99"), col("a.p99"))
+      .as[(Double, Double, Double, Double, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (e50, a50, e90, a90, e99, a99) =>
+      Seq((e50, a50), (e90, a90), (e99, a99)).foreach { case (e, a) =>
+        assert(math.abs(a - e) / e <= 0.02, s"approx $a vs exact $e")
+      }
+    }
+  }
 }

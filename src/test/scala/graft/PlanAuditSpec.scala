@@ -50,6 +50,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB a shuffle join whose build side is selective should not
+    // shuffle the full probe side: Spark's InjectRuntimeFilter plants a
+    // bloom_filter_might_contain predicate on the probe scan. Local test
+    // data sits under the size thresholds, so they are lowered here — on a
+    // cluster the defaults (10 GB probe scan) gate the same rewrite.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val olds = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val big = Tables.lineitem(s, GraftSpark.Sf)
+      val dim = Tables.orders(s, GraftSpark.Sf)
+        .filter(col("o_totalprice") > 400000.0) // selective build side
+      val plan = big.join(dim, big("l_orderkey") === dim("o_orderkey"))
+        .groupBy("l_returnflag").count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        plan)
+    } finally olds.foreach { case (k, vo) =>
+      vo.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
+  }
+
   test("catalog-wide: unused events columns are pruned from every scan") {
     // `props` is never used by any operator; a scan reading it means a
     // column-pruning regression (at 100 TB, reading a dead wide column is

@@ -75,6 +75,16 @@ class SinksSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
 
+  test("orc sink round-trips with predicate pushdown on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s")
+    Sinks.writeOrc(df, s"$dir/out")
+    val back = spark.read.orc(s"$dir/out").filter(col("id") > 1)
+    assert(back.count() == 2)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id"), plan)
+  }
+
   test("json registry source: nft-sourced and address-less records dropped") {
     val c = graft.sources.JsonRegistry.cleaned(spark).collect()
     val ids = c.map(_.getString(0)).distinct.toSeq

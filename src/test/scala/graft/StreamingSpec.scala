@@ -98,6 +98,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches prices within the event-time window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val tIn = MemoryStream[(String, Double, Long)] // (token, value, sec)
+    val pIn = MemoryStream[(String, Double, Long)] // (token, price, sec)
+    val joined = graft.streaming.StreamJoins.transfersWithRecentPrices(
+      tIn.toDS().toDF("contract_address", "value", "sec")
+        .withColumn("t_ts", timestamp_seconds(col("sec"))).drop("sec"),
+      pIn.toDS().toDF("p_contract", "price", "sec")
+        .withColumn("p_ts", timestamp_seconds(col("sec"))).drop("sec"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_ssjoin_test").start()
+    try {
+      pIn.addData(("click", 10.0, 1000L), ("click", 11.0, 3000L),
+        ("view", 7.0, 2000L))
+      tIn.addData(("click", 99.0, 3500L))  // both click prices within 1h
+      q.processAllAvailable()
+      tIn.addData(("click", 50.0, 9000L))  // 3000 is >1h before 9000: no match
+      q.processAllAvailable()
+      val out = spark.table("graft_ssjoin_test")
+        .select("value", "price").as[(Double, Double)].collect().toSet
+      assert(out == Set((99.0, 10.0), (99.0, 11.0)), out.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup: watermarked dropDuplicates suppresses replays") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
