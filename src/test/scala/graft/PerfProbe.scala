@@ -12,6 +12,7 @@ object PerfProbe {
     val sf = "/root/testdata/sf0.1"
     val names = Seq("q_minhash_pairs", "q_jaccard_top1", "q_embedding_topk",
       "q_embedding_topk_agg", "q_bucketed_ann", "q_simhash_pairs",
+      "q_kmeans_assign", "q_kmeans_iter3",
       "q_densified_balance", "q_stream_volume_hourly", "q_txcount_hourly",
       "q_token_documents_full", "q_pricing_summary", "q_revenue_by_nation")
     for (round <- 1 to 2; n <- names) {
