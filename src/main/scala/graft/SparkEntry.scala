@@ -202,17 +202,17 @@ object Catalog {
     val steps = (1 to iters).map { k =>
       s"""means$k AS (
          |  SELECT a.cid, i.i,
-         |         CAST(SUM(CAST(i.x AS DECIMAL(18,15))) AS DOUBLE) / count(*) AS m
+         |         CAST(SUM(CAST(i.x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
          |  FROM assign${k - 1} a JOIN idx i ON i.vec_id = a.vec_id
          |  GROUP BY 1, 2
          |),
          |cnorms$k AS (
-         |  SELECT cid, CAST(SUM(CAST(m * m AS DECIMAL(18,15))) AS DOUBLE) AS csq
+         |  SELECT cid, CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS csq
          |  FROM means$k GROUP BY 1
          |),
          |tdots$k AS (
          |  SELECT v.vec_id, mm.cid,
-         |         CAST(SUM(CAST(v.x * mm.m AS DECIMAL(18,15))) AS DOUBLE) AS dot
+         |         CAST(SUM(CAST(v.x * mm.m AS DECIMAL(38,18))) AS DOUBLE) AS dot
          |  FROM idx v JOIN means$k mm ON mm.i = v.i
          |  GROUP BY 1, 2
          |),
@@ -230,12 +230,12 @@ object Catalog {
     }.mkString(",\n")
     s"""WITH $embIdxCte,
        |norms AS (
-       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,15))) AS DOUBLE) AS sq
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
        |  FROM idx GROUP BY 1
        |),
        |cdots AS (
        |  SELECT v.vec_id, c.vec_id AS cid,
-       |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(18,15))) AS DOUBLE) AS dot
+       |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
        |  FROM idx v JOIN idx c ON v.i = c.i
        |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
        |  GROUP BY 1, 2
@@ -883,12 +883,12 @@ object Catalog {
     QEntry("q_embedding_topk", Similarity.bruteForceTopK, Some(
       s"""WITH $embIdxCte,
          |norms AS (
-         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,15))) AS DOUBLE) AS sq
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
          |  FROM idx GROUP BY 1
          |),
          |dots AS (
          |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(18,15))) AS DOUBLE) AS dot
+         |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
          |  FROM idx q JOIN idx d ON q.i = d.i
          |  WHERE q.vec_id < ${Similarity.ProbeCount}
          |    AND d.vec_id != q.vec_id
@@ -919,7 +919,7 @@ object Catalog {
          |),
          |dots AS (
          |  SELECT idx.vec_id, planes.p,
-         |         SUM(CAST(idx.x * planes.c AS DECIMAL(18,15))) AS s
+         |         SUM(CAST(idx.x * planes.c AS DECIMAL(38,18))) AS s
          |  FROM idx JOIN planes ON planes.i = idx.i
          |  GROUP BY 1, 2
          |)
@@ -934,7 +934,7 @@ object Catalog {
       (s, d) => Similarity.cosineNearDupPairs(s, d), Some(
       s"""WITH $embIdxCte,
          |norms AS (
-         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,15))) AS DOUBLE) AS sq
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
          |  FROM idx GROUP BY 1
          |),
          |planes AS (
@@ -951,7 +951,7 @@ object Catalog {
          |           AS bucket
          |  FROM (
          |    SELECT idx.vec_id, planes.p,
-         |           SUM(CAST(idx.x * planes.c AS DECIMAL(18,15))) AS s
+         |           SUM(CAST(idx.x * planes.c AS DECIMAL(38,18))) AS s
          |    FROM idx JOIN planes ON planes.i = idx.i
          |    GROUP BY 1, 2
          |  ) GROUP BY vec_id
@@ -963,7 +963,7 @@ object Catalog {
          |),
          |dots AS (
          |  SELECT c.vec_a, c.vec_b,
-         |         CAST(SUM(CAST(qa.x * qb.x AS DECIMAL(18,15))) AS DOUBLE) AS dot
+         |         CAST(SUM(CAST(qa.x * qb.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
          |  FROM cands c
          |  JOIN idx qa ON qa.vec_id = c.vec_a
          |  JOIN idx qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
@@ -980,12 +980,12 @@ object Catalog {
     QEntry("q_ivf_assign", Similarity.ivfAssignments, Some(
       s"""WITH $embIdxCte,
          |norms AS (
-         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,15))) AS DOUBLE) AS sq
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
          |  FROM idx GROUP BY 1
          |),
          |cdots AS (
          |  SELECT v.vec_id, c.vec_id AS cid,
-         |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(18,15))) AS DOUBLE) AS dot
+         |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
          |  FROM idx v JOIN idx c ON v.i = c.i
          |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
          |  GROUP BY 1, 2
@@ -1005,12 +1005,12 @@ object Catalog {
     QEntry("q_ivf_ann", Similarity.ivfTopNeighbor, Some(
       s"""WITH $embIdxCte,
          |norms AS (
-         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,15))) AS DOUBLE) AS sq
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
          |  FROM idx GROUP BY 1
          |),
          |cdots AS (
          |  SELECT v.vec_id, c.vec_id AS cid,
-         |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(18,15))) AS DOUBLE) AS dot
+         |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
          |  FROM idx v JOIN idx c ON v.i = c.i
          |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
          |  GROUP BY 1, 2
@@ -1027,7 +1027,7 @@ object Catalog {
          |),
          |pairs AS (
          |  SELECT q.vec_id AS query_id, v.vec_id,
-         |         CAST(SUM(CAST(qi.x * vi.x AS DECIMAL(18,15))) AS DOUBLE) AS dot
+         |         CAST(SUM(CAST(qi.x * vi.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
          |  FROM assign q
          |  JOIN assign v ON q.cid = v.cid AND v.vec_id != q.vec_id
          |  JOIN idx qi ON qi.vec_id = q.vec_id
@@ -1072,12 +1072,12 @@ object Catalog {
     QEntry("q_embedding_topk_agg", Similarity.aggregatorTopK, Some(
       s"""WITH $embIdxCte,
          |norms AS (
-         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,15))) AS DOUBLE) AS sq
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
          |  FROM idx GROUP BY 1
          |),
          |dots AS (
          |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(18,15))) AS DOUBLE) AS dot
+         |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
          |  FROM idx q JOIN idx d ON q.i = d.i
          |  WHERE q.vec_id < ${Similarity.ProbeCount}
          |    AND d.vec_id != q.vec_id

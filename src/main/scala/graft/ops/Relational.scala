@@ -171,7 +171,14 @@ object Relational {
     * map-side) where the exact form buffers every value per group. Sketch
     * internals differ across engines ⇒ rows-only in the driver; the
     * accuracy contract vs the exact percentiles is asserted in
-    * `MetricsSpec`. */
+    * `MetricsSpec`.
+    *
+    * Determinism caveat (deliberate exception to the engine's
+    * partition-independence contract): once a group exceeds the sketch
+    * accuracy (1000), compress/merge order can shift which data point a
+    * quantile lands on by up to the rank-error bound. Row count and the
+    * error bound are stable; exact values may vary with partitioning —
+    * use [[orderPercentiles]] where bit-stability matters. */
   def orderPercentilesApprox(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .groupBy("o_orderstatus")

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *    md5-derived hyperplanes); near-neighbors collide with high probability
   *    and exact reranking runs only within buckets (equi-join, not cross).
   *
-  * Determinism: per-pair dot products accumulate in DECIMAL(18,15) (left
+  * Determinism: per-pair dot products accumulate in DECIMAL(38,18) (left
   * fold in Spark, SUM in DuckDB — exact arithmetic makes the order
   * irrelevant), then render to double; IEEE sqrt/divide are exactly rounded,
   * so both engines produce bit-identical cosines.
@@ -39,15 +39,15 @@ object Similarity {
     * double — THE single spelling of the bit-stable-cosine contract; every
     * dot/norm in this module must route through these two helpers. */
   private def dotOf(a: String, b: String): String =
-    s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DECIMAL(18,15))),
-       |  CAST(0 AS DECIMAL(18,15)),
-       |  (acc, p) -> CAST(acc + p AS DECIMAL(18,15)))
+    s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DECIMAL(38,18))),
+       |  CAST(0 AS DECIMAL(38,18)),
+       |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
        |AS DOUBLE)""".stripMargin
 
   private def normSqOf(a: String): String =
-    s"""CAST(aggregate(transform($a, x -> CAST(x * x AS DECIMAL(18,15))),
-       |  CAST(0 AS DECIMAL(18,15)),
-       |  (acc, p) -> CAST(acc + p AS DECIMAL(18,15)))
+    s"""CAST(aggregate(transform($a, x -> CAST(x * x AS DECIMAL(38,18))),
+       |  CAST(0 AS DECIMAL(38,18)),
+       |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
        |AS DOUBLE)""".stripMargin
 
   private val dotExpr: String = dotOf("qv", "v")
@@ -150,7 +150,7 @@ object Similarity {
       .join(base.select("vec_id", "v"), Seq("vec_id"))
       .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("cid", "i")
-      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 15)))
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
         .cast("double") / count(lit(1))).as("m"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
@@ -224,7 +224,7 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
       .join(broadcast(planes(spark)), Seq("i"))
       .groupBy("vec_id", "p")
-      .agg(sum(expr("CAST(x * c AS DECIMAL(18,15))")).as("s"))
+      .agg(sum(expr("CAST(x * c AS DECIMAL(38,18))")).as("s"))
       .groupBy("vec_id")
       .agg(concat_ws("", expr(
         "transform(array_sort(collect_list(struct(p, s))), e -> CASE WHEN e.s > 0 THEN '1' ELSE '0' END)"))

@@ -26,6 +26,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def binary(name: String, build: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => build(a, b)
+    case exprs => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map("functionName" -> name, "expectedNum" -> "2",
+        "actualNum" -> exprs.length.toString, "docroot" -> ""))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DeterministicSums)
     ext.injectFunction((
@@ -33,14 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.HammingDistance].getName,
         graft.functions.HammingDistance.Name),
-      (exprs: Seq[Expression]) =>
-        graft.functions.HammingDistance(exprs(0), exprs(1))))
+      binary(graft.functions.HammingDistance.Name,
+        graft.functions.HammingDistance(_, _))))
     ext.injectFunction((
       FunctionIdentifier(graft.functions.WeightedAvg.Name),
       new ExpressionInfo(
         classOf[graft.functions.WeightedAvg].getName,
         graft.functions.WeightedAvg.Name),
-      (exprs: Seq[Expression]) =>
-        graft.functions.WeightedAvg(exprs(0), exprs(1))))
+      binary(graft.functions.WeightedAvg.Name,
+        graft.functions.WeightedAvg(_, _))))
   }
 }

@@ -48,6 +48,11 @@ class DeterministicSumsSpec extends AnyFunSuite {
     assert(fresh.sql(
       s"SELECT ${graft.functions.HammingDistance.Name}('1010', '1001') AS d")
       .head().getInt(0) == 2)
+    // wrong arity fails analysis, not with an index error from the builder
+    intercept[org.apache.spark.sql.AnalysisException] {
+      fresh.sql(s"SELECT ${graft.functions.HammingDistance.Name}('1010')")
+        .collect()
+    }
   }
 
   test("registration is idempotent") {
