@@ -432,6 +432,17 @@ object Catalog {
            |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
     }),
 
+    QEntry("q_theta_tiers", Skew.saltedThetaTiers, Some {
+      val rows = Skew.ValueTiers
+        .map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
+      withTransfers(
+        s"""SELECT tr.tier, count(*) AS n, ${dsum("t.value")} AS volume
+           |FROM transfers t
+           |JOIN (VALUES $rows) AS tr(tier, lo, hi)
+           |  ON t.value >= tr.lo AND t.value < tr.hi
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // ── Wallet clustering (SURVEY §2.4 F8, §2.6 A5/A8, §2.10 C7/C10) ──
     QEntry("q_wallet_clusters", Clusters.hourlyClusters, Some(withTransfers(
       s"""SELECT t, CASE WHEN n < ${Tables.ClusterLow} THEN 'LOW'

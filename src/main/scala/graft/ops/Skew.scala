@@ -54,6 +54,33 @@ object Skew {
       .orderBy("contract_address")
   }
 
+  /** Value-tier table for the theta-join demo: (tier, lo, hi) half-open
+    * ranges covering every double. Mirrored in the oracle as VALUES. */
+  val ValueTiers: Seq[(String, Double, Double)] = Seq(
+    ("t1_small", -1e18, 10.0), ("t2_mid", 10.0, 100.0), ("t3_large", 100.0, 1e18))
+
+  /** Salted THETA join: a pure non-equi predicate (`value ∈ [lo, hi)`, no
+    * equality key) that Spark would otherwise run as a nested-loop join —
+    * fine when one side broadcasts, a single-task disaster when neither
+    * does. The salt becomes a synthetic equi key: the fact side salts
+    * round-robin, the predicate side replicates once per salt, and the
+    * equi-join on `salt` spreads the cartesian pairing across [[Salts]]
+    * buckets with the theta predicate refining inside each — the
+    * distributed nested-loop pattern for two large sides. Oracle: the
+    * plain inequality join. */
+  def saltedThetaTiers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = ValueTiers.toDF("tier", "lo", "hi")
+      .withColumn("salt", explode(sequence(lit(0L), lit(Salts - 1L))))
+    Tables.transfers(spark, sfDir)
+      .withColumn("salt", col("block_number") % Salts)
+      .join(tiers, Seq("salt"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("volume"))
+      .orderBy("tier")
+  }
+
   /** Literal market lookup — stands in for the reference's per-token
     * Coingecko HTTP fetches (reference: common/Coingecko.scala:8-55:
     * circulating supply + id/name/symbol/logo), modeled as a joinable table.

@@ -29,4 +29,23 @@ class ChangeLogsSpec extends AnyFunSuite {
       .as[Map[Long, String]].collect().toSeq
     assert(m == Seq(Map(1L -> "x", 2L -> "y")))
   }
+
+  test("JSON rendering is the exact serialization of the map form") {
+    import org.apache.spark.sql.types._
+    val sf = GraftSpark.Sf
+    // parse the driver-facing JSON string back and compare entry-by-entry
+    // against the map-typed library form — proves the two catalog surfaces
+    // are the same aggregation, not parallel implementations that can drift
+    val fromJson = graft.ops.Keys.changeLogMapsJson(spark, sf)
+      .select(col("contract_address"),
+        explode(from_json(col("tradingVolumeChangeLogs"),
+          MapType(StringType, DoubleType))).as(Seq("t", "v")))
+      .select(col("contract_address"), col("t").cast("long").as("t"), col("v"))
+    val fromMap = graft.ops.Keys.changeLogMaps(spark, sf)
+      .select(col("contract_address"),
+        explode(col("tradingVolumeChangeLogs")).as(Seq("t", "v")))
+    val j = fromJson.as[(String, Long, Double)].collect().toSet
+    val m = fromMap.as[(String, Long, Double)].collect().toSet
+    assert(j.nonEmpty && j == m)
+  }
 }
