@@ -1184,6 +1184,31 @@ object Catalog {
          |ORDER BY o_orderstatus ASC NULLS FIRST,
          |         o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    QEntry("q_orders_grouping_sets", Relational.ordersGroupingSets, Some(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+         |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+         |       count(*) AS n_orders,
+         |       ${dsum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST,
+         |         o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    QEntry("q_order_window_stats", Relational.orderWindowStats, Some(
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         lag(o_totalprice) OVER w AS prev_price,
+        |         lead(o_totalprice) OVER w AS next_price,
+        |         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |         round(percent_rank() OVER w, 6) AS pct_rank,
+        |         round(cume_dist() OVER w, 6) AS cume
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |               ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |) WHERE o_orderkey % 20 = 0
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
+
     QEntry("q_customer_set_ops", Relational.customerSetOps, Some(
       """SELECT o_custkey, 'both' AS set_op FROM (
         |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational query suite over the TPC-H-ish tables — exercises the join /
@@ -140,6 +141,44 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
+
+  /** Explicit GROUPING SETS (the general form behind rollup/cube): per-
+    * status totals, per-priority totals, and the grand total in ONE pass —
+    * Spark expands the sets into a single Expand + aggregate (one scan,
+    * one shuffle), where separate queries would scan three times.
+    * `grouping()` flags disambiguate the NULLs that mark "aggregated-away"
+    * from genuine null data. */
+  def ordersGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_ord_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |FROM graft_ord_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Ranking/distribution window family beyond row_number (W extension):
+    * lead/lag neighbors, ntile quartiles, percent_rank and cume_dist over
+    * each status partition — one window spec, one sort, all functions
+    * computed in a single pass over it. */
+  def orderWindowStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .filter(col("o_orderkey") % 20 === 0) // sample AFTER ranking
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
 
   /** Set operations the reference lacks (SURVEY §2.9 note): customers active
     * in both halves of the order history (INTERSECT) and only in the first

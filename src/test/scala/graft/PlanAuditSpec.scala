@@ -50,6 +50,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("AQE coalesces small shuffle partitions at runtime") {
+    // at 100 TB the same mechanism right-sizes reducer counts after each
+    // stage's real output size is known — no hand-tuned partition numbers
+    val df = Tables.transfers(spark, GraftSpark.Sf)
+      .groupBy("contract_address").count()
+    df.collect() // AQE finalizes only on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"), p)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB a shuffle join whose build side is selective should not
     // shuffle the full probe side: Spark's InjectRuntimeFilter plants a
