@@ -236,9 +236,12 @@ object Similarity {
     * [[bucketedTopK]]) reference this frame — Spark does not reuse an
     * exchange across the two aliases of a self-join, so without the cache
     * the bucket subtree (plane dots + sign aggregation) would run twice
-    * per query. */
+    * per query. The bucket frame itself also persists, so a standalone
+    * [[hyperplaneBuckets]] call (same canonicalized plan) reads the cache
+    * rather than recomputing the plane dots. */
   private def bucketedVectors(spark: SparkSession, sfDir: String): DataFrame =
     hyperplaneBuckets(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .join(cachedBase(spark, sfDir), Seq("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
