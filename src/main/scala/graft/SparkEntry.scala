@@ -803,6 +803,39 @@ object Catalog {
          |) b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |ORDER BY 1, 2""".stripMargin))),
 
+    // Connected components over the LSH candidate graph — the dedup
+    // decision itself. Oracle: recursive CTE computing each document's
+    // minimum transitively-reachable doc_id over the same pair graph.
+    QEntry("q_dedup_clusters", Dedup.dedupClusters, Some(
+      s"""WITH RECURSIVE $docsCte,
+         |$shinglesCte,
+         |bands AS (
+         |  SELECT doc_id, j // ${Dedup.BandRows} AS band,
+         |         md5(string_agg(mh, '|' ORDER BY j)) AS bh
+         |  FROM (
+         |    SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
+         |    FROM shingles
+         |    CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
+         |    GROUP BY 1, 2
+         |  ) GROUP BY doc_id, j // ${Dedup.BandRows}
+         |),
+         |mp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |),
+         |sym AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM mp
+         |  UNION SELECT doc_b, doc_a FROM mp
+         |),
+         |reach AS (
+         |  SELECT s AS doc_id, s AS r FROM sym
+         |  UNION
+         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.t = reach.doc_id
+         |)
+         |SELECT doc_id, min(r) AS cluster_keeper
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QEntry("q_jaccard_top1", Dedup.jaccardTop1, Some(withShingles(
       s"""SELECT doc_a AS doc_id, doc_b AS partner_id,
          |       round(jaccard, 6) AS jaccard

@@ -69,6 +69,19 @@ object Dedup {
       .select("p.doc_a", "p.doc_b").distinct()
       .orderBy("doc_a", "doc_b")
 
+  /** Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    * candidate pairs ([[minhashPairs]]) — transitively-linked documents
+    * collapse to one component whose canonical keeper is the minimum
+    * doc_id. The dedup decision a training pipeline actually applies:
+    * keep `doc_id == cluster_keeper`, drop the rest. Isolated documents
+    * (no candidate pair) are their own keepers and are not listed. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.connectedComponents(
+        minhashPairs(spark, sfDir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_keeper"))
+      .orderBy("doc_id")
+
   /** Document-frequency cap for the Jaccard inverted index: a shingle held
     * by d documents contributes d·(d−1)/2 candidate pairs, so ONE common
     * trigram makes its join bucket quadratic in corpus size — the classic
