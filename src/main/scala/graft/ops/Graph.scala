@@ -34,8 +34,12 @@ object Graph {
     * executor concern, swap for reliable `checkpoint()` on a checkpoint
     * dir — same lineage cut. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // checkpoint the edge list before symmetrizing: the union references it
+    // twice, and the caller's edge plan (an LSH candidate generation, say)
+    // is usually the most expensive subtree in sight
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
