@@ -42,31 +42,36 @@ object Graph {
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // min label among each vertex's neighbors
-      val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nlabel"))
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
         .localCheckpoint(true)
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev"))
-        .count()
-      labels = updated
-      converged = changed == 0
-      i += 1
-    }
-    sym.unpersist()
-    labels
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        // min label among each vertex's neighbors; the change flag rides
+        // along into the checkpoint so convergence detection is a filter
+        // over already-materialized blocks, not another join over labels
+        val neighborMin = sym
+          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("label")).as("nlabel"))
+        val updated = labels
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("new_label"),
+            coalesce(col("nlabel") < col("label"), lit(false)).as("chg"))
+          .localCheckpoint(true)
+        labels = updated.select(col("id"), col("new_label").as("label"))
+        converged = updated.filter(col("chg")).isEmpty
+        i += 1
+      }
+      // an unconverged result is silently WRONG (multiple keepers inside
+      // one duplicate cluster) — fail loudly instead
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter iterations — " +
+          "a component's diameter exceeds maxIter; raise it")
+      labels
+    } finally sym.unpersist()
   }
 }

@@ -218,8 +218,10 @@ object Similarity {
       .withColumn("c",
         expr("CAST(instr('0123456789abcdef', substr(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 1)) - 1 AS DOUBLE) - 7.5"))
 
-  /** 16-bit LSH bucket per vector: bit p = sign(v · plane_p). */
-  def hyperplaneBuckets(spark: SparkSession, sfDir: String): DataFrame =
+  /** Unsorted (vec_id, bucket) frame, persisted BEFORE the output sort:
+    * the join consumers would reshuffle an ordered cache anyway, so the
+    * cache build must not pay a global sort nobody keeps. */
+  private def bucketFrame(spark: SparkSession, sfDir: String): DataFrame =
     emb(spark, sfDir)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
       .join(broadcast(planes(spark)), Seq("i"))
@@ -229,19 +231,20 @@ object Similarity {
       .agg(concat_ws("", expr(
         "transform(array_sort(collect_list(struct(p, s))), e -> CASE WHEN e.s > 0 THEN '1' ELSE '0' END)"))
         .as("bucket"))
-      .orderBy("vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** 16-bit LSH bucket per vector: bit p = sign(v · plane_p). */
+  def hyperplaneBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    bucketFrame(spark, sfDir).orderBy("vec_id")
 
   /** Vectors tagged with their LSH bucket + cached norms, persisted: both
     * sides of the in-bucket candidate equi-joins ([[cosineNearDupPairs]],
     * [[bucketedTopK]]) reference this frame — Spark does not reuse an
     * exchange across the two aliases of a self-join, so without the cache
     * the bucket subtree (plane dots + sign aggregation) would run twice
-    * per query. The bucket frame itself also persists, so a standalone
-    * [[hyperplaneBuckets]] call (same canonicalized plan) reads the cache
-    * rather than recomputing the plane dots. */
+    * per query. */
   private def bucketedVectors(spark: SparkSession, sfDir: String): DataFrame =
-    hyperplaneBuckets(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bucketFrame(spark, sfDir)
       .join(cachedBase(spark, sfDir), Seq("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

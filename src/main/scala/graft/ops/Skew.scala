@@ -55,9 +55,11 @@ object Skew {
   }
 
   /** Value-tier table for the theta-join demo: (tier, lo, hi) half-open
-    * ranges covering every double. Mirrored in the oracle as VALUES. */
+    * ranges covering every FINITE double (±1e308 bounds; NaN compares
+    * false against both bounds in both engines and matches no tier — the
+    * oracle mirrors the same literals, so the two sides agree exactly). */
   val ValueTiers: Seq[(String, Double, Double)] = Seq(
-    ("t1_small", -1e18, 10.0), ("t2_mid", 10.0, 100.0), ("t3_large", 100.0, 1e18))
+    ("t1_small", -1e308, 10.0), ("t2_mid", 10.0, 100.0), ("t3_large", 100.0, 1e308))
 
   /** Salted THETA join: a pure non-equi predicate (`value ∈ [lo, hi)`, no
     * equality key) that Spark would otherwise run as a nested-loop join —
@@ -73,7 +75,11 @@ object Skew {
     val tiers = ValueTiers.toDF("tier", "lo", "hi")
       .withColumn("salt", explode(sequence(lit(0L), lit(Salts - 1L))))
     Tables.transfers(spark, sfDir)
-      .withColumn("salt", col("block_number") % Salts)
+      // pmod + null fallback: plain % is negative for negative keys and
+      // null for null keys — either would silently drop the row from the
+      // equi-join (tiers only carry salts 0..Salts-1)
+      .withColumn("salt",
+        coalesce(pmod(col("block_number"), lit(Salts.toLong)), lit(0L)))
       .join(tiers, Seq("salt"))
       .filter(col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy("tier")
