@@ -1217,6 +1217,18 @@ object Catalog {
          |ORDER BY o_orderstatus ASC NULLS FIRST,
          |         o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    QEntry("q_correlated_subquery", Relational.smallQuantityRevenue, Some(
+      """SELECT l_returnflag,
+        |       count(*) AS n_small,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)
+        |         AS small_revenue
+        |FROM lineitem l
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+        |                / count(*))
+        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     QEntry("q_orders_grouping_sets", Relational.ordersGroupingSets, Some(
       s"""SELECT o_orderstatus, o_orderpriority,
          |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,

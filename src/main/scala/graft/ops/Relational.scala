@@ -142,6 +142,28 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Correlated scalar subquery (TPC-H Q17 shape): revenue of lineitems
+    * whose quantity sits below half their part's average quantity. Written
+    * as the per-row correlated subquery a user would write; Catalyst
+    * DECORRELATES it into one aggregate over lineitem joined back on
+    * l_partkey — per-part averages computed once, not once per row (the
+    * plan-shape assertion lives in PlanAuditSpec). The inner average runs
+    * through exact decimal sum / count so the threshold is bit-stable. */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_li")
+    spark.sql(
+      """SELECT l_returnflag,
+        |       count(*) AS n_small,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)
+        |         AS small_revenue
+        |FROM graft_li l
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+        |                / count(*))
+        |  FROM graft_li l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Explicit GROUPING SETS (the general form behind rollup/cube): per-
     * status totals, per-priority totals, and the grand total in ONE pass —
     * Spark expands the sets into a single Expand + aggregate (one scan,

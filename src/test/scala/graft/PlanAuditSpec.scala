@@ -50,6 +50,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("correlated scalar subquery decorrelates into one aggregate + join") {
+    // a per-row subquery surviving to the physical plan would scan the
+    // inner table once per outer row — the plan must instead hold ONE
+    // per-key aggregate joined back, and no scalar-subquery node
+    val p = plan("q_correlated_subquery")
+    assert(!p.contains("scalar-subquery"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("AQE coalesces small shuffle partitions at runtime") {
     // at 100 TB the same mechanism right-sizes reducer counts after each
     // stage's real output size is known — no hand-tuned partition numbers
