@@ -72,4 +72,32 @@ class PropertySpec extends AnyFunSuite {
     val b = q(spark, GraftSpark.Sf).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("property: jsonLog round-trips through from_json with sorted keys") {
+    import graft.ops.ChangeLogs
+    import org.apache.spark.sql.types._
+    val entriesGen = Gen.listOfN(12, for {
+      k <- Gen.choose(0L, 20L)
+      cents <- Gen.choose(-100000L, 100000L)
+    } yield (k, cents / 100.0))
+    samples(entriesGen, 5).foreach { rows =>
+      val distinctKeys = rows.distinctBy(_._1) // unique map keys per group
+      val df = distinctKeys.map { case (k, v) => ("g", k, v) }.toDF("g", "k", "v")
+        .repartition(3)
+      val json = df.groupBy("g")
+        .agg(ChangeLogs.jsonLog(col("k"),
+          col("v").cast("decimal(25,2)").cast("string")).as("log"))
+      val back = json
+        .select(explode(from_json(col("log"), MapType(StringType, DoubleType)))
+          .as(Seq("k", "v")))
+        .select(col("k").cast("long").as("k"), col("v"))
+        .as[(Long, Double)].collect().toSet
+      assert(back == distinctKeys.toSet)
+      // key ORDER inside the string is ascending, at any partitioning
+      val keysInOrder = json
+        .select(expr("transform(map_keys(from_json(log, 'map<string,double>')), x -> CAST(x AS BIGINT))"))
+        .as[Seq[Long]].head()
+      assert(keysInOrder == distinctKeys.map(_._1).sorted)
+    }
+  }
 }
