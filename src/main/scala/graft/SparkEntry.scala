@@ -255,6 +255,38 @@ object Catalog {
        |FROM assign$iters ORDER BY vec_id""".stripMargin
   }
 
+  /** Shared CTE chain for the near-dup cluster oracles: MinHash band
+    * buckets → candidate pairs → symmetric edges → recursive transitive
+    * closure (`reach(doc_id, r)` = r is reachable from doc_id). Callers
+    * prepend `WITH RECURSIVE` and aggregate `min(r)` per doc. */
+  private val dedupClusterCtes: String =
+    s"""$docsCte,
+       |$shinglesCte,
+       |bands AS (
+       |  SELECT doc_id, j // ${Dedup.BandRows} AS band,
+       |         md5(string_agg(mh, '|' ORDER BY j)) AS bh
+       |  FROM (
+       |    SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
+       |    FROM shingles
+       |    CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
+       |    GROUP BY 1, 2
+       |  ) GROUP BY doc_id, j // ${Dedup.BandRows}
+       |),
+       |mp AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |),
+       |sym AS (
+       |  SELECT doc_a AS s, doc_b AS t FROM mp
+       |  UNION SELECT doc_b, doc_a FROM mp
+       |),
+       |reach AS (
+       |  SELECT s AS doc_id, s AS r FROM sym
+       |  UNION
+       |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.t = reach.doc_id
+       |)""".stripMargin
+
   val entries: Seq[QEntry] = Seq(
 
     // ── Token-analytics change-log metrics (SURVEY §2.6 A1-A4, §2.10 C1) ──
@@ -807,34 +839,22 @@ object Catalog {
     // decision itself. Oracle: recursive CTE computing each document's
     // minimum transitively-reachable doc_id over the same pair graph.
     QEntry("q_dedup_clusters", Dedup.dedupClusters, Some(
-      s"""WITH RECURSIVE $docsCte,
-         |$shinglesCte,
-         |bands AS (
-         |  SELECT doc_id, j // ${Dedup.BandRows} AS band,
-         |         md5(string_agg(mh, '|' ORDER BY j)) AS bh
-         |  FROM (
-         |    SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
-         |    FROM shingles
-         |    CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
-         |    GROUP BY 1, 2
-         |  ) GROUP BY doc_id, j // ${Dedup.BandRows}
-         |),
-         |mp AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-         |),
-         |sym AS (
-         |  SELECT doc_a AS s, doc_b AS t FROM mp
-         |  UNION SELECT doc_b, doc_a FROM mp
-         |),
-         |reach AS (
-         |  SELECT s AS doc_id, s AS r FROM sym
-         |  UNION
-         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.t = reach.doc_id
-         |)
+      s"""WITH RECURSIVE $dedupClusterCtes
          |SELECT doc_id, min(r) AS cluster_keeper
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The applied result: documents surviving BOTH exact dedup (min doc_id
+    // per content hash) and near-dup clustering (component keepers only).
+    QEntry("q_dedup_corpus", Dedup.dedupedCorpus, Some(
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         |clusters AS (
+         |  SELECT doc_id, min(r) AS cluster_keeper FROM reach GROUP BY 1
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+         |  AND doc_id NOT IN
+         |    (SELECT doc_id FROM clusters WHERE doc_id != cluster_keeper)
+         |ORDER BY doc_id""".stripMargin)),
 
     QEntry("q_jaccard_top1", Dedup.jaccardTop1, Some(withShingles(
       s"""SELECT doc_a AS doc_id, doc_b AS partner_id,

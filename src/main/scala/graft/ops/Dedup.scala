@@ -82,6 +82,26 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_keeper"))
       .orderBy("doc_id")
 
+  /** The applied dedup result: documents that survive BOTH exact dedup
+    * (the min doc_id per content hash) and near-dup clustering (component
+    * keepers from [[dedupClusters]]; documents in no cluster are their own
+    * keepers). Semi/anti joins — the document payload never shuffles
+    * through the clustering subtree. */
+  def dedupedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exactKeepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nearDupLosers = dedupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_keeper"))
+      .select("doc_id")
+    docs.join(exactKeepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** Document-frequency cap for the Jaccard inverted index: a shingle held
     * by d documents contributes d·(d−1)/2 candidate pairs, so ONE common
     * trigram makes its join bucket quadratic in corpus size — the classic
