@@ -507,7 +507,39 @@ object Catalog {
          |  ) GROUP BY contract_address, address
          |) GROUP BY 1 ORDER BY 1""".stripMargin))),
 
-    QEntry("q_cluster_map", (s, d) => Clusters.clusterMap(s, d), None),
+    // Map-typed library form: [[Clusters.clusterMap]]; the catalog serves
+    // the sorted-JSON rendering so the nested 3-deep cluster struct is
+    // hash-checked end-to-end (same recipe as q_token_documents_full).
+    QEntry("q_cluster_map", (s, d) => Clusters.clusterMapJson(s, d), {
+      def strAgg(cluster: String): String =
+        s"""COALESCE('["' || string_agg(address, '","' ORDER BY address)
+           |  FILTER (WHERE c = '$cluster') || '"]', '[]')""".stripMargin
+      Some(withTransfers(
+        s"""SELECT '{' || string_agg('"' || t || '":' || cj, ',' ORDER BY t) || '}'
+           |         AS walletClusterByNumberOfTransfer
+           |FROM (
+           |  SELECT t,
+           |    '{"LOW":{"addresses":' || ${strAgg("LOW")}
+           |    || '},"MEDIUM":{"addresses":' || ${strAgg("MEDIUM")}
+           |    || '},"HIGH":{"addresses":' || ${strAgg("HIGH")}
+           |    || '}}' AS cj
+           |  FROM (
+           |    SELECT t, address,
+           |           CASE WHEN n < ${Tables.ClusterLow} THEN 'LOW'
+           |                WHEN n < ${Tables.ClusterHigh} THEN 'MEDIUM'
+           |                ELSE 'HIGH' END AS c
+           |    FROM (
+           |      SELECT t, address, count(*) AS n FROM (
+           |        SELECT ${hourBucket("transact_at")} AS t, from_address AS address
+           |        FROM transfers WHERE contract_address = '${Tables.FocusToken}'
+           |        UNION ALL
+           |        SELECT ${hourBucket("transact_at")} AS t, to_address AS address
+           |        FROM transfers WHERE contract_address = '${Tables.FocusToken}'
+           |      ) GROUP BY 1, 2
+           |    )
+           |  ) GROUP BY t
+           |)""".stripMargin))
+    }),
 
     // ── Dapp membership (SURVEY §2.5 J1, §2.6 A4/A7, §2.4 F9) ──
     QEntry("q_dapp_hourly", Dapps.hourlyDappCounts, Some(withTransfersAndDapps(

@@ -77,4 +77,29 @@ object Clusters {
       .agg(map_from_entries(array_sort(collect_list(struct(col("t"), col("clusters")))))
         .as("walletClusterByNumberOfTransfer"))
   }
+
+  /** [[clusterMap]] rendered as one sorted-JSON string — the driver-
+    * verifiable twin of the map-typed library form (same recipe as
+    * `Pipelines.tokenDocumentsJson`): per timestamp a
+    * `{"LOW":[…],"MEDIUM":[…],"HIGH":[…]}` object with sorted wallet
+    * arrays, timestamps sorted, byte-identical to a DuckDB string_agg
+    * oracle. */
+  def clusterMapJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val empty = array().cast("array<string>")
+    hourlyClusters(spark, sfDir)
+      .groupBy("t")
+      .pivot("cluster", Seq("LOW", "MEDIUM", "HIGH"))
+      .agg(sort_array(collect_list(col("address"))))
+      .select(col("t"), concat(
+        lit("{\"LOW\":{\"addresses\":"),
+        ChangeLogs.jsonStrArray(coalesce(col("LOW"), empty)),
+        lit("},\"MEDIUM\":{\"addresses\":"),
+        ChangeLogs.jsonStrArray(coalesce(col("MEDIUM"), empty)),
+        lit("},\"HIGH\":{\"addresses\":"),
+        ChangeLogs.jsonStrArray(coalesce(col("HIGH"), empty)),
+        lit("}}")).as("j"))
+      .groupBy()
+      .agg(ChangeLogs.jsonLog(col("t"), col("j"))
+        .as("walletClusterByNumberOfTransfer"))
+  }
 }

@@ -48,7 +48,10 @@ object Dedup {
         expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")))
         .as("bh"))
 
-  /** Candidate near-duplicate pairs from LSH banding (doc_a < doc_b).
+  /** Candidate near-duplicate pairs from LSH banding (doc_a < doc_b),
+    * unordered — the shared JOIN INPUT form (consumers reshuffle an ordered
+    * frame anyway, so the session cache must not pay a global sort nobody
+    * keeps).
     *
     * Formulated as bucket-collect + in-bucket pair expansion rather than a
     * self-join: the expensive signature subtree runs ONCE (a self-join of
@@ -56,7 +59,7 @@ object Dedup {
     * exchange across the two aliases), and pair expansion is a codegen'd
     * nested `transform` over each (band, hash) bucket's sorted doc list —
     * output cost ∝ actual collisions, the property that holds at 100 TB. */
-  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+  private def minhashPairsRaw(spark: SparkSession, sfDir: String): DataFrame =
     minhashBands(spark, sfDir)
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -67,7 +70,42 @@ object Dedup {
           |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
         .as("p"))
       .select("p.doc_a", "p.doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
+
+  // ── Session-shared materializations ───────────────────────────────────
+  // The MinHash subtree and the connected-components loop are the two most
+  // expensive jobs in the dedup pipeline, and THREE catalog entries consume
+  // their outputs (pairs, clusters, corpus). The CC loop's checkpointed RDDs
+  // are invisible to Spark's CacheManager (unlike persist, a checkpoint is
+  // not matched by canonicalized-plan lookup across invocations), so without
+  // an explicit holder every consumer re-runs the whole
+  // shingle → MinHash → LSH → CC subtree. One frame per (session, sfDir);
+  // both are collision-sized (pairs) / one-row-per-clustered-doc (labels),
+  // far smaller than the corpus they summarize at any scale.
+  private val shared = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def sharedFrame(spark: SparkSession, sfDir: String, tag: String)(
+      build: => DataFrame): DataFrame =
+    shared.getOrElseUpdate((spark, sfDir, tag),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** [[minhashPairsRaw]], materialized once per (session, sfDir). */
+  private def cachedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    sharedFrame(spark, sfDir, "minhash_pairs")(minhashPairsRaw(spark, sfDir))
+
+  /** Post-CC cluster labels (doc_id, cluster_keeper), materialized once per
+    * (session, sfDir). */
+  private[graft] def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
+    sharedFrame(spark, sfDir, "cluster_labels")(
+      Graph.connectedComponents(
+          cachedPairs(spark, sfDir)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_keeper")))
+
+  /** Candidate near-duplicate pairs from LSH banding, ordered (the catalog
+    * surface over the session-shared [[cachedPairs]] frame). */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cachedPairs(spark, sfDir).orderBy("doc_a", "doc_b")
 
   /** Near-duplicate CLUSTERS: connected components over the MinHash-LSH
     * candidate pairs ([[minhashPairs]]) — transitively-linked documents
@@ -76,8 +114,19 @@ object Dedup {
     * keep `doc_id == cluster_keeper`, drop the rest. Isolated documents
     * (no candidate pair) are their own keepers and are not listed. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    Graph.connectedComponents(
-        minhashPairs(spark, sfDir)
+    clusterLabels(spark, sfDir).orderBy("doc_id")
+
+  /** [[dedupClusters]] computed by the alternating large-star/small-star
+    * contraction ([[Graph.connectedComponentsAltStar]]) instead of min-label
+    * propagation — identical output (the catalog proves it against the same
+    * recursive-CTE oracle), but O(log² n) rounds on any topology where
+    * propagation needs O(diameter): the variant to reach for when duplicate
+    * chains (boilerplate families, template cascades) make components deep
+    * instead of clique-like. Reads the session-shared candidate-pair frame,
+    * so the MinHash subtree is not recomputed. */
+  def dedupClustersStar(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.connectedComponentsAltStar(
+        cachedPairs(spark, sfDir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("id").as("doc_id"), col("label").as("cluster_keeper"))
       .orderBy("doc_id")
@@ -93,7 +142,7 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val nearDupLosers = dedupClusters(spark, sfDir)
+    val nearDupLosers = clusterLabels(spark, sfDir)
       .filter(col("doc_id") =!= col("cluster_keeper"))
       .select("doc_id")
     docs.join(exactKeepers, Seq("doc_id"), "left_semi")

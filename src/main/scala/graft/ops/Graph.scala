@@ -4,6 +4,49 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+/** How iterative algorithms cut lineage between rounds (a persist alone
+  * truncates re-computation but not the logical plan, which otherwise grows
+  * exponentially with iterations and OOMs the driver stringifying it).
+  *
+  *  - [[LineageCut.Local]]: `localCheckpoint` — blocks live on executor
+  *    storage. Fast (no extra job), but an executor loss destroys blocks
+  *    and fails the computation: single-JVM / dev default.
+  *  - [[LineageCut.Reliable]]: `checkpoint()` to the SparkContext's
+  *    checkpoint directory — survives executor loss; the choice for a real
+  *    cluster. Requires `setCheckpointDir`.
+  *  - [[LineageCut.Auto]]: Reliable when a checkpoint dir is configured,
+  *    Local otherwise — callers that set a dir (Verify/Bench/tests) get
+  *    executor-loss safety without touching call sites.
+  */
+sealed trait LineageCut
+object LineageCut {
+  case object Auto extends LineageCut
+  case object Local extends LineageCut
+  case object Reliable extends LineageCut
+
+  /** Eager lineage cut of `df` under `mode`. The reliable path persists
+    * before checkpointing: `Dataset.checkpoint` materializes with one job
+    * and writes the checkpoint files with a second, so without the cache
+    * the frame's whole subtree would compute twice per round. */
+  def cut(df: DataFrame, mode: LineageCut): DataFrame = {
+    val reliable = mode match {
+      case Reliable => true
+      case Local => false
+      case Auto =>
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    }
+    if (!reliable) df.localCheckpoint(true)
+    else {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "LineageCut.Reliable needs SparkContext.setCheckpointDir")
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(true)
+      cached.unpersist(false)
+      out
+    }
+  }
+}
+
 /** Distributed connected components by iterative min-label propagation —
   * the "last mile" of near-duplicate removal: candidate pairs (MinHash/
   * SimHash/embedding) form an undirected graph; each component keeps one
@@ -25,27 +68,30 @@ object Graph {
     * at least one edge — isolated documents are their own keeper by
     * definition and never enter the graph.
     *
-    * Every round's result is `localCheckpoint`ed (eager): a persist alone
-    * truncates RE-COMPUTATION but not the LOGICAL plan, and each round
-    * references the previous one several times, so the un-checkpointed
-    * plan tree grows exponentially with iterations (the standard failure
-    * mode of iterative DataFrame algorithms; driver OOMs stringifying the
-    * plan long before any data moves). On a cluster with an unreliable-
-    * executor concern, swap for reliable `checkpoint()` on a checkpoint
-    * dir — same lineage cut. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Every round's result is lineage-cut eagerly (see [[LineageCut]]): a
+    * persist alone truncates RE-COMPUTATION but not the LOGICAL plan, and
+    * each round references the previous one several times, so the
+    * un-checkpointed plan tree grows exponentially with iterations (the
+    * standard failure mode of iterative DataFrame algorithms; driver OOMs
+    * stringifying the plan long before any data moves). With
+    * [[LineageCut.Auto]] (the default), sessions that configured a
+    * checkpoint dir — Verify, Bench, the test harness, any real cluster —
+    * get reliable `checkpoint()` and survive executor loss; sessions
+    * without one fall back to `localCheckpoint`. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
     // checkpoint the edge list before symmetrizing: the union references it
     // twice, and the caller's edge plan (an LSH candidate generation, say)
     // is usually the most expensive subtree in sight
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = LineageCut.cut(edges.select(col("src"), col("dst")), cutMode)
     val sym = e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = sym.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint(true)
+      var labels = LineageCut.cut(
+        sym.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id")), cutMode)
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
@@ -56,12 +102,12 @@ object Graph {
           .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
           .groupBy(col("src").as("id"))
           .agg(min(col("label")).as("nlabel"))
-        val updated = labels
+        val updated = LineageCut.cut(labels
           .join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("new_label"),
-            coalesce(col("nlabel") < col("label"), lit(false)).as("chg"))
-          .localCheckpoint(true)
+            coalesce(col("nlabel") < col("label"), lit(false)).as("chg")),
+          cutMode)
         labels = updated.select(col("id"), col("new_label").as("label"))
         converged = updated.filter(col("chg")).isEmpty
         i += 1
@@ -73,5 +119,64 @@ object Graph {
           "a component's diameter exceeds maxIter; raise it")
       labels
     } finally sym.unpersist()
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * same (id, label=component min) contract as [[connectedComponents]],
+    * different convergence class: min-label propagation needs O(diameter)
+    * rounds (fine for near-dup cliques, degenerate for chain graphs), the
+    * star algorithm converges in O(log² n) rounds on ANY topology, so a
+    * path of length 1000 finishes in ~10 rounds instead of 1000.
+    *
+    * One round = two halves over the current edge multigraph, each a
+    * grouped min + an equi-join (both map-side combinable, O(|E|) shuffle):
+    *  - large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+    *  - small-star(u): over big→small directed edges, m = min out-neighbor;
+    *    emit (v, m) for the other out-neighbors plus (u, m)
+    * Both preserve connectivity and keep every edge oriented big→small; the
+    * fixed point is exactly the star graph {(x, componentMin) : x ≠ min}.
+    * Deterministic (pure min arithmetic), so it is oracle-checkable by the
+    * same recursive CTE as the propagation variant. */
+  def connectedComponentsAltStar(edges: DataFrame, maxIter: Int = 25,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    var e = LineageCut.cut(
+      edges.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct(), cutMode)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val largeMins = sym
+        .groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym
+        .filter(col("dst") > col("src"))
+        .join(largeMins, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      val smallMins = ls.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      val next = LineageCut.cut(
+        ls.join(smallMins, col("src") === col("u"))
+          .select(col("dst").as("v"), col("m"))
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("src"), col("m").as("dst"))
+          .unionByName(smallMins.select(col("u").as("src"), col("m").as("dst")))
+          .distinct(), cutMode)
+      // fixed point = edge set unchanged (both frames are materialized and
+      // distinct, so two anti-join emptiness probes decide it exactly)
+      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      e = next
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsAltStar: not converged after $maxIter rounds")
+    e.select(col("src").as("id"), col("dst").as("label"))
+      .unionByName(e.select(col("dst").as("id"), col("dst").as("label")))
+      .distinct()
   }
 }
