@@ -875,6 +875,14 @@ object Catalog {
          |SELECT doc_id, min(r) AS cluster_keeper
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Same clusters via alternating large-star/small-star contraction
+    // (O(log² n) rounds on any topology vs O(diameter) for propagation) —
+    // proven equal by sharing q_dedup_clusters' recursive-CTE oracle.
+    QEntry("q_dedup_clusters_star", Dedup.dedupClustersStar, Some(
+      s"""WITH RECURSIVE $dedupClusterCtes
+         |SELECT doc_id, min(r) AS cluster_keeper
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The applied result: documents surviving BOTH exact dedup (min doc_id
     // per content hash) and near-dup clustering (component keepers only).
     QEntry("q_dedup_corpus", Dedup.dedupedCorpus, Some(
@@ -1024,7 +1032,56 @@ object Catalog {
          |         AS bucket
          |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
-    QEntry("q_bucketed_ann", Similarity.bucketedTopK, None),
+    // Scale-path ANN: the q_lsh_buckets bucket CTE plus an in-bucket exact
+    // top-1 rerank (arg-max = row_number over cosine DESC, id ASC — the
+    // same tie-break the Spark max(struct) encodes via the negated id).
+    QEntry("q_bucketed_ann", Similarity.bucketedTopK, Some(
+      s"""WITH $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |planes AS (
+         |  SELECT p.p, i.i,
+         |         CAST(strpos('0123456789abcdef',
+         |           substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)),
+         |                  1, 1)) - 1 AS DOUBLE) - 7.5 AS c
+         |  FROM (SELECT unnest(range(${Similarity.NumPlanes})) AS p) p,
+         |       (SELECT unnest(range(64)) AS i) i
+         |),
+         |buckets AS (
+         |  SELECT vec_id,
+         |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+         |           AS bucket
+         |  FROM (
+         |    SELECT idx.vec_id, planes.p,
+         |           SUM(CAST(idx.x * planes.c AS DECIMAL(38,18))) AS s
+         |    FROM idx JOIN planes ON planes.i = idx.i
+         |    GROUP BY 1, 2
+         |  ) GROUP BY vec_id
+         |),
+         |cands AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+         |),
+         |dots AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         CAST(SUM(CAST(qa.x * qb.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM cands c
+         |  JOIN idx qa ON qa.vec_id = c.query_id
+         |  JOIN idx qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cosine FROM (
+         |  SELECT d.query_id, d.vec_id,
+         |         d.dot / (sqrt(nq.sq) * sqrt(nv.sq)) AS c,
+         |         row_number() OVER (PARTITION BY d.query_id ORDER BY
+         |           d.dot / (sqrt(nq.sq) * sqrt(nv.sq)) DESC, d.vec_id ASC) AS rnk
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = d.query_id
+         |  JOIN norms nv ON nv.vec_id = d.vec_id
+         |) WHERE rnk = 1 ORDER BY query_id""".stripMargin)),
 
     QEntry("q_embedding_neardup",
       (s, d) => Similarity.cosineNearDupPairs(s, d), Some(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Graph
+import graft.ops.{Graph, LineageCut}
 import org.scalatest.funsuite.AnyFunSuite
 
 class GraphSpec extends AnyFunSuite {
@@ -22,6 +22,56 @@ class GraphSpec extends AnyFunSuite {
     val got = Graph.connectedComponents(edges).as[(Long, Long)].collect()
     assert(got.length == n)
     assert(got.forall(_._2 == 1L))
+  }
+
+  test("reliable checkpoint path: explicit Reliable mode (dir is configured)") {
+    // GraftSpark sets a checkpoint dir, so Auto (every test above) already
+    // runs Reliable; this pins the explicit mode in case the default moves
+    assert(spark.sparkContext.getCheckpointDir.isDefined)
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, cutMode = LineageCut.Reliable)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("local mode still works when a checkpoint dir is configured") {
+    val edges = Seq((4L, 6L), (6L, 5L)).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, cutMode = LineageCut.Local)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("unconverged propagation fails loudly instead of returning wrong keepers") {
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    assertThrows[IllegalStateException](
+      Graph.connectedComponents(chain, maxIter = 3).count())
+  }
+
+  test("alt-star: path of length 30 converges without raising maxIter") {
+    // min-label propagation needs O(diameter) rounds (the default maxIter
+    // throws on this input — previous test); the star contraction is
+    // O(log² n) and finishes well inside ITS default
+    val chain = (1L until 30L).map(i => (i + 1, i)).toDF("src", "dst")
+    val got = Graph.connectedComponentsAltStar(chain)
+      .as[(Long, Long)].collect()
+    assert(got.length == 30)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("alt-star equals propagation on chain, clique, and multi-component") {
+    val chain = (1L until 8L).map(i => (i, i + 1))
+    val clique = for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)
+    val seeded = new scala.util.Random(42)
+    val random = Seq.fill(40)((seeded.nextInt(30).toLong + 100L,
+      seeded.nextInt(30).toLong + 100L)).filter(p => p._1 != p._2)
+    for (edges <- Seq(chain, clique, chain ++ clique ++ random)) {
+      val df = edges.toDF("src", "dst")
+      val prop = Graph.connectedComponents(df, maxIter = 40)
+        .as[(Long, Long)].collect().toSet
+      val star = Graph.connectedComponentsAltStar(df)
+        .as[(Long, Long)].collect().toSet
+      assert(star == prop)
+    }
   }
 
   test("result is independent of input partitioning") {

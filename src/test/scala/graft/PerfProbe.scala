@@ -7,8 +7,11 @@ object PerfProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val sf = "/root/testdata/sf0.1"
     val names = Seq("q_minhash_pairs", "q_jaccard_top1", "q_embedding_topk",
       "q_embedding_topk_agg", "q_bucketed_ann", "q_simhash_pairs",
