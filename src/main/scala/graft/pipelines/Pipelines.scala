@@ -293,4 +293,18 @@ object Pipelines {
     Sinks.upsertParquet(spark,
       tokenDocuments(spark, sfDir).withColumn("ver", lit(1L)),
       "_key", "ver", s"$outDir/tokens")
+
+  /** Fifth pipeline — the training-corpus store: the applied dedup decision
+    * ([[graft.ops.Dedup.dedupedCorpus]]: exact-dup keepers minus near-dup
+    * cluster losers) joined back to the document text and written
+    * lang/source-partitioned. Partition values prune at scan time (a reader
+    * of one language touches only its directories), and dynamic partition
+    * overwrite makes re-runs idempotent: unchanged partitions rewrite to
+    * identical content, partitions absent from the batch are left alone. */
+  def enrichCorpus(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    Sinks.writePartitioned(
+      Dedup.dedupedCorpus(spark, sfDir)
+        .join(Tables.documents(spark, sfDir).select("doc_id", "text"),
+          Seq("doc_id")),
+      s"$outDir/corpus", Seq("lang", "source"))
 }

@@ -57,4 +57,25 @@ class PipelinesSpec extends AnyFunSuite {
     Pipelines.enrichTokens(spark, GraftSpark.Sf, out)
     assert(spark.read.parquet(s"$out/tokens").count() == 5)
   }
+
+  test("corpus pipeline: partitioned write matches the dedup decision and " +
+      "re-runs are no-ops") {
+    Pipelines.enrichCorpus(spark, GraftSpark.Sf, out)
+    val first = spark.read.parquet(s"$out/corpus")
+    val expected = graft.ops.Dedup.dedupedCorpus(spark, GraftSpark.Sf)
+    assert(first.count() == expected.count())
+    // lang/source are partition columns: pruning applies, values round-trip
+    assert(first.select("doc_id", "lang", "source")
+      .exceptAll(expected.select("doc_id", "lang", "source")).isEmpty)
+    val partitions = first.select("lang", "source").distinct().count()
+    assert(partitions > 1, "expected a multi-partition layout")
+    // materialize before the re-run: the overwrite replaces the files the
+    // first frame's scan listed, so a lazy re-scan of `first` would fail
+    val firstIds = first.select("doc_id").collect().map(_.getLong(0)).sorted
+    // idempotent re-run: identical doc set, no duplicated rows appended
+    Pipelines.enrichCorpus(spark, GraftSpark.Sf, out)
+    val second = spark.read.parquet(s"$out/corpus")
+    val secondIds = second.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(firstIds.sameElements(secondIds))
+  }
 }
