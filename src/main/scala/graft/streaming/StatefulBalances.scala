@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
+
+/** Streaming running balances via Spark 4's `transformWithState` — the
+  * arbitrary-state API that supersedes `mapGroupsWithState` (typed state
+  * cells, TTL, timers; requires the RocksDB state store provider, which is
+  * what bounds state off-heap at cluster scale).
+  *
+  * The reference recomputes wallet balances by re-reading the whole transfer
+  * history per run (src/main/scala/etl/WalletEnricher.scala); the streaming
+  * form holds one small state cell per (token, wallet) and folds only new
+  * legs — at 100 TB of history that is the difference between an
+  * ever-growing batch job and a constant-cost incremental one.
+  */
+object StatefulBalances {
+
+  /** One double-entry leg: `account` is "contract|address". Amounts ride as
+    * Long micro-units, not Double — state that survives millions of folds
+    * must not accumulate float error (SURVEY §7.4's decimal-sums rule,
+    * applied to streaming state). */
+  final case class Leg(account: String, ts_sec: Long, delta_micro: Long)
+
+  /** Post-batch snapshot per account: running balance and legs folded. */
+  final case class BalanceSnapshot(account: String, balance_micro: Long,
+      n_legs: Long, last_ts: Long)
+
+  /** The per-account state cell (public: encoder codegen instantiates it
+    * from generated Java, which cannot touch a private member). */
+  final case class BalState(balance_micro: Long, n_legs: Long, last_ts: Long)
+
+  /** Folds each key's new legs into a ValueState cell; emits one snapshot
+    * per key per micro-batch (Update mode). Legs fold in (ts, delta) order
+    * so a batch's result is independent of arrival order within the batch. */
+  final class BalanceProcessor
+      extends StatefulProcessor[String, Leg, BalanceSnapshot] {
+    @transient private var state: ValueState[BalState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[BalState]("bal",
+        Encoders.product[BalState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Leg],
+        timers: TimerValues): Iterator[BalanceSnapshot] = {
+      val prev = if (state.exists()) state.get() else BalState(0L, 0L, 0L)
+      val next = rows.toSeq.sortBy(l => (l.ts_sec, l.delta_micro))
+        .foldLeft(prev) { (s, l) =>
+          BalState(s.balance_micro + l.delta_micro, s.n_legs + 1,
+            math.max(s.last_ts, l.ts_sec))
+        }
+      state.update(next)
+      Iterator.single(
+        BalanceSnapshot(key, next.balance_micro, next.n_legs, next.last_ts))
+    }
+  }
+
+  /** The transformWithState pipeline over a (possibly streaming) leg set.
+    * TimeMode.None: pure data-driven state, no timers — idle accounts cost
+    * one state cell, nothing else. */
+  def runningBalances(spark: SparkSession,
+      legs: Dataset[Leg]): Dataset[BalanceSnapshot] = {
+    import spark.implicits._
+    legs.groupByKey(_.account)
+      .transformWithState(new BalanceProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}

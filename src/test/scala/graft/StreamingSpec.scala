@@ -193,6 +193,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSeq == Seq(("k1", 1L, "a"), ("k2", 2L, "b2"), ("k3", 1L, "c")))
     } finally q.stop()
   }
+
+  test("transformWithState running balances accumulate across micro-batches") {
+    import graft.streaming.StatefulBalances._
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Leg]
+    val q = runningBalances(spark, input.toDS())
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("graft_tws_balances").start()
+    try {
+      input.addData(Leg("tokA|w1", 100L, 5_000_000L),
+        Leg("tokA|w1", 90L, 1_000_000L), Leg("tokB|w2", 100L, -250_000L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("graft_tws_balances").as[BalanceSnapshot]
+        .collect().map(s => s.account -> s).toMap
+      assert(afterB1("tokA|w1") == BalanceSnapshot("tokA|w1", 6_000_000L, 2L, 100L))
+      assert(afterB1("tokB|w2") == BalanceSnapshot("tokB|w2", -250_000L, 1L, 100L))
+      // batch 2: state persists — w1 folds on top of its cell, w2 untouched
+      input.addData(Leg("tokA|w1", 200L, -4_000_000L))
+      q.processAllAvailable()
+      val snaps = spark.table("graft_tws_balances").as[BalanceSnapshot]
+        .collect().filter(_.account == "tokA|w1")
+      assert(snaps.maxBy(_.n_legs) ==
+        BalanceSnapshot("tokA|w1", 2_000_000L, 3L, 200L))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
 
 /** Minimal in-memory GroupState for unit-testing fold functions. */
