@@ -896,6 +896,51 @@ object Catalog {
          |    (SELECT doc_id FROM clusters WHERE doc_id != cluster_keeper)
          |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic per-language downsample: hash-mod buckets, not RNG —
+    // idempotent, addition-stable, reproducible in any engine.
+    QEntry("q_stratified_sample", Sampling.stratifiedSample, Some {
+      val rates = Sampling.LangRates
+        .map { case (l, r) => s"('$l', $r)" }.mkString(", ")
+      s"""SELECT doc_id, lang, source, bucket FROM (
+         |  SELECT d.doc_id, d.lang, d.source,
+         |         CAST((strpos('0123456789abcdef',
+         |             substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |           + strpos('0123456789abcdef',
+         |             substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1
+         |           AS BIGINT) AS bucket,
+         |         COALESCE(r.rate, ${Sampling.DefaultRate}) AS rate
+         |  FROM documents d
+         |  LEFT JOIN (VALUES $rates) r(lang, rate) ON r.lang = d.lang
+         |) WHERE bucket < rate ORDER BY doc_id""".stripMargin
+    }),
+
+    // Leakage-safe train/val/test: the split hash is over the near-dup
+    // CLUSTER KEEPER, so duplicates never straddle splits. Oracle rebuilds
+    // the clusters (recursive CTE) and applies the same hex arithmetic.
+    QEntry("q_corpus_split", Sampling.corpusSplit, Some(
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         |clusters AS (
+         |  SELECT doc_id, min(r) AS cluster_keeper FROM reach GROUP BY 1
+         |),
+         |keyed AS (
+         |  SELECT d.doc_id, d.lang, d.source,
+         |         COALESCE(c.cluster_keeper, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, lang, source, split_key,
+         |       CASE WHEN bucket < ${Sampling.TrainUpper} THEN 'train'
+         |            WHEN bucket < ${Sampling.ValUpper} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (
+         |  SELECT *,
+         |         CAST((strpos('0123456789abcdef',
+         |             substr(md5(CAST(split_key AS VARCHAR)), 1, 1)) - 1) * 16
+         |           + strpos('0123456789abcdef',
+         |             substr(md5(CAST(split_key AS VARCHAR)), 2, 1)) - 1
+         |           AS BIGINT) AS bucket
+         |  FROM keyed
+         |) ORDER BY doc_id""".stripMargin)),
+
     QEntry("q_jaccard_top1", Dedup.jaccardTop1, Some(withShingles(
       s"""SELECT doc_a AS doc_id, doc_b AS partner_id,
          |       round(jaccard, 6) AS jaccard
