@@ -145,6 +145,7 @@ object Graph {
         .select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
         .distinct(), cutMode)
+    var eCount = e.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -167,10 +168,15 @@ object Graph {
           .select(col("v").as("src"), col("m").as("dst"))
           .unionByName(smallMins.select(col("u").as("src"), col("m").as("dst")))
           .distinct(), cutMode)
-      // fixed point = edge set unchanged (both frames are materialized and
-      // distinct, so two anti-join emptiness probes decide it exactly)
-      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      // fixed point = edge set unchanged. Both frames are materialized and
+      // DISTINCT, so |next| = |e| plus next ⊆ e (one anti-join emptiness
+      // probe) already implies equality — the reverse probe is redundant,
+      // and unequal counts (the common non-converged case) skip the join
+      // entirely: one cheap count on checkpointed blocks per round
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
       e = next
+      eCount = nextCount
       i += 1
     }
     if (!converged) throw new IllegalStateException(
