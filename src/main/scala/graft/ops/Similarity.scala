@@ -31,24 +31,28 @@ object Similarity {
   val ProbeCount = 50
   val K = 5
 
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+  private def emb(spark: SparkSession, sfDir: String): DataFrame = {
+    // idempotent fallback for sessions built without GraftExtensions —
+    // every frame in this module descends from emb(), so graft_dot is
+    // always registered before any dotOf/normSqOf expression resolves
+    graft.functions.DecimalDot.register(spark)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  }
 
   /** Exact decimal dot product of two double-array columns, rendered as
     * double — THE single spelling of the bit-stable-cosine contract; every
-    * dot/norm in this module must route through these two helpers. */
+    * dot/norm in this module must route through these two helpers. The
+    * kernel is the codegen'd [[graft.functions.DecimalDot]] — bit-identical
+    * to the oracle's `CAST(SUM(CAST(x*y AS DECIMAL(38,18))) AS DOUBLE)` and
+    * ~an order of magnitude faster than the interpreted higher-order fold
+    * it replaced (which was also subtly OFF the oracle: its intermediate
+    * `acc + p` rounded to scale 17 — see the DecimalDot scaladoc). */
   private def dotOf(a: String, b: String): String =
-    s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DECIMAL(38,18))),
-       |  CAST(0 AS DECIMAL(38,18)),
-       |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
-       |AS DOUBLE)""".stripMargin
+    s"${graft.functions.DecimalDot.Name}($a, $b)"
 
   private def normSqOf(a: String): String =
-    s"""CAST(aggregate(transform($a, x -> CAST(x * x AS DECIMAL(38,18))),
-       |  CAST(0 AS DECIMAL(38,18)),
-       |  (acc, p) -> CAST(acc + p AS DECIMAL(38,18)))
-       |AS DOUBLE)""".stripMargin
+    s"${graft.functions.DecimalDot.Name}($a, $a)"
 
   private val dotExpr: String = dotOf("qv", "v")
   private val normSqExpr: String = normSqOf("v")

@@ -16,8 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *  - [[DeterministicSums]] as an injected optimizer rule (plain
   *    `sum(double)` becomes exact decimal accumulation engine-wide), and
-  *  - the custom function surface (`graft_hamming`, `graft_wavg`) in the
-  *    function registry, so plain-SQL users get them without Scala calls.
+  *  - the custom function surface (`graft_hamming`, `graft_wavg`,
+  *    `graft_dot`) in the function registry, so plain-SQL users get them
+  *    without Scala calls.
   *
   * This replaces registering the rule from inside a catalog entry (a
   * session-global mutation that made semantics order-dependent on which
@@ -51,5 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.WeightedAvg.Name),
       binary(graft.functions.WeightedAvg.Name,
         graft.functions.WeightedAvg(_, _))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.DecimalDot.Name),
+      new ExpressionInfo(
+        classOf[graft.functions.DecimalDot].getName,
+        graft.functions.DecimalDot.Name),
+      binary(graft.functions.DecimalDot.Name,
+        graft.functions.DecimalDot(_, _))))
   }
 }
