@@ -287,6 +287,97 @@ object Catalog {
        |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.t = reach.doc_id
        |)""".stripMargin
 
+  /** 0..255 from the first two hex digits of an md5 expression — DuckDB
+    * mirror of Corpus.hexBucketSql / Sampling.bucketSql. */
+  private def hexBucketDuck(c: String): String =
+    s"""CAST((strpos('0123456789abcdef', substr($c, 1, 1)) - 1) * 16
+       |           + strpos('0123456789abcdef', substr($c, 2, 1)) - 1
+       |           AS BIGINT)""".stripMargin
+
+  /** Mirror of [[graft.ops.Corpus.tokCounts]]: BPE-ish token count per doc
+    * (same regex as q_token_count's proven spelling). */
+  private val corpusTokCte: String =
+    """tok AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(regexp_extract_all(text,
+      |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Mirror of [[graft.ops.Corpus.epochPlan]] + per-doc repetition counts:
+    * exact rational epochs num/den via integer cross-multiplication — no
+    * float ever touches a sampling decision (see the Corpus scaladoc). */
+  private val corpusPlanCtes: String = {
+    val weightRows = Corpus.SourceWeights
+      .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    s"""bysrc AS (
+       |  SELECT source, SUM(n_tokens) AS t_s FROM tok GROUP BY 1
+       |),
+       |plan AS (
+       |  SELECT b.source, CAST(COALESCE(w.w, 1) AS BIGINT) AS w, b.t_s,
+       |         CAST(COALESCE(w.w, 1) AS BIGINT) * ${Corpus.BudgetFactor}
+       |           * (SELECT SUM(n_tokens) FROM tok) AS num,
+       |         ${Corpus.SumWeights} * b.t_s AS den
+       |  FROM bysrc b
+       |  LEFT JOIN (VALUES $weightRows) w(source, w) ON w.source = b.source
+       |),
+       |tokb AS (
+       |  SELECT t.*,
+       |         ${hexBucketDuck("md5(CAST(t.doc_id AS VARCHAR))")} AS bucket
+       |  FROM tok t
+       |),
+       |reps AS (
+       |  SELECT t.doc_id, t.source, t.n_tokens, p.w,
+       |         CAST((p.num // p.den)
+       |           + CASE WHEN t.bucket * p.den < 256 * (p.num % p.den)
+       |                  THEN 1 ELSE 0 END AS BIGINT) AS reps
+       |  FROM tokb t JOIN plan p ON p.source = t.source
+       |)""".stripMargin
+  }
+
+  /** BM25 with rational idf — see [[graft.ops.Corpus.bm25]]. Every double
+    * constant is interpolated from the same Scala expression the Spark side
+    * evaluates (`toString` round-trips, so DuckDB parses identical bits),
+    * and the formula's association order matches the Column expression
+    * term-for-term. */
+  private val bm25Oracle: String = {
+    val terms = Corpus.QueryTerms.zipWithIndex
+    val tfCols = terms.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n       |         ")
+    val dfCols = terms.map { case (_, i) =>
+      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    }.mkString(",\n       |         ")
+    val k1p1 = Corpus.K1 + 1.0
+    val oneMinusB = 1.0 - Corpus.B
+    val scoreSum = terms.map { case (_, i) =>
+      s"""(CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+         |             / (CAST(df_$i AS DOUBLE) + 0.5)
+         |             * (CAST(tf_$i AS DOUBLE) * $k1p1)
+         |             / (CAST(tf_$i AS DOUBLE) + ${Corpus.K1} * ($oneMinusB
+         |                + ${Corpus.B} * (CAST(dl AS DOUBLE)
+         |                  / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+        .stripMargin
+    }.mkString("\n       |           + ")
+    withDocs(
+      s""", d AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |         $tfCols
+         |  FROM docs
+         |),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+         |         $dfCols
+         |  FROM d
+         |)
+         |SELECT doc_id, dl, score FROM (
+         |  SELECT d.doc_id, d.dl,
+         |         round($scoreSum, 6) AS score
+         |  FROM d, st
+         |) WHERE score > 0.0
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)
+  }
+
   val entries: Seq[QEntry] = Seq(
 
     // ── Token-analytics change-log metrics (SURVEY §2.6 A1-A4, §2.10 C1) ──
@@ -940,6 +1031,66 @@ object Catalog {
          |           AS BIGINT) AS bucket
          |  FROM keyed
          |) ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus assembly (ops/Corpus.scala): mixing, shuffle, packing,
+    // decontamination, retrieval. Shared DuckDB fragments: `tok` mirrors
+    // Corpus.tokCounts; the hex-pair bucket arithmetic mirrors the Spark
+    // spelling exactly (strpos ↔ instr, both 1-based over ASCII hex).
+    QEntry("q_corpus_mix", Corpus.corpusMix, Some(
+      s"""WITH $corpusTokCte,
+         |$corpusPlanCtes
+         |SELECT r.doc_id, r.source, r.n_tokens, u.e AS epoch
+         |FROM reps r, unnest(range(1, r.reps + 1)) AS u(e)
+         |ORDER BY doc_id, epoch""".stripMargin)),
+
+    QEntry("q_corpus_mix_stats", Corpus.mixStats, Some(
+      s"""WITH $corpusTokCte,
+         |$corpusPlanCtes
+         |SELECT source, CAST(max(w) AS BIGINT) AS weight,
+         |       CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+         |       CAST(sum(reps * n_tokens) AS BIGINT) AS mixed_tokens,
+         |       CAST(sum(reps) AS BIGINT) AS mixed_docs
+         |FROM reps GROUP BY source ORDER BY source""".stripMargin)),
+
+    QEntry("q_global_shuffle", Corpus.globalShuffle, Some(
+      s"""SELECT doc_id,
+         |       md5(CAST(doc_id AS VARCHAR) || '_shuffle') AS skey,
+         |       CAST(row_number() OVER (
+         |         ORDER BY md5(CAST(doc_id AS VARCHAR) || '_shuffle'), doc_id)
+         |         AS BIGINT) AS pos
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QEntry("q_seq_pack", Corpus.packPlan, Some(
+      s"""WITH $corpusTokCte,
+         |kb AS (
+         |  SELECT doc_id, n_tokens,
+         |         md5(CAST(doc_id AS VARCHAR) || '_shuffle') AS skey,
+         |         ${hexBucketDuck("md5(CAST(doc_id AS VARCHAR) || '_shuffle')")}
+         |           AS sbucket
+         |  FROM tok WHERE n_tokens > 0
+         |),
+         |c AS (
+         |  SELECT doc_id, sbucket, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY sbucket
+         |           ORDER BY skey, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum
+         |  FROM kb
+         |)
+         |SELECT doc_id, sbucket, cum - n_tokens AS start_off, n_tokens,
+         |       (cum - n_tokens) // ${Corpus.SeqLen} AS pack_first,
+         |       (cum - 1) // ${Corpus.SeqLen} AS pack_last
+         |FROM c ORDER BY sbucket, start_off""".stripMargin)),
+
+    QEntry("q_decontaminate", Corpus.decontaminate, Some(withShingles(
+      """SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM shingles s
+        |JOIN (SELECT DISTINCT sh FROM shingles WHERE doc_id % 29 = 7) ev
+        |  ON ev.sh = s.sh
+        |WHERE s.doc_id % 29 <> 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    QEntry("q_bm25", Corpus.bm25, Some(bm25Oracle)),
 
     QEntry("q_jaccard_top1", Dedup.jaccardTop1, Some(withShingles(
       s"""SELECT doc_a AS doc_id, doc_b AS partner_id,

@@ -1,0 +1,253 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the stage between curation
+  * ([[TextAnalysis]], [[Dedup]], [[Sampling]]) and the trainer: weighted
+  * source mixing to a token budget, deterministic global shuffle, sequence
+  * packing, benchmark decontamination, and BM25 retrieval over the corpus.
+  *
+  * Determinism doctrine (same as [[Sampling]]): no RNG anywhere. Every
+  * decision — how many epochs a document gets, its position in the training
+  * order, which pack it lands in — is a pure function of ids and content,
+  * so re-runs are idempotent and the DuckDB oracle reproduces every row
+  * bit-for-bit. Sampling decisions use integer arithmetic ONLY (hash-bucket
+  * vs. exact rational thresholds cross-multiplied to integers), never
+  * floating-point rates.
+  */
+object Corpus {
+
+  /** BPE-ish token count per document (the `n_bpe_tokens` spelling of
+    * [[TextAnalysis.tokenCounts]] — letter runs / digit runs / single other
+    * chars), with id + source: the unit of account for mixing and packing. */
+  def tokCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("n_tokens"))
+
+  // ---------------------------------------------------------------- mixing
+
+  /** Per-source mixture weights (literal registry, mirrored into the oracle
+    * VALUES). Sources are weighted 1..4 cyclically — stand-ins for the
+    * "books×4, web×1" style upsampling table a real mix would configure. */
+  val SourceWeights: Seq[(String, Long)] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L))
+  val SumWeights: Long = SourceWeights.map(_._2).sum
+
+  /** Token budget of the mixed corpus, as a multiple of the raw corpus. */
+  val BudgetFactor = 2L
+
+  /** Hash-mod buckets shared with [[Sampling]]: 256 buckets from the first
+    * two hex digits of md5(doc_id). */
+  private def idBucket: org.apache.spark.sql.Column =
+    expr(Sampling.bucketSql("doc_id"))
+
+  /** Per-source epoch plan: source s with weight w_s and raw token count t_s
+    * should contribute `target_s = w_s * B / sumW` tokens of a
+    * `B = BudgetFactor * t_total` budget, i.e. each of its documents repeats
+    * `r_s = target_s / t_s` times. r_s is rational; the plan keeps it exact
+    * as num/den and never materializes a float:
+    *
+    *  - every document gets `num DIV den` full epochs,
+    *  - plus one more iff `bucket * den < 256 * (num MOD den)` — the
+    *    hash-bucket version of "with probability frac(r_s)", decided by
+    *    integer cross-multiplication.
+    *
+    * Columns: (source, w, t_s, floor_reps, rem, den). */
+  private def epochPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weights = SourceWeights.toDF("source", "w")
+    val bySource = tokCounts(spark, sfDir)
+      .groupBy("source").agg(sum("n_tokens").as("t_s"))
+    val total = bySource.agg(sum("t_s").as("t_total"))
+    bySource
+      .join(broadcast(weights), Seq("source"), "left")
+      .na.fill(1L, Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("num", col("w") * lit(BudgetFactor) * col("t_total"))
+      .withColumn("den", lit(SumWeights) * col("t_s"))
+      .withColumn("floor_reps", expr("num DIV den"))
+      .withColumn("rem", expr("num % den"))
+      .select("source", "w", "t_s", "floor_reps", "rem", "den")
+  }
+
+  /** The mixed corpus: one row per (document, epoch). The whole operator is
+    * one scan + a broadcast of the per-source plan (constant-size) — the
+    * epoch explode is the only row amplification and it IS the output, so
+    * the plan is shuffle-free at any corpus size (output sort aside). */
+  def corpusMix(spark: SparkSession, sfDir: String): DataFrame =
+    tokCounts(spark, sfDir)
+      .join(broadcast(epochPlan(spark, sfDir)), Seq("source"))
+      .withColumn("bucket", idBucket)
+      .withColumn("reps", col("floor_reps") +
+        when(col("bucket") * col("den") < lit(256L) * col("rem"), 1L)
+          .otherwise(0L))
+      // sequence(1, 0) would count DOWN in Spark; guard with greatest+filter
+      // (the oracle's range(1, reps+1) is natively empty at reps = 0)
+      .withColumn("epoch",
+        explode(expr("filter(sequence(1, greatest(reps, 1)), e -> e <= reps)")))
+      .select("doc_id", "source", "n_tokens", "epoch")
+      .orderBy("doc_id", "epoch")
+
+  /** Audit view of the mix: raw vs. mixed token mass per source. The mixed
+    * mass lands within one document of `w_s/sumW * BudgetFactor * t_total`
+    * per source — CorpusSpec asserts the bound. */
+  def mixStats(spark: SparkSession, sfDir: String): DataFrame =
+    tokCounts(spark, sfDir)
+      .join(broadcast(epochPlan(spark, sfDir)), Seq("source"))
+      .withColumn("bucket", idBucket)
+      .withColumn("reps", col("floor_reps") +
+        when(col("bucket") * col("den") < lit(256L) * col("rem"), 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(max("w").as("weight"),
+        sum("n_tokens").as("raw_tokens"),
+        sum(col("reps") * col("n_tokens")).as("mixed_tokens"),
+        sum("reps").as("mixed_docs"))
+      .orderBy("source")
+
+  // --------------------------------------------------------------- shuffle
+
+  /** Training-order shuffle key: md5 over the salted id. Hex-string order
+    * is total and engine-independent (pure ASCII). */
+  private val ShuffleSalt = "_shuffle"
+  private def skeyExpr: String =
+    s"md5(concat(CAST(doc_id AS STRING), '$ShuffleSalt'))"
+
+  /** 0..255 bucket from the FIRST TWO hex digits of an md5 column — the
+    * leading prefix of the key, so ordering by (bucket, key) equals ordering
+    * by key alone (hex digits are ASCII-ordered). */
+  private def hexBucketSql(c: String): String =
+    s"CAST((instr('0123456789abcdef', substr($c, 1, 1)) - 1) * 16" +
+      s" + instr('0123456789abcdef', substr($c, 2, 1)) - 1 AS BIGINT)"
+
+  /** Deterministic global shuffle — every document's position in the
+    * training order, WITHOUT a global sort/row_number (which would funnel
+    * the corpus through one partition). Two-phase distributed rank:
+    *
+    *  1. bucket counts (one map-side-combined aggregate, 256 rows),
+    *     prefix-summed into bucket offsets (window over 256 rows — driver
+    *     scale, not data scale) and broadcast;
+    *  2. per-bucket `row_number` (parallel across 256 shards) + offset.
+    *
+    * Because the bucket is the key's leading two hex digits, the composite
+    * (bucket, key) order IS the global key order, so the result equals the
+    * oracle's flat `ROW_NUMBER() OVER (ORDER BY key)` — rank without a
+    * single-partition stage. */
+  def globalShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(skeyExpr).as("skey"))
+      .withColumn("sbucket", expr(hexBucketSql("skey")))
+    val offsets = keyed.groupBy("sbucket").agg(count(lit(1)).as("c"))
+      .withColumn("off",
+        sum("c").over(Window.orderBy("sbucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("c"))
+      .select("sbucket", "off")
+    keyed.join(broadcast(offsets), Seq("sbucket"))
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy("sbucket").orderBy("skey", "doc_id"))
+          .cast("long") + col("off")).as("pos"))
+      .select("doc_id", "skey", "pos")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- packing
+
+  /** Trainer context length, in tokens. */
+  val SeqLen = 512L
+
+  /** Sequence-packing plan (concat-and-chunk): documents are laid out in
+    * shuffle order and cut into [[SeqLen]]-token packs; a document knows its
+    * start offset and the packs it spans. Packing is per shuffle-shard (the
+    * 256 md5 buckets), the standard distributed formulation — each shard
+    * packs independently in parallel, no global prefix sum; only the last
+    * pack of each shard is padded. The running offset is one partitioned
+    * window (shuffle on sbucket), everything after is arithmetic. */
+  def packPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("sbucket").orderBy("skey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokCounts(spark, sfDir)
+      .filter(col("n_tokens") > 0)
+      .withColumn("skey", expr(skeyExpr))
+      .withColumn("sbucket", expr(hexBucketSql("skey")))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("start_off", col("cum") - col("n_tokens"))
+      .withColumn("pack_first", expr(s"start_off DIV $SeqLen"))
+      .withColumn("pack_last", expr(s"(cum - 1) DIV $SeqLen"))
+      .select("doc_id", "sbucket", "start_off", "n_tokens",
+        "pack_first", "pack_last")
+      .orderBy("sbucket", "start_off")
+  }
+
+  // ------------------------------------------------------ decontamination
+
+  /** Deterministic stand-in for a benchmark/eval set: every 29th document
+    * (offset 7). */
+  private val evalPred = col("doc_id") % 29 === 7
+
+  /** Benchmark decontamination: training documents sharing ≥1 distinct
+    * 3-gram shingle with any eval document, with the shared-shingle count —
+    * the n-gram-overlap contamination test run before training. The eval
+    * side of the join is the (tiny) benchmark's distinct shingles,
+    * broadcast; the corpus side streams — no shuffle until the per-doc
+    * count. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = TextAnalysis.shingles(spark, sfDir)
+    val evalShingles = sh.filter(evalPred).select("sh").distinct()
+    sh.filter(!evalPred)
+      .join(broadcast(evalShingles), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------ bm25
+
+  /** Fixed retrieval query (terms chosen to hit the synthetic corpus). */
+  val QueryTerms: Seq[String] = Seq("the", "of", "la")
+  val K1 = 1.2
+  val B = 0.75
+
+  /** BM25 top-50 over the corpus for [[QueryTerms]], with a RATIONAL idf
+    * `(N - df + 0.5) / (df + 0.5)` instead of its logarithm: `ln` is the one
+    * BM25 ingredient libms disagree on in the last ulp (IEEE only requires
+    * correctly-rounded +,-,*,/,sqrt), and a log-free idf keeps every
+    * intermediate bit-identical across engines while preserving the
+    * classic tf saturation shape. Document stats aggregate in one pass
+    * (exact integer sums), broadcast as a single row; scoring is one
+    * codegen'd projection over the scan; top-50 is a TakeOrdered — no
+    * global sort materialization. */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(TextAnalysis.toksExpr).as("toks"))
+      .withColumn("dl", expr("size(toks)").cast("long"))
+      .select(col("doc_id") +: col("dl") +: QueryTerms.zipWithIndex.map {
+        case (t, i) =>
+          expr(s"size(filter(toks, x -> x = '$t'))").cast("long").as(s"tf_$i")
+      }: _*)
+    val aggCols = count(lit(1)).as("n") +: sum("dl").as("sdl") +:
+      QueryTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = docs.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val score = QueryTerms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = (col("n").cast("double") - col(s"df_$i").cast("double")
+        + lit(0.5)) / (col(s"df_$i").cast("double") + lit(0.5))
+      idf * (tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / avgdl)))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .filter(col("score") > 0.0)
+      .select("doc_id", "dl", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+}

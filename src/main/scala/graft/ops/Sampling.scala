@@ -24,7 +24,7 @@ object Sampling {
   /** 8-bit bucket from the first two hex digits of `md5(CAST(id AS STRING))`
     * — pure ASCII hex-digit arithmetic, bit-identical in DuckDB
     * (`instr` ↔ `strpos`). */
-  private def bucketSql(c: String): String =
+  private[ops] def bucketSql(c: String): String =
     s"CAST((instr('0123456789abcdef', substr(md5(CAST($c AS STRING)), 1, 1)) - 1) * 16" +
       s" + instr('0123456789abcdef', substr(md5(CAST($c AS STRING)), 2, 1)) - 1 AS BIGINT)"
 

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.Corpus
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  private val sf = GraftSpark.Sf
+
+  test("mix lands every source in its deterministic epoch interval") {
+    val stats = Corpus.mixStats(spark, sf).collect()
+    val tTotal = stats.map(_.getAs[Long]("raw_tokens")).sum
+    val budget = Corpus.BudgetFactor * tTotal
+    // every doc gets floor or floor+1 epochs, so source token mass is HARD
+    // bounded by [floor*t_s, (floor+1)*t_s]; the fractional-epoch hash is a
+    // per-doc estimator, so only the CORPUS total tracks the budget tightly
+    stats.foreach { r =>
+      val (w, ts) = (r.getAs[Long]("weight"), r.getAs[Long]("raw_tokens"))
+      val floor = (w * budget) / (Corpus.SumWeights * ts)
+      val got = r.getAs[Long]("mixed_tokens")
+      assert(got >= floor * ts && got <= (floor + 1) * ts,
+        s"${r.getAs[String]("source")}: $got outside [${floor * ts}, ${(floor + 1) * ts}]")
+    }
+    val mixedTotal = stats.map(_.getAs[Long]("mixed_tokens")).sum.toDouble
+    assert(math.abs(mixedTotal - budget) / budget < 0.10,
+      s"corpus total $mixedTotal vs budget $budget")
+  }
+
+  test("mix epochs are dense 1..reps per doc and deterministic") {
+    val mix = Corpus.corpusMix(spark, sf)
+    val perDoc = mix.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"), min("epoch").as("mn"))
+    assert(perDoc.filter(col("n") =!= col("mx") || col("mn") =!= 1).isEmpty)
+    // idempotence: a re-run builds the identical frame
+    assert(mix.exceptAll(Corpus.corpusMix(spark, sf)).isEmpty)
+  }
+
+  test("two-phase global shuffle equals the single-window global rank") {
+    val got = Corpus.globalShuffle(spark, sf)
+    val flat = got.select("doc_id", "skey")
+      .withColumn("pos",
+        row_number().over(Window.orderBy("skey", "doc_id")).cast("long"))
+    assert(got.exceptAll(flat).isEmpty && flat.exceptAll(got).isEmpty)
+    // pos is a permutation of 1..N
+    val n = got.count()
+    assert(got.agg(min("pos"), max("pos"), countDistinct("pos"))
+      .as[(Long, Long, Long)].head() == ((1L, n, n)))
+  }
+
+  test("packing tiles each shard contiguously from offset 0") {
+    val plan = Corpus.packPlan(spark, sf)
+    val w = Window.partitionBy("sbucket").orderBy("start_off")
+    val bad = plan
+      .withColumn("prev_end", lag(col("start_off") + col("n_tokens"), 1, 0L).over(w))
+      .filter(col("start_off") =!= col("prev_end") ||
+        col("pack_first") > col("pack_last") ||
+        col("pack_first") =!= expr(s"start_off DIV ${Corpus.SeqLen}"))
+    assert(bad.isEmpty)
+    // a doc spans exactly the packs its token range covers
+    val spanBad = plan.filter(col("pack_last") - col("pack_first") =!=
+      expr(s"(start_off % ${Corpus.SeqLen} + n_tokens - 1) DIV ${Corpus.SeqLen}"))
+    assert(spanBad.isEmpty)
+  }
+
+  test("decontamination flags no eval docs and only true overlaps") {
+    val flagged = Corpus.decontaminate(spark, sf)
+    assert(flagged.filter(col("doc_id") % 29 === 7).isEmpty)
+    assert(flagged.filter(col("n_shared") < 1).isEmpty)
+    // spot-check: every flagged doc really shares a shingle with the eval set
+    val sh = graft.ops.TextAnalysis.shingles(spark, sf)
+    val evalSh = sh.filter(col("doc_id") % 29 === 7).select("sh").distinct()
+    val verified = sh.join(evalSh, Seq("sh")).select("doc_id").distinct()
+    assert(flagged.join(verified, Seq("doc_id"), "left_anti").isEmpty)
+  }
+
+  test("bm25 scores are positive, capped at 50, and tf-monotone") {
+    val res = Corpus.bm25(spark, sf).collect()
+    assert(res.length <= 50 && res.forall(_.getAs[Double]("score") > 0))
+    // descending by (score, doc_id asc) — the deterministic cut order
+    val pairs = res.map(r => (r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+    assert(pairs.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2); case _ => true })
+  }
+}
