@@ -96,6 +96,41 @@ class PlanAuditSpec extends AnyFunSuite {
       vo.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
   }
 
+  test("corpus mix joins the broadcast epoch plan; the corpus never shuffles") {
+    val p = plan("q_corpus_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only range partitioning is the presentation sort; the doc side
+    // reaches the join without a hash exchange (the groupBys live inside
+    // the broadcast plan subtree)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("global shuffle: only the 256-row offset frame passes SinglePartition") {
+    val p = plan("q_global_shuffle")
+    // two-phase rank: the corpus ranks inside hashpartitioning(sbucket);
+    // exactly one SinglePartition exchange exists and it carries the
+    // 256-row bucket-count frame (prefix-sum window), never the corpus
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(sbucket"), p)
+  }
+
+  test("seq packing windows are sharded — no single-partition stage at all") {
+    val p = plan("q_seq_pack")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("hashpartitioning(sbucket"), p)
+  }
+
+  test("bm25: stats broadcast; top-50 is a TakeOrdered, not a global sort") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("decontamination joins broadcast eval shingles") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("catalog-wide: unused events columns are pruned from every scan") {
     // `props` is never used by any operator; a scan reading it means a
     // column-pruning regression (at 100 TB, reading a dead wide column is
