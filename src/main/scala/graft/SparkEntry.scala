@@ -1092,6 +1092,63 @@ object Catalog {
 
     QEntry("q_bm25", Corpus.bm25, Some(bm25Oracle)),
 
+    // ---- corpus cleaning (ops/Clean.scala)
+    QEntry("q_token_dedup", Clean.tokenDedup, Some(withDocs(
+      """, pos AS (
+        |  SELECT doc_id, t.i AS p, toks[t.i] AS tok
+        |  FROM docs, unnest(range(1, len(toks) + 1)) AS t(i)
+        |),
+        |firsts AS (
+        |  SELECT doc_id, tok, min(p) AS p FROM pos GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS dedup_text,
+        |         CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM firsts GROUP BY doc_id
+        |)
+        |SELECT a.doc_id, CAST(len(d.toks) AS BIGINT) AS n_orig,
+        |       a.n_kept, a.dedup_text
+        |FROM agg a JOIN docs d ON d.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin))),
+
+    QEntry("q_source_cap", Clean.sourceCap, Some(
+      s"""SELECT doc_id, source, rn FROM (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR) || '_cap'), doc_id)
+         |           AS BIGINT) AS rn
+         |  FROM documents
+         |) WHERE rn <= ${Clean.SourceCap} ORDER BY doc_id""".stripMargin)),
+
+    QEntry("q_quality_prune", Clean.qualityPrune, Some(withDocs(
+      s"""SELECT doc_id, lang, quality_score, pr FROM (
+         |  SELECT doc_id, lang, quality_score,
+         |         percent_rank() OVER (PARTITION BY lang
+         |           ORDER BY quality_score) AS pr
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |           round(least(1.0, CAST(len(toks) AS DOUBLE) / 20.0)
+         |             * (1.0 - 0.5 * (CAST(${markerCount("en")} AS DOUBLE)
+         |               / CAST(len(toks) AS DOUBLE))), 6) AS quality_score
+         |    FROM docs
+         |  )
+         |) WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin))),
+
+    QEntry("q_vocab_top", Clean.vocabTop, Some(withDocs(
+      s"""SELECT tok, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest(toks) AS tok FROM docs)
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT ${Clean.VocabK}""".stripMargin))),
+
+    QEntry("q_bigram_top", Clean.bigramTop, Some(withDocs(
+      s"""SELECT bigram, CAST(count(*) AS BIGINT) AS n
+         |FROM (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM docs WHERE len(toks) >= 2
+         |)
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT ${Clean.VocabK}"""
+        .stripMargin))),
+
     QEntry("q_jaccard_top1", Dedup.jaccardTop1, Some(withShingles(
       s"""SELECT doc_a AS doc_id, doc_b AS partner_id,
          |       round(jaccard, 6) AS jaccard

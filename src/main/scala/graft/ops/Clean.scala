@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus cleaning / curation operators over `documents`: within-document
+  * repetition removal, per-source document caps, per-language quality
+  * pruning, and corpus vocabulary statistics.
+  *
+  * Same doctrine as [[Corpus]]: deterministic everywhere — dedup keeps the
+  * FIRST occurrence (explicit min-position arithmetic, not an engine's
+  * unspecified `*_distinct` ordering), caps rank by a salted md5 priority,
+  * ties in top-k resolve by term — so the DuckDB oracle reproduces every
+  * row and re-runs are idempotent.
+  */
+object Clean {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(TextAnalysis.toksExpr))
+
+  /** Within-document repetition removal: rebuild each text from the first
+    * occurrence of every distinct token, in original order. Spelled as
+    * min-position grouping + positional re-sort (portable), NOT
+    * `array_distinct`/`list_distinct` (first-occurrence order is an
+    * implementation detail there). Work is proportional to token count;
+    * the per-doc aggregates combine map-side. */
+  def tokenDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+    base.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .groupBy("doc_id", "tok").agg(min("pos").as("p"))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(p, tok))), s -> s.tok)"))
+          .as("dedup_text"),
+        count(lit(1)).as("n_kept"))
+      .join(base.select(col("doc_id"),
+        expr("size(toks)").cast("long").as("n_orig")), Seq("doc_id"))
+      .select("doc_id", "n_orig", "n_kept", "dedup_text")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source document cap (the per-domain cap of web curation): keep at
+    * most [[SourceCap]] documents per source, chosen by a salted-hash
+    * priority so the survivors are a stable pseudo-random sample, not
+    * whatever happens to sort first. One shuffle on source; at 100 TB the
+    * rank is per-source-partition parallel and the cap bounds every
+    * group's output. */
+  val SourceCap = 15
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit("_cap"))).as("prio"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("prio", "doc_id")).cast("long"))
+      .filter(col("rn") <= SourceCap)
+      .select("doc_id", "source", "rn")
+      .orderBy("doc_id")
+
+  /** Per-language quality pruning: keep the top half of each language by
+    * [[TextAnalysis.quality]]'s composite score (`percent_rank >= 0.5`;
+    * ties share a rank, so equal-scored documents share a fate). The window
+    * is partitioned by language — parallel across groups, never a global
+    * sort. */
+  def qualityPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .join(q, Seq("doc_id"))
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy("lang").orderBy("quality_score")))
+      .filter(col("pr") >= 0.5)
+      .select("doc_id", "lang", "quality_score", "pr")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus vocabulary: top-[[VocabK]] tokens by document-independent term
+    * frequency (ties → lexicographic). The classic word-count shape: the
+    * per-token partial aggregate combines map-side, the top-k is a
+    * TakeOrdered — nothing materializes a global sort. */
+  val VocabK = 100
+  def vocabTop(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(VocabK)
+
+  /** Top-[[VocabK]] adjacent-token bigrams — same shape as [[vocabTop]]
+    * with a positional zip (no self-join; the bigram list is built inside
+    * one codegen'd projection). */
+  def bigramTop(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .filter(expr("size(toks) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(VocabK)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.Clean
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CleanSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  private val sf = GraftSpark.Sf
+
+  test("token dedup: no repeats, subset of original, order-preserving fixpoint") {
+    val d = Clean.tokenDedup(spark, sf)
+    // every rebuilt text has exactly n_kept distinct tokens and no repeats
+    val bad = d.withColumn("ts", split(col("dedup_text"), " "))
+      .filter(expr("size(ts) != n_kept OR size(array_distinct(ts)) != n_kept")
+        || col("n_kept") > col("n_orig"))
+    assert(bad.isEmpty)
+    // dedup is a fixpoint: running it over its own output changes nothing
+    val again = d.select(col("doc_id"), col("dedup_text").as("text"))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .groupBy("doc_id", "tok").agg(min("pos").as("p"))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(p, tok))), s -> s.tok)"))
+        .as("dedup2"))
+    val changed = d.join(again, Seq("doc_id"))
+      .filter(col("dedup_text") =!= col("dedup2"))
+    assert(changed.isEmpty)
+  }
+
+  test("source cap keeps at most K per source and is a stable sample") {
+    val c = Clean.sourceCap(spark, sf)
+    val over = c.groupBy("source").agg(count(lit(1)).as("n"))
+      .filter(col("n") > Clean.SourceCap)
+    assert(over.isEmpty)
+    assert(c.exceptAll(Clean.sourceCap(spark, sf)).isEmpty)
+  }
+
+  test("quality prune: within a language no dropped doc outscores a kept one") {
+    val kept = Clean.qualityPrune(spark, sf)
+    val all = graft.ops.TextAnalysis.quality(spark, sf)
+      .select("doc_id", "quality_score")
+      .join(Tables.documents(spark, sf).select("doc_id", "lang"), Seq("doc_id"))
+    val dropped = all.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxDropped = dropped.groupBy("lang")
+      .agg(max("quality_score").as("mx_dropped"))
+    val minKept = kept.groupBy("lang").agg(min("quality_score").as("mn_kept"))
+    val bad = minKept.join(maxDropped, Seq("lang"))
+      .filter(col("mn_kept") < col("mx_dropped"))
+    assert(bad.isEmpty)
+  }
+
+  test("vocab and bigram top-k: correctly ordered, counts verifiable") {
+    val v = Clean.vocabTop(spark, sf).collect()
+    assert(v.length <= Clean.VocabK)
+    assert(v.sliding(2).forall {
+      case Array(a, b) =>
+        val (na, nb) = (a.getAs[Long]("n"), b.getAs[Long]("n"))
+        na > nb || (na == nb && a.getAs[String]("tok") < b.getAs[String]("tok"))
+      case _ => true
+    })
+    // spot-check the top token's count against a direct scan
+    val top = v.head
+    val direct = Tables.documents(spark, sf)
+      .select(explode(expr(graft.ops.TextAnalysis.toksExpr)).as("t"))
+      .filter(col("t") === top.getAs[String]("tok")).count()
+    assert(direct == top.getAs[Long]("n"))
+    val bg = Clean.bigramTop(spark, sf).collect()
+    assert(bg.nonEmpty && bg.length <= Clean.VocabK)
+    assert(bg.forall(_.getAs[String]("bigram").split(" ").length == 2))
+  }
+}
