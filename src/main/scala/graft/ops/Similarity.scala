@@ -215,27 +215,48 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: component (p, i) is the first
     * hex digit of md5(p || '_' || i) centered at 7.5 — reproducible in SQL,
-    * no RNG state. Returns (p, i, c). */
+    * no RNG state. Returns (p, i, c). The execution path uses the
+    * constant-folded [[planeConsts]]; this SQL form is the specification
+    * the oracle mirrors, and DedupSimilaritySpec proves the two identical. */
   def planes(spark: SparkSession): DataFrame =
     spark.range(NumPlanes).select(col("id").as("p"),
         explode(sequence(lit(0), lit(63))).as("i"))
       .withColumn("c",
         expr("CAST(instr('0123456789abcdef', substr(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 1)) - 1 AS DOUBLE) - 7.5"))
 
+  /** The 16×64 hyperplane constants, computed at plan-BUILD time from the
+    * same md5 arithmetic as [[planes]] (first hex digit of md5("p_i"),
+    * centered at 7.5). [[planes]] stays as the SQL-visible twin the oracle
+    * mirrors; this is the constant-folded form. */
+  private[graft] lazy val planeConsts: Seq[Seq[Double]] =
+    (0 until NumPlanes).map { p =>
+      (0 until 64).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${p}_$i".getBytes("UTF-8"))
+        ((d(0) >> 4) & 0xf).toDouble - 7.5
+      }
+    }
+
   /** Unsorted (vec_id, bucket) frame, persisted BEFORE the output sort:
     * the join consumers would reshuffle an ordered cache anyway, so the
-    * cache build must not pay a global sort nobody keeps. */
-  private def bucketFrame(spark: SparkSession, sfDir: String): DataFrame =
+    * cache build must not pay a global sort nobody keeps.
+    *
+    * The 16 plane dots are literal-array [[graft.functions.DecimalDot]]
+    * calls in ONE codegen'd projection — bucketing is a pure narrow map
+    * over the scan, NO shuffle at any corpus size. (The previous
+    * formulation posexploded 64× and aggregated twice; the arithmetic —
+    * exact decimal sum per plane, sign test — is unchanged, so the oracle
+    * and every bucket value are identical.) */
+  private def bucketFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val bits = planeConsts.map { cs =>
+      val arr = cs.map(c => s"${c}D").mkString("array(", ", ", ")")
+      when(expr(s"${graft.functions.DecimalDot.Name}(v, $arr)") > 0, "1")
+        .otherwise("0")
+    }
     emb(spark, sfDir)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-      .join(broadcast(planes(spark)), Seq("i"))
-      .groupBy("vec_id", "p")
-      .agg(sum(expr("CAST(x * c AS DECIMAL(38,18))")).as("s"))
-      .groupBy("vec_id")
-      .agg(concat_ws("", expr(
-        "transform(array_sort(collect_list(struct(p, s))), e -> CASE WHEN e.s > 0 THEN '1' ELSE '0' END)"))
-        .as("bucket"))
+      .select(col("vec_id"), concat(bits: _*).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** 16-bit LSH bucket per vector: bit p = sign(v · plane_p). */
   def hyperplaneBuckets(spark: SparkSession, sfDir: String): DataFrame =

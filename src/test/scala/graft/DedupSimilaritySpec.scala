@@ -62,6 +62,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Similarity.NumPlanes)
   }
 
+  test("constant-folded hyperplanes equal the SQL planes() specification") {
+    // the bucketing hot path uses plan-time constants; planes() is the
+    // SQL-visible spelling the DuckDB oracle mirrors — they must never drift
+    val sql = graft.ops.Similarity.planes(spark)
+      .orderBy("p", "i").collect()
+      .map(r => (r.getAs[Number]("p").longValue, r.getAs[Number]("i").longValue,
+        r.getAs[Double]("c")))
+    val folded = graft.ops.Similarity.planeConsts.zipWithIndex.flatMap {
+      case (cs, p) => cs.zipWithIndex.map { case (c, i) => (p.toLong, i.toLong, c) }
+    }
+    assert(sql.toSeq == folded)
+  }
+
   test("multimodal features are a pure function of bytes") {
     val f = graft.ops.Multimodal.extractFeatures(spark, GraftSpark.Sf)
     val bad = f.filter(col("width") =!= lit(16) + col("n_bytes") % 640).count()

@@ -131,6 +131,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("lsh bucketing is a narrow map — no hash exchange before the sort") {
+    // 16 plan-time-constant hyperplane dots in one codegen'd projection;
+    // the old posexplode+groupBy formulation shuffled the corpus twice
+    val p = plan("q_lsh_buckets")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("decimaldot"), p) // the Expression's printed name
+  }
+
   test("catalog-wide: unused events columns are pruned from every scan") {
     // `props` is never used by any operator; a scan reading it means a
     // column-pruning regression (at 100 TB, reading a dead wide column is
