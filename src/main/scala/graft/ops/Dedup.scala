@@ -26,27 +26,47 @@ object Dedup {
   val NumHashes = 8
   val BandRows = 2 // 4 bands × 2 rows
 
+  /** Wide per-document signature row (doc_id, m0..m7): ONE aggregate over
+    * the shingle stream with [[NumHashes]] min columns — each partition
+    * partial-aggregates every document's shingles down to 8 hex strings
+    * before the shuffle. The naive spelling (explode shingles ×8, group by
+    * (doc, seed)) amplifies the shuffle 8× and carries a row per (doc,
+    * seed); this carries a row per doc. */
+  private def sigRows(spark: SparkSession, sfDir: String): DataFrame = {
+    val mins = (0 until NumHashes).map(j =>
+      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"m$j"))
+    TextAnalysis.shingles(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+  }
+
   /** MinHash signatures: for seed j, min over the document's distinct
     * 3-word shingles of md5(j || '|' || shingle). Lexicographic min over hex
-    * strings — portable across engines (pure ASCII, bytewise compare). */
+    * strings — portable across engines (pure ASCII, bytewise compare).
+    * Catalog shape (doc_id, j, mh) unfolds from the wide [[sigRows]]. */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.shingles(spark, sfDir)
-      .select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("sh"))))
-        .as("mh"))
+    sigRows(spark, sfDir)
+      .select(col("doc_id"), posexplode(
+        array((0 until NumHashes).map(j => col(s"m$j")): _*))
+        .as(Seq("j", "mh")))
       .select(col("doc_id"), col("j").cast("long").as("j"), col("mh"))
       .orderBy("doc_id", "j")
 
-  /** LSH band hashes: signature rows grouped into bands of [[BandRows]],
-    * hashed; equal (band, hash) ⇒ candidate near-duplicates. */
-  def minhashBands(spark: SparkSession, sfDir: String): DataFrame =
-    minhashSignatures(spark, sfDir)
-      .groupBy(col("doc_id"), floor(col("j") / BandRows).as("band"))
-      .agg(md5(concat_ws("|",
-        expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")))
-        .as("bh"))
+  /** LSH band hashes: signature positions grouped into bands of
+    * [[BandRows]], hashed. Pure projection over [[sigRows]] — every band
+    * hash is a concat of columns already on the row, so banding adds NO
+    * shuffle (the old form re-grouped by (doc, band)). Equal (band, bh) ⇒
+    * candidate near-duplicates. */
+  def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      md5(concat_ws("|",
+        (0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*))
+    }
+    sigRows(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(array(bands: _*)).as(Seq("band", "bh")))
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("bh"))
+  }
 
   /** Candidate near-duplicate pairs from LSH banding (doc_a < doc_b),
     * unordered — the shared JOIN INPUT form (consumers reshuffle an ordered
@@ -239,25 +259,30 @@ object Dedup {
   /** SimHash: per token occurrence and bit position b, extract bit b of the
     * token's md5 (hex-digit arithmetic — portable), sum ±1 contributions,
     * bit_b = 1 iff the sum is positive; emit the 16-char bit string. Equal
-    * simhash ⇒ near-duplicate token distribution. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    * simhash ⇒ near-duplicate token distribution.
+    *
+    * ONE aggregate over the token stream with [[SimHashBits]] sum columns
+    * (map-side combined to 16 longs per doc per partition) — the naive
+    * spelling exploded every token ×16 and shuffled twice (by (doc, bit),
+    * then by doc). Per-bit arithmetic matches the exploded form
+    * term-for-term: same `/` (double division), floor, INT cast, %2. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sums = (0 until SimHashBits).map { b =>
+      val pos = b / 4 + 1 // 1-based hex digit holding bit b
+      val div = 1 << (3 - b % 4) // bit weight within the digit
+      sum(expr(
+        s"(CAST(floor((instr('0123456789abcdef', substr(md5(tok), $pos, 1)) - 1) / $div) AS INT) % 2) * 2 - 1"))
+        .as(s"s$b")
+    }
+    val bits = (0 until SimHashBits).map(b =>
+      when(col(s"s$b") > 0, "1").otherwise("0"))
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(expr(TextAnalysis.toksExpr)).as("tok"))
-      .withColumn("h", md5(col("tok")))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(SimHashBits - 1))).as("b"))
-      .withColumn("digit",
-        expr("instr('0123456789abcdef', substr(h, CAST(b div 4 AS INT) + 1, 1)) - 1"))
-      .withColumn("bit",
-        expr("CAST(floor(digit / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2"))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("bit") * 2 - 1).as("s"))
+      .select(col("doc_id"), explode(expr(TextAnalysis.toksExpr)).as("tok"))
       .groupBy("doc_id")
-      .agg(concat_ws("", expr(
-        "transform(array_sort(collect_list(struct(b, s))), x -> CASE WHEN x.s > 0 THEN '1' ELSE '0' END)"))
-        .as("simhash"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
       .orderBy("doc_id")
+  }
 
   /** Bits per pigeonhole band: Hamming distance ≤ d means at most d bands
     * differ, so two fingerprints within distance [[SimHashMaxDist]] share at
