@@ -1149,6 +1149,26 @@ object Catalog {
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT ${Clean.VocabK}"""
         .stripMargin))),
 
+    QEntry("q_token_ids", Clean.tokenIds, Some(withDocs(
+      s""", vocab AS (
+         |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok)
+         |    AS BIGINT) AS id
+         |  FROM (
+         |    SELECT tok, count(*) AS n
+         |    FROM (SELECT unnest(toks) AS tok FROM docs)
+         |    GROUP BY tok ORDER BY n DESC, tok LIMIT ${Clean.VocabK}
+         |  )
+         |),
+         |pos AS (
+         |  SELECT d.doc_id, t.i AS p, d.toks[t.i] AS tok
+         |  FROM docs d, unnest(range(1, len(d.toks) + 1)) AS t(i)
+         |)
+         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       list(COALESCE(v.id, 0) ORDER BY p.p) AS ids
+         |FROM pos p LEFT JOIN vocab v ON v.tok = p.tok
+         |GROUP BY p.doc_id
+         |ORDER BY p.doc_id""".stripMargin))),
+
     QEntry("q_jaccard_top1", Dedup.jaccardTop1, Some(withShingles(
       s"""SELECT doc_a AS doc_id, doc_b AS partner_id,
          |       round(jaccard, 6) AS jaccard

@@ -89,6 +89,31 @@ object Clean {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(VocabK)
 
+  /** Tokenization to ids: apply the [[vocabTop]] vocabulary as a broadcast
+    * token→id map (id = 1-based frequency rank; out-of-vocabulary → 0, the
+    * UNK convention) and emit each document's ordered id sequence — the
+    * text→ids step a trainer consumes. The corpus explodes to (doc, pos,
+    * tok), the TINY vocab broadcasts (never the corpus), and one grouped
+    * positional re-sort rebuilds sequences; sequence length is carried so
+    * downstream packing needs no re-tokenization. */
+  def tokenIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = vocabTop(spark, sfDir)
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("n").desc, col("tok").asc)).cast("long"))
+      .select("tok", "id")
+    docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, id))), s -> s.id)")
+          .as("ids"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("ids"))
+      .orderBy("doc_id")
+  }
+
   /** Top-[[VocabK]] adjacent-token bigrams — same shape as [[vocabTop]]
     * with a positional zip (no self-join; the bigram list is built inside
     * one codegen'd projection). */

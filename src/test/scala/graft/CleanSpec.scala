@@ -52,6 +52,34 @@ class CleanSpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("token ids: positional round-trip through the vocab, UNK only for OOV") {
+    val ids = Clean.tokenIds(spark, sf)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr(graft.ops.TextAnalysis.toksExpr).as("toks"))
+    // length parity: one id per token, in order
+    val lenBad = ids.join(toks, Seq("doc_id"))
+      .filter(col("n_tokens") =!= size(col("toks")) ||
+        size(col("ids")) =!= size(col("toks")))
+    assert(lenBad.isEmpty)
+    // decode: zip ids with tokens; id>0 must map back to the same token,
+    // id=0 must be out-of-vocabulary
+    val vocab = Clean.vocabTop(spark, sf)
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("tok").asc)).cast("long"))
+    val pairs = ids.join(toks, Seq("doc_id"))
+      .select(explode(arrays_zip(col("ids"), col("toks"))).as("z"))
+      .select(col("z.ids").as("id"), col("z.toks").as("tok"))
+    val wrongHit = pairs.filter(col("id") > 0)
+      .join(vocab.select(col("id"), col("tok").as("vtok")), Seq("id"))
+      .filter(col("tok") =!= col("vtok"))
+    assert(wrongHit.isEmpty)
+    val wrongMiss = pairs.filter(col("id") === 0)
+      .join(vocab.select("tok"), Seq("tok"), "left_semi")
+    assert(wrongMiss.isEmpty)
+  }
+
   test("vocab and bigram top-k: correctly ordered, counts verifiable") {
     val v = Clean.vocabTop(spark, sf).collect()
     assert(v.length <= Clean.VocabK)
