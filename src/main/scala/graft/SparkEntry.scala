@@ -1082,6 +1082,47 @@ object Catalog {
          |       (cum - 1) // ${Corpus.SeqLen} AS pack_last
          |FROM c ORDER BY sbucket, start_off""".stripMargin)),
 
+    QEntry("q_packed_seqs", Corpus.packedSequences, Some(withDocs(
+      s""", vocab AS (
+         |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok)
+         |    AS BIGINT) AS id
+         |  FROM (
+         |    SELECT tok, count(*) AS n
+         |    FROM (SELECT unnest(toks) AS tok FROM docs)
+         |    GROUP BY tok ORDER BY n DESC, tok LIMIT ${Clean.VocabK}
+         |  )
+         |),
+         |pos AS (
+         |  SELECT d.doc_id, t.i AS p, d.toks[t.i] AS tok
+         |  FROM docs d, unnest(range(1, len(d.toks) + 1)) AS t(i)
+         |),
+         |idtok AS (
+         |  SELECT p.doc_id, p.p, COALESCE(v.id, 0) AS id
+         |  FROM pos p LEFT JOIN vocab v ON v.tok = p.tok
+         |),
+         |keyed AS (
+         |  SELECT doc_id, count(*) AS n,
+         |         md5(CAST(doc_id AS VARCHAR) || '_shuffle') AS skey,
+         |         ${hexBucketDuck("md5(CAST(doc_id AS VARCHAR) || '_shuffle')")}
+         |           AS sbucket
+         |  FROM idtok GROUP BY doc_id
+         |),
+         |cum AS (
+         |  SELECT doc_id, sbucket,
+         |         SUM(n) OVER (PARTITION BY sbucket ORDER BY skey, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+         |           AS start_off
+         |  FROM keyed
+         |),
+         |flat AS (
+         |  SELECT c.sbucket, c.start_off + i.p - 1 AS off, i.id
+         |  FROM cum c JOIN idtok i ON i.doc_id = c.doc_id
+         |)
+         |SELECT sbucket, CAST(off // ${Corpus.SeqLen} AS BIGINT) AS pack,
+         |       CAST(count(*) AS BIGINT) AS n_fill,
+         |       list(id ORDER BY off) AS ids
+         |FROM flat GROUP BY 1, 2 ORDER BY sbucket, pack""".stripMargin))),
+
     QEntry("q_decontaminate", Corpus.decontaminate, Some(withShingles(
       """SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
         |FROM shingles s

@@ -185,6 +185,33 @@ object Corpus {
       .orderBy("sbucket", "start_off")
   }
 
+  /** The trainer-ready artifact: packed id sequences. [[Clean.tokenIds]]'
+    * per-document id arrays are laid out in shuffle order (same per-shard
+    * offsets as [[packPlan]], here over whitespace-token counts so offsets
+    * and ids agree) and cut into [[SeqLen]]-token packs; each output row is
+    * one pack with its ordered ids and fill count (only the last pack of a
+    * shard is partial — padding is the trainer's call). Pipeline: broadcast
+    * vocab join → one partitioned window (offsets) → one grouped
+    * positional re-sort (packs); the id stream shuffles once. */
+  def packedSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("sbucket").orderBy("skey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.ops.Clean.tokenIds(spark, sfDir)
+      .withColumn("skey", expr(skeyExpr))
+      .withColumn("sbucket", expr(hexBucketSql("skey")))
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("sbucket"), col("start_off"),
+        posexplode(col("ids")).as(Seq("pos", "id")))
+      .withColumn("off", col("start_off") + col("pos"))
+      .groupBy(col("sbucket"), expr(s"off DIV $SeqLen").as("pack"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(off, id))), s -> s.id)")
+          .as("ids"),
+        count(lit(1)).as("n_fill"))
+      .select("sbucket", "pack", "n_fill", "ids")
+      .orderBy("sbucket", "pack")
+  }
+
   // ------------------------------------------------------ decontamination
 
   /** Deterministic stand-in for a benchmark/eval set: every 29th document

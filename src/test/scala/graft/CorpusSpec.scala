@@ -65,6 +65,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(spanBad.isEmpty)
   }
 
+  test("packed sequences tile each shard full except its last pack") {
+    val packs = Corpus.packedSequences(spark, sf)
+      .select(col("sbucket"), col("pack"), col("n_fill"), size(col("ids")).as("sz"))
+    assert(packs.filter(col("sz") =!= col("n_fill")).isEmpty)
+    val lastPack = packs.groupBy("sbucket").agg(max("pack").as("last"))
+    val partialNotLast = packs.join(lastPack, Seq("sbucket"))
+      .filter(col("n_fill") =!= Corpus.SeqLen && col("pack") =!= col("last"))
+    assert(partialNotLast.isEmpty)
+    // conservation: every token id lands in exactly one pack
+    val total = packs.agg(sum("n_fill")).head().getLong(0)
+    val expected = graft.ops.Clean.tokenIds(spark, sf)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(total == expected)
+  }
+
   test("decontamination flags no eval docs and only true overlaps") {
     val flagged = Corpus.decontaminate(spark, sf)
     assert(flagged.filter(col("doc_id") % 29 === 7).isEmpty)
