@@ -1123,6 +1123,57 @@ object Catalog {
          |       list(id ORDER BY off) AS ids
          |FROM flat GROUP BY 1, 2 ORDER BY sbucket, pack""".stripMargin))),
 
+    QEntry("q_mixed_packs", Corpus.mixedPackedSequences, Some {
+      val saltedKey =
+        "md5(CAST(m.doc_id AS VARCHAR) || '_' || CAST(m.epoch AS VARCHAR) || '_shuffle')"
+      withDocs(
+        s""", $corpusTokCte,
+           |$corpusPlanCtes,
+           |mixrows AS (
+           |  SELECT r.doc_id, u.e AS epoch
+           |  FROM reps r, unnest(range(1, r.reps + 1)) AS u(e)
+           |),
+           |vocab AS (
+           |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok)
+           |    AS BIGINT) AS id
+           |  FROM (
+           |    SELECT tok, count(*) AS n
+           |    FROM (SELECT unnest(toks) AS tok FROM docs)
+           |    GROUP BY tok ORDER BY n DESC, tok LIMIT ${Clean.VocabK}
+           |  )
+           |),
+           |pos AS (
+           |  SELECT d.doc_id, t.i AS p, d.toks[t.i] AS tok
+           |  FROM docs d, unnest(range(1, len(d.toks) + 1)) AS t(i)
+           |),
+           |idtok AS (
+           |  SELECT p.doc_id, p.p, COALESCE(v.id, 0) AS id
+           |  FROM pos p LEFT JOIN vocab v ON v.tok = p.tok
+           |),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM idtok GROUP BY 1),
+           |keyed AS (
+           |  SELECT m.doc_id, m.epoch, c.n, $saltedKey AS skey,
+           |         ${hexBucketDuck(saltedKey)} AS sbucket
+           |  FROM mixrows m JOIN cnt c ON c.doc_id = m.doc_id
+           |),
+           |cum AS (
+           |  SELECT doc_id, epoch, sbucket,
+           |         SUM(n) OVER (PARTITION BY sbucket
+           |           ORDER BY skey, doc_id, epoch
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           |           AS start_off
+           |  FROM keyed
+           |),
+           |flat AS (
+           |  SELECT c.sbucket, c.start_off + i.p - 1 AS off, i.id
+           |  FROM cum c JOIN idtok i ON i.doc_id = c.doc_id
+           |)
+           |SELECT sbucket, CAST(off // ${Corpus.SeqLen} AS BIGINT) AS pack,
+           |       CAST(count(*) AS BIGINT) AS n_fill,
+           |       list(id ORDER BY off) AS ids
+           |FROM flat GROUP BY 1, 2 ORDER BY sbucket, pack""".stripMargin)
+    }),
+
     QEntry("q_decontaminate", Corpus.decontaminate, Some(withShingles(
       """SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
         |FROM shingles s

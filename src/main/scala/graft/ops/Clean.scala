@@ -96,7 +96,13 @@ object Clean {
     * tok), the TINY vocab broadcasts (never the corpus), and one grouped
     * positional re-sort rebuilds sequences; sequence length is carried so
     * downstream packing needs no re-tokenization. */
-  def tokenIds(spark: SparkSession, sfDir: String): DataFrame = {
+  def tokenIds(spark: SparkSession, sfDir: String): DataFrame =
+    tokenIdRows(spark, sfDir).orderBy("doc_id")
+
+  /** Unsorted [[tokenIds]] — the JOIN-INPUT form for composition
+    * ([[Corpus.packedSequences]] and the mix→pack pipeline repartition it
+    * anyway; they must not pay a global sort nobody keeps). */
+  private[ops] def tokenIdRows(spark: SparkSession, sfDir: String): DataFrame = {
     val vocab = vocabTop(spark, sfDir)
       .withColumn("id", row_number().over(
         Window.orderBy(col("n").desc, col("tok").asc)).cast("long"))
@@ -111,7 +117,6 @@ object Clean {
           .as("ids"),
         count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("ids"))
-      .orderBy("doc_id")
   }
 
   /** Top-[[VocabK]] adjacent-token bigrams — same shape as [[vocabTop]]

@@ -75,11 +75,10 @@ object Corpus {
       .select("source", "w", "t_s", "floor_reps", "rem", "den")
   }
 
-  /** The mixed corpus: one row per (document, epoch). The whole operator is
-    * one scan + a broadcast of the per-source plan (constant-size) — the
-    * epoch explode is the only row amplification and it IS the output, so
-    * the plan is shuffle-free at any corpus size (output sort aside). */
-  def corpusMix(spark: SparkSession, sfDir: String): DataFrame =
+  /** Unsorted (doc_id, source, n_tokens, epoch) mix rows — the JOIN-INPUT
+    * form for composition (consumers reshuffle; they must not pay a global
+    * sort nobody keeps). */
+  private def mixRows(spark: SparkSession, sfDir: String): DataFrame =
     tokCounts(spark, sfDir)
       .join(broadcast(epochPlan(spark, sfDir)), Seq("source"))
       .withColumn("bucket", idBucket)
@@ -91,7 +90,13 @@ object Corpus {
       .withColumn("epoch",
         explode(expr("filter(sequence(1, greatest(reps, 1)), e -> e <= reps)")))
       .select("doc_id", "source", "n_tokens", "epoch")
-      .orderBy("doc_id", "epoch")
+
+  /** The mixed corpus: one row per (document, epoch). The whole operator is
+    * one scan + a broadcast of the per-source plan (constant-size) — the
+    * epoch explode is the only row amplification and it IS the output, so
+    * the plan is shuffle-free at any corpus size (output sort aside). */
+  def corpusMix(spark: SparkSession, sfDir: String): DataFrame =
+    mixRows(spark, sfDir).orderBy("doc_id", "epoch")
 
   /** Audit view of the mix: raw vs. mixed token mass per source. The mixed
     * mass lands within one document of `w_s/sumW * BudgetFactor * t_total`
@@ -196,8 +201,37 @@ object Corpus {
   def packedSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("sbucket").orderBy("skey", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    graft.ops.Clean.tokenIds(spark, sfDir)
+    graft.ops.Clean.tokenIdRows(spark, sfDir)
       .withColumn("skey", expr(skeyExpr))
+      .withColumn("sbucket", expr(hexBucketSql("skey")))
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("sbucket"), col("start_off"),
+        posexplode(col("ids")).as(Seq("pos", "id")))
+      .withColumn("off", col("start_off") + col("pos"))
+      .groupBy(col("sbucket"), expr(s"off DIV $SeqLen").as("pack"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(off, id))), s -> s.id)")
+          .as("ids"),
+        count(lit(1)).as("n_fill"))
+      .select("sbucket", "pack", "n_fill", "ids")
+      .orderBy("sbucket", "pack")
+  }
+
+  /** The WHOLE pipeline in one query: weighted mixing → epoch-salted
+    * deterministic shuffle → sequence packing of token ids. Every (doc,
+    * epoch) repetition from [[corpusMix]] enters the stream at its own
+    * shuffle position (the key salts doc_id WITH epoch, so a document's
+    * epochs scatter across shards instead of clumping), then packs exactly
+    * like [[packedSequences]]. Plan shape: two broadcasts (epoch plan,
+    * vocab) + one per-shard offset window + one grouped re-sort — the
+    * epoch-amplified id stream shuffles once. */
+  def mixedPackedSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("sbucket").orderBy("skey", "doc_id", "epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixRows(spark, sfDir).select("doc_id", "epoch")
+      .join(graft.ops.Clean.tokenIdRows(spark, sfDir), Seq("doc_id"))
+      .withColumn("skey", expr(
+        s"md5(concat(CAST(doc_id AS STRING), '_', CAST(epoch AS STRING), '$ShuffleSalt'))"))
       .withColumn("sbucket", expr(hexBucketSql("skey")))
       .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
       .select(col("sbucket"), col("start_off"),

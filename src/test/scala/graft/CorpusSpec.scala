@@ -80,6 +80,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(total == expected)
   }
 
+  test("mixed packs conserve exactly the epoch-amplified token stream") {
+    val packs = Corpus.mixedPackedSequences(spark, sf)
+    assert(packs.filter(size(col("ids")) =!= col("n_fill")).isEmpty)
+    val total = packs.agg(sum("n_fill")).head().getLong(0)
+    // expected: every (doc, epoch) contributes the doc's ws-token count
+    val expected = Corpus.corpusMix(spark, sf).select("doc_id")
+      .join(graft.ops.Clean.tokenIds(spark, sf), Seq("doc_id"))
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(total == expected, s"$total vs $expected")
+    // amplified stream is strictly larger than the single-epoch packing
+    val single = Corpus.packedSequences(spark, sf)
+      .agg(sum("n_fill")).head().getLong(0)
+    assert(total > single)
+  }
+
   test("decontamination flags no eval docs and only true overlaps") {
     val flagged = Corpus.decontaminate(spark, sf)
     assert(flagged.filter(col("doc_id") % 29 === 7).isEmpty)
