@@ -1261,6 +1261,38 @@ object Catalog {
          |GROUP BY p.doc_id
          |ORDER BY p.doc_id""".stripMargin))),
 
+    QEntry("q_incremental_dedup", Dedup.incrementalDedup, Some(withShingles(
+      s""", bands AS (
+         |  SELECT doc_id, j // ${Dedup.BandRows} AS band,
+         |         md5(string_agg(mh, '|' ORDER BY j)) AS bh
+         |  FROM (
+         |    SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
+         |    FROM shingles
+         |    CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
+         |    GROUP BY 1, 2
+         |  ) GROUP BY doc_id, j // ${Dedup.BandRows}
+         |),
+         |newdocs AS (SELECT doc_id, md5(text) AS h FROM documents
+         |            WHERE doc_id % 10 = 9),
+         |exact_hits AS (
+         |  SELECT DISTINCT n.doc_id FROM newdocs n
+         |  JOIN (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 9) o
+         |    ON o.h = n.h
+         |),
+         |near_hits AS (
+         |  SELECT DISTINCT nb.doc_id
+         |  FROM bands nb JOIN bands ob ON ob.band = nb.band AND ob.bh = nb.bh
+         |  WHERE nb.doc_id % 10 = 9 AND ob.doc_id % 10 <> 9
+         |)
+         |SELECT n.doc_id,
+         |       (e.doc_id IS NOT NULL) AS is_exact_dup,
+         |       (h2.doc_id IS NOT NULL) AS is_near_dup,
+         |       (e.doc_id IS NULL AND h2.doc_id IS NULL) AS accepted
+         |FROM newdocs n
+         |LEFT JOIN exact_hits e ON e.doc_id = n.doc_id
+         |LEFT JOIN near_hits h2 ON h2.doc_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin))),
+
     QEntry("q_jaccard_top1", Dedup.jaccardTop1, Some(withShingles(
       s"""SELECT doc_a AS doc_id, doc_b AS partner_id,
          |       round(jaccard, 6) AS jaccard

@@ -203,6 +203,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup — the daily-ingest scenario: admit a NEW batch
+    * (here: doc_id ≡ 9 mod 10) against the EXISTING corpus without
+    * re-clustering anything. A new document is rejected if its exact
+    * content hash already exists, or any of its LSH bands collides with an
+    * existing document's band. Both checks are semi-joins against
+    * corpus-side indexes (distinct hash set, distinct band set) — at scale
+    * those are the PERSISTED artifacts a corpus store maintains, so an
+    * increment costs O(batch), not O(corpus). */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = col("doc_id") % 10 === 9
+    val newDocs = docs.filter(isNew).select(col("doc_id"), md5(col("text")).as("h"))
+    val oldHashes = docs.filter(!isNew).select(md5(col("text")).as("h")).distinct()
+    val bands = minhashBands(spark, sfDir)
+    val newBands = bands.filter(col("doc_id") % 10 === 9)
+    val oldBands = bands.filter(col("doc_id") % 10 =!= 9)
+      .select("band", "bh").distinct()
+    val exactHits = newDocs.join(oldHashes, Seq("h"), "left_semi")
+      .select("doc_id").withColumn("e", lit(true))
+    val nearHits = newBands.join(oldBands, Seq("band", "bh"), "left_semi")
+      .select("doc_id").distinct().withColumn("nd", lit(true))
+    newDocs.select("doc_id")
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(false)).as("is_exact_dup"),
+        coalesce(col("nd"), lit(false)).as("is_near_dup"),
+        (!coalesce(col("e"), lit(false)) && !coalesce(col("nd"), lit(false)))
+          .as("accepted"))
+      .orderBy("doc_id")
+  }
+
   /** Document-frequency cap for the Jaccard inverted index: a shingle held
     * by d documents contributes d·(d−1)/2 candidate pairs, so ONE common
     * trigram makes its join bucket quadratic in corpus size — the classic

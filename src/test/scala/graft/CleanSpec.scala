@@ -80,6 +80,34 @@ class CleanSpec extends AnyFunSuite {
     assert(wrongMiss.isEmpty)
   }
 
+  test("incremental dedup agrees with the full pair graph and exact hashes") {
+    import graft.ops.Dedup
+    val res = Dedup.incrementalDedup(spark, sf)
+    val isNew = col("doc_id") % 10 === 9
+    // accepted ⇔ neither flag; flags partition the batch
+    assert(res.filter(col("accepted") =!=
+      (!col("is_exact_dup") && !col("is_near_dup"))).isEmpty)
+    // near-dup flags match the full LSH pair graph restricted to new↔old
+    val pairs = Dedup.minhashPairs(spark, sf)
+    val newOld = pairs.filter(col("doc_a") % 10 === 9 && col("doc_b") % 10 =!= 9)
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.filter(col("doc_b") % 10 === 9 && col("doc_a") % 10 =!= 9)
+        .select(col("doc_b").as("doc_id")))
+      .distinct()
+    val flagged = res.filter(col("is_near_dup")).select("doc_id")
+    assert(flagged.exceptAll(newOld).isEmpty && newOld.exceptAll(flagged).isEmpty)
+    // exact flags match text-hash collisions against the old corpus
+    val docs = Tables.documents(spark, sf)
+    val expectExact = docs.filter(isNew)
+      .join(docs.filter(!isNew).select(md5(col("text")).as("h")).distinct()
+        .join(docs.filter(isNew).select(col("doc_id"), md5(col("text")).as("h")),
+          Seq("h")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id")
+    val gotExact = res.filter(col("is_exact_dup")).select("doc_id")
+    assert(gotExact.exceptAll(expectExact).isEmpty &&
+      expectExact.exceptAll(gotExact).isEmpty)
+  }
+
   test("vocab and bigram top-k: correctly ordered, counts verifiable") {
     val v = Clean.vocabTop(spark, sf).collect()
     assert(v.length <= Clean.VocabK)
