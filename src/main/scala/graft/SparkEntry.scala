@@ -456,6 +456,14 @@ object Catalog {
            |       ${dsum("value")} AS volume
            |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
+    // Streaming exact dedup: the admitted hash set is order-independent,
+    // so the batch DISTINCT is its oracle (the engine-level dedup operator
+    // StreamDedup.dedupedStream, previously only spec-tested).
+    QEntry("q_stream_dedup",
+      graft.streaming.StreamingMetrics.streamingDedupHashes,
+      Some("""SELECT DISTINCT md5(text) AS content_hash FROM documents
+             |ORDER BY content_hash""".stripMargin)),
+
     QEntry("q_token_document", Metrics.tokenDocument, Some(withTransfers(
       s"""SELECT *,
          |       CAST(n_transfers AS DOUBLE) / CAST(active_days AS DOUBLE)

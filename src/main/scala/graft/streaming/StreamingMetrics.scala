@@ -65,4 +65,46 @@ object StreamingMetrics {
         col("dvolume").cast("double").as("volume"))
       .orderBy("contract_address", "t")
   }
+
+  /** documents schema for the streaming dedup source. */
+  val DocumentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup over a documents file-stream, drained
+    * synchronously: [[StreamDedup.dedupedStream]] admits exactly ONE row
+    * per content hash within the watermark horizon, so the admitted hash
+    * SET equals batch `SELECT DISTINCT md5(text)` — which is the oracle.
+    * (The kept row per hash depends on arrival order, so only the
+    * order-independent hash set is the contract; ingest time is synthesized
+    * from doc_id to carry the mandatory watermark.) */
+  def streamingDedupHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    val tableName = "graft_stream_dedup"
+    val stream = spark.readStream
+      .schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .withColumn("h", md5(col("text")))
+      // strictly AFTER the initial watermark (epoch 0): doc_id 0 at epoch 0
+      // exactly would be discarded as late before reaching the dedup state
+      .withColumn("ts_t", timestamp_micros((col("doc_id") + 1L) * 1000000L))
+    val deduped = StreamDedup
+      .dedupedStream(stream, "ts_t", "1 hour", Seq("h"))
+      .select("h")
+
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(tableName)
+      .select(col("h").as("content_hash"))
+      .orderBy("content_hash")
+  }
 }
