@@ -139,6 +139,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("decimaldot"), p) // the Expression's printed name
   }
 
+  test("mixed packs: corpus stream never funnels through one partition") {
+    // the end-to-end pipeline may SinglePartition only constant-size frames
+    // (the 100-row vocab rank, the ~|sources| epoch-plan totals); the
+    // amplified id stream must rank/pack inside hashpartitioning(sbucket)
+    val p = plan("q_mixed_packs")
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 2, s"$singles SinglePartition exchanges\n$p")
+    assert(p.contains("hashpartitioning(sbucket"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("catalog-wide: unused events columns are pruned from every scan") {
     // `props` is never used by any operator; a scan reading it means a
     // column-pruning regression (at 100 TB, reading a dead wide column is
