@@ -62,6 +62,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Similarity.NumPlanes)
   }
 
+  test("trained centroids: one exact-mean vector per surviving seed cell") {
+    import graft.ops.Similarity
+    val cents = Similarity.trainedCentroids(spark, GraftSpark.Sf).collect()
+    val seeds = Tables.embeddings(spark, GraftSpark.Sf)
+      .filter(col("vec_id") % Similarity.CentroidStride === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(cents.nonEmpty && cents.length <= seeds.size)
+    cents.foreach { r =>
+      assert(seeds.contains(r.getAs[Long]("cid"))) // cells keep seed ids
+      assert(r.getAs[scala.collection.Seq[Double]]("cv").length == 64)
+      assert(r.getAs[Double]("csq") > 0.0)
+    }
+  }
+
   test("constant-folded hyperplanes equal the SQL planes() specification") {
     // the bucketing hot path uses plan-time constants; planes() is the
     // SQL-visible spelling the DuckDB oracle mirrors — they must never drift

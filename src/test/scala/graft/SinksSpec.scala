@@ -58,6 +58,17 @@ class SinksSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("json sink round-trips values and schema (K3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val df = Seq((1L, "x", 1.5), (2L, "y", -0.25)).toDF("id", "s", "v")
+    Sinks.writeJson(df, s"$dir/out")
+    val back = spark.read.json(s"$dir/out")
+      .select(col("id"), col("s"), col("v")) // json infers alphabetical order
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(back.toSeq == Seq((1L, "x", 1.5), (2L, "y", -0.25)))
+  }
+
   test("partitioned write: lang-partitioned corpus with dynamic overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val docs = Tables.documents(spark, GraftSpark.Sf)
