@@ -456,6 +456,33 @@ object Catalog {
            |       ${dsum("value")} AS volume
            |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
+    // Streaming sessionization twin: same gaps-and-islands oracle as
+    // q_session_volume verifies streaming session-merge state end-to-end.
+    QEntry("q_stream_sessions",
+      graft.streaming.StreamingMetrics.sessionVolumeStreaming,
+      Some(s"""WITH ev AS (
+         |  SELECT event_type AS contract_address, value,
+         |         epoch_ns(ts) // 1000 AS us
+         |  FROM events
+         |),
+         |brk AS (
+         |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+         |                   OR lag(us) OVER w IS NULL
+         |            THEN 1 ELSE 0 END AS is_new
+         |  FROM ev WINDOW w AS (PARTITION BY contract_address ORDER BY us)
+         |),
+         |sess AS (
+         |  SELECT *, SUM(is_new) OVER (PARTITION BY contract_address ORDER BY us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM brk
+         |)
+         |SELECT contract_address,
+         |       min(us) // 1000000 AS s_start,
+         |       (max(us) + 1800000000) // 1000000 AS s_end,
+         |       ${dsum("value")} AS volume, count(*) AS n
+         |FROM sess GROUP BY contract_address, sid
+         |ORDER BY 1, 2""".stripMargin)),
+
     // Streaming exact dedup: the admitted hash set is order-independent,
     // so the batch DISTINCT is its oracle (the engine-level dedup operator
     // StreamDedup.dedupedStream, previously only spec-tested).

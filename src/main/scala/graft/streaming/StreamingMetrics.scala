@@ -66,6 +66,42 @@ object StreamingMetrics {
       .orderBy("contract_address", "t")
   }
 
+  /** Streaming sessionization twin of [[graft.ops.Metrics.sessionVolume]]:
+    * event-time `session_window` (30-min gap) over the events file-stream,
+    * drained synchronously in complete mode — no watermark, so no session
+    * is held back unemitted and the single-batch result equals the batch
+    * engine's sessions exactly (the gaps-and-islands oracle of
+    * `q_session_volume` verifies the streaming session-merge state). */
+  def sessionVolumeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tableName = "graft_stream_session_volume"
+
+    val stream = spark.readStream
+      .schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("event_type").as("contract_address"),
+        session_window(col("ts_t"), "30 minutes"))
+      .agg(sum(col("value").cast(DecimalType(25, 2))).as("dvolume"),
+        count(lit(1)).as("n"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(tableName)
+      .select(col("contract_address"),
+        unix_timestamp(col("session_window.start")).as("s_start"),
+        unix_timestamp(col("session_window.end")).as("s_end"),
+        col("dvolume").cast("double").as("volume"), col("n"))
+      .orderBy("contract_address", "s_start")
+  }
+
   /** documents schema for the streaming dedup source. */
   val DocumentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
