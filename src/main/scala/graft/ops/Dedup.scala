@@ -276,12 +276,14 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
       .withColumn("jaccard", col("inter").cast("double")
         / (col("n_a") + col("n_b") - col("inter")).cast("double"))
-    val w = Window.partitionBy("doc_a")
-      .orderBy(col("jaccard").desc, col("doc_b").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner_id"),
-        round(col("jaccard"), 6).as("jaccard"))
+    // arg-max as a map-side-combinable aggregate (see Similarity.assignCore)
+    // instead of a row_number sort window: no per-partner sort shuffle, and
+    // the negated id in the struct ordering breaks jaccard ties to the
+    // smaller partner — exactly the window's (jaccard DESC, doc_b ASC)
+    scored.groupBy("doc_a")
+      .agg(max(struct(col("jaccard"), (-col("doc_b")).as("nb"))).as("best"))
+      .select(col("doc_a").as("doc_id"), (-col("best.nb")).as("partner_id"),
+        round(col("best.jaccard"), 6).as("jaccard"))
       .orderBy("doc_id")
   }
 
