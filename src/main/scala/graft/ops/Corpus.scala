@@ -75,16 +75,23 @@ object Corpus {
       .select("source", "w", "t_s", "floor_reps", "rem", "den")
   }
 
-  /** Unsorted (doc_id, source, n_tokens, epoch) mix rows — the JOIN-INPUT
-    * form for composition (consumers reshuffle; they must not pay a global
-    * sort nobody keeps). */
-  private def mixRows(spark: SparkSession, sfDir: String): DataFrame =
+  /** Per-document repetition counts (doc_id, source, n_tokens, w, reps) —
+    * the resolved epoch plan, shared by the mix explode and the stats
+    * audit so the two can never drift. */
+  private def repRows(spark: SparkSession, sfDir: String): DataFrame =
     tokCounts(spark, sfDir)
       .join(broadcast(epochPlan(spark, sfDir)), Seq("source"))
       .withColumn("bucket", idBucket)
       .withColumn("reps", col("floor_reps") +
         when(col("bucket") * col("den") < lit(256L) * col("rem"), 1L)
           .otherwise(0L))
+      .select("doc_id", "source", "n_tokens", "w", "reps")
+
+  /** Unsorted (doc_id, source, n_tokens, epoch) mix rows — the JOIN-INPUT
+    * form for composition (consumers reshuffle; they must not pay a global
+    * sort nobody keeps). */
+  private def mixRows(spark: SparkSession, sfDir: String): DataFrame =
+    repRows(spark, sfDir)
       // sequence(1, 0) would count DOWN in Spark; guard with greatest+filter
       // (the oracle's range(1, reps+1) is natively empty at reps = 0)
       .withColumn("epoch",
@@ -102,12 +109,7 @@ object Corpus {
     * mass lands within one document of `w_s/sumW * BudgetFactor * t_total`
     * per source — CorpusSpec asserts the bound. */
   def mixStats(spark: SparkSession, sfDir: String): DataFrame =
-    tokCounts(spark, sfDir)
-      .join(broadcast(epochPlan(spark, sfDir)), Seq("source"))
-      .withColumn("bucket", idBucket)
-      .withColumn("reps", col("floor_reps") +
-        when(col("bucket") * col("den") < lit(256L) * col("rem"), 1L)
-          .otherwise(0L))
+    repRows(spark, sfDir)
       .groupBy("source")
       .agg(max("w").as("weight"),
         sum("n_tokens").as("raw_tokens"),
