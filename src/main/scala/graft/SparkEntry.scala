@@ -423,6 +423,15 @@ object Catalog {
          |)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QEntry("q_rolling_volume", Metrics.rollingVolume, Some(withTransfers(
+      s"""SELECT contract_address, block_number, transact_at, value,
+         |       CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER (
+         |         PARTITION BY contract_address ORDER BY transact_at
+         |         RANGE BETWEEN 7199 PRECEDING AND CURRENT ROW)
+         |         AS DOUBLE) AS vol_2h
+         |FROM transfers
+         |ORDER BY contract_address, block_number""".stripMargin))),
+
     QEntry("q_session_volume", Metrics.sessionVolume, Some(
       s"""WITH ev AS (
          |  SELECT event_type AS contract_address, value,

@@ -92,6 +92,22 @@ object Metrics {
         col("volume"), col("n"))
       .orderBy("contract_address", "w_start")
 
+  /** Rolling trailing-2h volume per transfer — a RANGE window frame (peers
+    * by event-time VALUE, not row position: all events in (t−7199, t]
+    * contribute, however many share a timestamp). The remaining window
+    * mode after ROWS frames and ranking: decimal-exact inside the frame so
+    * any peer order yields identical sums. One shuffle on the token key. */
+  def rollingVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("contract_address").orderBy("transact_at")
+      .rangeBetween(-7199L, 0L)
+    Tables.transfers(spark, sfDir)
+      .select(col("contract_address"), col("block_number"),
+        col("transact_at"), col("value"))
+      .withColumn("vol_2h", Num.dsumDec(col("value")).over(w).cast("double"))
+      .orderBy("contract_address", "block_number")
+  }
+
   /** Session-window volume: 30-minute-gap sessions per token via native
     * `session_window` (micro-second gap math — the oracle reproduces it as
     * a gaps-and-islands computation over epoch-microseconds). */
