@@ -62,6 +62,9 @@ case class DecimalDot(left: Expression, right: Expression)
       while (i < n) {
         if (a.isNullAt(i) || b.isNullAt(i)) return null
         val p = a.getDouble(i) * b.getDouble(i)
+        // a non-finite product decimalizes to null under Spark's non-ANSI
+        // double→decimal cast, so the whole sum is null (valueOf would throw)
+        if (!java.lang.Double.isFinite(p)) return null
         acc = acc.add(java.math.BigDecimal.valueOf(p)
           .setScale(18, java.math.RoundingMode.HALF_UP))
         i += 1
@@ -85,6 +88,7 @@ case class DecimalDot(left: Expression, right: Expression)
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $p = $a.getDouble($i) * $b.getDouble($i);
+         |    if (!java.lang.Double.isFinite($p)) { ${ev.isNull} = true; break; }
          |    $acc = $acc.add(java.math.BigDecimal.valueOf($p)
          |      .setScale(18, java.math.RoundingMode.HALF_UP));
          |  }

@@ -75,6 +75,19 @@ class DecimalDotSpec extends AnyFunSuite {
     assert(withNullElem(0).isNullAt(0))
   }
 
+  test("non-finite products give null, matching non-ANSI double->decimal cast") {
+    DecimalDot.register(spark)
+    // the HOF/oracle spelling decimalizes NaN/Inf to null (cast semantics);
+    // the kernel must agree, not throw from BigDecimal.valueOf
+    val rows = Seq(
+      (Seq(Double.NaN, 1.0), Seq(1.0, 1.0)),
+      (Seq(Double.PositiveInfinity), Seq(2.0)),
+      (Seq(Double.MaxValue), Seq(Double.MaxValue)) // product overflows to Inf
+    ).toDF("a", "b")
+      .select(expr(s"${DecimalDot.Name}(a, b)").as("d")).collect()
+    rows.foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("rejects non-array inputs at analysis") {
     DecimalDot.register(spark)
     assertThrows[AnalysisException](
