@@ -423,6 +423,21 @@ object Catalog {
          |)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Streaming sliding-window twin: same double-bucket oracle verifies
+    // overlapping window state end-to-end.
+    QEntry("q_stream_sliding",
+      graft.streaming.StreamingMetrics.slidingVolumeStreaming,
+      Some(s"""SELECT contract_address, w_start, w_start + 7200 AS w_end,
+         |       ${dsum("value")} AS volume, count(*) AS n
+         |FROM (
+         |  SELECT event_type AS contract_address, value,
+         |         ${hourBucket("epoch_ns(ts) // 1000000000")}
+         |           - 3600 * (1 - off) AS w_start
+         |  FROM events
+         |  CROSS JOIN (SELECT unnest(range(2)) AS off)
+         |)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QEntry("q_rolling_volume", Metrics.rollingVolume, Some(withTransfers(
       s"""SELECT contract_address, block_number, transact_at, value,
          |       CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER (

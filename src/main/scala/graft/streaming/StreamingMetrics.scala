@@ -66,6 +66,40 @@ object StreamingMetrics {
       .orderBy("contract_address", "t")
   }
 
+  /** Streaming sliding-window twin of [[graft.ops.Metrics.slidingVolume]]:
+    * overlapping 2h/1h event-time windows — each event lands in two window
+    * states — drained synchronously in complete mode and verified by the
+    * batch double-bucket oracle. */
+  def slidingVolumeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tableName = "graft_stream_sliding_volume"
+
+    val stream = spark.readStream
+      .schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("event_type").as("contract_address"),
+        window(col("ts_t"), "2 hours", "1 hour"))
+      .agg(sum(col("value").cast(DecimalType(25, 2))).as("dvolume"),
+        count(lit(1)).as("n"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(tableName)
+      .select(col("contract_address"),
+        unix_timestamp(col("window.start")).as("w_start"),
+        unix_timestamp(col("window.end")).as("w_end"),
+        col("dvolume").cast("double").as("volume"), col("n"))
+      .orderBy("contract_address", "w_start")
+  }
+
   /** Streaming sessionization twin of [[graft.ops.Metrics.sessionVolume]]:
     * event-time `session_window` (30-min gap) over the events file-stream,
     * drained synchronously in complete mode — no watermark, so no session
