@@ -300,11 +300,25 @@ object Pipelines {
     * lang/source-partitioned. Partition values prune at scan time (a reader
     * of one language touches only its directories), and dynamic partition
     * overwrite makes re-runs idempotent: unchanged partitions rewrite to
-    * identical content, partitions absent from the batch are left alone. */
-  def enrichCorpus(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    * identical content, partitions absent from the batch are left alone.
+    *
+    * Returns write metrics collected via `Dataset.observe` — counts and
+    * text mass ride along on the write job itself (observed aggregates
+    * accumulate per task, no second scan of the pipeline), the pattern a
+    * production run uses to alert on empty/shrunken batches. */
+  def enrichCorpus(spark: SparkSession, sfDir: String,
+      outDir: String): Map[String, Long] = {
+    val obs = org.apache.spark.sql.Observation("corpus_write")
     Sinks.writePartitioned(
       Dedup.dedupedCorpus(spark, sfDir)
         .join(Tables.documents(spark, sfDir).select("doc_id", "text"),
-          Seq("doc_id")),
+          Seq("doc_id"))
+        .observe(obs,
+          count(lit(1)).as("rows_written"),
+          sum(length(col("text")).cast("long")).as("chars_written"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id")),
       s"$outDir/corpus", Seq("lang", "source"))
+    obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+  }
 }

@@ -60,8 +60,17 @@ class PipelinesSpec extends AnyFunSuite {
 
   test("corpus pipeline: partitioned write matches the dedup decision and " +
       "re-runs are no-ops") {
-    Pipelines.enrichCorpus(spark, GraftSpark.Sf, out)
+    val metrics = Pipelines.enrichCorpus(spark, GraftSpark.Sf, out)
     val first = spark.read.parquet(s"$out/corpus")
+    // observed write metrics (collected ON the write job, no extra scan)
+    // agree with what actually landed on disk
+    assert(metrics("rows_written") == first.count())
+    assert(metrics("chars_written") ==
+      first.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(col("text")).cast("long")))
+        .head().getLong(0))
+    assert(metrics("min_doc_id") ==
+      first.agg(org.apache.spark.sql.functions.min("doc_id")).head().getLong(0))
     val expected = graft.ops.Dedup.dedupedCorpus(spark, GraftSpark.Sf)
     assert(first.count() == expected.count())
     // lang/source are partition columns: pruning applies, values round-trip
