@@ -1741,6 +1741,30 @@ object Catalog {
         |  FROM documents
         |) ORDER BY doc_id""".stripMargin)),
 
+    QEntry("q_resize_plan", Multimodal.resizePlan, Some(
+      s"""SELECT doc_id, width, height,
+         |       CASE WHEN width >= height THEN ${Multimodal.TargetSide}
+         |            ELSE width * ${Multimodal.TargetSide} // height END AS out_w,
+         |       CASE WHEN width >= height
+         |            THEN height * ${Multimodal.TargetSide} // width
+         |            ELSE ${Multimodal.TargetSide} END AS out_h,
+         |       (${Multimodal.TargetSide} - CASE WHEN width >= height
+         |            THEN ${Multimodal.TargetSide}
+         |            ELSE width * ${Multimodal.TargetSide} // height END) // 2
+         |         AS pad_x,
+         |       (${Multimodal.TargetSide} - CASE WHEN width >= height
+         |            THEN height * ${Multimodal.TargetSide} // width
+         |            ELSE ${Multimodal.TargetSide} END) // 2 AS pad_y
+         |FROM (
+         |  SELECT doc_id,
+         |         16 + n_bytes % 640 AS width,
+         |         16 + (n_bytes * 7) % 480 AS height
+         |  FROM (
+         |    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |    FROM documents
+         |  )
+         |) ORDER BY doc_id""".stripMargin)),
+
     QEntry("q_frame_sample_plan", Multimodal.frameSamplePlan, Some(
       """SELECT doc_id, n_bytes, unnest(range(0, n_bytes, 1024)) AS frame_offset
         |FROM (

@@ -64,6 +64,30 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Target square side for [[resizePlan]] (the ubiquitous 224 of vision
+    * encoders). */
+  val TargetSide = 224L
+
+  /** Resize plan: aspect-preserving letterbox of every media object's
+    * (stub-decoded) dimensions into a [[TargetSide]]² canvas — output size
+    * and padding, all in INTEGER arithmetic (floor via integer division)
+    * so the plan is bit-identical in the oracle. A real resize kernel
+    * consumes exactly these numbers; computing them is a pure projection
+    * over the feature frame, no extra pass over the bytes. */
+  def resizePlan(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(spark, sfDir)
+      .select(col("doc_id"), col("width"), col("height"))
+      .withColumn("out_w",
+        when(col("width") >= col("height"), lit(TargetSide))
+          .otherwise(expr(s"width * $TargetSide DIV height")))
+      .withColumn("out_h",
+        when(col("width") >= col("height"),
+          expr(s"height * $TargetSide DIV width"))
+          .otherwise(lit(TargetSide)))
+      .withColumn("pad_x", expr(s"($TargetSide - out_w) DIV 2"))
+      .withColumn("pad_y", expr(s"($TargetSide - out_h) DIV 2"))
+      .orderBy("doc_id")
+
   /** Frame sampling plan: for each media object, the byte offsets a sampler
     * would decode (every 1024 bytes) — generated per row with `sequence`,
     * exploded; pure column ops, no driver loop. */

@@ -89,6 +89,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sql.toSeq == folded)
   }
 
+  test("resize plan letterboxes: long side hits 224, padding centers the rest") {
+    import graft.ops.Multimodal
+    val bad = Multimodal.resizePlan(spark, GraftSpark.Sf)
+      .filter(
+        !(col("out_w") === Multimodal.TargetSide ||
+          col("out_h") === Multimodal.TargetSide) ||
+        col("out_w") > Multimodal.TargetSide ||
+        col("out_h") > Multimodal.TargetSide ||
+        col("pad_x") =!= expr(s"(${Multimodal.TargetSide} - out_w) DIV 2") ||
+        // aspect preserved under integer floor: out_h = floor(h * out_w / w)
+        // whenever width is the long side (and symmetrically)
+        (col("width") >= col("height") &&
+          col("out_h") =!= expr(s"height * ${Multimodal.TargetSide} DIV width")))
+    assert(bad.isEmpty)
+  }
+
   test("multimodal features are a pure function of bytes") {
     val f = graft.ops.Multimodal.extractFeatures(spark, GraftSpark.Sf)
     val bad = f.filter(col("width") =!= lit(16) + col("n_bytes") % 640).count()
