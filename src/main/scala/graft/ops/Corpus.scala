@@ -105,9 +105,12 @@ object Corpus {
   def corpusMix(spark: SparkSession, sfDir: String): DataFrame =
     mixRows(spark, sfDir).orderBy("doc_id", "epoch")
 
-  /** Audit view of the mix: raw vs. mixed token mass per source. The mixed
-    * mass lands within one document of `w_s/sumW * BudgetFactor * t_total`
-    * per source — CorpusSpec asserts the bound. */
+  /** Audit view of the mix: raw vs. mixed token mass per source. Per
+    * source the mass is HARD-bounded by [floor·t_s, (floor+1)·t_s] (every
+    * doc gets floor or floor+1 epochs); the fractional-epoch hash is a
+    * per-document estimator, so only the corpus TOTAL tracks the budget
+    * tightly — CorpusSpec asserts the interval bound per source and 10%
+    * budget tracking in aggregate. */
   def mixStats(spark: SparkSession, sfDir: String): DataFrame =
     repRows(spark, sfDir)
       .groupBy("source")
