@@ -1320,6 +1320,34 @@ object Catalog {
          |GROUP BY p.doc_id
          |ORDER BY p.doc_id""".stripMargin))),
 
+    QEntry("q_triangle_count",
+      (s, d) => Graph.triangleCounts(
+        graft.Tables.transfers(s, d)
+          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
+            org.apache.spark.sql.functions.col("to_address").as("dst")))
+        .select(org.apache.spark.sql.functions.col("v").as("address"),
+          org.apache.spark.sql.functions.col("n_triangles"))
+        .orderBy("address"),
+      Some(withTransfers(
+        """, e AS (
+          |  SELECT DISTINCT least(from_address, to_address) AS a,
+          |         greatest(from_address, to_address) AS b
+          |  FROM transfers WHERE from_address <> to_address
+          |),
+          |tri AS (
+          |  SELECT e1.a, e1.b, e2.b AS c
+          |  FROM e e1
+          |  JOIN e e2 ON e2.a = e1.b
+          |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+          |)
+          |SELECT v AS address, CAST(count(*) AS BIGINT) AS n_triangles
+          |FROM (
+          |  SELECT a AS v FROM tri
+          |  UNION ALL SELECT b FROM tri
+          |  UNION ALL SELECT c FROM tri
+          |)
+          |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
     QEntry("q_incremental_dedup", Dedup.incrementalDedup, Some(withShingles(
       s""", bands AS (
          |  SELECT doc_id, j // ${Dedup.BandRows} AS band,

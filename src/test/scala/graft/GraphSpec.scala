@@ -74,6 +74,23 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle counts: known graph, orientation invariance, 3x identity") {
+    import org.apache.spark.sql.functions._
+    // K4 on {1,2,3,4} (4 triangles, each vertex in 3) + pendant edge 4-5
+    val k4 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)
+    val edges = (k4 :+ (4L, 5L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Long]("n_triangles"))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // per-vertex credits sum to 3 * #triangles
+    assert(got.values.sum == 3 * 4)
+    // reversing edge direction changes nothing (undirected semantics)
+    val rev = Graph.triangleCounts(edges.select(col("dst").as("src"),
+      col("src").as("dst"))).collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Long]("n_triangles"))).toMap
+    assert(rev == got)
+  }
+
   test("result is independent of input partitioning") {
     val edges = Seq((5L, 3L), (3L, 8L), (8L, 1L), (100L, 42L)).toDF("src", "dst")
     val a = Graph.connectedComponents(edges.repartition(1))
