@@ -1300,6 +1300,28 @@ object Catalog {
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT ${Clean.VocabK}"""
         .stripMargin))),
 
+    QEntry("q_collocations", Clean.collocations, Some(withDocs(
+      s""", dtok AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+         |),
+         |tdf AS (SELECT tok, count(*) AS c FROM dtok GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.tok AS t1, b.tok AS t2, count(*) AS c_ab
+         |  FROM dtok a JOIN dtok b
+         |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2 HAVING count(*) >= ${Clean.MinPairDf}
+         |)
+         |SELECT t1, t2, CAST(c_ab AS BIGINT) AS c_ab,
+         |       round(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+         |           * CAST(c_ab AS DOUBLE)
+         |           / (CAST(da.c AS DOUBLE) * CAST(db.c AS DOUBLE)), 6)
+         |         AS lift
+         |FROM pairs
+         |JOIN tdf da ON da.tok = t1
+         |JOIN tdf db ON db.tok = t2
+         |ORDER BY lift DESC, t1, t2 LIMIT ${Clean.VocabK}""".stripMargin))),
+
     QEntry("q_token_ids", Clean.tokenIds, Some(withDocs(
       s""", vocab AS (
          |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok)

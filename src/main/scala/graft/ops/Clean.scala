@@ -119,6 +119,39 @@ object Clean {
       .select(col("doc_id"), col("n_tokens"), col("ids"))
   }
 
+  /** Collocation mining: token pairs that co-occur in documents far more
+    * than chance — ranked by RATIONAL lift `N·c_ab / (c_a·c_b)` (the
+    * log-free PMI analog, same reasoning as [[Corpus.bm25]]'s idf: ln is
+    * the one op libms round differently). Document-level co-occurrence:
+    * distinct tokens per doc self-joined into ordered pairs (work bounded
+    * by per-doc vocabulary²), per-token doc frequencies broadcast. Pairs
+    * below [[MinPairDf]] docs are noise and are cut before ranking. */
+  val MinPairDf = 5L
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val dtok = docs(spark, sfDir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .distinct()
+    val nDocs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"))
+    val df = dtok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val pairs = dtok.select(col("doc_id"), col("tok").as("t1"))
+      .join(dtok.select(col("doc_id"), col("tok").as("t2")), Seq("doc_id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= MinPairDf)
+    pairs
+      .join(broadcast(df.select(col("tok").as("t1"), col("c").as("c_a"))), Seq("t1"))
+      .join(broadcast(df.select(col("tok").as("t2"), col("c").as("c_b"))), Seq("t2"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift",
+        col("n_docs").cast("double") * col("c_ab").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double")))
+      .select(col("t1"), col("t2"), col("c_ab"),
+        round(col("lift"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("t1"), col("t2"))
+      .limit(VocabK)
+  }
+
   /** Top-[[VocabK]] adjacent-token bigrams — same shape as [[vocabTop]]
     * with a positional zip (no self-join; the bigram list is built inside
     * one codegen'd projection). */

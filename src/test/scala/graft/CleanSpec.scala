@@ -80,6 +80,20 @@ class CleanSpec extends AnyFunSuite {
     assert(wrongMiss.isEmpty)
   }
 
+  test("collocations: pair support verified by recount, df floor respected") {
+    val res = Clean.collocations(spark, sf).collect()
+    assert(res.nonEmpty && res.length <= Clean.VocabK)
+    assert(res.forall(_.getAs[Long]("c_ab") >= Clean.MinPairDf))
+    // recount the top pair's co-occurrence directly
+    val top = res.head
+    val (t1, t2) = (top.getAs[String]("t1"), top.getAs[String]("t2"))
+    val direct = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr(graft.ops.TextAnalysis.toksExpr).as("toks"))
+      .filter(array_contains(col("toks"), t1) && array_contains(col("toks"), t2))
+      .count()
+    assert(direct == top.getAs[Long]("c_ab"), s"($t1,$t2): $direct")
+  }
+
   test("incremental dedup agrees with the full pair graph and exact hashes") {
     import graft.ops.Dedup
     val res = Dedup.incrementalDedup(spark, sf)
