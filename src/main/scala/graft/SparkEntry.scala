@@ -438,6 +438,31 @@ object Catalog {
          |)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QEntry("q_volume_anomalies", Metrics.volumeAnomalies, Some(withTransfers(
+      s""", hv AS (
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |         ${dsum("value")} AS volume
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |st AS (
+         |  SELECT contract_address,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         ${dsum("volume")} AS sum_v,
+         |         CAST(SUM(CAST(volume * volume AS DECIMAL(38,6))) AS DOUBLE)
+         |           AS sum_sq
+         |  FROM hv GROUP BY 1
+         |)
+         |SELECT contract_address, t, volume, round(z, 6) AS z FROM (
+         |  SELECT hv.contract_address, hv.t, hv.volume,
+         |         (hv.volume - sum_v / CAST(n AS DOUBLE))
+         |           / sqrt(sum_sq / CAST(n AS DOUBLE)
+         |                  - (sum_v / CAST(n AS DOUBLE))
+         |                    * (sum_v / CAST(n AS DOUBLE))) AS z
+         |  FROM hv JOIN st ON st.contract_address = hv.contract_address
+         |)
+         |WHERE abs(z) >= ${Metrics.AnomalyZ}
+         |ORDER BY contract_address, t""".stripMargin))),
+
     QEntry("q_rolling_volume", Metrics.rollingVolume, Some(withTransfers(
       s"""SELECT contract_address, block_number, transact_at, value,
          |       CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER (

@@ -92,6 +92,33 @@ object Metrics {
         col("volume"), col("n"))
       .orderBy("contract_address", "w_start")
 
+  /** Volume anomaly detection: hours whose volume sits ≥ [[AnomalyZ]]
+    * standard deviations from the token's mean — the alerting query a
+    * metrics pipeline runs on the hourly series. Moments are hand-rolled
+    * from DECIMAL-exact Σv and Σv² (Spark's `stddev` accumulates doubles
+    * in partition order — useless for a cross-engine contract); from there
+    * mean/variance/sqrt/z are IEEE-exact ops spelled identically in the
+    * oracle. Per-token stats are a 5-row broadcast back onto the series. */
+  val AnomalyZ = 2.0
+  def volumeAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val hv = hourlyVolume(spark, sfDir)
+    val stats = hv.groupBy(col("contract_address")).agg(
+      count(lit(1)).as("n"),
+      sum(col("volume").cast(org.apache.spark.sql.types.DecimalType(25, 2)))
+        .cast("double").as("sum_v"),
+      sum(expr("CAST(volume * volume AS DECIMAL(38,6))"))
+        .cast("double").as("sum_sq"))
+    hv.join(broadcast(stats), Seq("contract_address"))
+      .withColumn("mean", col("sum_v") / col("n").cast("double"))
+      .withColumn("variance",
+        col("sum_sq") / col("n").cast("double") - col("mean") * col("mean"))
+      .withColumn("z", (col("volume") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) >= AnomalyZ)
+      .select(col("contract_address"), col("t"), col("volume"),
+        round(col("z"), 6).as("z"))
+      .orderBy("contract_address", "t")
+  }
+
   /** Rolling trailing-2h volume per transfer — a RANGE window frame (peers
     * by event-time VALUE, not row position: all events in (t−7199, t]
     * contribute, however many share a timestamp). The remaining window

@@ -6,6 +6,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class MetricsSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
 
+  test("volume anomalies: flagged hours are a sparse tail of the series") {
+    import org.apache.spark.sql.functions._
+    val flagged = graft.ops.Metrics.volumeAnomalies(spark, GraftSpark.Sf)
+    val hv = graft.ops.Metrics.hourlyVolume(spark, GraftSpark.Sf)
+    assert(!flagged.isEmpty)
+    // Chebyshev: at |z| >= 2 no more than 1/4 of any token's hours flag
+    val ratios = flagged.groupBy("contract_address")
+      .agg(count(lit(1)).as("nf"))
+      .join(hv.groupBy("contract_address").agg(count(lit(1)).as("nh")),
+        Seq("contract_address"))
+      .filter(col("nf").cast("double") > col("nh").cast("double") / 4.0)
+    assert(ratios.isEmpty)
+    // every flagged (token, hour) exists in the base series
+    assert(flagged.select("contract_address", "t")
+      .exceptAll(hv.select("contract_address", "t")).isEmpty)
+  }
+
   test("HLL distinct counts stay within the configured error bound") {
     import spark.implicits._
     // rsd = 0.01 configured in hourlyUniqueWalletsApprox; assert every group
