@@ -1287,6 +1287,72 @@ object Catalog {
         |FROM agg a JOIN docs d ON d.doc_id = a.doc_id
         |ORDER BY a.doc_id""".stripMargin))),
 
+    QEntry("q_span_dedup", Clean.spanDedup, Some(withDocs(
+      s""", spans AS (
+         |  SELECT doc_id, s.i AS span_idx,
+         |         array_to_string(
+         |           toks[s.i * ${Clean.SpanLen} + 1 : s.i * ${Clean.SpanLen} + ${Clean.SpanLen}],
+         |           ' ') AS span_text
+         |  FROM docs,
+         |       unnest(range(0, (len(toks) + ${Clean.SpanLen - 1}) // ${Clean.SpanLen}))
+         |         AS s(i)
+         |),
+         |kept AS (
+         |  SELECT doc_id, span_idx, span_text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY span_text
+         |      ORDER BY doc_id, span_idx) AS rn
+         |    FROM spans
+         |  ) WHERE rn = 1
+         |),
+         |agg AS (
+         |  SELECT doc_id,
+         |         string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text,
+         |         CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       CAST((len(d.toks) + ${Clean.SpanLen - 1}) // ${Clean.SpanLen}
+         |         AS BIGINT) AS n_spans,
+         |       COALESCE(a.n_kept, 0) AS n_kept,
+         |       COALESCE(a.clean_text, '') AS clean_text
+         |FROM docs d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin))),
+
+    QEntry("q_repetition", TextAnalysis.repetitionSignals, Some(withDocs(
+      """, grams AS (
+        |  SELECT doc_id, unnest(list_concat(
+        |    list_transform(range(1, len(toks)),
+        |      i -> '2#' || toks[i] || ' ' || toks[i+1]),
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> '3#' || toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |  )) AS gram
+        |  FROM docs WHERE len(toks) >= 2
+        |),
+        |pg AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) FILTER (WHERE gram LIKE '2#%') AS BIGINT) AS n2,
+        |    CAST(COUNT(*) FILTER (WHERE gram LIKE '2#%') AS BIGINT) AS d2,
+        |    CAST(MAX(c) FILTER (WHERE gram LIKE '2#%') AS BIGINT) AS top2,
+        |    CAST(SUM(c) FILTER (WHERE gram NOT LIKE '2#%') AS BIGINT) AS n3,
+        |    CAST(COUNT(*) FILTER (WHERE gram NOT LIKE '2#%') AS BIGINT) AS d3
+        |  FROM pg GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(st.n2, 0) AS n2,
+        |  CASE WHEN COALESCE(st.n2, 0) > 0
+        |    THEN CAST(st.n2 - st.d2 AS DOUBLE) / CAST(st.n2 AS DOUBLE)
+        |    ELSE 0.0 END AS dup2_frac,
+        |  CASE WHEN COALESCE(st.n2, 0) > 0
+        |    THEN CAST(st.top2 AS DOUBLE) / CAST(st.n2 AS DOUBLE)
+        |    ELSE 0.0 END AS top2_frac,
+        |  COALESCE(st.n3, 0) AS n3,
+        |  CASE WHEN COALESCE(st.n3, 0) > 0
+        |    THEN CAST(st.n3 - st.d3 AS DOUBLE) / CAST(st.n3 AS DOUBLE)
+        |    ELSE 0.0 END AS dup3_frac
+        |FROM docs d LEFT JOIN st ON st.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin))),
+
     QEntry("q_source_cap", Clean.sourceCap, Some(
       s"""SELECT doc_id, source, rn FROM (
          |  SELECT doc_id, source,

@@ -43,6 +43,45 @@ object Clean {
       .orderBy("doc_id")
   }
 
+  /** CROSS-document span dedup (the C4 recipe, adapted to fixed spans):
+    * chunk every document into [[SpanLen]]-token spans, keep only the
+    * globally FIRST occurrence of each distinct span text (min (doc_id,
+    * span_idx) — boilerplate that repeats across documents survives exactly
+    * once), and rebuild each document from its surviving spans in order.
+    *
+    * Scale shape: the corpus explodes to ~N/[[SpanLen]] span rows, the
+    * keeper choice is one window over span_text (a single exchange on the
+    * span hash — identical spans co-locate, everything else passes
+    * through), and the rebuild is one grouped positional re-sort. No pair
+    * join materializes: cost is linear in corpus size, not in duplicate
+    * count squared. Fully-deduplicated documents remain in the output with
+    * an empty rebuilt text, so downstream length filters see them. */
+  val SpanLen = 10
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+    val spans = base.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, cast((size(toks) + ${SpanLen - 1}) div $SpanLen as int) - 1),
+         |  i -> concat_ws(' ', slice(toks, i * $SpanLen + 1, $SpanLen)))"""
+        .stripMargin)).as(Seq("span_idx", "span_text")))
+    val kept = spans
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("span_text").orderBy("doc_id", "span_idx")))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(span_idx, span_text))), s -> s.span_text)"))
+        .as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"),
+        expr(s"cast((size(toks) + ${SpanLen - 1}) div $SpanLen as bigint)")
+          .as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source document cap (the per-domain cap of web curation): keep at
     * most [[SourceCap]] documents per source, chosen by a salted-hash
     * priority so the survivors are a stable pseudo-random sample, not

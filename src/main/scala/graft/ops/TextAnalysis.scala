@@ -104,6 +104,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals: per document, the fraction of n-grams
+    * that are repeats of an earlier identical n-gram (`dup{2,3}_frac`) and
+    * the share of the single most frequent bigram (`top2_frac`) — the
+    * signals web-corpus curation uses to drop boilerplate and looped text.
+    *
+    * One scan: bigrams and trigrams are tagged (`2#`/`3#`) and emitted from
+    * a single projection, so the per-(doc, gram) count and the per-doc
+    * rollup are two map-side-combinable aggregates over one exchange.
+    * Fractions are a single IEEE division of exact integer counts — no
+    * accumulation-order or libm concerns, so the DuckDB oracle reproduces
+    * every bit. */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+    val grams = base
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        """concat(
+          |  transform(sequence(0, size(toks) - 2),
+          |    i -> concat('2#', toks[i], ' ', toks[i+1])),
+          |  CASE WHEN size(toks) >= 3 THEN
+          |    transform(sequence(0, size(toks) - 3),
+          |      i -> concat('3#', toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+          |  ELSE array() END)""".stripMargin)).as("gram"))
+    val perGram = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val two = col("gram").startsWith("2#")
+    val stats = perGram.groupBy("doc_id").agg(
+      sum(when(two, col("c"))).as("n2"),
+      count(when(two, lit(1))).as("d2"),
+      max(when(two, col("c"))).as("top2"),
+      sum(when(!two, col("c"))).as("n3"),
+      count(when(!two, lit(1))).as("d3"))
+    def frac(num: Column, den: Column): Column =
+      when(coalesce(den, lit(0L)) > 0,
+        num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    base.select("doc_id").join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        frac(col("n2") - col("d2"), col("n2")).as("dup2_frac"),
+        frac(col("top2"), col("n2")).as("top2_frac"),
+        coalesce(col("n3"), lit(0L)).as("n3"),
+        frac(col("n3") - col("d3"), col("n3")).as("dup3_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct 3-word shingles per document — the base for fingerprinting and
     * MinHash ([[Dedup]]). Docs shorter than 3 tokens are excluded (both
     * engines). */

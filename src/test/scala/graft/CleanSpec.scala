@@ -30,6 +30,64 @@ class CleanSpec extends AnyFunSuite {
     assert(changed.isEmpty)
   }
 
+  test("span dedup: survivors are globally unique, complete, first-occurrence") {
+    val d = Clean.spanDedup(spark, sf)
+    // bookkeeping: n_kept <= n_spans, clean_text has exactly the kept spans'
+    // tokens (non-final original spans are always exactly SpanLen tokens, so
+    // re-chunking clean_text by SpanLen recovers the surviving spans)
+    assert(d.filter(col("n_kept") > col("n_spans")).isEmpty)
+    val rechunked = d.filter(col("n_kept") > 0)
+      .withColumn("ts", split(col("clean_text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, cast((size(ts) + ${Clean.SpanLen - 1}) div ${Clean.SpanLen} as int) - 1),
+           |  i -> concat_ws(' ', slice(ts, i * ${Clean.SpanLen} + 1, ${Clean.SpanLen})))"""
+          .stripMargin)).as("span_text"))
+    // globally unique: no span text survives twice anywhere in the corpus
+    val dupes = rechunked.groupBy("span_text").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(dupes.isEmpty)
+    // complete: every distinct original span survives exactly once
+    val orig = Tables.documents(spark, sf)
+      .withColumn("toks", expr(graft.ops.TextAnalysis.toksExpr))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, cast((size(toks) + ${Clean.SpanLen - 1}) div ${Clean.SpanLen} as int) - 1),
+           |  i -> concat_ws(' ', slice(toks, i * ${Clean.SpanLen} + 1, ${Clean.SpanLen})))"""
+          .stripMargin)).as("span_text"))
+    assert(rechunked.count() == orig.select("span_text").distinct().count())
+    // first-occurrence: the surviving copy lives in the minimum doc_id
+    val minDoc = orig.groupBy("span_text").agg(min("doc_id").as("mn"))
+    val misplaced = rechunked.join(minDoc, Seq("span_text"))
+      .filter(col("doc_id") =!= col("mn"))
+    assert(misplaced.isEmpty)
+  }
+
+  test("repetition signals agree with an array-distinct recount, in bounds") {
+    val r = graft.ops.TextAnalysis.repetitionSignals(spark, sf)
+    val direct = Tables.documents(spark, sf)
+      .withColumn("toks", expr(graft.ops.TextAnalysis.toksExpr))
+      .filter(expr("size(toks) >= 3"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))").as("g2"),
+        expr("transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))").as("g3"))
+      .select(col("doc_id"),
+        expr("size(g2)").cast("long").as("e_n2"),
+        (lit(1.0) - expr("size(array_distinct(g2))").cast("double")
+          / expr("size(g2)").cast("double")).as("e_dup2"),
+        expr("size(g3)").cast("long").as("e_n3"),
+        (lit(1.0) - expr("size(array_distinct(g3))").cast("double")
+          / expr("size(g3)").cast("double")).as("e_dup3"))
+    val bad = r.join(direct, Seq("doc_id"))
+      .filter(col("n2") =!= col("e_n2") || col("n3") =!= col("e_n3") ||
+        abs(col("dup2_frac") - col("e_dup2")) > 1e-12 ||
+        abs(col("dup3_frac") - col("e_dup3")) > 1e-12)
+    assert(bad.isEmpty)
+    // top-bigram share is at least the uniform floor and at most 1
+    val oob = r.filter(col("n2") > 0)
+      .filter(col("top2_frac") < lit(1.0) / col("n2").cast("double") - 1e-12 ||
+        col("top2_frac") > 1.0 || col("dup2_frac") < 0.0 || col("dup2_frac") >= 1.0)
+    assert(oob.isEmpty)
+  }
+
   test("source cap keeps at most K per source and is a stable sample") {
     val c = Clean.sourceCap(spark, sf)
     val over = c.groupBy("source").agg(count(lit(1)).as("n"))
