@@ -1353,6 +1353,29 @@ object Catalog {
         |FROM docs d LEFT JOIN st ON st.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin))),
 
+    // ---- privacy (ops/Privacy.scala)
+    QEntry("q_pii_redact", Privacy.redactCustomers, Some(
+      s"""SELECT c_custkey,
+         |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_masked,
+         |  'cust_' || substr(md5(c_name || '${Privacy.Salt}'), 1, 12)
+         |    AS pseudonym,
+         |  floor(c_acctbal / 1000.0) * 1000.0 AS acctbal_band,
+         |  c_mktsegment
+         |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    QEntry("q_k_anon", Privacy.kAnonHistogram, Some(
+      s"""WITH cells AS (
+         |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+         |  FROM customer GROUP BY 1, 2
+         |)
+         |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |       c_mktsegment AS segment, CAST(n AS BIGINT) AS n_rows
+         |FROM cells WHERE n >= ${Privacy.KAnon}
+         |UNION ALL
+         |SELECT -1 AS nation, '*' AS segment, CAST(SUM(n) AS BIGINT) AS n_rows
+         |FROM cells WHERE n < ${Privacy.KAnon} HAVING count(*) > 0
+         |ORDER BY nation, segment""".stripMargin)),
+
     QEntry("q_source_cap", Clean.sourceCap, Some(
       s"""SELECT doc_id, source, rn FROM (
          |  SELECT doc_id, source,
