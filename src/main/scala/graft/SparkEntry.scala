@@ -1703,6 +1703,88 @@ object Catalog {
          |  JOIN norms nv ON nv.vec_id = d.vec_id
          |) WHERE rnk = 1 ORDER BY query_id""".stripMargin)),
 
+    // Int8 scalar quantization (faiss/SQ8 scheme): per-vector scale
+    // maxabs, components round(x*127/maxabs). Pure IEEE multiply/divide +
+    // HALF-UP rounding — both engines produce identical ints.
+    QEntry("q_quantize_int8", Quantize.quantized, Some(
+      s"""WITH $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id,
+         |         sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE))
+         |           AS norm
+         |  FROM idx GROUP BY 1
+         |),
+         |base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |)
+         |SELECT m.vec_id, m.maxabs, round(n.norm, 12) AS norm,
+         |       CASE WHEN m.maxabs = 0 THEN list_transform(m.v, x -> 0)
+         |       ELSE list_transform(m.v,
+         |         x -> CAST(round(x * ${Quantize.QMax}.0 / m.maxabs) AS INTEGER))
+         |       END AS q
+         |FROM (
+         |  SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) AS maxabs
+         |  FROM base
+         |) m JOIN norms n ON n.vec_id = m.vec_id
+         |ORDER BY m.vec_id""".stripMargin)),
+
+    // Quantized ANN: top-1 neighbor per probe by the dequantized cosine
+    // iscore*maxa*maxb/(127²*|a|*|b|) — the integer dot is the same exact
+    // BIGINT in both engines and the rescale is one IEEE multiply chain
+    // over exact inputs; tie-break to the smaller id (arg-max via negated
+    // id on the Spark side, rn ordered qcos DESC / id ASC here).
+    QEntry("q_quantized_ann", Quantize.quantizedTopNeighbor, Some(
+      s"""WITH $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id,
+         |         sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE))
+         |           AS norm
+         |  FROM idx GROUP BY 1
+         |),
+         |base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |qv AS (
+         |  SELECT m.vec_id, m.maxabs, n.norm,
+         |         CASE WHEN m.maxabs = 0 THEN list_transform(m.v, x -> 0)
+         |         ELSE list_transform(m.v,
+         |           x -> CAST(round(x * ${Quantize.QMax}.0 / m.maxabs) AS INTEGER))
+         |         END AS q
+         |  FROM (
+         |    SELECT vec_id, v,
+         |           list_max(list_transform(v, x -> abs(x))) AS maxabs
+         |    FROM base
+         |  ) m JOIN norms n ON n.vec_id = m.vec_id
+         |  WHERE n.norm > 0
+         |),
+         |dots AS (
+         |  SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+         |         p.maxabs AS pmax, p.norm AS pnorm,
+         |         c.maxabs AS cmax, c.norm AS cnorm,
+         |         CAST(SUM(CAST(p.q[t.i] AS BIGINT) * c.q[t.i]) AS BIGINT)
+         |           AS iscore
+         |  FROM qv p
+         |  JOIN qv c ON c.vec_id != p.vec_id
+         |  CROSS JOIN unnest(range(1, 64 + 1)) AS t(i)
+         |  WHERE p.vec_id < ${Similarity.ProbeCount}
+         |  GROUP BY 1, 2, 3, 4, 5, 6
+         |)
+         |SELECT query_id, cand_id AS neighbor_id, round(qcos, 6) AS qcos
+         |FROM (
+         |  SELECT query_id, cand_id,
+         |         CAST(iscore AS DOUBLE) * pmax * cmax /
+         |           (${Quantize.QMax * Quantize.QMax}.0 * pnorm * cnorm)
+         |           AS qcos,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY CAST(iscore AS DOUBLE) * pmax * cmax /
+         |             (${Quantize.QMax * Quantize.QMax}.0 * pnorm * cnorm)
+         |             DESC, cand_id ASC) AS rnk
+         |  FROM dots
+         |) WHERE rnk = 1 ORDER BY query_id""".stripMargin)),
+
     QEntry("q_embedding_neardup",
       (s, d) => Similarity.cosineNearDupPairs(s, d), Some(
       s"""WITH $embIdxCte,

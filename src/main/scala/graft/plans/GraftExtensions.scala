@@ -59,5 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.DecimalDot.Name),
       binary(graft.functions.DecimalDot.Name,
         graft.functions.DecimalDot(_, _))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.IntDot.Name),
+      new ExpressionInfo(
+        classOf[graft.functions.IntDot].getName,
+        graft.functions.IntDot.Name),
+      binary(graft.functions.IntDot.Name,
+        graft.functions.IntDot(_, _))))
   }
 }
