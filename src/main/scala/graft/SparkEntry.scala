@@ -193,6 +193,53 @@ object Catalog {
          |ORDER BY i.contract_address""".stripMargin)
   }
 
+  /** DuckDB mirror of [[graft.ops.Graph.pageRank]]: `iters` power-method
+    * rounds unrolled as a CTE chain. Per-vertex contribution sums go
+    * through DECIMAL(38,18) (order-independent); every scalar constant
+    * (1/N, teleport, damping) is the same single IEEE-double operation
+    * chain the Spark side evaluates, so ranks agree to the last ulp and
+    * the final round(…, 9) is pure safety margin. */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS v,
+         |         CAST(SUM(CAST(p.r / deg.d AS DECIMAL(38,18))) AS DOUBLE)
+         |           AS contrib
+         |  FROM e JOIN r${i - 1} p ON p.v = e.src JOIN deg ON deg.v = e.src
+         |  GROUP BY 1
+         |),
+         |d$i AS (
+         |  SELECT CAST(SUM(CAST(p.r AS DECIMAL(38,18))) AS DOUBLE) AS dang
+         |  FROM r${i - 1} p LEFT JOIN deg ON deg.v = p.v
+         |  WHERE deg.v IS NULL
+         |),
+         |r$i AS (
+         |  SELECT v.v,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+         |           + CAST(0.85 AS DOUBLE) *
+         |             (COALESCE(c.contrib, 0) + COALESCE(d.dang, 0) / n.n)
+         |           AS r
+         |  FROM v CROSS JOIN n CROSS JOIN d$i d
+         |  LEFT JOIN c$i c ON c.v = v.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    withTransfers(
+      s""", e AS (
+         |  SELECT DISTINCT from_address AS src, to_address AS dst
+         |  FROM transfers
+         |),
+         |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |deg AS (
+         |  SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+         |),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         |r0 AS (SELECT v.v, CAST(1.0 AS DOUBLE) / n.n AS r
+         |       FROM v CROSS JOIN n),
+         |$steps
+         |SELECT v AS address, round(r, 9) AS rank
+         |FROM r$iters ORDER BY 1""".stripMargin)
+  }
+
   /** DuckDB mirror of [[graft.ops.Similarity.kmeansIterAssignments]]:
     * `iters` Lloyd iterations unrolled as a CTE chain — assign0 is the seed
     * (stride) assignment; each step derives exact decimal per-dimension
@@ -1455,6 +1502,20 @@ object Catalog {
          |FROM pos p LEFT JOIN vocab v ON v.tok = p.tok
          |GROUP BY p.doc_id
          |ORDER BY p.doc_id""".stripMargin))),
+
+    // 3 power-method rounds of PageRank over the distinct transfer edges;
+    // rank rendered at 9 digits (the exact-decimal contribution sums agree
+    // across engines to ~1e-17 — see pageRankOracle).
+    QEntry("q_pagerank",
+      (s, d) => Graph.pageRank(
+        graft.Tables.transfers(s, d)
+          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
+            org.apache.spark.sql.functions.col("to_address").as("dst")))
+        .select(org.apache.spark.sql.functions.col("v").as("address"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("rank"), 9).as("rank"))
+        .orderBy("address"),
+      Some(pageRankOracle(3))),
 
     QEntry("q_triangle_count",
       (s, d) => Graph.triangleCounts(

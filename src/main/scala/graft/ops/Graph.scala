@@ -146,6 +146,66 @@ object Graph {
     corners.groupBy("v").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** PageRank by fixed-iteration power method over the directed edge set —
+    * wallet importance on the transfer graph (who receives value from many
+    * important senders), the classic whole-graph analytic the reference's
+    * per-wallet aggregates cannot express.
+    *
+    * One iteration = one equi-join of ranks onto edges + one grouped sum —
+    * O(|E|) shuffled bytes, the same per-round cost envelope as
+    * [[connectedComponents]] — plus a one-row dangling-mass aggregate that
+    * is broadcast, never a driver collect. Every round is lineage-cut
+    * ([[LineageCut]]), so plans stay flat at any iteration count.
+    *
+    * Deterministic across engines and partitionings: per-vertex
+    * contribution sums accumulate in DECIMAL(38,18) (order-independent),
+    * and every scalar constant (1/N, teleport, damping) is a single
+    * IEEE-double operation chain spelled identically in the DuckDB oracle.
+    * Fixed iteration count rather than an epsilon stop: convergence
+    * tolerance would compare doubles across engines; a fixed power-method
+    * prefix is exactly reproducible.
+    *
+    * Returns (v, rank) for every vertex (union of srcs and dsts). */
+  def pageRank(edges: DataFrame, iterations: Int = 3, alpha: Double = 0.85,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val e = LineageCut.cut(
+      edges.select(col("src"), col("dst")).distinct(), cutMode)
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    // base carries each vertex's out-degree (null = dangling) so the loop
+    // never re-joins the degree table
+    val base = LineageCut.cut(
+      e.select(col("src").as("v"))
+        .unionByName(e.select(col("dst").as("v")))
+        .distinct()
+        .join(deg, Seq("v"), "left"), cutMode)
+    val n = base.count() // driver-side scalar only (like the CC loop's flag)
+    var ranks = base.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.filter(col("deg").isNotNull)
+          .select(col("v").as("src"), (col("r") / col("deg")).as("c")),
+          Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(expr("CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE)")
+          .as("contrib"))
+      // dangling vertices spread their mass uniformly: one-row aggregate,
+      // broadcast into the update (sum over an empty set is a null row —
+      // coalesced below, same as SQL)
+      val dangling = ranks.filter(col("deg").isNull)
+        .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")
+          .as("dang"))
+      ranks = LineageCut.cut(
+        base.join(contribs, Seq("v"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("v"), col("deg"),
+            (lit((1.0 - alpha) / n) +
+              lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
+                coalesce(col("dang"), lit(0.0)) / n)).as("r")),
+        cutMode)
+    }
+    ranks.select(col("v"), col("r").as("rank"))
+  }
+
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * same (id, label=component min) contract as [[connectedComponents]],

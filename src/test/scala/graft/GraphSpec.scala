@@ -101,4 +101,34 @@ class GraphSpec extends AnyFunSuite {
     assert(a == Set((1L, 1L), (3L, 1L), (5L, 1L), (8L, 1L),
       (42L, 42L), (100L, 42L)))
   }
+
+  test("pagerank: mass conserved, uniform on a cycle, sinks handled") {
+    // 3-cycle: perfectly symmetric, every vertex keeps rank 1/3
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cr = Graph.pageRank(cyc, iterations = 4).as[(Long, Double)]
+      .collect().toMap
+    assert(cr.size == 3)
+    cr.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-12))
+
+    // chain a->b->c: c is a sink (dangling); total mass must stay 1 and
+    // the order must be rank(c) > rank(b) > rank(a) (rank accumulates
+    // downstream)
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRank(chain, iterations = 3).as[(Long, Double)]
+      .collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(3L) > pr(2L) && pr(2L) > pr(1L))
+  }
+
+  test("pagerank is independent of input partitioning") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (4L, 3L))
+      .toDF("src", "dst")
+    val a = Graph.pageRank(edges.repartition(1)).as[(Long, Double)]
+      .collect().toMap
+    val b = Graph.pageRank(edges.repartition(7)).as[(Long, Double)]
+      .collect().toMap
+    // exact-decimal contribution sums make the doubles bit-identical, not
+    // merely close, across partitionings
+    assert(a == b)
+  }
 }
