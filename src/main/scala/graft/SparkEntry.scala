@@ -543,6 +543,54 @@ object Catalog {
          |FROM sess GROUP BY contract_address, sid
          |ORDER BY 1, 2""".stripMargin)),
 
+    // Ordered conversion funnel signup → view → purchase: stage timestamps
+    // are stacked per-user window minima (strictly time-increasing, full
+    // nanosecond precision); output counts users by deepest stage reached.
+    QEntry("q_funnel", Behavior.funnel, Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+        |),
+        |w1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'signup' THEN t END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM ev
+        |),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND t > t1 THEN t END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM w1
+        |),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t2 THEN t END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM w2
+        |),
+        |pu AS (
+        |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |  FROM w3 GROUP BY 1
+        |)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_users FROM (
+        |  SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |              WHEN t2 IS NOT NULL THEN 2
+        |              WHEN t1 IS NOT NULL THEN 1
+        |              ELSE 0 END AS INTEGER) AS stage
+        |  FROM pu
+        |) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Weekly cohort retention triangle: cohort = epoch-week of first
+    // event, n_users = distinct cohort members active at each week offset.
+    QEntry("q_cohort_retention", Behavior.cohortRetention, Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s FROM events
+         |),
+         |wf AS (
+         |  SELECT user_id, s, min(s) OVER (PARTITION BY user_id) AS fs
+         |  FROM ev
+         |)
+         |SELECT (fs // ${Behavior.WeekSecs}) * ${Behavior.WeekSecs}
+         |         AS cohort_week,
+         |       CAST(s // ${Behavior.WeekSecs} - fs // ${Behavior.WeekSecs}
+         |         AS INTEGER) AS week_offset,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM wf GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Streaming twin of q_volume_hourly: same oracle verifies the streaming
     // engine (file-source stream + event-time tumbling window) end-to-end.
     QEntry("q_stream_volume_hourly",

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics: ordered funnels and cohort retention —
+  * the user-journey counterparts of the reference's per-wallet aggregates
+  * (reference: src/main/scala/etl/WalletEnricher.scala computes per-entity
+  * stats; these compute cross-event SEQUENCE stats the reference cannot
+  * express without driver loops).
+  *
+  * Both operators are one shuffle on `user_id` for the per-user pass:
+  * the funnel's three stage timestamps are stacked window minima over the
+  * same partition spec (one exchange + one sort, reused by all three),
+  * and retention's first-seen timestamp is the same single-partition-key
+  * window. Event timestamps compare at full nanosecond precision (the
+  * raw parquet int64), so "strictly after" is exact — no truncation ties.
+  */
+object Behavior {
+
+  /** Ordered conversion funnel: signup → view → purchase, strictly
+    * time-increasing within each user. Step k's timestamp is the earliest
+    * event of that type AFTER the user's step-(k-1) timestamp — the
+    * standard "unbounded window" funnel semantic. Returns one row per
+    * reached stage: (stage 0-3, n_users), where stage is the deepest step
+    * completed in order. */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "purchase")
+
+  def funnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelOf(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").as("t")))
+
+  /** [[funnel]] over any (user_id, event_type, t) frame. */
+  def funnelOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    // t1/t2/t3 must stack (each references the previous), so they are
+    // separate projections — same window spec, one exchange + sort
+    val staged = ev
+      .withColumn("t1",
+        min(when(col("event_type") === FunnelSteps(0), col("t"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === FunnelSteps(1) && col("t") > col("t1"),
+          col("t"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === FunnelSteps(2) && col("t") > col("t2"),
+          col("t"))).over(w))
+    staged
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .select(
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).cast("int").as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention: users grouped by the epoch-week of their
+    * first event; n_users counts distinct cohort members active in each
+    * subsequent week (offset 0 = the cohort week itself). The classic
+    * retention triangle, computed in two aggregations: first-seen via a
+    * per-user window, then a distinct count per (cohort_week, offset). */
+  val WeekSecs = 604800L
+
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRetentionOf(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_sec")))
+
+  /** [[cohortRetention]] over any (user_id, ts_sec) frame. */
+  def cohortRetentionOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    ev
+      .withColumn("first_sec", min("ts_sec").over(w))
+      .select(
+        expr(s"(first_sec div $WeekSecs) * $WeekSecs").as("cohort_week"),
+        expr(s"CAST(ts_sec div $WeekSecs - first_sec div $WeekSecs AS INT)")
+          .as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Behavior
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Funnel ordering semantics and retention-triangle arithmetic on
+  * hand-built event sequences (the catalog oracle checks the real-data
+  * path; sf0.01 users are dense enough that all reach stage 3, so the
+  * ordering edge cases live here). */
+class BehaviorSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("funnel: steps must occur in order, strictly after the previous") {
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "signup", 100L), (1L, "view", 200L), (1L, "purchase", 300L),
+      // u2: purchase BEFORE view — stops at stage 1 (signup only, the
+      // view at t=50 precedes signup and must not count either)
+      (2L, "view", 50L), (2L, "signup", 100L), (2L, "purchase", 80L),
+      // u3: signup + later view, no purchase — stage 2
+      (3L, "signup", 10L), (3L, "view", 20L), (3L, "error", 30L),
+      // u4: never signs up — stage 0
+      (4L, "view", 10L), (4L, "purchase", 20L),
+      // u5: view at the SAME instant as signup — "strictly after" excludes
+      // it, so stage 1
+      (5L, "signup", 10L), (5L, "view", 10L)
+    ).toDF("user_id", "event_type", "t")
+    val got = Behavior.funnelOf(ev).as[(Int, Long)].collect().toMap
+    assert(got == Map(0 -> 1L, 1 -> 2L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("cohort retention: offsets count distinct users per week") {
+    val wk = Behavior.WeekSecs
+    val ev = Seq(
+      // u1 first seen week 0, active weeks 0 and 2 (twice in week 2 —
+      // distinct must collapse)
+      (1L, 10L), (1L, 2 * wk + 5L), (1L, 2 * wk + 6L),
+      // u2 first seen week 0, active week 1
+      (2L, 20L), (2L, wk + 1L),
+      // u3 first seen week 1 — its own cohort
+      (3L, wk + 100L)
+    ).toDF("user_id", "ts_sec")
+    val got = Behavior.cohortRetentionOf(ev)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0, 2L), (0L, 1, 1L), (0L, 2, 1L),
+      (wk, 0, 1L)))
+  }
+}
