@@ -1531,6 +1531,22 @@ object Catalog {
          |JOIN tdf db ON db.tok = t2
          |ORDER BY lift DESC, t1, t2 LIMIT ${Clean.VocabK}""".stripMargin))),
 
+    // Overlapping 64/48 chunking: ⌈len/stride⌉ chunks per doc, 1-based
+    // list slices clamp identically in both engines.
+    QEntry("q_doc_chunks", Clean.docChunks, Some(withDocs(
+      s"""SELECT doc_id, CAST(t.i AS INTEGER) AS chunk_id,
+         |       CAST(len(list_slice(toks, t.i * ${Clean.ChunkStride} + 1,
+         |         t.i * ${Clean.ChunkStride} + ${Clean.ChunkLen}))
+         |         AS INTEGER) AS n_tokens,
+         |       array_to_string(list_slice(toks,
+         |         t.i * ${Clean.ChunkStride} + 1,
+         |         t.i * ${Clean.ChunkStride} + ${Clean.ChunkLen}), ' ')
+         |         AS chunk_text
+         |FROM docs,
+         |     unnest(range(0, (len(toks) + ${Clean.ChunkStride - 1})
+         |       // ${Clean.ChunkStride})) AS t(i)
+         |ORDER BY doc_id, chunk_id""".stripMargin))),
+
     QEntry("q_token_ids", Clean.tokenIds, Some(withDocs(
       s""", vocab AS (
          |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok)

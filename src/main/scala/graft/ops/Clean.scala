@@ -21,6 +21,32 @@ object Clean {
     Tables.documents(spark, sfDir)
       .withColumn("toks", expr(TextAnalysis.toksExpr))
 
+  /** Overlapping fixed-size chunking (RAG / context-window prep): every
+    * document becomes ⌈len/stride⌉ chunks of up to [[ChunkLen]] tokens
+    * whose starts step by [[ChunkStride]] (64/48 ⇒ 16-token overlap, the
+    * usual retrieval setting so no answer span straddles a boundary
+    * uncovered). Tail chunks are short by construction; every
+    * stride-aligned start < len emits, so trailing tokens always land in
+    * at least one chunk.
+    *
+    * One narrow projection + explode — no shuffle at any corpus size, and
+    * chunk ids are per-document ordinals (deterministic, no global
+    * numbering to coordinate). */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - 1, $ChunkStride),
+           |  s -> struct(
+           |    CAST(size(slice(toks, s + 1, $ChunkLen)) AS INT) AS n_tokens,
+           |    concat_ws(' ', slice(toks, s + 1, $ChunkLen)) AS chunk_text))"""
+          .stripMargin)).as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Within-document repetition removal: rebuild each text from the first
     * occurrence of every distinct token, in original order. Spelled as
     * min-position grouping + positional re-sort (portable), NOT

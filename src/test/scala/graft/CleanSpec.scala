@@ -199,4 +199,28 @@ class CleanSpec extends AnyFunSuite {
     assert(bg.nonEmpty && bg.length <= Clean.VocabK)
     assert(bg.forall(_.getAs[String]("bigram").split(" ").length == 2))
   }
+
+  test("doc chunks: full coverage, stride arithmetic, bounded lengths") {
+    import org.apache.spark.sql.functions._
+    val chunks = Clean.docChunks(spark, sf)
+    val bad = chunks.filter(
+      col("n_tokens") < 1 || col("n_tokens") > Clean.ChunkLen ||
+        col("n_tokens") =!= size(split(col("chunk_text"), " ")))
+      .count()
+    assert(bad === 0L)
+    // per doc: chunk ids are 0..k-1 and token counts reconstruct the doc
+    // length (k-1 full strides + the last chunk's tokens)
+    val perDoc = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("k"), max("chunk_id").as("maxid"),
+      max(struct(col("chunk_id"), col("n_tokens")))
+        .getField("n_tokens").as("last_n"))
+    val doclen = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("len"))
+    val mism = perDoc.join(doclen, Seq("doc_id"))
+      .filter(col("maxid") =!= col("k") - 1 ||
+        (col("k") - 1) * Clean.ChunkStride + col("last_n") =!= col("len"))
+      .count()
+    assert(mism === 0L)
+  }
 }
