@@ -2241,6 +2241,15 @@ object Catalog {
     QEntry("q_order_percentiles_approx", Relational.orderPercentilesApprox,
       None),
 
+    // Z-order layout keys: 16-bit Morton interleave of (orderkey, price)
+    // — the write order of a z-clustered table; pure integer bit ladder,
+    // identical in both engines (LayoutSpec measures the actual per-file
+    // extent tightening vs a linear sort).
+    QEntry("q_zorder", Layout.zorderOrders, Some(
+      s"""SELECT o_orderkey, ${Layout.duckZ(Layout.DimA, Layout.DimB)} AS zval
+         |FROM orders
+         |ORDER BY zval, o_orderkey""".stripMargin)),
+
     QEntry("q_orders_rollup", Relational.ordersRollup, Some(
       s"""SELECT r.r_name, n.n_name,
          |       count(*) AS n_orders,

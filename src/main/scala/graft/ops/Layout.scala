@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) layout keys: interleave the low 16 bits of two
+  * integer dimensions so that sorting by the single z value co-locates
+  * rows that are close in BOTH dimensions. Files/row-groups written in z
+  * order carry tight min/max ranges on each source column, so parquet
+  * min/max pruning skips data for predicates on either dimension — the
+  * multi-dimensional data-skipping trick (Delta/Iceberg OPTIMIZE ZORDER)
+  * at the heart of scan-efficient 100 TB layouts, where a linear sort
+  * only ever serves its leading column.
+  *
+  * The bit-spread is the classic mask ladder (x | x<<8 … & 0x5555…),
+  * pure integer arithmetic — identical in any engine, so the z values
+  * are oracle-checkable; LayoutSpec measures the actual per-file extent
+  * tightening against a linear-sorted layout of the same data. */
+object Layout {
+
+  /** Low-16-bit spread (Morton "part1by1"): bit i of `e` moves to bit 2i.
+    * Emitted as an expression string so the Spark side (`shiftleft`) and
+    * the DuckDB oracle (`<<`) share one definition of the ladder. */
+  private def spreadExpr(e: String, shl: (String, Int) => String): String = {
+    val ladder =
+      Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+    ladder.foldLeft(s"(CAST($e AS BIGINT) & 65535)") {
+      case (acc, (n, mask)) => s"(($acc | ${shl(acc, n)}) & $mask)"
+    }
+  }
+
+  def sparkSpread(e: String): String =
+    spreadExpr(e, (x, n) => s"shiftleft($x, $n)")
+  def duckSpread(e: String): String =
+    spreadExpr(e, (x, n) => s"($x << $n)")
+
+  /** z(a, b): a in even bits, b in odd bits. */
+  def sparkZ(a: String, b: String): String =
+    s"(${sparkSpread(a)} | shiftleft(${sparkSpread(b)}, 1))"
+  def duckZ(a: String, b: String): String =
+    s"(${duckSpread(a)} | (${duckSpread(b)} << 1))"
+
+  /** The two layout dimensions for `orders`: key and (integer) total
+    * price, both folded into 16 bits. floor() before the cast — a raw
+    * double→BIGINT cast truncates in Spark but rounds in DuckDB. */
+  val DimA = "o_orderkey % 65536"
+  val DimB = "CAST(floor(o_totalprice) AS BIGINT) % 65536"
+
+  /** (o_orderkey, zval) in z-curve order — the write order a z-clustered
+    * `orders` table would use. */
+  def zorderOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("zval", expr(sparkZ(DimA, DimB)))
+      .select(col("o_orderkey"), col("zval"))
+      .orderBy("zval", "o_orderkey")
+
+  /** Write `orders` as `files` parquet files clustered by z value
+    * (range-partition on zval, sort within partitions) — the layout
+    * [[graft.LayoutSpec]] measures extents on. */
+  def writeZClustered(spark: SparkSession, sfDir: String, path: String,
+      files: Int): Unit =
+    Tables.orders(spark, sfDir)
+      .withColumn("ka", expr(DimA))
+      .withColumn("kb", expr(DimB))
+      .withColumn("zval", expr(sparkZ(DimA, DimB)))
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(path)
+
+  /** Same rows, linear-sorted by the leading dimension only. */
+  def writeLinear(spark: SparkSession, sfDir: String, path: String,
+      files: Int): Unit =
+    Tables.orders(spark, sfDir)
+      .withColumn("ka", expr(DimA))
+      .withColumn("kb", expr(DimB))
+      .withColumn("zval", expr(sparkZ(DimA, DimB)))
+      .repartitionByRange(files, col("ka"))
+      .sortWithinPartitions("ka")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file (min, max) extents of both dimensions for a written layout:
+    * what parquet footer pruning sees. */
+  def fileExtents(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("ka").as("amin"), max("ka").as("amax"),
+        min("kb").as("bmin"), max("kb").as("bmax"))
+}
