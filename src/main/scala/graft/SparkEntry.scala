@@ -914,6 +914,44 @@ object Catalog {
         |   AND t.transact_at >= p.pt
         |ORDER BY 1, 2, 3""".stripMargin))),
 
+    // Linear interpolation between surrounding price updates (edges fill
+    // nearest): the window spelling mirrors the Spark side exactly; the
+    // interpolation arithmetic is one fixed IEEE chain — no decimal needed.
+    QEntry("q_interp_price", AsOf.interpolatedPrices, Some(withTransfers(
+      """, upd AS (
+        |  SELECT contract_address, transact_at AS pt, max(value) AS price
+        |  FROM transfers WHERE block_number % 97 = 0 GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT contract_address, pt AS t, NULL::BIGINT AS block_number,
+        |         NULL::DOUBLE AS value, price AS v, 1 AS upd
+        |  FROM upd
+        |  UNION ALL
+        |  SELECT contract_address, transact_at AS t, block_number, value,
+        |         NULL::DOUBLE AS v, 0 AS upd
+        |  FROM transfers
+        |),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN upd = 1 THEN t END IGNORE NULLS) OVER wp AS t0,
+        |    last_value(CASE WHEN upd = 1 THEN v END IGNORE NULLS) OVER wp AS v0,
+        |    first_value(CASE WHEN upd = 1 THEN t END IGNORE NULLS) OVER wn AS t1,
+        |    first_value(CASE WHEN upd = 1 THEN v END IGNORE NULLS) OVER wn AS v1
+        |  FROM m
+        |  WINDOW wp AS (PARTITION BY contract_address ORDER BY t, upd DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY contract_address ORDER BY t, upd DESC
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT contract_address, t AS transact_at, block_number, value,
+        |       CASE WHEN t0 IS NULL THEN v1
+        |            WHEN t1 IS NULL THEN v0
+        |            ELSE v0 + (v1 - v0) * ((t - t0) / (t1 - t0)) END
+        |         AS price_interp
+        |FROM w WHERE upd = 0
+        |ORDER BY contract_address, transact_at, block_number"""
+        .stripMargin))),
+
     // D4 replacement: per-row RPC → broadcast lookup join on block_number.
     QEntry("q_block_enrich", Membership.enrichBlockTimestamps,
       Some(withTransfers(

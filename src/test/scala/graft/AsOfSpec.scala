@@ -33,4 +33,27 @@ class AsOfSpec extends AnyFunSuite {
     assert(row.getAs[String]("s") == "payload" && row.getAs[Int]("n") == 7
       && row.getAs[Double]("v_at") == 1.0)
   }
+
+  test("interpolateJoin: between, at, and beyond the observations") {
+    val updates = Seq(("a", 10L, 100.0), ("a", 20L, 200.0), ("a", 40L, 100.0))
+      .toDF("k", "ts", "price")
+    val probes = Seq(("a", 5L), ("a", 10L), ("a", 15L), ("a", 25L),
+      ("a", 40L), ("a", 50L)).toDF("k", "ts")
+    val got = AsOf.interpolateJoin(probes, updates, "k", "ts", "price", "pi")
+      .orderBy("ts").select("ts", "pi").as[(Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (5L, 100.0),   // before first: nearest (edge fill)
+      (10L, 100.0),  // exactly on an observation
+      (15L, 150.0),  // halfway 100→200
+      (25L, 175.0),  // quarter of the way 200→100
+      (40L, 100.0),  // on the last observation
+      (50L, 100.0))) // beyond last: carry
+  }
+
+  test("interpolateJoin with no update on a key yields null") {
+    val updates = Seq(("a", 10L, 1.0)).toDF("k", "ts", "v")
+    val probes = Seq(("b", 5L)).toDF("k", "ts")
+    val row = AsOf.interpolateJoin(probes, updates, "k", "ts", "v", "vi").head()
+    assert(row.isNullAt(row.fieldIndex("vi")))
+  }
 }
