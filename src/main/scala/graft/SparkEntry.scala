@@ -966,6 +966,17 @@ object Catalog {
           |  ON t.block_number = b.block_number
           |ORDER BY t.block_number""".stripMargin))),
 
+    // Explicit bloom prefilter + exact NOT-IN refine: provably equal to
+    // the plain blacklist exclusion (bloom misses keep, hits re-check).
+    QEntry("q_bloom_prefilter", Membership.bloomFilteredVolume,
+      Some(withTransfersAndDapps(
+        s""", bl AS (SELECT DISTINCT unnest(addresses) AS addr FROM dapps)
+           |SELECT contract_address, CAST(count(*) AS BIGINT) AS n,
+           |       ${dsum("value")} AS volume
+           |FROM transfers
+           |WHERE to_address NOT IN (SELECT addr FROM bl)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
     // D6 replacement: per-row nested-read UDF → one semi-join flag pass.
     QEntry("q_dapp_wallet_flags", Membership.flagDappWallets,
       Some(withTransfersAndDapps(

@@ -42,6 +42,60 @@ object Membership {
         col("block_timestamp").as("transact_at"))
       .orderBy("block_number")
 
+  /** Blacklist exclusion with an EXPLICIT bloom prefilter + exact refine —
+    * the 100 TB form of F1's NOT-IN: rows whose key misses the bloom skip
+    * the anti-join entirely (no false negatives, so "miss ⇒ keep" is
+    * exact); only the `might_contain` survivors — true blacklist hits plus
+    * the false-positive sliver — pay the exact NOT-IN. With a large
+    * blacklist this turns a full-fact-table join into a join over a few
+    * percent of it, while the result stays PROVABLY equal to the naive
+    * form (the oracle is the plain NOT IN — same trick as the salted
+    * queries). Deterministic: bloom bits are an OR over item hashes,
+    * independent of partitioning and insertion order.
+    *
+    * Complements the optimizer-injected runtime filter PlanAuditSpec
+    * demonstrates: this is the user-spelled variant for when the
+    * blacklist is a table, not a join side. */
+  def bloomFilteredVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime-filter rewrite but does not expose them in the public
+    // function registry — register session-scoped names (idempotent)
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
+    Tables.transfers(spark, sfDir)
+      .createOrReplaceTempView("graft_bloom_transfers")
+    Tables.dapps(spark).select(explode(col("addresses")).as("addr"))
+      .distinct()
+      .createOrReplaceTempView("graft_bloom_blacklist")
+    spark.sql(
+      """WITH flagged AS (
+        |  SELECT t.contract_address, t.to_address, t.value,
+        |         graft_might_contain(
+        |           (SELECT graft_bloom_agg(xxhash64(addr), 50L, 4096L)
+        |            FROM graft_bloom_blacklist),
+        |           xxhash64(t.to_address)) AS maybe
+        |  FROM graft_bloom_transfers t
+        |),
+        |kept AS (
+        |  SELECT contract_address, value FROM flagged WHERE NOT maybe
+        |  UNION ALL
+        |  SELECT f.contract_address, f.value FROM flagged f
+        |  WHERE f.maybe
+        |    AND f.to_address NOT IN (SELECT addr FROM graft_bloom_blacklist)
+        |)
+        |SELECT contract_address, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS volume
+        |FROM kept GROUP BY contract_address
+        |ORDER BY contract_address""".stripMargin)
+  }
+
   /** Per-wallet dapp-membership flag — the semi-join form of isDappAddress:
     * one pass, no per-row reads. */
   def flagDappWallets(spark: SparkSession, sfDir: String): DataFrame = {
