@@ -574,6 +574,20 @@ object Catalog {
         |  FROM pu
         |) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // First-order Markov transition counts over per-user event sequences
+    // (lead over a total order: time + unique event id tie-break).
+    QEntry("q_event_transitions", Behavior.eventTransitions, Some(
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts), event_id) AS next_type
+        |  FROM events
+        |)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Weekly cohort retention triangle: cohort = epoch-week of first
     // event, n_users = distinct cohort members active at each week offset.
     QEntry("q_cohort_retention", Behavior.cohortRetention, Some(

@@ -59,6 +59,25 @@ object Behavior {
       .orderBy("stage")
   }
 
+  /** Event-transition matrix (first-order Markov counts): for each user's
+    * time-ordered event sequence, count (event → next event) pairs across
+    * the whole population. One window pass (partition user, order by time
+    * with the unique event id as tie-break — a total order, so `lead` is
+    * deterministic) + one map-side-combinable count aggregation. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("t"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Weekly cohort retention: users grouped by the epoch-week of their
     * first event; n_users counts distinct cohort members active in each
     * subsequent week (offset 0 = the cohort week itself). The classic
