@@ -991,6 +991,16 @@ object Catalog {
            |WHERE to_address NOT IN (SELECT addr FROM bl)
            |GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    // Fuzzy record linkage: nation-blocked candidate pairs + Levenshtein
+    // refine (same integer DP in both engines).
+    QEntry("q_name_linkage", Membership.nameLinkage, Some(
+      s"""SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         |FROM customer a JOIN customer b
+         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         |WHERE levenshtein(a.c_name, b.c_name) <= ${Membership.LinkMaxDist}
+         |ORDER BY key_a, key_b""".stripMargin)),
+
     // D6 replacement: per-row nested-read UDF → one semi-join flag pass.
     QEntry("q_dapp_wallet_flags", Membership.flagDappWallets,
       Some(withTransfersAndDapps(

@@ -96,6 +96,32 @@ object Membership {
         |ORDER BY contract_address""".stripMargin)
   }
 
+  /** Fuzzy record linkage: near-identical customer names, blocked then
+    * refined — the entity-resolution sibling of the document-dedup family.
+    * Candidate pairs come from an EQUI-join on a blocking key (nation), so
+    * pair count is bounded by the largest block squared, never all-pairs;
+    * the edit-distance refine (classic Wagner-Fischer, identical integer
+    * DP in every engine) runs only inside blocks. At 100 TB the blocking
+    * key would be a cheap canopy (soundex/prefix/LSH over names) — the
+    * shape (equi-join candidates → exact refine) is this engine's standard
+    * candidate-generation pattern ([[graft.ops.Dedup]], [[graft.ops.Similarity]]). */
+  val LinkMaxDist = 2
+
+  def nameLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val a = c.select(col("c_nationkey"), col("c_custkey").as("key_a"),
+      col("c_name").as("name_a"))
+    val b = c.select(col("c_nationkey"), col("c_custkey").as("key_b"),
+      col("c_name").as("name_b"))
+    a.join(b, Seq("c_nationkey"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= LinkMaxDist)
+      .select(col("key_a"), col("key_b"), col("dist"))
+      .orderBy("key_a", "key_b")
+  }
+
   /** Per-wallet dapp-membership flag — the semi-join form of isDappAddress:
     * one pass, no per-row reads. */
   def flagDappWallets(spark: SparkSession, sfDir: String): DataFrame = {
