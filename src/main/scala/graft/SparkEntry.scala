@@ -2314,6 +2314,16 @@ object Catalog {
     QEntry("q_order_percentiles_approx", Relational.orderPercentilesApprox,
       None),
 
+    // One-pass per-column completeness/uniqueness profile (long format).
+    QEntry("q_data_profile", Profile.ordersProfile, Some(
+      graft.ops.Profile.OrdersColumns.map(c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY 1"))),
+
     // Z-order layout keys: 16-bit Morton interleave of (orderkey, price)
     // — the write order of a z-clustered table; pure integer bit ladder,
     // identical in both engines (LayoutSpec measures the actual per-file

@@ -59,4 +59,33 @@ class MetricsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("HLL sketch REAGGREGATION: hourly sketches union to the daily truth") {
+    // the pre-aggregated-sketch-table pattern: store one small sketch per
+    // (token, hour); answer any coarser rollup by MERGING sketches instead
+    // of re-scanning the fact table — the distinct-count architecture that
+    // makes 100 TB dashboards cheap. Datasketches HLL merge is lossless
+    // w.r.t. the sketch state, so the merged estimate must stay inside the
+    // same relative error band as a direct sketch.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = Tables.transfers(spark, GraftSpark.Sf)
+      .select(col("contract_address"),
+        expr("transact_at div 3600").as("hour"),
+        expr("transact_at div 86400").as("day"),
+        col("from_address"))
+    val hourly = t.groupBy("contract_address", "day", "hour")
+      .agg(expr("hll_sketch_agg(from_address)").as("sk"))
+    val daily = hourly.groupBy("contract_address", "day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = t.groupBy("contract_address", "day")
+      .agg(countDistinct("from_address").as("n"))
+    val joined = daily.join(exact, Seq("contract_address", "day"))
+      .select("n", "est").as[(Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (n, est) =>
+      assert(math.abs(est.toDouble - n) / n <= 0.05,
+        s"merged estimate $est vs exact $n")
+    }
+  }
 }
