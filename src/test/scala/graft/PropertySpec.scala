@@ -100,4 +100,25 @@ class PropertySpec extends AnyFunSuite {
       assert(keysInOrder == distinctKeys.map(_._1).sorted)
     }
   }
+
+  test("property: morton z-value round-trips and preserves bit order") {
+    // reference implementation: interleave bit-by-bit in plain Scala
+    def refZ(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16)
+        z |= (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val pairGen = for {
+      a <- Gen.choose(0L, 65535L)
+      b <- Gen.choose(0L, 65535L)
+    } yield (a, b)
+    val pairs = samples(Gen.listOfN(200, pairGen), 3).flatten.distinct
+    val got = pairs.toDF("a", "b")
+      .withColumn("z", expr(graft.ops.Layout.sparkZ("a", "b")))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == refZ(a, b), s"z($a, $b) = $z, expected ${refZ(a, b)}")
+    }
+  }
 }
