@@ -2030,6 +2030,68 @@ object Catalog {
          |  JOIN norms nb ON nb.vec_id = d.vec_b
          |) WHERE c >= 0.05 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // SemDeDup: connected components over the embedding near-dup pair
+    // graph (the q_embedding_neardup CTEs feed the same recursive
+    // transitive closure that checks q_dedup_clusters).
+    QEntry("q_semantic_dedup", Dedup.semanticDedupClusters, Some(
+      s"""WITH RECURSIVE $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |planes AS (
+         |  SELECT p.p, i.i,
+         |         CAST(strpos('0123456789abcdef',
+         |           substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)),
+         |                  1, 1)) - 1 AS DOUBLE) - 7.5 AS c
+         |  FROM (SELECT unnest(range(${Similarity.NumPlanes})) AS p) p,
+         |       (SELECT unnest(range(64)) AS i) i
+         |),
+         |buckets AS (
+         |  SELECT vec_id,
+         |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+         |           AS bucket
+         |  FROM (
+         |    SELECT idx.vec_id, planes.p,
+         |           SUM(CAST(idx.x * planes.c AS DECIMAL(38,18))) AS s
+         |    FROM idx JOIN planes ON planes.i = idx.i
+         |    GROUP BY 1, 2
+         |  ) GROUP BY vec_id
+         |),
+         |cands AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |),
+         |dots AS (
+         |  SELECT c.vec_a, c.vec_b,
+         |         CAST(SUM(CAST(qa.x * qb.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM cands c
+         |  JOIN idx qa ON qa.vec_id = c.vec_a
+         |  JOIN idx qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
+         |  GROUP BY 1, 2
+         |),
+         |ep AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT d.vec_a, d.vec_b,
+         |           d.dot / (sqrt(na.sq) * sqrt(nb.sq)) AS c
+         |    FROM dots d
+         |    JOIN norms na ON na.vec_id = d.vec_a
+         |    JOIN norms nb ON nb.vec_id = d.vec_b
+         |  ) WHERE c >= 0.05
+         |),
+         |esym AS (
+         |  SELECT vec_a AS s, vec_b AS t FROM ep
+         |  UNION SELECT vec_b, vec_a FROM ep
+         |),
+         |ereach AS (
+         |  SELECT s AS vec_id, s AS r FROM esym
+         |  UNION
+         |  SELECT esym.s, ereach.r FROM esym JOIN ereach ON esym.t = ereach.vec_id
+         |)
+         |SELECT vec_id, min(r) AS keeper
+         |FROM ereach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QEntry("q_ivf_assign", Similarity.ivfAssignments, Some(
       s"""WITH $embIdxCte,
          |norms AS (

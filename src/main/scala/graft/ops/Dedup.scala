@@ -183,6 +183,23 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_keeper"))
       .orderBy("doc_id")
 
+  /** SEMANTIC dedup clusters (the SemDeDup recipe): connected components
+    * over embedding-cosine near-duplicate pairs
+    * ([[Similarity.cosineNearDupPairs]] — LSH-bucket candidates + exact
+    * threshold refine) instead of shingle/MinHash pairs. Catches
+    * paraphrases and translations that share no n-grams; the component
+    * keeper (min vec_id) is the representative the corpus keeps. Same
+    * O(|E|)-per-round clustering engine, same recursive-CTE oracle shape
+    * as [[dedupClusters]] — only the candidate generator differs, which
+    * is the point: every near-dup signal (lexical, hash, semantic) feeds
+    * one clustering/keeper pipeline. */
+  def semanticDedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.connectedComponents(
+        Similarity.cosineNearDupPairs(spark, sfDir)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")))
+      .select(col("id").as("vec_id"), col("label").as("keeper"))
+      .orderBy("vec_id")
+
   /** The applied dedup result: documents that survive BOTH exact dedup
     * (the min doc_id per content hash) and near-dup clustering (component
     * keepers from [[dedupClusters]]; documents in no cluster are their own
