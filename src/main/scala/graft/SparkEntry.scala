@@ -2030,6 +2030,66 @@ object Catalog {
          |  JOIN norms nb ON nb.vec_id = d.vec_b
          |) WHERE c >= 0.05 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // Per-label exact-mean centroids (nearest-class-mean model).
+    QEntry("q_label_centroids", Similarity.labelCentroids, Some(
+      s"""WITH $embIdxCte,
+         |lmeans AS (
+         |  SELECT e.label AS cid, i.i,
+         |         CAST(SUM(CAST(i.x AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+         |           AS m
+         |  FROM embeddings e JOIN idx i ON i.vec_id = e.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |cnt AS (
+         |  SELECT label AS cid, CAST(count(*) AS BIGINT) AS n_vectors
+         |  FROM embeddings GROUP BY 1
+         |)
+         |SELECT m.cid AS label, c.n_vectors,
+         |       list(round(m.m, 9) ORDER BY m.i) AS centroid
+         |FROM lmeans m JOIN cnt c ON c.cid = m.cid
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // Nearest-class-mean confusion matrix: cosine arg-max against the
+    // label centroids (row_number spelling ≡ the Spark max(struct)).
+    QEntry("q_label_classify", Similarity.labelClassify, Some(
+      s"""WITH $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |lmeans AS (
+         |  SELECT e.label AS cid, i.i,
+         |         CAST(SUM(CAST(i.x AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+         |           AS m
+         |  FROM embeddings e JOIN idx i ON i.vec_id = e.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |cnorms AS (
+         |  SELECT cid, CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS csq
+         |  FROM lmeans GROUP BY 1
+         |),
+         |tdots AS (
+         |  SELECT v.vec_id, mm.cid,
+         |         CAST(SUM(CAST(v.x * mm.m AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM idx v JOIN lmeans mm ON mm.i = v.i
+         |  GROUP BY 1, 2
+         |),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT t.vec_id, t.cid,
+         |           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |             t.dot / (sqrt(nv.sq) * sqrt(cn.csq)) DESC, t.cid ASC)
+         |             AS rnk
+         |    FROM tdots t
+         |    JOIN norms nv ON nv.vec_id = t.vec_id
+         |    JOIN cnorms cn ON cn.cid = t.cid
+         |  ) WHERE rnk = 1
+         |)
+         |SELECT e.label AS true_label, a.cid AS pred_label,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // SemDeDup: connected components over the embedding near-dup pair
     // graph (the q_embedding_neardup CTEs feed the same recursive
     // transitive closure that checks q_dedup_clusters).

@@ -189,6 +189,54 @@ object Similarity {
   def kmeansIter3(spark: SparkSession, sfDir: String): DataFrame =
     kmeansIterAssignments(spark, sfDir, 3)
 
+  /** Per-label exact-mean centroids — the supervised counterpart of the
+    * Lloyd step: the embeddings table carries a `label` column, and its
+    * per-class means are the nearest-class-mean model (and the quality
+    * probe for any embedding pipeline: if classes aren't separable by
+    * their centroids, the embedding is broken). Same decimal-exact mean
+    * arithmetic as [[lloydStep]], grouped by label instead of cell. */
+  private def labelMeans(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+      .join(cachedBase(spark, sfDir).select("vec_id", "v"), Seq("vec_id"))
+      .select(col("label").as("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double") / count(lit(1))).as("m"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
+        .as("cv"))
+      .withColumn("csq", expr(normSqOf("cv")))
+
+  /** (label, n_vectors, centroid) — centroid components rendered at 9
+    * digits (the raw decimal-sum-cast doubles differ across engines in
+    * the last ulp, same story as the quantization norms). */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.embeddings(spark, sfDir)
+      .groupBy(col("label").as("cid")).agg(count(lit(1)).as("n_vectors"))
+    labelMeans(spark, sfDir)
+      .join(counts, Seq("cid"))
+      .select(col("cid").as("label"), col("n_vectors"),
+        expr("transform(cv, x -> round(x, 9))").as("centroid"))
+      .orderBy("label")
+  }
+
+  /** Nearest-class-mean classification confusion matrix: every vector
+    * assigned to its closest label centroid by cosine ([[assignCore]] —
+    * broadcast centroids, map-side arg-max), tallied against the true
+    * label. The diagonal mass is the embedding's class-separability
+    * score. */
+  def labelClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = assignCore(cachedBase(spark, sfDir),
+      labelMeans(spark, sfDir))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").as("true_label"))
+      .join(assigned.select(col("vec_id"), col("cid").as("pred_label")),
+        Seq("vec_id"))
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
   /** IVF ANN: nearest neighbor among vectors sharing the probe's cell —
     * search cost |cell| instead of |table| (queries whose cell holds no
     * other vector produce no row). */
