@@ -199,11 +199,13 @@ object Catalog {
     * (1/N, teleport, damping) is the same single IEEE-double operation
     * chain the Spark side evaluates, so ranks agree to the last ulp and
     * the final round(…, 9) is pure safety margin. */
-  private def pageRankOracle(iters: Int): String = {
+  private def pageRankOracle(iters: Int, weighted: Boolean = false): String = {
+    val contribExpr =
+      if (weighted) "p.r * (e.w / deg.d)" else "p.r / deg.d"
     val steps = (1 to iters).map { i =>
       s"""c$i AS (
          |  SELECT e.dst AS v,
-         |         CAST(SUM(CAST(p.r / deg.d AS DECIMAL(38,18))) AS DOUBLE)
+         |         CAST(SUM(CAST($contribExpr AS DECIMAL(38,18))) AS DOUBLE)
          |           AS contrib
          |  FROM e JOIN r${i - 1} p ON p.v = e.src JOIN deg ON deg.v = e.src
          |  GROUP BY 1
@@ -223,15 +225,29 @@ object Catalog {
          |  LEFT JOIN c$i c ON c.v = v.v
          |)""".stripMargin
     }.mkString(",\n")
+    val eCte =
+      if (weighted)
+        s"""e AS (
+           |  SELECT from_address AS src, to_address AS dst,
+           |         CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS w
+           |  FROM transfers GROUP BY 1, 2
+           |),
+           |deg AS (
+           |  SELECT src AS v,
+           |         CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS d
+           |  FROM e GROUP BY 1
+           |)""".stripMargin
+      else
+        s"""e AS (
+           |  SELECT DISTINCT from_address AS src, to_address AS dst
+           |  FROM transfers
+           |),
+           |deg AS (
+           |  SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+           |)""".stripMargin
     withTransfers(
-      s""", e AS (
-         |  SELECT DISTINCT from_address AS src, to_address AS dst
-         |  FROM transfers
-         |),
+      s""", $eCte,
          |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
-         |deg AS (
-         |  SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
-         |),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
          |r0 AS (SELECT v.v, CAST(1.0 AS DOUBLE) / n.n AS r
          |       FROM v CROSS JOIN n),
@@ -1653,6 +1669,22 @@ object Catalog {
             org.apache.spark.sql.functions.col("rank"), 9).as("rank"))
         .orderBy("address"),
       Some(pageRankOracle(3))),
+
+    // Value-weighted PageRank: rank flows proportionally to transferred
+    // value (edges pre-aggregated per (src, dst) with exact decimal sums).
+    QEntry("q_pagerank_weighted",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        Graph.pageRankWeighted(
+          graft.Tables.transfers(s, d)
+            .groupBy(col("from_address").as("src"),
+              col("to_address").as("dst"))
+            .agg(graft.ops.Num.dsum(col("value")).as("w")))
+          .select(col("v").as("address"),
+            org.apache.spark.sql.functions.round(col("rank"), 9).as("rank"))
+          .orderBy("address")
+      },
+      Some(pageRankOracle(3, weighted = true))),
 
     QEntry("q_triangle_count",
       (s, d) => Graph.triangleCounts(

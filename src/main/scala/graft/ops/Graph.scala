@@ -206,6 +206,53 @@ object Graph {
     ranks.select(col("v"), col("r").as("rank"))
   }
 
+  /** Weight-proportional PageRank: each vertex's rank flows to its
+    * out-neighbors in proportion to EDGE WEIGHT (`w` column, > 0; for the
+    * transfer graph, the total value moved along the edge) instead of
+    * uniformly — "who receives value from important senders", the
+    * flow-aware importance metric. Same per-round cost, lineage-cut and
+    * determinism contract as [[pageRank]]: out-weight totals are exact
+    * decimal sums rendered to double, per-edge shares are single IEEE
+    * divisions, contributions re-sum in DECIMAL(38,18).
+    *
+    * `edges` must be pre-aggregated per (src, dst) — parallel edges
+    * summed upstream, where the combiner runs map-side. */
+  def pageRankWeighted(edges: DataFrame, iterations: Int = 3,
+      alpha: Double = 0.85, cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val e = LineageCut.cut(
+      edges.select(col("src"), col("dst"), col("w")), cutMode)
+    val deg = e.groupBy(col("src").as("v"))
+      .agg(expr("CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE)").as("ws"))
+    val base = LineageCut.cut(
+      e.select(col("src").as("v"))
+        .unionByName(e.select(col("dst").as("v")))
+        .distinct()
+        .join(deg, Seq("v"), "left"), cutMode)
+    val n = base.count()
+    var ranks = base.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.filter(col("ws").isNotNull)
+          .select(col("v").as("src"), col("r"), col("ws")), Seq("src"))
+        .select(col("dst"), (col("r") * (col("w") / col("ws"))).as("c"))
+        .groupBy(col("dst").as("v"))
+        .agg(expr("CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE)")
+          .as("contrib"))
+      val dangling = ranks.filter(col("ws").isNull)
+        .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")
+          .as("dang"))
+      ranks = LineageCut.cut(
+        base.join(contribs, Seq("v"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("v"), col("ws"),
+            (lit((1.0 - alpha) / n) +
+              lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
+                coalesce(col("dang"), lit(0.0)) / n)).as("r")),
+        cutMode)
+    }
+    ranks.select(col("v"), col("r").as("rank"))
+  }
+
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * same (id, label=component min) contract as [[connectedComponents]],

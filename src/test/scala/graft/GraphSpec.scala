@@ -120,6 +120,19 @@ class GraphSpec extends AnyFunSuite {
     assert(pr(3L) > pr(2L) && pr(2L) > pr(1L))
   }
 
+  test("weighted pagerank: rank flows proportionally to edge weight") {
+    // a splits its rank 9:1 between b and c; both sink back to a
+    val edges = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0),
+      (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val pr = Graph.pageRankWeighted(edges, iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(2L) > pr(3L))
+    // b's surplus over the teleport floor is 9x c's (both fed only by a)
+    val floor = 0.15 / 3
+    assert(math.abs((pr(2L) - floor) / (pr(3L) - floor) - 9.0) < 1e-6)
+  }
+
   test("pagerank is independent of input partitioning") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (4L, 3L))
       .toDF("src", "dst")
