@@ -104,4 +104,38 @@ object Sinks {
     mustRename(staged, dst)
     fs.delete(old, true)
   }
+
+  /** Small-files compaction: rewrite a parquet table into
+    * ⌈rows / targetRecordsPerFile⌉ files via the same staged-swap dance as
+    * [[upsertParquet]] (a crash never leaves the table missing). Streaming
+    * ingest and dynamic partition overwrites accrete small files; scans
+    * then pay one task + one footer per file, and at 100 TB the file
+    * listing alone dominates planning — periodic compaction is the
+    * maintenance op every table format (Delta OPTIMIZE, Iceberg rewrite)
+    * schedules. The count job is the price of sizing output files
+    * deterministically; `repartition` (round-robin) balances them. */
+  def compact(spark: SparkSession, path: String,
+      targetRecordsPerFile: Long): Int = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be > 0")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val staged = new org.apache.hadoop.fs.Path(path + "__staged")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L,
+      (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    df.repartition(files).write
+      .mode(SaveMode.Overwrite).parquet(staged.toString)
+    def mustRename(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"compact: rename $from -> $to failed")
+    fs.delete(old, true)
+    mustRename(dst, old)
+    mustRename(staged, dst)
+    fs.delete(old, true)
+    files
+  }
 }

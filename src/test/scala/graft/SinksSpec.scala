@@ -96,6 +96,26 @@ class SinksSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id"), plan)
   }
 
+  test("compaction: fragmented table rewritten to sized files, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val path = s"$dir/t"
+    val df = spark.range(1000).toDF("id")
+      .withColumn("s", col("id").cast("string"))
+    df.repartition(40).write.parquet(path) // 40 tiny files
+    def dataFiles() = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles() == 40)
+    val files = Sinks.compact(spark, path, targetRecordsPerFile = 300L)
+    assert(files == 4) // ceil(1000 / 300)
+    assert(dataFiles() == 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).head().getLong(0) == 499500L)
+    // staging/backup dirs cleaned up
+    assert(!new java.io.File(path + "__staged").exists())
+    assert(!new java.io.File(path + "__old").exists())
+  }
+
   test("json registry source: nft-sourced and address-less records dropped") {
     val c = graft.sources.JsonRegistry.cleaned(spark).collect()
     val ids = c.map(_.getString(0)).distinct.toSeq
