@@ -256,6 +256,37 @@ object Catalog {
          |FROM r$iters ORDER BY 1""".stripMargin)
   }
 
+  /** DuckDB mirror of [[graft.ops.Graph.labelPropagation]]: `rounds`
+    * synchronous LPA updates unrolled (per-neighbor label counts →
+    * per-vertex max → min label among the tied). Pure integer counting +
+    * min/max — no float anywhere. */
+  private def lpaOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""cnt$i AS (
+         |  SELECT s.src AS id, l.label, count(*) AS c
+         |  FROM sym s JOIN l${i - 1} l ON l.id = s.dst
+         |  GROUP BY 1, 2
+         |),
+         |l$i AS (
+         |  SELECT id, min(label) AS label FROM (
+         |    SELECT id, label, c, max(c) OVER (PARTITION BY id) AS mc
+         |    FROM cnt$i
+         |  ) WHERE c = mc GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    withTransfers(
+      s""", e AS (
+         |  SELECT DISTINCT from_address AS a, to_address AS b
+         |  FROM transfers WHERE from_address <> to_address
+         |),
+         |sym AS (SELECT a AS src, b AS dst FROM e
+         |        UNION SELECT b, a FROM e),
+         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
+         |$steps
+         |SELECT id AS address, label AS community
+         |FROM l$rounds ORDER BY 1""".stripMargin)
+  }
+
   /** DuckDB mirror of [[graft.ops.Similarity.kmeansIterAssignments]]:
     * `iters` Lloyd iterations unrolled as a CTE chain — assign0 is the seed
     * (stride) assignment; each step derives exact decimal per-dimension
@@ -1669,6 +1700,17 @@ object Catalog {
             org.apache.spark.sql.functions.col("rank"), 9).as("rank"))
         .orderBy("address"),
       Some(pageRankOracle(3))),
+
+    // Synchronous label-propagation communities, 3 deterministic rounds.
+    QEntry("q_communities",
+      (s, d) => Graph.labelPropagation(
+        graft.Tables.transfers(s, d)
+          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
+            org.apache.spark.sql.functions.col("to_address").as("dst")))
+        .select(org.apache.spark.sql.functions.col("id").as("address"),
+          org.apache.spark.sql.functions.col("label").as("community"))
+        .orderBy("address"),
+      Some(lpaOracle(3))),
 
     // Value-weighted PageRank: rank flows proportionally to transferred
     // value (edges pre-aggregated per (src, dst) with exact decimal sums).

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -204,6 +205,44 @@ object Graph {
         cutMode)
     }
     ranks.select(col("v"), col("r").as("rank"))
+  }
+
+  /** Community detection by synchronous label propagation (fixed rounds,
+    * deterministic): every vertex adopts the most frequent label among
+    * its neighbors each round, ties to the SMALLEST label. Unlike
+    * [[connectedComponents]] (one label per connected piece), LPA splits
+    * dense regions into communities — wallet rings, dapp user bases —
+    * after a handful of rounds.
+    *
+    * The classic LPA is run-order-dependent (async updates, random
+    * tie-breaks); this variant is synchronous with a total tie order, so
+    * the result is a pure function of the graph and round count —
+    * partition-independent and oracle-checkable. Per round: one equi-join
+    * + two grouped aggregations + one per-vertex max window, all keyed by
+    * vertex — O(|E|) shuffled bytes, same envelope as the other
+    * iterative algorithms; rounds are lineage-cut. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val sym = LineageCut.cut(
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(), cutMode)
+    var labels = LineageCut.cut(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")), cutMode)
+    for (_ <- 1 to rounds) {
+      val counts = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = LineageCut.cut(
+        counts
+          .withColumn("mc", max("c").over(Window.partitionBy("id")))
+          .filter(col("c") === col("mc"))
+          .groupBy("id").agg(min("label").as("label")), cutMode)
+    }
+    labels
   }
 
   /** Weight-proportional PageRank: each vertex's rank flows to its

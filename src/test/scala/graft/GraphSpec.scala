@@ -120,6 +120,24 @@ class GraphSpec extends AnyFunSuite {
     assert(pr(3L) > pr(2L) && pr(2L) > pr(1L))
   }
 
+  test("label propagation splits bridged cliques that CC merges") {
+    def clique(vs: Seq[Long]) =
+      for (a <- vs; b <- vs if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L)))
+      .toDF("src", "dst")
+    val comm = Graph.labelPropagation(edges).as[(Long, Long)]
+      .collect().toMap
+    // one community per clique; the bridge does not merge them
+    assert(Seq(1L, 2L, 3L, 4L).map(comm).toSet.size == 1)
+    assert(Seq(10L, 11L, 12L, 13L).map(comm).toSet.size == 1)
+    assert(comm(1L) != comm(10L))
+    // connected components see a single piece
+    val cc = Graph.connectedComponents(edges).as[(Long, Long)]
+      .collect().toMap
+    assert(cc.values.toSet.size == 1)
+  }
+
   test("weighted pagerank: rank flows proportionally to edge weight") {
     // a splits its rank 9:1 between b and c; both sink back to a
     val edges = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0),
