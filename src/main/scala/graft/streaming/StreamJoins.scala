@@ -29,4 +29,18 @@ object StreamJoins {
       .select(col("contract_address"), col("value"), col("t_ts"),
         col("price"), col("p_ts"))
   }
+
+  /** Stream-STATIC enrichment: join a stream against a batch dimension
+    * table (the dapp registry). No watermark and no join state at all —
+    * the static side is broadcast per micro-batch and re-read if it
+    * changes under a lazily-refreshed format — which is why dimension
+    * enrichment should always be spelled stream-static, never as a
+    * stream-stream join that would buffer the dimension in the state
+    * store. `stream` columns: (address, …). */
+  def enrichWithDapps(stream: DataFrame, dapps: DataFrame): DataFrame = {
+    val reg = dapps
+      .select(col("dapp_id"), col("dapp_name"),
+        explode(col("addresses")).as("address"))
+    stream.join(broadcast(reg), Seq("address"), "left")
+  }
 }

@@ -124,6 +124,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches against the broadcast dapp registry") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Double)] // (address, value)
+    val enriched = graft.streaming.StreamJoins.enrichWithDapps(
+      in.toDS().toDF("address", "value"), Tables.dapps(spark))
+    val q = enriched.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_ss_static_test").start()
+    try {
+      in.addData(("1", 5.0), ("22", 7.0), ("9999", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("graft_ss_static_test")
+        .select("address", "dapp_id").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      // "1" belongs to AlphaSwap, "22" to BetaLend, "9999" to no dapp
+      assert(out == Set(("1", Some("d01")), ("22", Some("d02")),
+        ("9999", None)))
+    } finally q.stop()
+  }
+
   test("streaming dedup: watermarked dropDuplicates suppresses replays") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
