@@ -2104,6 +2104,28 @@ object Catalog {
          |  JOIN norms nb ON nb.vec_id = d.vec_b
          |) WHERE c >= 0.05 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // Per-dimension z-score standardization from exact decimal moments.
+    QEntry("q_standardize", Quantize.standardizedEmbeddings, Some(
+      s"""WITH $embIdxCte,
+         |stats AS (
+         |  SELECT i,
+         |         CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sx2,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM idx GROUP BY 1
+         |),
+         |ms AS (
+         |  SELECT i, sx / n AS m,
+         |         sqrt(greatest(0.0, sx2 / n - (sx / n) * (sx / n))) AS sd
+         |  FROM stats
+         |)
+         |SELECT v.vec_id,
+         |       list(CASE WHEN s.sd = 0 THEN 0.0
+         |                 ELSE round((v.x - s.m) / s.sd, 9) END
+         |            ORDER BY v.i) AS z
+         |FROM idx v JOIN ms s ON s.i = v.i
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Per-label exact-mean centroids (nearest-class-mean model).
     QEntry("q_label_centroids", Similarity.labelCentroids, Some(
       s"""WITH $embIdxCte,

@@ -74,6 +74,38 @@ object Quantize {
       .select("vec_id", "maxabs", "norm", "q")
       .orderBy("vec_id")
 
+  /** Per-DIMENSION standardization (z-scores): every embedding component
+    * centered and scaled by its dimension's corpus mean/stddev — the
+    * feature-scaling pass before any distance-based model where raw
+    * dimensions have wildly different ranges. Moments are exact decimal
+    * sums (Σx, Σx² per dimension — order-independent, the same recipe as
+    * the volume-anomaly z-scores), broadcast back as one 64-row frame;
+    * the normalization itself is a fixed IEEE chain, so outputs are
+    * bit-stable and rendered at 9 digits only to absorb the cross-engine
+    * decimalization ulp in the moments. Constant-variance dimensions
+    * standardize to 0 instead of dividing by zero. */
+  def standardizedEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val comps = emb(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val stats = comps.groupBy("i").agg(
+      expr("CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)").as("sx"),
+      expr("CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)").as("sx2"),
+      count(lit(1)).as("n"))
+      .select(col("i"),
+        (col("sx") / col("n")).as("m"),
+        sqrt(greatest(lit(0.0),
+          col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))))
+          .as("sd"))
+    comps.join(broadcast(stats), Seq("i"))
+      .select(col("vec_id"), col("i"),
+        when(col("sd") === 0, lit(0.0))
+          .otherwise(round((col("x") - col("m")) / col("sd"), 9)).as("z"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(i, z))), s -> s.z)")
+        .as("z"))
+      .orderBy("vec_id")
+  }
+
   /** Top-1 neighbor per probe under the dequantized cosine
     * `iscore * maxa * maxb / (127² * |a| * |b|)` — the asymmetric-distance
     * rescale every SQ8 index applies, computed from the exact integer dot
