@@ -199,7 +199,15 @@ object Catalog {
     * (1/N, teleport, damping) is the same single IEEE-double operation
     * chain the Spark side evaluates, so ranks agree to the last ulp and
     * the final round(…, 9) is pure safety margin. */
-  private def pageRankOracle(iters: Int, weighted: Boolean = false): String = {
+  private def pageRankOracle(iters: Int, weighted: Boolean = false): String =
+    withTransfers(
+      s""", ${pageRankCtes(iters, weighted)}
+         |SELECT v AS address, round(r, 9) AS rank
+         |FROM r$iters ORDER BY 1""".stripMargin)
+
+  /** The CTE chain alone (e/v/deg/n/r0..r`iters`), for composition into
+    * larger oracles (q_wallet360). */
+  private def pageRankCtes(iters: Int, weighted: Boolean = false): String = {
     val contribExpr =
       if (weighted) "p.r * (e.w / deg.d)" else "p.r / deg.d"
     val steps = (1 to iters).map { i =>
@@ -245,46 +253,48 @@ object Catalog {
            |deg AS (
            |  SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
            |)""".stripMargin
-    withTransfers(
-      s""", $eCte,
-         |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
-         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
-         |r0 AS (SELECT v.v, CAST(1.0 AS DOUBLE) / n.n AS r
-         |       FROM v CROSS JOIN n),
-         |$steps
-         |SELECT v AS address, round(r, 9) AS rank
-         |FROM r$iters ORDER BY 1""".stripMargin)
+    s"""$eCte,
+       |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+       |r0 AS (SELECT v.v, CAST(1.0 AS DOUBLE) / n.n AS r
+       |       FROM v CROSS JOIN n),
+       |$steps""".stripMargin
   }
 
   /** DuckDB mirror of [[graft.ops.Graph.labelPropagation]]: `rounds`
     * synchronous LPA updates unrolled (per-neighbor label counts →
     * per-vertex max → min label among the tied). Pure integer counting +
     * min/max — no float anywhere. */
-  private def lpaOracle(rounds: Int): String = {
+  private def lpaOracle(rounds: Int): String =
+    withTransfers(
+      s""", ${lpaCtes(rounds)}
+         |SELECT id AS address, label AS community
+         |FROM lp$rounds ORDER BY 1""".stripMargin)
+
+  /** The CTE chain alone (lpe/lpsym/lp0..lp`rounds`; `lp`-prefixed so it
+    * composes with [[pageRankCtes]] in one oracle). */
+  private def lpaCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
-      s"""cnt$i AS (
+      s"""lpcnt$i AS (
          |  SELECT s.src AS id, l.label, count(*) AS c
-         |  FROM sym s JOIN l${i - 1} l ON l.id = s.dst
+         |  FROM lpsym s JOIN lp${i - 1} l ON l.id = s.dst
          |  GROUP BY 1, 2
          |),
-         |l$i AS (
+         |lp$i AS (
          |  SELECT id, min(label) AS label FROM (
          |    SELECT id, label, c, max(c) OVER (PARTITION BY id) AS mc
-         |    FROM cnt$i
+         |    FROM lpcnt$i
          |  ) WHERE c = mc GROUP BY 1
          |)""".stripMargin
     }.mkString(",\n")
-    withTransfers(
-      s""", e AS (
-         |  SELECT DISTINCT from_address AS a, to_address AS b
-         |  FROM transfers WHERE from_address <> to_address
-         |),
-         |sym AS (SELECT a AS src, b AS dst FROM e
-         |        UNION SELECT b, a FROM e),
-         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
-         |$steps
-         |SELECT id AS address, label AS community
-         |FROM l$rounds ORDER BY 1""".stripMargin)
+    s"""lpe AS (
+       |  SELECT DISTINCT from_address AS a, to_address AS b
+       |  FROM transfers WHERE from_address <> to_address
+       |),
+       |lpsym AS (SELECT a AS src, b AS dst FROM lpe
+       |          UNION SELECT b, a FROM lpe),
+       |lp0 AS (SELECT DISTINCT src AS id, src AS label FROM lpsym),
+       |$steps""".stripMargin
   }
 
   /** DuckDB mirror of [[graft.ops.Similarity.kmeansIterAssignments]]:
@@ -1700,6 +1710,41 @@ object Catalog {
             org.apache.spark.sql.functions.col("rank"), 9).as("rank"))
         .orderBy("address"),
       Some(pageRankOracle(3))),
+
+    // Integration flagship: flow totals + PageRank + LPA community + dapp
+    // flag in one address-keyed document (every fragment is an
+    // already-proven oracle shape, composed).
+    QEntry("q_wallet360", Wallet.wallet360, Some(withTransfersAndDapps(
+      s""", ${pageRankCtes(3)},
+         |${lpaCtes(3)},
+         |outf AS (
+         |  SELECT from_address AS address, CAST(count(*) AS BIGINT) AS n_out,
+         |         ${dsum("value")} AS vol_out
+         |  FROM transfers GROUP BY 1
+         |),
+         |inf AS (
+         |  SELECT to_address AS address, CAST(count(*) AS BIGINT) AS n_in,
+         |         ${dsum("value")} AS vol_in
+         |  FROM transfers GROUP BY 1
+         |),
+         |flags AS (
+         |  SELECT DISTINCT unnest(addresses) AS address, true AS is_dapp
+         |  FROM dapps
+         |)
+         |SELECT r.v AS address,
+         |       COALESCE(o.n_out, 0) AS n_out,
+         |       COALESCE(o.vol_out, 0.0) AS vol_out,
+         |       COALESCE(i.n_in, 0) AS n_in,
+         |       COALESCE(i.vol_in, 0.0) AS vol_in,
+         |       round(r.r, 9) AS rank,
+         |       COALESCE(l.label, r.v) AS community,
+         |       COALESCE(f.is_dapp, false) AS is_dapp
+         |FROM r3 r
+         |LEFT JOIN outf o ON o.address = r.v
+         |LEFT JOIN inf i ON i.address = r.v
+         |LEFT JOIN lp3 l ON l.id = r.v
+         |LEFT JOIN flags f ON f.address = r.v
+         |ORDER BY 1""".stripMargin))),
 
     // Synchronous label-propagation communities, 3 deterministic rounds.
     QEntry("q_communities",

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The "wallet 360" document: one row per address with flow totals, graph
+  * importance, community, and dapp membership — the integration flagship
+  * that exercises the aggregate, iterative-graph, and membership layers in
+  * a single composed query (what the reference's per-enricher Mongo
+  * documents would look like if its enrichers could share one engine).
+  *
+  * Shape: three address-keyed aggregates (out-flow, in-flow, dapp flag —
+  * each one shuffle with map-side combine), PageRank and LPA communities
+  * (the iterative subtrees), all left-joined onto the PageRank vertex
+  * frame, which by construction holds every address that appears in any
+  * transfer. Addresses whose only edges are self-loops carry no community
+  * (LPA drops self-edges) and default to themselves. */
+object Wallet {
+
+  def wallet360(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+    val outF = t.groupBy(col("from_address").as("address"))
+      .agg(count(lit(1)).as("n_out"), Num.dsum(col("value")).as("vol_out"))
+    val inF = t.groupBy(col("to_address").as("address"))
+      .agg(count(lit(1)).as("n_in"), Num.dsum(col("value")).as("vol_in"))
+    val edges = t.select(col("from_address").as("src"),
+      col("to_address").as("dst"))
+    val pr = Graph.pageRank(edges)
+      .select(col("v").as("address"), round(col("rank"), 9).as("rank"))
+    val comm = Graph.labelPropagation(edges)
+      .select(col("id").as("address"), col("label").as("community"))
+    val dapp = Membership.flagDappWallets(spark, sfDir)
+    pr
+      .join(outF, Seq("address"), "left")
+      .join(inF, Seq("address"), "left")
+      .join(comm, Seq("address"), "left")
+      .join(dapp, Seq("address"), "left")
+      .select(col("address"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("vol_out"), lit(0.0)).as("vol_out"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("vol_in"), lit(0.0)).as("vol_in"),
+        col("rank"),
+        coalesce(col("community"), col("address")).as("community"),
+        coalesce(col("is_dapp"), lit(false)).as("is_dapp"))
+      .orderBy("address")
+  }
+}
