@@ -33,6 +33,21 @@ class QuantizeSpec extends AnyFunSuite {
     assert(viol === 0L)
   }
 
+  test("standardized embeddings: per-dimension mean 0, variance 1") {
+    val z = Quantize.standardizedEmbeddings(spark, sf)
+      .select(col("vec_id"), expr("posexplode(z)").as(Seq("i", "x")))
+    val stats = z.groupBy("i").agg(
+      avg("x").as("m"), expr("avg(x * x)").as("m2"))
+      .collect()
+    assert(stats.length == 64)
+    stats.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-6)
+      // E[z²] = 1 for sd-scaled dims (rounding at 9 digits is far inside
+      // this tolerance); a degenerate all-zero dim would read 0 and fail
+      assert(math.abs(r.getAs[Double]("m2") - 1.0) < 1e-3)
+    }
+  }
+
   test("quantized top-1 agrees with exact cosine top-1 on most probes") {
     val exact = Similarity.bruteForceTopK(spark, sf)
       .filter(col("rnk") === 1)
