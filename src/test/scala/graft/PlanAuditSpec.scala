@@ -194,4 +194,25 @@ class PlanAuditSpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty, s"queries over shuffle ceiling: $offenders")
   }
+
+  test("narrow projections shuffle only for their final presentation sort") {
+    // quantization, chunking and z-values are pure per-row projections:
+    // the ONLY exchange allowed is the ORDER BY's range partitioning —
+    // a hash exchange would mean an accidental aggregation/join crept in
+    for (n <- Seq("q_quantize_int8", "q_doc_chunks", "q_zorder")) {
+      val p = plan(n)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$n grew a hash exchange:\n$p")
+    }
+  }
+
+  test("quantized ANN broadcasts the probe side; candidates never shuffle") {
+    val p = plan("q_quantized_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // the full candidate stream reaches the arg-max via partial
+    // aggregation, not a sort: no global sort before the aggregate
+    assert(p.contains("graft_idot") || p.contains("intdot"),
+      s"integer kernel missing from plan:\n$p")
+  }
 }
