@@ -105,6 +105,59 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Versioned snapshot writes: each write lands in an immutable
+    * `v=NNNNNN` directory and a `_LATEST` pointer file is swapped last —
+    * minimal snapshot isolation (readers holding version k never see
+    * their files rewritten; a crash mid-write leaves `_LATEST` on the
+    * previous good version) and time travel (any retained version stays
+    * readable). The same commit-pointer discipline every table format
+    * (Delta log, Iceberg metadata pointer) builds on. Returns the new
+    * version number. */
+  def writeVersioned(spark: SparkSession, df: DataFrame, path: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.mkdirs(root)
+    val next = latestVersion(spark, path).getOrElse(-1L) + 1L
+    val vdir = new org.apache.hadoop.fs.Path(root, f"v=$next%06d")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(vdir.toString)
+    // pointer swap is the commit: write sidecar, then rename over _LATEST
+    val tmp = new org.apache.hadoop.fs.Path(root, "_LATEST.tmp")
+    val ptr = new org.apache.hadoop.fs.Path(root, "_LATEST")
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8")); out.close()
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(s"writeVersioned: pointer swap failed at $ptr")
+    next
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(path, "_LATEST")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val arr = new Array[Byte](64)
+        var n = in.read(arr)
+        while (n > 0) { buf.write(arr, 0, n); n = in.read(arr) }
+        Some(new String(buf.toByteArray, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Read the committed snapshot (`version` = None → `_LATEST`). */
+  def readVersioned(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"readVersioned: no committed version under $path"))
+    spark.read.parquet(s"$path/v=${"%06d".format(v)}")
+  }
+
   /** Small-files compaction: rewrite a parquet table into
     * ⌈rows / targetRecordsPerFile⌉ files via the same staged-swap dance as
     * [[upsertParquet]] (a crash never leaves the table missing). Streaming

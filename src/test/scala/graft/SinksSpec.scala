@@ -116,6 +116,25 @@ class SinksSpec extends AnyFunSuite {
     assert(!new java.io.File(path + "__old").exists())
   }
 
+  test("versioned writes: pointer commit, time travel, immutable snapshots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned")
+    val path = s"$dir/t"
+    val v0 = Sinks.writeVersioned(spark, Seq((1L, "a")).toDF("id", "s"), path)
+    val v1 = Sinks.writeVersioned(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    assert(v0 == 0L && v1 == 1L)
+    assert(Sinks.latestVersion(spark, path).contains(1L))
+    // latest sees the second snapshot; version 0 still readable (time travel)
+    assert(Sinks.readVersioned(spark, path).count() == 2)
+    assert(Sinks.readVersioned(spark, path, Some(0L)).count() == 1)
+    // snapshots are immutable: writing again never touches v=000000
+    val before = new java.io.File(s"$path/v=000000").listFiles().map(_.getName).toSet
+    Sinks.writeVersioned(spark, Seq((3L, "c")).toDF("id", "s"), path)
+    val after = new java.io.File(s"$path/v=000000").listFiles().map(_.getName).toSet
+    assert(before == after)
+    assert(Sinks.readVersioned(spark, path).count() == 1)
+  }
+
   test("json registry source: nft-sourced and address-less records dropped") {
     val c = graft.sources.JsonRegistry.cleaned(spark).collect()
     val ids = c.map(_.getString(0)).distinct.toSeq
