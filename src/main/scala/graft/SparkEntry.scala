@@ -631,6 +631,40 @@ object Catalog {
         |  FROM pu
         |) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Same funnel under a 1-hour conversion deadline per step — the
+    // variant that differentiates stages on dense data.
+    QEntry("q_funnel_windowed", Behavior.funnelWindowed, Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+         |),
+         |w1 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'signup' THEN t END)
+         |    OVER (PARTITION BY user_id) AS t1 FROM ev
+         |),
+         |w2 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'view' AND t > t1
+         |                      AND t <= t1 + ${Behavior.FunnelDeadlineNs}
+         |                THEN t END)
+         |    OVER (PARTITION BY user_id) AS t2 FROM w1
+         |),
+         |w3 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t2
+         |                      AND t <= t2 + ${Behavior.FunnelDeadlineNs}
+         |                THEN t END)
+         |    OVER (PARTITION BY user_id) AS t3 FROM w2
+         |),
+         |pu AS (
+         |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+         |  FROM w3 GROUP BY 1
+         |)
+         |SELECT stage, CAST(count(*) AS BIGINT) AS n_users FROM (
+         |  SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+         |              WHEN t2 IS NOT NULL THEN 2
+         |              WHEN t1 IS NOT NULL THEN 1
+         |              ELSE 0 END AS INTEGER) AS stage
+         |  FROM pu
+         |) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // First-order Markov transition counts over per-user event sequences
     // (lead over a total order: time + unique event id tie-break).
     QEntry("q_event_transitions", Behavior.eventTransitions, Some(

@@ -59,6 +59,41 @@ object Behavior {
       .orderBy("stage")
   }
 
+  /** [[funnel]] with a CONVERSION DEADLINE: each step must follow the
+    * previous one within [[FunnelDeadlineNs]] (1 hour) — the "purchase
+    * within an hour of viewing" product question. Identical one-exchange
+    * shape; the deadline is two extra comparisons inside the window
+    * conditions. On data where the unbounded funnel saturates (every
+    * dense user eventually does everything), the deadline is what makes
+    * stages informative. */
+  val FunnelDeadlineNs: Long = 3600L * 1000000000L
+
+  def funnelWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").as("t"))
+    val staged = ev
+      .withColumn("t1",
+        min(when(col("event_type") === FunnelSteps(0), col("t"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === FunnelSteps(1) && col("t") > col("t1")
+          && col("t") <= col("t1") + FunnelDeadlineNs, col("t"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === FunnelSteps(2) && col("t") > col("t2")
+          && col("t") <= col("t2") + FunnelDeadlineNs, col("t"))).over(w))
+    staged
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .select(
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).cast("int").as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   /** Event-transition matrix (first-order Markov counts): for each user's
     * time-ordered event sequence, count (event → next event) pairs across
     * the whole population. One window pass (partition user, order by time

@@ -30,6 +30,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got == Map(0 -> 1L, 1 -> 2L, 2 -> 1L, 3 -> 1L))
   }
 
+  test("windowed funnel: a step past its deadline does not count") {
+    val hour = Behavior.FunnelDeadlineNs
+    val ev = Seq(
+      // u1 converts inside both deadlines
+      (1L, "signup", 0L), (1L, "view", hour), (1L, "purchase", 2 * hour),
+      // u2's view comes one ns after the deadline -> stuck at stage 1
+      (2L, "signup", 0L), (2L, "view", hour + 1L), (2L, "purchase", hour + 2L),
+      // u3 views in time but purchases too late -> stage 2
+      (3L, "signup", 0L), (3L, "view", 10L), (3L, "purchase", 10L + hour + 1L)
+    ).toDF("user_id", "event_type", "t")
+    // funnelWindowed reads from Tables.events; drive the same logic by a
+    // local copy of its window chain over this frame
+    val got = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id")
+      ev
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("t"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "view" && col("t") > col("t1")
+            && col("t") <= col("t1") + hour, col("t"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("t") > col("t2")
+            && col("t") <= col("t2") + hour, col("t"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0).as("stage"))
+        .as[(Long, Int)].collect().toMap
+    }
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2))
+  }
+
   test("cohort retention: offsets count distinct users per week") {
     val wk = Behavior.WeekSecs
     val ev = Seq(
