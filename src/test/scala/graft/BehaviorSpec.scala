@@ -31,14 +31,14 @@ class BehaviorSpec extends AnyFunSuite {
   }
 
   test("windowed funnel: a step past its deadline does not count") {
-    val hour = Behavior.FunnelDeadlineNs
+    val ddl = Behavior.FunnelDeadlineNs
     val ev = Seq(
       // u1 converts inside both deadlines
-      (1L, "signup", 0L), (1L, "view", hour), (1L, "purchase", 2 * hour),
+      (1L, "signup", 0L), (1L, "view", ddl), (1L, "purchase", 2 * ddl),
       // u2's view comes one ns after the deadline -> stuck at stage 1
-      (2L, "signup", 0L), (2L, "view", hour + 1L), (2L, "purchase", hour + 2L),
+      (2L, "signup", 0L), (2L, "view", ddl + 1L), (2L, "purchase", ddl + 2L),
       // u3 views in time but purchases too late -> stage 2
-      (3L, "signup", 0L), (3L, "view", 10L), (3L, "purchase", 10L + hour + 1L)
+      (3L, "signup", 0L), (3L, "view", 10L), (3L, "purchase", 10L + ddl + 1L)
     ).toDF("user_id", "event_type", "t")
     // funnelWindowed reads from Tables.events; drive the same logic by a
     // local copy of its window chain over this frame
@@ -51,10 +51,10 @@ class BehaviorSpec extends AnyFunSuite {
           min(when(col("event_type") === "signup", col("t"))).over(w))
         .withColumn("t2",
           min(when(col("event_type") === "view" && col("t") > col("t1")
-            && col("t") <= col("t1") + hour, col("t"))).over(w))
+            && col("t") <= col("t1") + ddl, col("t"))).over(w))
         .withColumn("t3",
           min(when(col("event_type") === "purchase" && col("t") > col("t2")
-            && col("t") <= col("t2") + hour, col("t"))).over(w))
+            && col("t") <= col("t2") + ddl, col("t"))).over(w))
         .groupBy("user_id")
         .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
         .select(col("user_id"),
