@@ -1403,6 +1403,36 @@ object Catalog {
          |         AS BIGINT) AS pos
          |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic contrastive negatives: hash offset in [1, N-1] steps
+    // around the shuffle-permutation ring; equi-join by dense rank, no
+    // cross join, self-pairs impossible.
+    QEntry("q_negative_pairs", Corpus.negativePairs, Some {
+      def hex4(c: String): String =
+        s"""((strpos('0123456789abcdef', substr($c, 1, 1)) - 1) * 4096
+           | + (strpos('0123456789abcdef', substr($c, 2, 1)) - 1) * 256
+           | + (strpos('0123456789abcdef', substr($c, 3, 1)) - 1) * 16
+           | + strpos('0123456789abcdef', substr($c, 4, 1)) - 1)"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH r AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '_shuffle'), doc_id)
+         |    AS BIGINT) AS pos
+         |  FROM documents
+         |),
+         |nn AS (SELECT CAST(max(pos) AS BIGINT) AS n FROM r),
+         |x AS (
+         |  SELECT r.doc_id, r.pos, nn.n, t.j,
+         |         1 + ${hex4(
+                     "md5(CAST(r.doc_id AS VARCHAR) || '_neg_' || CAST(t.j AS VARCHAR))")}
+         |           % (nn.n - 1) AS noff
+         |  FROM r CROSS JOIN nn
+         |  CROSS JOIN unnest(range(1, ${Corpus.NumNegatives} + 1)) AS t(j)
+         |)
+         |SELECT x.doc_id, CAST(x.j AS INTEGER) AS j, r2.doc_id AS neg_id
+         |FROM x JOIN r r2 ON r2.pos = (x.pos - 1 + x.noff) % x.n + 1
+         |ORDER BY 1, 2""".stripMargin
+    }),
+
     QEntry("q_seq_pack", Corpus.packPlan, Some(
       s"""WITH $corpusTokCte,
          |kb AS (

@@ -135,6 +135,44 @@ object Corpus {
     s"CAST((instr('0123456789abcdef', substr($c, 1, 1)) - 1) * 16" +
       s" + instr('0123456789abcdef', substr($c, 2, 1)) - 1 AS BIGINT)"
 
+  /** Contrastive negative sampling: [[NumNegatives]] deterministic
+    * negatives per document, WITHOUT a cross join or RNG. Each (doc, j)
+    * derives a hash offset in [1, N-1] from md5, steps that far around
+    * the [[globalShuffle]] permutation ring, and joins back by position —
+    * an equi-join on a dense rank, so cost is O(k·N) rows shuffled once,
+    * never |docs|². The offset lower bound 1 and the modulus N-1 make
+    * self-pairs impossible by construction; everything is md5/integer
+    * arithmetic, so the sample is reproducible in any engine (the
+    * training-data property that matters: re-running the pipeline
+    * yields the same negatives). Offsets draw from 16 bits of the hash
+    * (mod-biased for N ≫ 65536, still uniform enough for negatives —
+    * widen the digit window if that ever matters). */
+  val NumNegatives = 3
+
+  private def hex4Sql(c: String): String =
+    s"""CAST(((instr('0123456789abcdef', substr($c, 1, 1)) - 1) * 4096
+       | + (instr('0123456789abcdef', substr($c, 2, 1)) - 1) * 256
+       | + (instr('0123456789abcdef', substr($c, 3, 1)) - 1) * 16
+       | + instr('0123456789abcdef', substr($c, 4, 1)) - 1) AS BIGINT)"""
+      .stripMargin.replaceAll("\n", "")
+
+  def negativePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = globalShuffle(spark, sfDir).select("doc_id", "pos")
+    val nFrame = ranked.agg(max("pos").as("n"))
+    ranked.crossJoin(broadcast(nFrame))
+      .select(col("doc_id"), col("pos"), col("n"),
+        explode(expr(s"sequence(1, $NumNegatives)")).as("j"))
+      .withColumn("noff", expr(
+        s"""1 + ${hex4Sql(
+          "md5(concat(CAST(doc_id AS STRING), '_neg_', CAST(j AS STRING)))")}
+           | % (n - 1)""".stripMargin.replaceAll("\n", "")))
+      .withColumn("neg_pos", (col("pos") - 1 + col("noff")) % col("n") + 1)
+      .join(ranked.select(col("pos").as("neg_pos"),
+        col("doc_id").as("neg_id")), Seq("neg_pos"))
+      .select(col("doc_id"), col("j").cast("int").as("j"), col("neg_id"))
+      .orderBy("doc_id", "j")
+  }
+
   /** Deterministic global shuffle — every document's position in the
     * training order, WITHOUT a global sort/row_number (which would funnel
     * the corpus through one partition). Two-phase distributed rank:
