@@ -106,6 +106,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(flagged.join(verified, Seq("doc_id"), "left_anti").isEmpty)
   }
 
+  test("negative pairs: k per doc, never self, valid ids, deterministic") {
+    import org.apache.spark.sql.functions._
+    val negs = Corpus.negativePairs(spark, sf)
+    val perDoc = negs.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty)
+    assert(perDoc.forall(_.getAs[Long]("count") == Corpus.NumNegatives))
+    assert(negs.filter(col("doc_id") === col("neg_id")).count() == 0)
+    // every negative is a real document
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id").as("neg_id"))
+    assert(negs.join(docs, Seq("neg_id"), "left_anti").isEmpty)
+    // bit-deterministic across runs
+    assert(negs.collect().toSeq == Corpus.negativePairs(spark, sf).collect().toSeq)
+  }
+
   test("bm25 scores are positive, capped at 50, and tf-monotone") {
     val res = Corpus.bm25(spark, sf).collect()
     assert(res.length <= 50 && res.forall(_.getAs[Double]("score") > 0))
