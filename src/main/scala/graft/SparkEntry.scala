@@ -1765,10 +1765,7 @@ object Catalog {
     // rank rendered at 9 digits (the exact-decimal contribution sums agree
     // across engines to ~1e-17 — see pageRankOracle).
     QEntry("q_pagerank",
-      (s, d) => Graph.pageRank(
-        graft.Tables.transfers(s, d)
-          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
-            org.apache.spark.sql.functions.col("to_address").as("dst")))
+      (s, d) => Wallet.transferPageRank(s, d)
         .select(org.apache.spark.sql.functions.col("v").as("address"),
           org.apache.spark.sql.functions.round(
             org.apache.spark.sql.functions.col("rank"), 9).as("rank"))
@@ -1812,10 +1809,7 @@ object Catalog {
 
     // Synchronous label-propagation communities, 3 deterministic rounds.
     QEntry("q_communities",
-      (s, d) => Graph.labelPropagation(
-        graft.Tables.transfers(s, d)
-          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
-            org.apache.spark.sql.functions.col("to_address").as("dst")))
+      (s, d) => Wallet.transferCommunities(s, d)
         .select(org.apache.spark.sql.functions.col("id").as("address"),
           org.apache.spark.sql.functions.col("label").as("community"))
         .orderBy("address"),

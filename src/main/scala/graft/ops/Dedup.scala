@@ -94,61 +94,20 @@ object Dedup {
   // ── Session-shared materializations ───────────────────────────────────
   // The MinHash subtree and the connected-components loop are the two most
   // expensive jobs in the dedup pipeline, and THREE catalog entries consume
-  // their outputs (pairs, clusters, corpus). The CC loop's checkpointed RDDs
-  // are invisible to Spark's CacheManager (unlike persist, a checkpoint is
-  // not matched by canonicalized-plan lookup across invocations), so without
-  // an explicit holder every consumer re-runs the whole
-  // shingle → MinHash → LSH → CC subtree. One frame per (session, sfDir);
-  // both are collision-sized (pairs) / one-row-per-clustered-doc (labels),
-  // far smaller than the corpus they summarize at any scale.
-  // Assumes data under an sfDir is immutable for the session's lifetime
-  // (true for the driver's generated parquet; a mutated sfDir would serve
-  // stale results until clearShared). Entries are evicted — and the session
-  // reference released — when the owning SparkContext ends, so a JVM that
-  // cycles through many sessions (test suites) does not pin them forever.
-  private val shared = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-  private val evictionHooked = scala.collection.concurrent.TrieMap
-    .empty[SparkSession, Unit]
-
+  // their outputs (pairs, clusters, corpus) — shared through the
+  // [[Shared]] holder (see its scaladoc for why the CacheManager cannot
+  // provide this across checkpointed subtrees).
   /** Drop (and unpersist) every shared frame owned by `spark`. */
-  def clearShared(spark: SparkSession): Unit = {
-    shared.keys.filter(_._1 eq spark).foreach { k =>
-      shared.remove(k).foreach(df => try df.unpersist(false)
-        catch { case _: Throwable => () })
-    }
-    evictionHooked.remove(spark)
-  }
-
-  private def sharedFrame(spark: SparkSession, sfDir: String, tag: String)(
-      build: => DataFrame): DataFrame = {
-    val key = (spark, sfDir, tag)
-    shared.get(key).getOrElse {
-      if (evictionHooked.putIfAbsent(spark, ()).isEmpty)
-        spark.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              clearShared(spark)
-          })
-      val built = build
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      shared.putIfAbsent(key, built) match {
-        case None => built
-        case Some(winner) => // lost a concurrent first-build race: release ours
-          built.unpersist(false); winner
-      }
-    }
-  }
+  def clearShared(spark: SparkSession): Unit = Shared.clear(spark)
 
   /** [[minhashPairsRaw]], materialized once per (session, sfDir). */
   private def cachedPairs(spark: SparkSession, sfDir: String): DataFrame =
-    sharedFrame(spark, sfDir, "minhash_pairs")(minhashPairsRaw(spark, sfDir))
+    Shared.frame(spark, sfDir, "minhash_pairs")(minhashPairsRaw(spark, sfDir))
 
   /** Post-CC cluster labels (doc_id, cluster_keeper), materialized once per
     * (session, sfDir). */
   private[graft] def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
-    sharedFrame(spark, sfDir, "cluster_labels")(
+    Shared.frame(spark, sfDir, "cluster_labels")(
       Graph.connectedComponents(
           cachedPairs(spark, sfDir)
             .select(col("doc_a").as("src"), col("doc_b").as("dst")))

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-shared materialized frames, keyed (session, sfDir, tag).
+  *
+  * Iterative algorithms cut lineage with checkpoints, and checkpointed
+  * RDDs are invisible to Spark's CacheManager (unlike a persist, a
+  * checkpoint is never matched by canonicalized-plan lookup across
+  * invocations) — so when several catalog entries consume one expensive
+  * iterative result (the MinHash→CC dedup labels; the transfer-graph
+  * PageRank and LPA frames), each would silently re-run the whole subtree.
+  * This holder materializes such a frame once per (session, sfDir); every
+  * shared frame is summary-sized (labels/ranks — one row per entity),
+  * far smaller than the data it summarizes at any scale.
+  *
+  * Assumes data under an sfDir is immutable for the session's lifetime
+  * (true for the driver's generated parquet; a mutated sfDir would serve
+  * stale results until [[clear]]). Entries are evicted — and the session
+  * reference released — when the owning SparkContext ends, so a JVM that
+  * cycles through many sessions (test suites) does not pin them forever.
+  */
+object Shared {
+
+  private val frames = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private val evictionHooked = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, Unit]
+
+  /** Drop (and unpersist) every shared frame owned by `spark`. */
+  def clear(spark: SparkSession): Unit = {
+    frames.keys.filter(_._1 eq spark).foreach { k =>
+      frames.remove(k).foreach(df => try df.unpersist(false)
+        catch { case _: Throwable => () })
+    }
+    evictionHooked.remove(spark)
+  }
+
+  /** The frame for (session, sfDir, tag), building and persisting it on
+    * first access. A concurrent first-build race persists both candidates
+    * but releases the loser's cache entry. */
+  def frame(spark: SparkSession, sfDir: String, tag: String)(
+      build: => DataFrame): DataFrame = {
+    val key = (spark, sfDir, tag)
+    frames.get(key).getOrElse {
+      if (evictionHooked.putIfAbsent(spark, ()).isEmpty)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              clear(spark)
+          })
+      val built = build
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frames.putIfAbsent(key, built) match {
+        case None => built
+        case Some(winner) => // lost a concurrent first-build race: release ours
+          built.unpersist(false); winner
+      }
+    }
+  }
+}

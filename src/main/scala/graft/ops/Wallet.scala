@@ -18,17 +18,36 @@ import org.apache.spark.sql.functions._
   * (LPA drops self-edges) and default to themselves. */
 object Wallet {
 
+  private def edges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.transfers(spark, sfDir)
+      .select(col("from_address").as("src"), col("to_address").as("dst"))
+
+  /** Transfer-graph PageRank, materialized once per (session, sfDir) —
+    * q_pagerank, q_wallet360 (and any other consumer) share one run of
+    * the iterative subtree ([[Shared]]: checkpointed loops are invisible
+    * to the CacheManager, so without the holder each entry re-runs all
+    * rounds — the exact recompute trap the dedup-clusters family hit). */
+  private[graft] def transferPageRank(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Shared.frame(spark, sfDir, "transfer_pagerank")(
+      Graph.pageRank(edges(spark, sfDir)))
+
+  /** Transfer-graph LPA communities, materialized once per (session,
+    * sfDir) — shared by q_communities and q_wallet360. */
+  private[graft] def transferCommunities(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Shared.frame(spark, sfDir, "transfer_communities")(
+      Graph.labelPropagation(edges(spark, sfDir)))
+
   def wallet360(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables.transfers(spark, sfDir)
     val outF = t.groupBy(col("from_address").as("address"))
       .agg(count(lit(1)).as("n_out"), Num.dsum(col("value")).as("vol_out"))
     val inF = t.groupBy(col("to_address").as("address"))
       .agg(count(lit(1)).as("n_in"), Num.dsum(col("value")).as("vol_in"))
-    val edges = t.select(col("from_address").as("src"),
-      col("to_address").as("dst"))
-    val pr = Graph.pageRank(edges)
+    val pr = transferPageRank(spark, sfDir)
       .select(col("v").as("address"), round(col("rank"), 9).as("rank"))
-    val comm = Graph.labelPropagation(edges)
+    val comm = transferCommunities(spark, sfDir)
       .select(col("id").as("address"), col("label").as("community"))
     val dapp = Membership.flagDappWallets(spark, sfDir)
     pr
