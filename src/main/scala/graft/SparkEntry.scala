@@ -527,6 +527,34 @@ object Catalog {
          |)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Sliding-window DISTINCT senders (2h/1h): double-bucket expansion
+    // then exact distinct per window.
+    QEntry("q_sliding_unique", Metrics.slidingUniqueWallets, Some(
+      withTransfers(
+        s"""SELECT contract_address, w_start,
+           |       CAST(count(DISTINCT from_address) AS BIGINT) AS n_wallets
+           |FROM (
+           |  SELECT contract_address, from_address,
+           |         ${hourBucket("transact_at")} - 3600 * (1 - off) AS w_start
+           |  FROM transfers
+           |  CROSS JOIN (SELECT unnest(range(2)) AS off)
+           |)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // Degree distribution of the transfer graph (multi-edge degrees).
+    QEntry("q_degree_distribution",
+      (s, d) => Graph.degreeDistribution(
+        graft.Tables.transfers(s, d)
+          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
+            org.apache.spark.sql.functions.col("to_address").as("dst"))),
+      Some(withTransfers(
+        """SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices FROM (
+          |  SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+          |    SELECT from_address AS v FROM transfers
+          |    UNION ALL SELECT to_address FROM transfers
+          |  ) GROUP BY 1
+          |) GROUP BY 1 ORDER BY 1""".stripMargin))),
+
     // Streaming sliding-window twin: same double-bucket oracle verifies
     // overlapping window state end-to-end.
     QEntry("q_stream_sliding",

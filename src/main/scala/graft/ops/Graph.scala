@@ -207,6 +207,19 @@ object Graph {
     ranks.select(col("v"), col("r").as("rank"))
   }
 
+  /** Degree distribution of the directed edge set: how many vertices have
+    * each (out_degree, in_degree)-summed total degree — the first
+    * diagnostic of any graph workload (a heavy tail says "salt your joins
+    * and expect skew"; see [[graft.ops.Skew]]). Two map-side-combinable
+    * aggregations, O(|E|) then O(|V|). */
+  def degreeDistribution(edges: DataFrame): DataFrame = {
+    val ends = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+    ends.groupBy("v").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+      .orderBy("degree")
+  }
+
   /** Community detection by synchronous label propagation (fixed rounds,
     * deterministic): every vertex adopts the most frequent label among
     * its neighbors each round, ties to the SMALLEST label. Unlike

@@ -92,6 +92,24 @@ object Metrics {
         col("volume"), col("n"))
       .orderBy("contract_address", "w_start")
 
+  /** Sliding-window DISTINCT senders: unique wallets active in each
+    * overlapping 2h/1h window per token — the windowed-distinct variant
+    * of [[hourlyUniqueWallets]] (tumbling) and [[slidingVolume]] (sums).
+    * Distinct is not decomposable across overlapping windows, so each
+    * event expands into its two covering windows before the distinct
+    * aggregation — cost 2× the stream, exact result; the HLL-sketch
+    * union (MetricsSpec's reaggregation test) is the constant-state
+    * alternative when 2× expansion or exactness can be traded. */
+  def slidingUniqueWallets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"),
+        window(timestamp_seconds(col("transact_at")), "2 hours", "1 hour"))
+      .agg(countDistinct(col("from_address")).as("n_wallets"))
+      .select(col("contract_address"),
+        unix_timestamp(col("window.start")).as("w_start"),
+        col("n_wallets"))
+      .orderBy("contract_address", "w_start")
+
   /** Volume anomaly detection: hours whose volume sits ≥ [[AnomalyZ]]
     * standard deviations from the token's mean — the alerting query a
     * metrics pipeline runs on the hourly series. Moments are hand-rolled
