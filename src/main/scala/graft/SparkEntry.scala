@@ -261,6 +261,62 @@ object Catalog {
        |$steps""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.ops.Graph.pageRankPersonalized]] over the
+    * dapp-address seed set: teleport/dangling mass returns only to seeds
+    * (CASE arms mirror the Spark when/otherwise exactly; non-seed,
+    * unreachable vertices stay IEEE-zero in both engines). */
+  private def pprOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS v,
+         |         CAST(SUM(CAST(p.r / deg.d AS DECIMAL(38,18))) AS DOUBLE)
+         |           AS contrib
+         |  FROM e JOIN r${i - 1} p ON p.v = e.src JOIN deg ON deg.v = e.src
+         |  GROUP BY 1
+         |),
+         |d$i AS (
+         |  SELECT CAST(SUM(CAST(p.r AS DECIMAL(38,18))) AS DOUBLE) AS dang
+         |  FROM r${i - 1} p LEFT JOIN deg ON deg.v = p.v
+         |  WHERE deg.v IS NULL
+         |),
+         |r$i AS (
+         |  SELECT v.v,
+         |         CASE WHEN sd.v IS NOT NULL THEN
+         |           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / s.s
+         |             + CAST(0.85 AS DOUBLE) * (COALESCE(d.dang, 0) / s.s)
+         |         ELSE CAST(0.0 AS DOUBLE) END
+         |           + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0) AS r
+         |  FROM v CROSS JOIN s CROSS JOIN d$i d
+         |  LEFT JOIN sd ON sd.v = v.v
+         |  LEFT JOIN c$i c ON c.v = v.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    withTransfersAndDapps(
+      s""", e AS (
+         |  SELECT DISTINCT from_address AS src, to_address AS dst
+         |  FROM transfers
+         |),
+         |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |deg AS (
+         |  SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+         |),
+         |sd AS (
+         |  SELECT DISTINCT d.addr AS v
+         |  FROM (SELECT unnest(addresses) AS addr FROM dapps) d
+         |  JOIN v ON v.v = d.addr
+         |),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS s FROM sd),
+         |r0 AS (
+         |  SELECT v.v,
+         |         CASE WHEN sd.v IS NOT NULL THEN CAST(1.0 AS DOUBLE) / s.s
+         |         ELSE CAST(0.0 AS DOUBLE) END AS r
+         |  FROM v CROSS JOIN s LEFT JOIN sd ON sd.v = v.v
+         |),
+         |$steps
+         |SELECT v AS address, round(r, 9) AS rank
+         |FROM r$iters ORDER BY 1""".stripMargin)
+  }
+
   /** DuckDB mirror of [[graft.ops.Graph.labelPropagation]]: `rounds`
     * synchronous LPA updates unrolled (per-neighbor label counts →
     * per-vertex max → min label among the tied). Pure integer counting +
@@ -1842,6 +1898,21 @@ object Catalog {
           org.apache.spark.sql.functions.col("label").as("community"))
         .orderBy("address"),
       Some(lpaOracle(3))),
+
+    // Personalized PageRank from the dapp-address seed set: influence /
+    // taint propagation relative to the dapps.
+    QEntry("q_pagerank_personalized",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, explode, round}
+        Graph.pageRankPersonalized(
+          graft.Tables.transfers(s, d)
+            .select(col("from_address").as("src"),
+              col("to_address").as("dst")),
+          graft.Tables.dapps(s).select(explode(col("addresses")).as("v")))
+          .select(col("v").as("address"), round(col("rank"), 9).as("rank"))
+          .orderBy("address")
+      },
+      Some(pprOracle(3))),
 
     // Value-weighted PageRank: rank flows proportionally to transferred
     // value (edges pre-aggregated per (src, dst) with exact decimal sums).

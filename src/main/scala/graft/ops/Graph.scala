@@ -305,6 +305,61 @@ object Graph {
     ranks.select(col("v"), col("r").as("rank"))
   }
 
+  /** PERSONALIZED PageRank: teleport (and dangling) mass returns only to
+    * the `seeds` set instead of uniformly — rank becomes "influence
+    * relative to the seeds", the taint/provenance propagation analytic
+    * (how much of the dapp treasury's flow reaches each wallet). Vertices
+    * unreachable from any seed hold rank exactly 0.0 (IEEE zeros
+    * propagate exactly, so the zero set is bit-stable too). Same
+    * per-round cost, lineage-cut and determinism contract as [[pageRank]].
+    *
+    * `seeds` is a one-column (`v`) frame; seeds absent from the graph are
+    * ignored. Throws if no seed is a vertex (the teleport distribution
+    * would be undefined). */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 3, alpha: Double = 0.85,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val e = LineageCut.cut(
+      edges.select(col("src"), col("dst")).distinct(), cutMode)
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val base = LineageCut.cut(
+      e.select(col("src").as("v"))
+        .unionByName(e.select(col("dst").as("v")))
+        .distinct()
+        .join(deg, Seq("v"), "left")
+        .join(broadcast(seeds.select(col("v")).distinct()
+          .withColumn("is_seed", lit(true))), Seq("v"), "left")
+        .withColumn("is_seed", coalesce(col("is_seed"), lit(false))),
+      cutMode)
+    val s = base.filter(col("is_seed")).count()
+    require(s > 0, "pageRankPersonalized: no seed vertex present in the graph")
+    var ranks = base.withColumn("r",
+      when(col("is_seed"), lit(1.0 / s)).otherwise(lit(0.0)))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.filter(col("deg").isNotNull)
+          .select(col("v").as("src"), (col("r") / col("deg")).as("c")),
+          Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(expr("CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE)")
+          .as("contrib"))
+      val dangling = ranks.filter(col("deg").isNull)
+        .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")
+          .as("dang"))
+      ranks = LineageCut.cut(
+        base.join(contribs, Seq("v"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("v"), col("deg"), col("is_seed"),
+            (when(col("is_seed"),
+              lit((1.0 - alpha) / s) +
+                lit(alpha) * (coalesce(col("dang"), lit(0.0)) / s))
+              .otherwise(lit(0.0)) +
+              lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("r")),
+        cutMode)
+    }
+    ranks.select(col("v"), col("r").as("rank"))
+  }
+
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * same (id, label=component min) contract as [[connectedComponents]],

@@ -138,6 +138,23 @@ class GraphSpec extends AnyFunSuite {
     assert(cc.values.toSet.size == 1)
   }
 
+  test("personalized pagerank: mass stays near seeds, unreachable = 0.0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("v")
+    val pr = Graph.pageRankPersonalized(edges, seeds, iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9) // mass conserved
+    // every vertex reachable from the seed carries positive rank
+    assert(pr(1L) > 0 && pr(2L) > 0 && pr(3L) > 0)
+    // the 4->5 component is unreachable from the seed: exactly zero,
+    // not merely small (IEEE zeros propagate exactly)
+    assert(pr(4L) == 0.0 && pr(5L) == 0.0)
+    // seed absent from the graph -> loud failure
+    intercept[IllegalArgumentException] {
+      Graph.pageRankPersonalized(edges, Seq(Tuple1(99L)).toDF("v"))
+    }
+  }
+
   test("weighted pagerank: rank flows proportionally to edge weight") {
     // a splits its rank 9:1 between b and c; both sink back to a
     val edges = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0),
