@@ -1899,6 +1899,54 @@ object Catalog {
         .orderBy("address"),
       Some(lpaOracle(3))),
 
+    // Bounded BFS: hop distance from the dapp seed set (min-plus rounds,
+    // `least` skips nulls identically in both engines).
+    QEntry("q_bfs_hops",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, explode}
+        Graph.bfsHops(
+          graft.Tables.transfers(s, d)
+            .select(col("from_address").as("src"),
+              col("to_address").as("dst")),
+          graft.Tables.dapps(s).select(explode(col("addresses")).as("v")))
+          .select(col("v").as("address"), col("hops"))
+          .orderBy("address")
+      },
+      Some {
+        val steps = (1 to 4).map { i =>
+          s"""nbr$i AS (
+             |  SELECT e.dst AS v, CAST(min(b.dist) + 1 AS INTEGER) AS nd
+             |  FROM e JOIN b${i - 1} b ON b.v = e.src
+             |  WHERE b.dist IS NOT NULL GROUP BY 1
+             |),
+             |b$i AS (
+             |  SELECT v.v, least(b.dist, n.nd) AS dist
+             |  FROM v JOIN b${i - 1} b ON b.v = v.v
+             |  LEFT JOIN nbr$i n ON n.v = v.v
+             |)""".stripMargin
+        }.mkString(",\n")
+        withTransfersAndDapps(
+          s""", e AS (
+             |  SELECT DISTINCT from_address AS src, to_address AS dst
+             |  FROM transfers
+             |),
+             |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             |sd AS (
+             |  SELECT DISTINCT d.addr AS v
+             |  FROM (SELECT unnest(addresses) AS addr FROM dapps) d
+             |  JOIN v ON v.v = d.addr
+             |),
+             |b0 AS (
+             |  SELECT v.v,
+             |         CASE WHEN sd.v IS NOT NULL THEN CAST(0 AS INTEGER)
+             |         ELSE NULL END AS dist
+             |  FROM v LEFT JOIN sd ON sd.v = v.v
+             |),
+             |$steps
+             |SELECT v AS address, dist AS hops
+             |FROM b4 WHERE dist IS NOT NULL ORDER BY 1""".stripMargin)
+      }),
+
     // Personalized PageRank from the dapp-address seed set: influence /
     // taint propagation relative to the dapps.
     QEntry("q_pagerank_personalized",

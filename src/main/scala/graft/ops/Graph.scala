@@ -207,6 +207,39 @@ object Graph {
     ranks.select(col("v"), col("r").as("rank"))
   }
 
+  /** Bounded BFS: minimum hop distance from a seed set along directed
+    * edges, up to `maxHops` rounds — "how many transfers separate each
+    * wallet from a dapp contract", the reachability primitive next to
+    * rank ([[pageRankPersonalized]]) and membership ([[connectedComponents]]).
+    * Each round is one equi-join + grouped min + a `least` merge (all
+    * map-side combinable, O(|E|)); rounds are lineage-cut. Returns only
+    * vertices reached within the bound: (v, hops), hops ∈ [0, maxHops].
+    * Pure integer min-plus arithmetic — deterministic everywhere. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val e = LineageCut.cut(
+      edges.select(col("src"), col("dst")).distinct(), cutMode)
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    var dist = LineageCut.cut(
+      verts.join(broadcast(seeds.select(col("v")).distinct()
+          .withColumn("d0", lit(0))), Seq("v"), "left")
+        .select(col("v"), col("d0").as("dist")), cutMode)
+    for (_ <- 1 to maxHops) {
+      val nbr = e
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("v").as("src"), col("dist")), Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg((min(col("dist")) + 1).cast("int").as("nd"))
+      dist = LineageCut.cut(
+        dist.join(nbr, Seq("v"), "left")
+          .select(col("v"), least(col("dist"), col("nd")).as("dist")),
+        cutMode)
+    }
+    dist.filter(col("dist").isNotNull)
+      .select(col("v"), col("dist").as("hops"))
+  }
+
   /** Degree distribution of the directed edge set: how many vertices have
     * each (out_degree, in_degree)-summed total degree — the first
     * diagnostic of any graph workload (a heavy tail says "salt your joins

@@ -138,6 +138,16 @@ class GraphSpec extends AnyFunSuite {
     assert(cc.values.toSet.size == 1)
   }
 
+  test("bfs hops: exact distances, bound respected, unreachable absent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("src", "dst")
+    val hops = Graph.bfsHops(edges, Seq(Tuple1(1L)).toDF("v"), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    // distances 0..3 along the chain; 5 and 6 are beyond the bound and
+    // the 10->11 component is unreachable — neither appears
+    assert(hops == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
   test("personalized pagerank: mass stays near seeds, unreachable = 0.0") {
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
     val seeds = Seq(Tuple1(1L)).toDF("v")
