@@ -8,13 +8,13 @@ Usage:
   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify <sfDir> /tmp/vb"
   python3 scripts/partition_check.py /tmp/va /tmp/vb
 
-Exception: q_order_percentiles_approx is EXPECTED to be stable only in
-row count (sketch merge order may move quantiles past the accuracy
-bound); it is compared rows-only here.
+All queries are fully compared: the certified sketch forms
+(q_order_percentiles_approx booleans, q_unique_wallets_hll bound) are
+partition-independent by construction.
 """
 import duckdb, glob, os, sys
 
-ROWS_ONLY = {"q_order_percentiles_approx"}
+ROWS_ONLY = set()
 
 def main(a_dir, b_dir):
     con = duckdb.connect()

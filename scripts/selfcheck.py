@@ -53,6 +53,16 @@ def main(sf_dir, out_dir):
             print(f"[FAIL] {name}: oracle error: {e}"); n_fail += 1; continue
         got = got[sorted(got.columns)]
         exp = exp[sorted(exp.columns)]
+        # The driver's comparator lexsorts the frame; array-typed cells crash
+        # it ("unhashable type: numpy.ndarray"). Fail loudly here so the gap
+        # between this selfcheck and the driver can't reopen (round-4 lesson).
+        import numpy as _np
+        arr_cols = [c for c in got.columns
+                    if len(got) and isinstance(got[c].iloc[0], _np.ndarray)]
+        if arr_cols:
+            print(f"[FAIL] {name}: array-typed columns {arr_cols} would "
+                  f"crash the driver comparator — render as strings/rows")
+            n_fail += 1; continue
         if list(got.columns) != list(exp.columns):
             print(f"[FAIL] {name}: columns {list(got.columns)} vs {list(exp.columns)}")
             n_fail += 1; continue

@@ -36,6 +36,17 @@ final case class QEntry(
 object Catalog {
   import Oracle._
 
+  /** Comparator-safe catalog rendering for INTEGER array columns: the raw
+    * array crashes the driver's pandas lexsort (`unhashable type:
+    * numpy.ndarray`), so the catalog form JSON-strings it (`[1,2,3]`, no
+    * spaces — Spark `to_json` of an int/long array) and the DuckDB mirror
+    * builds the identical string via `string_agg`/`array_to_string`. The
+    * library functions keep returning real arrays; only the verification
+    * surface is rendered. */
+  private def jsonArr(df: org.apache.spark.sql.DataFrame, c: String) =
+    df.withColumn(c, org.apache.spark.sql.functions.to_json(
+      org.apache.spark.sql.functions.col(c)))
+
   /** DuckDB mirror of [[graft.pipelines.Pipelines.tokenDocumentsJson]]:
     * rebuilds all eight change-log maps as string_agg JSON objects over the
     * same grouped frames the Spark side aggregates, joined to the literal
@@ -569,7 +580,21 @@ object Catalog {
            |)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
-    QEntry("q_unique_wallets_hll", Metrics.hourlyUniqueWalletsApprox, None),
+    // HLL sketch certified against its exact twin: deterministic predicate
+    // |hll − exact| ≤ ε per group (HLL register-max merge is commutative,
+    // so the estimate is partition-independent); oracle asserts `true`.
+    QEntry("q_unique_wallets_hll", Metrics.hourlyUniqueWalletsCertified,
+      Some(withTransfers(
+        s"""SELECT contract_address, t, count(DISTINCT address) AS unique_wallets,
+           |       true AS hll_ok
+           |FROM (
+           |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+           |         from_address AS address FROM transfers
+           |  UNION ALL
+           |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+           |         to_address AS address FROM transfers
+           |)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
     QEntry("q_sliding_volume", Metrics.slidingVolume, Some(
       s"""SELECT contract_address, w_start, w_start + 7200 AS w_end,
@@ -1539,7 +1564,9 @@ object Catalog {
          |       (cum - 1) // ${Corpus.SeqLen} AS pack_last
          |FROM c ORDER BY sbucket, start_off""".stripMargin)),
 
-    QEntry("q_packed_seqs", Corpus.packedSequences, Some(withDocs(
+    QEntry("q_packed_seqs",
+      (s, d) => jsonArr(Corpus.packedSequences(s, d), "ids"),
+      Some(withDocs(
       s""", vocab AS (
          |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok)
          |    AS BIGINT) AS id
@@ -1577,10 +1604,12 @@ object Catalog {
          |)
          |SELECT sbucket, CAST(off // ${Corpus.SeqLen} AS BIGINT) AS pack,
          |       CAST(count(*) AS BIGINT) AS n_fill,
-         |       list(id ORDER BY off) AS ids
+         |       '[' || string_agg(CAST(id AS VARCHAR), ',' ORDER BY off)
+         |           || ']' AS ids
          |FROM flat GROUP BY 1, 2 ORDER BY sbucket, pack""".stripMargin))),
 
-    QEntry("q_mixed_packs", Corpus.mixedPackedSequences, Some {
+    QEntry("q_mixed_packs",
+      (s, d) => jsonArr(Corpus.mixedPackedSequences(s, d), "ids"), Some {
       val saltedKey =
         "md5(CAST(m.doc_id AS VARCHAR) || '_' || CAST(m.epoch AS VARCHAR) || '_shuffle')"
       withDocs(
@@ -1627,7 +1656,8 @@ object Catalog {
            |)
            |SELECT sbucket, CAST(off // ${Corpus.SeqLen} AS BIGINT) AS pack,
            |       CAST(count(*) AS BIGINT) AS n_fill,
-           |       list(id ORDER BY off) AS ids
+           |       '[' || string_agg(CAST(id AS VARCHAR), ',' ORDER BY off)
+           |           || ']' AS ids
            |FROM flat GROUP BY 1, 2 ORDER BY sbucket, pack""".stripMargin)
     }),
 
@@ -1825,7 +1855,8 @@ object Catalog {
          |       // ${Clean.ChunkStride})) AS t(i)
          |ORDER BY doc_id, chunk_id""".stripMargin))),
 
-    QEntry("q_token_ids", Clean.tokenIds, Some(withDocs(
+    QEntry("q_token_ids", (s, d) => jsonArr(Clean.tokenIds(s, d), "ids"),
+      Some(withDocs(
       s""", vocab AS (
          |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok)
          |    AS BIGINT) AS id
@@ -1840,7 +1871,8 @@ object Catalog {
          |  FROM docs d, unnest(range(1, len(d.toks) + 1)) AS t(i)
          |)
          |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |       list(COALESCE(v.id, 0) ORDER BY p.p) AS ids
+         |       '[' || string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR),
+         |                         ',' ORDER BY p.p) || ']' AS ids
          |FROM pos p LEFT JOIN vocab v ON v.tok = p.tok
          |GROUP BY p.doc_id
          |ORDER BY p.doc_id""".stripMargin))),
@@ -2228,7 +2260,8 @@ object Catalog {
     // Int8 scalar quantization (faiss/SQ8 scheme): per-vector scale
     // maxabs, components round(x*127/maxabs). Pure IEEE multiply/divide +
     // HALF-UP rounding — both engines produce identical ints.
-    QEntry("q_quantize_int8", Quantize.quantized, Some(
+    QEntry("q_quantize_int8",
+      (s, d) => jsonArr(Quantize.quantized(s, d), "q"), Some(
       s"""WITH $embIdxCte,
          |norms AS (
          |  SELECT vec_id,
@@ -2241,10 +2274,11 @@ object Catalog {
          |  FROM embeddings
          |)
          |SELECT m.vec_id, m.maxabs, round(n.norm, 12) AS norm,
-         |       CASE WHEN m.maxabs = 0 THEN list_transform(m.v, x -> 0)
-         |       ELSE list_transform(m.v,
-         |         x -> CAST(round(x * ${Quantize.QMax}.0 / m.maxabs) AS INTEGER))
-         |       END AS q
+         |       '[' || array_to_string(
+         |         CASE WHEN m.maxabs = 0 THEN list_transform(m.v, x -> 0)
+         |         ELSE list_transform(m.v,
+         |           x -> CAST(round(x * ${Quantize.QMax}.0 / m.maxabs) AS INTEGER))
+         |         END, ',') || ']' AS q
          |FROM (
          |  SELECT vec_id, v,
          |         list_max(list_transform(v, x -> abs(x))) AS maxabs
@@ -2355,7 +2389,16 @@ object Catalog {
          |) WHERE c >= 0.05 ORDER BY vec_a, vec_b""".stripMargin)),
 
     // Per-dimension z-score standardization from exact decimal moments.
-    QEntry("q_standardize", Quantize.standardizedEmbeddings, Some(
+    // Catalog form explodes the z array to (vec_id, i, z) rows: rounded
+    // doubles are comparator-safe, a double array is not, and printf-style
+    // string rendering of doubles is cross-engine risky.
+    QEntry("q_standardize",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, posexplode}
+        Quantize.standardizedEmbeddings(s, d)
+          .select(col("vec_id"), posexplode(col("z")).as(Seq("i", "z")))
+          .orderBy("vec_id", "i")
+      }, Some(
       s"""WITH $embIdxCte,
          |stats AS (
          |  SELECT i,
@@ -2369,15 +2412,23 @@ object Catalog {
          |         sqrt(greatest(0.0, sx2 / n - (sx / n) * (sx / n))) AS sd
          |  FROM stats
          |)
-         |SELECT v.vec_id,
-         |       list(CASE WHEN s.sd = 0 THEN 0.0
-         |                 ELSE round((v.x - s.m) / s.sd, 9) END
-         |            ORDER BY v.i) AS z
+         |SELECT v.vec_id, CAST(v.i AS INTEGER) AS i,
+         |       CASE WHEN s.sd = 0 THEN 0.0
+         |            ELSE round((v.x - s.m) / s.sd, 9) END AS z
          |FROM idx v JOIN ms s ON s.i = v.i
-         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+         |ORDER BY 1, 2""".stripMargin)),
 
     // Per-label exact-mean centroids (nearest-class-mean model).
-    QEntry("q_label_centroids", Similarity.labelCentroids, Some(
+    // Catalog form explodes the centroid to (label, n_vectors, i, c) rows —
+    // same comparator-safety story as q_standardize.
+    QEntry("q_label_centroids",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, posexplode}
+        Similarity.labelCentroids(s, d)
+          .select(col("label"), col("n_vectors"),
+            posexplode(col("centroid")).as(Seq("i", "c")))
+          .orderBy("label", "i")
+      }, Some(
       s"""WITH $embIdxCte,
          |lmeans AS (
          |  SELECT e.label AS cid, i.i,
@@ -2390,10 +2441,10 @@ object Catalog {
          |  SELECT label AS cid, CAST(count(*) AS BIGINT) AS n_vectors
          |  FROM embeddings GROUP BY 1
          |)
-         |SELECT m.cid AS label, c.n_vectors,
-         |       list(round(m.m, 9) ORDER BY m.i) AS centroid
+         |SELECT m.cid AS label, c.n_vectors, CAST(m.i AS INTEGER) AS i,
+         |       round(m.m, 9) AS c
          |FROM lmeans m JOIN cnt c ON c.cid = m.cid
-         |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+         |ORDER BY 1, 3""".stripMargin)),
 
     // Nearest-class-mean confusion matrix: cosine arg-max against the
     // label centroids (row_number spelling ≡ the Spark max(struct)).
@@ -2776,11 +2827,21 @@ object Catalog {
         |       round(quantile_cont(o_totalprice, 0.99), 6) AS p99
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Approximate-percentile scale twin — sketch internals differ across
-    // engines, so rows-only here; MetricsSpec bounds its error vs the exact
-    // q_order_percentiles.
-    QEntry("q_order_percentiles_approx", Relational.orderPercentilesApprox,
-      None),
+    // Approximate-percentile scale twin, certified: the GK sketch's rank
+    // bound (≤0.1% of n under any merge order) rendered as booleans against
+    // ±2%-rank exact brackets; oracle computes the identical brackets and
+    // asserts `true`, so the row hash-matches despite the sketch.
+    QEntry("q_order_percentiles_approx",
+      Relational.orderPercentilesApproxCertified, Some(
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.48), 6) AS lo50,
+        |       round(quantile_cont(o_totalprice, 0.52), 6) AS hi50,
+        |       round(quantile_cont(o_totalprice, 0.88), 6) AS lo90,
+        |       round(quantile_cont(o_totalprice, 0.92), 6) AS hi90,
+        |       round(quantile_cont(o_totalprice, 0.97), 6) AS lo99,
+        |       CAST(max(o_totalprice) AS DOUBLE) AS hi99,
+        |       true AS p50_ok, true AS p90_ok, true AS p99_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // One-pass per-column completeness/uniqueness profile (long format).
     QEntry("q_data_profile", Profile.ordersProfile, Some(

@@ -118,7 +118,11 @@ object Sinks {
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
     fs.mkdirs(root)
-    val next = latestVersion(spark, path).getOrElse(-1L) + 1L
+    // next = 1 + max over BOTH the pointer and every v= dir on disk
+    // (committed or not): a crash can leave a half-written max dir with no
+    // pointer, and ErrorIfExists below must never collide with it
+    val next = (latestVersion(spark, path).getOrElse(-1L) +:
+      versionDirs(fs, root).map(_._1)).max + 1L
     val vdir = new org.apache.hadoop.fs.Path(root, f"v=$next%06d")
     df.write.mode(SaveMode.ErrorIfExists).parquet(vdir.toString)
     // pointer swap is the commit: write sidecar, then rename over _LATEST
@@ -132,12 +136,33 @@ object Sinks {
     next
   }
 
+  /** All `v=NNNNNN` children of `root` with their version numbers. */
+  private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v=")) n.drop(2).toLongOption.map(_ -> st.getPath)
+        else None
+      }
+
+  /** The committed version: `_LATEST` if present; otherwise (the pointer
+    * swap in [[writeVersioned]] is delete-then-rename, so a crash between
+    * the two leaves no pointer even though good versions exist) the highest
+    * `v=N` directory whose Spark `_SUCCESS` marker proves a completed
+    * write. */
   def latestVersion(spark: SparkSession, path: String): Option[Long] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val ptr = new org.apache.hadoop.fs.Path(path, "_LATEST")
-    if (!fs.exists(ptr)) None
-    else {
+    if (!fs.exists(ptr)) {
+      val committed = versionDirs(fs, new org.apache.hadoop.fs.Path(path))
+        .filter { case (_, p) =>
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      if (committed.isEmpty) None else Some(committed.map(_._1).max)
+    } else {
       val in = fs.open(ptr)
       try {
         val buf = new java.io.ByteArrayOutputStream()

@@ -37,6 +37,9 @@ object Clean {
 
   def docChunks(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
+      // zero-token documents emit no chunks (the oracle's empty range());
+      // unguarded, sequence(0, -1, stride) throws at runtime
+      .filter(size(col("toks")) > 0)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(toks) - 1, $ChunkStride),
            |  s -> struct(
@@ -85,7 +88,10 @@ object Clean {
   val SpanLen = 10
   def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val base = docs(spark, sfDir)
-    val spans = base.select(col("doc_id"), posexplode(expr(
+    // zero-token docs emit no spans (sequence(0,-1) would throw); they stay
+    // in the output through the left join below with n_spans = 0
+    val spans = base.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
       s"""transform(sequence(0, cast((size(toks) + ${SpanLen - 1}) div $SpanLen as int) - 1),
          |  i -> concat_ws(' ', slice(toks, i * $SpanLen + 1, $SpanLen)))"""
         .stripMargin)).as(Seq("span_idx", "span_text")))

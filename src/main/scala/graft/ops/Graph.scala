@@ -412,6 +412,11 @@ object Graph {
     * same recursive CTE as the propagation variant. */
   def connectedComponentsAltStar(edges: DataFrame, maxIter: Int = 25,
       cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    // the star contraction drops self-loops up front; vertices whose ONLY
+    // edges are self-loops must still come back as singleton components
+    // (label = themselves) to honor the connectedComponents contract
+    val verts = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
     var e = LineageCut.cut(
       edges.filter(col("src") =!= col("dst"))
         .select(greatest(col("src"), col("dst")).as("src"),
@@ -453,8 +458,11 @@ object Graph {
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsAltStar: not converged after $maxIter rounds")
-    e.select(col("src").as("id"), col("dst").as("label"))
+    val labeled = e.select(col("src").as("id"), col("dst").as("label"))
       .unionByName(e.select(col("dst").as("id"), col("dst").as("label")))
       .distinct()
+    labeled.unionByName(
+      verts.join(labeled, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
   }
 }

@@ -96,29 +96,58 @@ object Membership {
         |ORDER BY contract_address""".stripMargin)
   }
 
-  /** Fuzzy record linkage: near-identical customer names, blocked then
-    * refined — the entity-resolution sibling of the document-dedup family.
-    * Candidate pairs come from an EQUI-join on a blocking key (nation), so
-    * pair count is bounded by the largest block squared, never all-pairs;
-    * the edit-distance refine (classic Wagner-Fischer, identical integer
-    * DP in every engine) runs only inside blocks. At 100 TB the blocking
-    * key would be a cheap canopy (soundex/prefix/LSH over names) — the
-    * shape (equi-join candidates → exact refine) is this engine's standard
-    * candidate-generation pattern ([[graft.ops.Dedup]], [[graft.ops.Similarity]]). */
+  /** Fuzzy record linkage: near-identical customer names (same nation,
+    * Levenshtein ≤ [[LinkMaxDist]]) — the entity-resolution sibling of the
+    * document-dedup family.
+    *
+    * Candidate generation is DELETION-NEIGHBORHOOD blocking (SymSpell /
+    * FastSS): every name emits its ≤k-deletion variants (1 + L + L·(L-1)/2
+    * strings for k=2), and candidates are the equi-join matches on
+    * (nation, variant). The pigeonhole guarantee — an optimal alignment
+    * with ≤k edits deletes ≤k chars from each side to reach a common
+    * string — means ZERO false negatives, so the result is provably the
+    * full all-pairs answer (the oracle stays the naive same-nation
+    * cross-pair form, which is the proof). False positives die in the
+    * banded refine.
+    *
+    * Scale: the round-4 version blocked on nation alone (25 values), so
+    * candidates grew QUADRATICALLY with table size. Variant rows grow
+    * linearly (~172× per 18-char name, the documented SymSpell constant)
+    * and each variant block holds only true near-matches plus a sliver of
+    * collisions — at 100 TB this is a linear equi-join on a
+    * high-cardinality key, the same candidate-generation shape as
+    * [[graft.ops.Dedup]]'s LSH bands and [[graft.ops.Similarity]]'s
+    * buckets. */
   val LinkMaxDist = 2
 
   def nameLinkage(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = Tables.customer(spark, sfDir)
+    // all distinct strings reachable by deleting 0, 1 or 2 characters;
+    // one generator expression, exploded once (no UDF, stays in codegen)
+    val deleteVariants = expr(
+      """IF(length(c_name) < 2, array(c_name), array_distinct(concat(
+        |  array(c_name),
+        |  transform(sequence(1, length(c_name)), i ->
+        |    concat(substring(c_name, 1, i - 1),
+        |           substring(c_name, i + 1, length(c_name)))),
+        |  flatten(transform(sequence(1, length(c_name) - 1), i ->
+        |    transform(sequence(i + 1, length(c_name)), j ->
+        |      concat(substring(c_name, 1, i - 1),
+        |             substring(c_name, i + 1, j - i - 1),
+        |             substring(c_name, j + 1, length(c_name)))))))))""".stripMargin)
+    val v = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-    val a = c.select(col("c_nationkey"), col("c_custkey").as("key_a"),
-      col("c_name").as("name_a"))
-    val b = c.select(col("c_nationkey"), col("c_custkey").as("key_b"),
-      col("c_name").as("name_b"))
-    a.join(b, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+        explode(deleteVariants).as("v"))
+    val a = v.select(col("c_nationkey"), col("v"),
+      col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+    val b = v.select(col("c_nationkey"), col("v"),
+      col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+    a.join(b, Seq("c_nationkey", "v"))
       .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b", "name_a", "name_b")
+      .distinct() // a pair may share many variants; refine each pair once
       // banded threshold Levenshtein: O(k·n) per pair with early exit
-      // (returns -1 past the bound) instead of the full O(n²) DP — the
-      // refine is the hot loop, candidates are block²
+      // (returns -1 past the bound) instead of the full O(n²) DP
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), LinkMaxDist))
       .filter(col("dist") >= 0)

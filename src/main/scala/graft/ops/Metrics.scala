@@ -65,8 +65,9 @@ object Metrics {
 
   /** HyperLogLog variant of [[hourlyUniqueWallets]] — the scale path for
     * exact-distinct at 100 TB (single pass, fixed-size sketch per group, no
-    * second shuffle for distinct). Not oracle-comparable (approximate); the
-    * exact twin above is the correctness witness. */
+    * second shuffle for distinct). Raw estimates are not oracle-comparable
+    * (DuckDB's HLL is a different implementation); [[hourlyUniqueWalletsCertified]]
+    * is the hash-matchable form. */
   def hourlyUniqueWalletsApprox(spark: SparkSession, sfDir: String): DataFrame =
     Tables.transfers(spark, sfDir)
       .select(
@@ -75,6 +76,35 @@ object Metrics {
         explode(array(col("from_address"), col("to_address"))).as("address"))
       .groupBy("contract_address", "t")
       .agg(approx_count_distinct("address", 0.01).as("unique_wallets"))
+      .orderBy("contract_address", "t")
+
+  /** Error bound on the HLL estimate vs exact distinct `n`: absolute slack
+    * 3 for the tiny-cardinality regime, 5% relative beyond — an order of
+    * magnitude above the rsd-0.01 sketch's expected error, so the
+    * certificate is stable under any data growth. Shared with MetricsSpec. */
+  def hllWithinBound(hll: org.apache.spark.sql.Column,
+      exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    abs(hll.cast("double") - exact.cast("double")) <=
+      greatest(lit(3.0), exact.cast("double") * 0.05)
+
+  /** CERTIFIED form of [[hourlyUniqueWalletsApprox]]: per group, the exact
+    * distinct count plus the deterministic predicate `|hll − exact| ≤ ε`.
+    * Spark's HLL merges by register max (commutative/associative), so the
+    * estimate — and hence the boolean — is partition-order independent;
+    * the DuckDB oracle computes the identical exact count and asserts the
+    * bound as literal `true`, making the sketch's accuracy contract a
+    * hash-matchable row instead of a rows-only entry. */
+  def hourlyUniqueWalletsCertified(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.transfers(spark, sfDir)
+      .select(
+        col("contract_address"),
+        hourBucket(col("transact_at")).as("t"),
+        explode(array(col("from_address"), col("to_address"))).as("address"))
+      .groupBy("contract_address", "t")
+      .agg(countDistinct("address").as("unique_wallets"),
+        approx_count_distinct("address", 0.01).as("hll"))
+      .select(col("contract_address"), col("t"), col("unique_wallets"),
+        hllWithinBound(col("hll"), col("unique_wallets")).as("hll_ok"))
       .orderBy("contract_address", "t")
 
   /** Sliding-window volume: 2-hour windows sliding by 1 hour (each event

@@ -249,6 +249,38 @@ object Relational {
         expr("percentile_approx(o_totalprice, 0.99, 1000)").as("p99"))
       .orderBy("o_orderstatus")
 
+  /** CERTIFIED form of [[orderPercentilesApprox]]: the sketch's accuracy
+    * contract as deterministic booleans. The GK/KLL sketch guarantees rank
+    * error ≤ n/accuracy = 0.1% of n UNDER ANY MERGE ORDER, so
+    * "approx p50 lies between the exact 48th and 52nd percentiles" (±2%
+    * rank margin, 20× the bound; p99 brackets to the max) is a
+    * partition-independent predicate even though the approx VALUE may
+    * shift within the bound. The DuckDB oracle computes the same exact
+    * brackets and asserts `true` — hash-match certifies both the exact
+    * quantile arithmetic and the sketch bound. */
+  def orderPercentilesApproxCertified(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile_approx(o_totalprice, 0.5, 1000)").as("a50"),
+        expr("percentile_approx(o_totalprice, 0.9, 1000)").as("a90"),
+        expr("percentile_approx(o_totalprice, 0.99, 1000)").as("a99"),
+        expr("percentile(o_totalprice, 0.48D)").as("lo50"),
+        expr("percentile(o_totalprice, 0.52D)").as("hi50"),
+        expr("percentile(o_totalprice, 0.88D)").as("lo90"),
+        expr("percentile(o_totalprice, 0.92D)").as("hi90"),
+        expr("percentile(o_totalprice, 0.97D)").as("lo99"),
+        max(col("o_totalprice")).as("hi99"))
+      .select(col("o_orderstatus"),
+        round(col("lo50"), 6).as("lo50"), round(col("hi50"), 6).as("hi50"),
+        round(col("lo90"), 6).as("lo90"), round(col("hi90"), 6).as("hi90"),
+        round(col("lo99"), 6).as("lo99"),
+        col("hi99").cast("double").as("hi99"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_ok"),
+        (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_ok"),
+        (col("a99") >= col("lo99") && col("a99") <= col("hi99")).as("p99_ok"))
+      .orderBy("o_orderstatus")
+
   /** Order counts with ROLLUP over (region, nation) of the customer — grouping
     * sets (extension; not present in the reference, SURVEY.md §2.6 note).
     *

@@ -16,16 +16,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Assumes data under an sfDir is immutable for the session's lifetime
   * (true for the driver's generated parquet; a mutated sfDir would serve
-  * stale results until [[clear]]). Entries are evicted — and the session
-  * reference released — when the owning SparkContext ends, so a JVM that
-  * cycles through many sessions (test suites) does not pin them forever.
-  */
+  * stale results until [[clear]]). Eviction is two-level: everything goes
+  * when the owning SparkContext ends, and a long-lived context that cycles
+  * many sessions (`spark.newSession()`, test suites) keeps at most
+  * [[MaxSessionsPerContext]] sessions' frames — beyond that the
+  * least-recently-used session's frames are unpersisted and its reference
+  * released. (A weak-keyed map cannot do this: the cached DataFrames
+  * strongly reference their owning session, so weak keys would never
+  * clear.) */
 object Shared {
+
+  /** Per-context cap on sessions with live shared frames; the LRU session
+    * past the cap is evicted on the next [[frame]] call. */
+  val MaxSessionsPerContext = 4
 
   private val frames = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
   private val evictionHooked = scala.collection.concurrent.TrieMap
     .empty[SparkSession, Unit]
+  private val lastUsed = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, Long]
+  private val tick = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Drop (and unpersist) every shared frame owned by `spark`. */
   def clear(spark: SparkSession): Unit = {
@@ -34,6 +45,7 @@ object Shared {
         catch { case _: Throwable => () })
     }
     evictionHooked.remove(spark)
+    lastUsed.remove(spark)
   }
 
   /** The frame for (session, sfDir, tag), building and persisting it on
@@ -41,6 +53,13 @@ object Shared {
     * but releases the loser's cache entry. */
   def frame(spark: SparkSession, sfDir: String, tag: String)(
       build: => DataFrame): DataFrame = {
+    lastUsed.put(spark, tick.incrementAndGet())
+    // LRU-evict whole sessions past the per-context cap (never the caller)
+    val ctx = spark.sparkContext
+    val sessions = lastUsed.keys.filter(s =>
+      (s ne spark) && (s.sparkContext eq ctx)).toSeq
+    if (sessions.size >= MaxSessionsPerContext)
+      clear(sessions.minBy(s => lastUsed.getOrElse(s, 0L)))
     val key = (spark, sfDir, tag)
     frames.get(key).getOrElse {
       if (evictionHooked.putIfAbsent(spark, ()).isEmpty)

@@ -9,6 +9,26 @@ class CleanSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = GraftSpark.Sf
 
+  test("empty/whitespace/null documents never crash chunking or span dedup") {
+    // sequence(0, size(toks)-1, stride) throws on a zero-size array; the
+    // guards must instead emit no chunks/spans for such docs (the oracle's
+    // empty range() behavior) while keeping them in left-join outputs
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptydoc").toString
+    Seq((1L, "alpha beta gamma", "en", "web", 16L),
+        (2L, "", "en", "web", 0L),
+        (3L, "   ", "en", "web", 3L),
+        (4L, null.asInstanceOf[String], "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // ""/"   " tokenize to [""] (split of a trimmed-empty string), so they
+    // emit one empty chunk; NULL text propagates to no rows — neither may throw
+    val chunks = Clean.docChunks(spark, dir).collect()
+    assert(chunks.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val spans = Clean.spanDedup(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(spans == Set(1L, 2L, 3L, 4L)) // all docs stay visible (left join)
+  }
+
   test("token dedup: no repeats, subset of original, order-preserving fixpoint") {
     val d = Clean.tokenDedup(spark, sf)
     // every rebuilt text has exactly n_kept distinct tokens and no repeats

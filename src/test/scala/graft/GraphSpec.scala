@@ -178,6 +178,19 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs((pr(2L) - floor) / (pr(3L) - floor) - 9.0) < 1e-6)
   }
 
+  test("self-loop-only vertices survive both CC variants as singletons") {
+    // 5's only edge is a self-loop; both variants must keep it with
+    // label = itself (the alt-star contraction used to drop it)
+    val edges = Seq((1L, 2L), (5L, 5L), (2L, 2L)).toDF("src", "dst")
+    val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 5L)
+    val prop = Graph.connectedComponents(edges).as[(Long, Long)]
+      .collect().toMap
+    val star = Graph.connectedComponentsAltStar(edges).as[(Long, Long)]
+      .collect().toMap
+    assert(prop == expected)
+    assert(star == expected)
+  }
+
   test("pagerank is independent of input partitioning") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (4L, 3L))
       .toDF("src", "dst")

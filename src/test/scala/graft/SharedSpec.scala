@@ -23,4 +23,28 @@ class SharedSpec extends AnyFunSuite {
     assert(builds == 3) // rebuilt after eviction
     Shared.clear(spark) // leave no test frames pinned for other suites
   }
+
+  test("sessions cycling over one context are LRU-evicted past the cap") {
+    // the round-4 leak: newSession() frames accumulated until context end
+    Shared.clear(spark) // main session must not be the LRU victim below
+    val tag = s"shared_lru_${System.nanoTime()}"
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "a")).toDF("id", "s") }
+    val s0 = spark.newSession()
+    Shared.frame(s0, "/tmp/sfLru", tag)(build)
+    assert(builds == 1)
+    // s0's frame stays cached while the session count is within the cap...
+    Shared.frame(s0, "/tmp/sfLru", tag)(build)
+    assert(builds == 1)
+    // ...then MaxSessionsPerContext newer sessions push s0 out as the LRU
+    val extras = (1 to Shared.MaxSessionsPerContext).map { _ =>
+      val s = spark.newSession()
+      Shared.frame(s, "/tmp/sfLru", tag)(build)
+      s
+    }
+    assert(builds == 1 + Shared.MaxSessionsPerContext)
+    Shared.frame(s0, "/tmp/sfLru", tag)(build)
+    assert(builds == 2 + Shared.MaxSessionsPerContext) // s0 was evicted
+    (s0 +: extras).foreach(Shared.clear)
+  }
 }

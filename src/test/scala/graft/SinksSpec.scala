@@ -135,6 +135,25 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.readVersioned(spark, path).count() == 1)
   }
 
+  test("versioned writes: a lost _LATEST pointer recovers from v= dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vrecover")
+    val path = s"$dir/t"
+    Sinks.writeVersioned(spark, Seq((1L, "a")).toDF("id", "s"), path)
+    Sinks.writeVersioned(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    // crash window: pointer deleted but sidecar not yet renamed over it
+    assert(new java.io.File(s"$path/_LATEST").delete())
+    // readers fall back to the max committed (_SUCCESS-marked) version
+    assert(Sinks.latestVersion(spark, path).contains(1L))
+    assert(Sinks.readVersioned(spark, path).count() == 2)
+    // a half-written max dir (no _SUCCESS) is not treated as committed,
+    // but the next write must still not collide with it
+    assert(new java.io.File(s"$path/v=000002").mkdir())
+    assert(Sinks.latestVersion(spark, path).contains(1L))
+    val v = Sinks.writeVersioned(spark, Seq((3L, "c")).toDF("id", "s"), path)
+    assert(v == 3L)
+    assert(Sinks.readVersioned(spark, path).count() == 1)
+  }
+
   test("json registry source: nft-sourced and address-less records dropped") {
     val c = graft.sources.JsonRegistry.cleaned(spark).collect()
     val ids = c.map(_.getString(0)).distinct.toSeq
