@@ -33,6 +33,22 @@ object Bench {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(ckpt.toString)
 
+    // Session-shared iterative frames (ops/Shared: MinHash band pairs + CC
+    // labels, transfer-graph PageRank and LPA) build exactly once per
+    // session; unattributed, their cost lands on whichever query touches
+    // them FIRST in name order (r4: q_minhash_pairs looked 14× slower than
+    // its steady state). Charge them to one labeled pseudo-entry instead.
+    val warm0 = System.nanoTime()
+    val warmed = try {
+      Seq(ops.Dedup.clusterLabels(spark, sfDir),
+        ops.Wallet.transferPageRank(spark, sfDir),
+        ops.Wallet.transferCommunities(spark, sfDir)).foreach(_.count())
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] shared warmup failed: ${e.getMessage}"); false }
+    val warmSec =
+      if (warmed) (System.nanoTime() - warm0) / 1e9 else -1.0
+
     // name-sorted: deterministic order makes per-query numbers comparable
     // across rounds (JVM/codegen warmup always lands on the same queries)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -46,11 +62,16 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
+    // the one-time shared-frame build is part of the true cold cost: it
+    // joins the report as its own entry (built once — no min-of-2)
     val mins = names.map { case (n, _) =>
       val ts = passes.map(_.toMap.apply(n))
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    } :+ ("_shared_warmup" -> warmSec)
+    // the build ran once, before pass 1 — only the cold pass total carries it
+    val passTotals = passes.zipWithIndex.map { case (p, i) =>
+      p.map(_._2).filter(_ >= 0).sum + (if (i == 0) math.max(warmSec, 0) else 0.0)
     }
-    val passTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)
     val total = mins.map(_._2).filter(_ >= 0).sum
 
     def jnum(v: Double, fmt: String): String = fmt.format(v)

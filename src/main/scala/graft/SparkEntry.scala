@@ -409,6 +409,7 @@ object Catalog {
        |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
        |  FROM idx v JOIN idx c ON v.i = c.i
        |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
+       |    AND c.vec_id < ${Similarity.CentroidStride * Similarity.MaxCells}
        |  GROUP BY 1, 2
        |),
        |assign0 AS (
@@ -2560,6 +2561,7 @@ object Catalog {
          |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
          |  FROM idx v JOIN idx c ON v.i = c.i
          |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
+       |    AND c.vec_id < ${Similarity.CentroidStride * Similarity.MaxCells}
          |  GROUP BY 1, 2
          |),
          |cos AS (
@@ -2585,6 +2587,7 @@ object Catalog {
          |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
          |  FROM idx v JOIN idx c ON v.i = c.i
          |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
+       |    AND c.vec_id < ${Similarity.CentroidStride * Similarity.MaxCells}
          |  GROUP BY 1, 2
          |),
          |assign AS (

@@ -121,10 +121,13 @@ object Membership {
   val LinkMaxDist = 2
 
   def nameLinkage(spark: SparkSession, sfDir: String): DataFrame = {
-    // all distinct strings reachable by deleting 0, 1 or 2 characters;
-    // one generator expression, exploded once (no UDF, stays in codegen)
+    // all strings reachable by deleting 0, 1 or 2 characters; one generator
+    // expression, exploded once (no UDF, stays in codegen). Duplicate
+    // variants from repeated characters are tolerated — the candidate
+    // distinct absorbs them, and per-array dedup would cost O(L⁴) string
+    // compares per name for a ~40% row saving
     val deleteVariants = expr(
-      """IF(length(c_name) < 2, array(c_name), array_distinct(concat(
+      """IF(length(c_name) < 2, array(c_name), concat(
         |  array(c_name),
         |  transform(sequence(1, length(c_name)), i ->
         |    concat(substring(c_name, 1, i - 1),
@@ -133,19 +136,34 @@ object Membership {
         |    transform(sequence(i + 1, length(c_name)), j ->
         |      concat(substring(c_name, 1, i - 1),
         |             substring(c_name, i + 1, j - i - 1),
-        |             substring(c_name, j + 1, length(c_name)))))))))""".stripMargin)
+        |             substring(c_name, j + 1, length(c_name))))))))""".stripMargin)
+    // candidate stream carries only (nation, variant-HASH, key): near-dup
+    // pairs share MANY variants, so the pre-dedup stream is ~30× the pair
+    // count — hashing the variant (collisions only add candidates, the
+    // refine kills them) and deferring the name columns to a post-distinct
+    // broadcast join shrinks the two big shuffles by an order of magnitude.
+    // The source is a handful of parquet splits at test scale, so the L²/2
+    // generator is REPARTITIONED to full parallelism and the tiny hashed
+    // index persisted — both join sides then share one build (the
+    // materialized-SymSpell-index shape).
     val v = Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("c_nationkey"), col("c_custkey"),
         explode(deleteVariants).as("v"))
-    val a = v.select(col("c_nationkey"), col("v"),
-      col("c_custkey").as("key_a"), col("c_name").as("name_a"))
-    val b = v.select(col("c_nationkey"), col("v"),
-      col("c_custkey").as("key_b"), col("c_name").as("name_b"))
-    a.join(b, Seq("c_nationkey", "v"))
+      .select(col("c_nationkey"), xxhash64(col("v")).as("vh"),
+        col("c_custkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = v.toDF("c_nationkey", "vh", "key_a")
+      .join(v.toDF("c_nationkey", "vh", "key_b"), Seq("c_nationkey", "vh"))
       .filter(col("key_a") < col("key_b"))
-      .select("key_a", "key_b", "name_a", "name_b")
+      .select("key_a", "key_b")
       .distinct() // a pair may share many variants; refine each pair once
+    val names = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"))
+    cand
+      .join(broadcast(names.toDF("key_a", "name_a")), Seq("key_a"))
+      .join(broadcast(names.toDF("key_b", "name_b")), Seq("key_b"))
       // banded threshold Levenshtein: O(k·n) per pair with early exit
       // (returns -1 past the bound) instead of the full O(n²) DP
       .withColumn("dist",

