@@ -1356,6 +1356,38 @@ object Catalog {
         |       CAST(length(text) AS BIGINT) AS n_chars
         |FROM docs ORDER BY doc_id""".stripMargin))),
 
+    // Gopher-family rule filter: every statistic computed inside the row
+    // (array expressions), flags from the RAW doubles, rendering rounded
+    // identically on both engines.
+    QEntry("q_gopher_rules", TextAnalysis.gopherRules, Some(withDocs(
+      s""", s AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+         |         AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mwl,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS dr,
+         |    CAST(list_max(list_transform(list_distinct(toks),
+         |           t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS tf,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+         |         AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS af
+         |  FROM docs
+         |)
+         |SELECT doc_id, n_words,
+         |  round(mwl, 6) AS mean_word_len, round(dr, 6) AS distinct_ratio,
+         |  round(tf, 6) AS top_tok_frac, round(af, 6) AS alpha_frac,
+         |  (n_words >= ${TextAnalysis.GopherMinWords}
+         |    AND n_words <= ${TextAnalysis.GopherMaxWords}) AS r_words,
+         |  (mwl >= 3.0 AND mwl <= 10.0) AS r_word_len,
+         |  dr >= 0.5 AS r_distinct,
+         |  tf <= 0.1 AS r_top_tok,
+         |  af >= 0.8 AS r_alpha,
+         |  (n_words >= ${TextAnalysis.GopherMinWords}
+         |    AND n_words <= ${TextAnalysis.GopherMaxWords}
+         |    AND mwl >= 3.0 AND mwl <= 10.0 AND dr >= 0.5
+         |    AND tf <= 0.1 AND af >= 0.8) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin))),
+
     QEntry("q_fingerprint", TextAnalysis.fingerprints, Some(withShingles(
       """SELECT doc_id, count(*) AS n_shingles, min(md5(sh)) AS fingerprint
         |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
@@ -2845,6 +2877,26 @@ object Catalog {
         |       CAST(max(o_totalprice) AS DOUBLE) AS hi99,
         |       true AS p50_ok, true AS p90_ok, true AS p99_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Skew diagnostics: top-K receiver addresses with share + cumulative
+    // share — the profile that decides salting before a 100 TB job runs.
+    QEntry("q_heavy_hitters", Profile.transferHeavyHitters,
+      Some(withTransfers(
+      s""", c AS (
+         |  SELECT to_address AS key, CAST(count(*) AS BIGINT) AS n
+         |  FROM transfers GROUP BY 1
+         |  ORDER BY n DESC, key ASC LIMIT ${Profile.HeavyHitterK}
+         |),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM transfers)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS BIGINT)
+         |         AS rnk,
+         |       key, n,
+         |       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+         |       round(CAST(SUM(CAST(n AS DOUBLE)) OVER (
+         |           ORDER BY n DESC, key ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+         |FROM c CROSS JOIN t ORDER BY rnk""".stripMargin))),
 
     // One-pass per-column completeness/uniqueness profile (long format).
     QEntry("q_data_profile", Profile.ordersProfile, Some(

@@ -127,7 +127,8 @@ object Membership {
     // distinct absorbs them, and per-array dedup would cost O(L⁴) string
     // compares per name for a ~40% row saving
     val deleteVariants = expr(
-      """IF(length(c_name) < 2, array(c_name), concat(
+      """IF(length(c_name) = 0, array(c_name),
+        |IF(length(c_name) = 1, array(c_name, ''), concat(
         |  array(c_name),
         |  transform(sequence(1, length(c_name)), i ->
         |    concat(substring(c_name, 1, i - 1),
@@ -136,7 +137,7 @@ object Membership {
         |    transform(sequence(i + 1, length(c_name)), j ->
         |      concat(substring(c_name, 1, i - 1),
         |             substring(c_name, i + 1, j - i - 1),
-        |             substring(c_name, j + 1, length(c_name))))))))""".stripMargin)
+        |             substring(c_name, j + 1, length(c_name)))))))))""".stripMargin)
     // candidate stream carries only (nation, variant-HASH, key): near-dup
     // pairs share MANY variants, so the pre-dedup stream is ~30× the pair
     // count — hashing the variant (collisions only add candidates, the

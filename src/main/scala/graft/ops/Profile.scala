@@ -36,4 +36,41 @@ object Profile {
   /** Shared with the oracle builder so the SQL mirrors the same columns. */
   val OrdersColumns: Seq[String] = Seq("o_orderkey", "o_custkey",
     "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Skew diagnostics: the top-[[HeavyHitterK]] values of a key column with
+    * absolute counts, share of the table, and running cumulative share —
+    * the profile that decides whether a 100 TB join/agg on this key needs
+    * salting or an AQE skew split BEFORE the job is launched. One map-side
+    * combinable count + a TakeOrdered of K rows; the share divisions run on
+    * the K-row result against a broadcast scalar total (never a wide
+    * window). Ties rank deterministically (count desc, value asc). */
+  val HeavyHitterK = 20
+
+  def heavyHitters(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(HeavyHitterK)
+    val total = df.agg(count(lit(1)).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts.crossJoin(broadcast(total)) // K rows × 1-row scalar
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key").asc)).cast("long"))
+      .withColumn("share",
+        round(col("n").cast("double") / col("total").cast("double"), 6))
+      .withColumn("cum_share",
+        round(sum(col("n").cast("double")).over(w)
+          / col("total").cast("double"), 6))
+      .select("rnk", "key", "n", "share", "cum_share")
+      .orderBy("rnk")
+  }
+
+  /** Catalog form: receiver-address skew of the transfer fact — the
+    * to_address space is hub-heavy by construction, exactly the shape that
+    * silently breaks an unsalted 100 TB groupBy. */
+  def transferHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    heavyHitters(Tables.transfers(spark, sfDir), "to_address")
 }

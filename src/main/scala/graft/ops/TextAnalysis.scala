@@ -104,6 +104,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-family document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", appendix A1.1): per document, the measured
+    * statistic AND the pass/fail flag for each rule, plus the composed
+    * `keep` decision — the rule-based pre-filter every web-scale corpus
+    * runs before dedup. Rules (thresholds calibrated to this corpus; the
+    * STRUCTURE is Gopher's):
+    *   1. word count within [[GopherMinWords]]..[[GopherMaxWords]]
+    *   2. mean word length within 3..10
+    *   3. distinct-token ratio ≥ 0.5 (repetition guard)
+    *   4. top-token dominance ≤ 0.1 (boilerplate guard)
+    *   5. alphabetic-word fraction ≥ 0.8 (symbol-soup guard)
+    *
+    * Scale shape: every statistic — including the per-doc mode frequency —
+    * is computed INSIDE the row over the token array (O(distinct·len) per
+    * doc), so the whole operator is one narrow codegen'd projection: no
+    * explode, no shuffle, at any corpus size. Fractions are single IEEE
+    * divisions of exact integers (bit-equal in DuckDB). */
+  val GopherMinWords = 20L
+  val GopherMaxWords = 100L
+
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        expr("size(toks)").cast("long").as("n_words"),
+        expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
+          .as("sum_len"),
+        expr("size(array_distinct(toks))").cast("long").as("n_distinct"),
+        expr("""array_max(transform(array_distinct(toks),
+                 t -> size(filter(toks, x -> x = t))))""").cast("long")
+          .as("top_tok_n"),
+        expr("size(filter(toks, x -> x rlike '[a-zA-Z]'))").cast("long")
+          .as("n_alpha"))
+      .withColumn("mean_word_len",
+        col("sum_len").cast("double") / col("n_words").cast("double"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_words").cast("double"))
+      .withColumn("top_tok_frac",
+        col("top_tok_n").cast("double") / col("n_words").cast("double"))
+      .withColumn("alpha_frac",
+        col("n_alpha").cast("double") / col("n_words").cast("double"))
+      .withColumn("r_words",
+        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+      .withColumn("r_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_distinct", col("distinct_ratio") >= 0.5)
+      .withColumn("r_top_tok", col("top_tok_frac") <= 0.1)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("keep",
+        col("r_words") && col("r_word_len") && col("r_distinct") &&
+          col("r_top_tok") && col("r_alpha"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("distinct_ratio"), 6).as("distinct_ratio"),
+        round(col("top_tok_frac"), 6).as("top_tok_frac"),
+        round(col("alpha_frac"), 6).as("alpha_frac"),
+        col("r_words"), col("r_word_len"), col("r_distinct"),
+        col("r_top_tok"), col("r_alpha"), col("keep"))
+      .orderBy("doc_id")
+
   /** Gopher-style repetition signals: per document, the fraction of n-grams
     * that are repeats of an earlier identical n-gram (`dup{2,3}_frac`) and
     * the share of the single most frequent bigram (`top2_frac`) — the

@@ -195,6 +195,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"queries over shuffle ceiling: $offenders")
   }
 
+  test("name linkage: variant index cached once, names re-attached broadcast") {
+    // both sides of the candidate self-join must read the SAME persisted
+    // variant index (one generator run, not two), and the name columns must
+    // come back via broadcast joins AFTER the pair distinct — the big
+    // shuffles carry only (nation, variant-hash, key)
+    val p = plan("q_name_linkage")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // the refine never re-shuffles name strings: no exchange above the
+    // broadcast joins except the final presentation sort
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("narrow projections shuffle only for their final presentation sort") {
     // quantization, chunking and z-values are pure per-row projections:
     // the ONLY exchange allowed is the ORDER BY's range partitioning —

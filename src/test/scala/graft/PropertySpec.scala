@@ -101,6 +101,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: deletion-neighborhood linkage equals naive all-pairs") {
+    // the SymSpell blocking's correctness rests on the pigeonhole argument
+    // (ed(s,t) <= k ⇒ the ≤k-deletion neighborhoods intersect); verify it
+    // against a classic Wagner-Fischer reference on random short strings
+    // over a 3-letter alphabet (dense with near-pairs, indels and empties)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val nameGen = for {
+      len <- Gen.choose(0, 9)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val tableGen = Gen.listOfN(40, for {
+      n <- nameGen; nat <- Gen.choose(0, 1)
+    } yield (n, nat))
+    samples(tableGen, 4).foreach { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_linkprop").toString
+      rows.zipWithIndex.map { case ((n, nat), k) =>
+        (k.toLong, n, nat, 0.0, "SEG") }
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val got = graft.ops.Membership.nameLinkage(spark, dir)
+        .as[(Long, Long, Int)].collect().toSet
+      val naive = (for {
+        a <- rows.indices; b <- rows.indices
+        if a < b && rows(a)._2 == rows(b)._2
+        d = lev(rows(a)._1, rows(b)._1) if d <= graft.ops.Membership.LinkMaxDist
+      } yield (a.toLong, b.toLong, d)).toSet
+      assert(got == naive)
+    }
+  }
+
   test("property: morton z-value round-trips and preserves bit order") {
     // reference implementation: interleave bit-by-bit in plain Scala
     def refZ(a: Long, b: Long): Long = {
