@@ -550,6 +550,204 @@ object Catalog {
          |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)
   }
 
+  // ── ANN oracle SQL, shared between the per-method entries and the
+  // q_ann_recall composition (each is a complete WITH…SELECT, nested as a
+  // subquery there) ──
+  private val embeddingTopkSql: String =
+    s"""WITH $embIdxCte,
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+       |  FROM idx GROUP BY 1
+       |),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM idx q JOIN idx d ON q.i = d.i
+       |  WHERE q.vec_id < ${Similarity.ProbeCount}
+       |    AND d.vec_id != q.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |cos AS (
+       |  SELECT query_id, neighbor_id,
+       |         dot / (sqrt(nq.sq) * sqrt(nd.sq)) AS c
+       |  FROM dots
+       |  JOIN norms nq ON nq.vec_id = query_id
+       |  JOIN norms nd ON nd.vec_id = neighbor_id
+       |)
+       |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, neighbor_id ASC) AS rnk
+       |  FROM cos
+       |) WHERE rnk <= ${Similarity.K} ORDER BY query_id, rnk""".stripMargin
+
+  private val bucketedAnnSql: String =
+    s"""WITH $embIdxCte,
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+       |  FROM idx GROUP BY 1
+       |),
+       |planes AS (
+       |  SELECT p.p, i.i,
+       |         CAST(strpos('0123456789abcdef',
+       |           substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)),
+       |                  1, 1)) - 1 AS DOUBLE) - 7.5 AS c
+       |  FROM (SELECT unnest(range(${Similarity.NumPlanes})) AS p) p,
+       |       (SELECT unnest(range(64)) AS i) i
+       |),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+       |           AS bucket
+       |  FROM (
+       |    SELECT idx.vec_id, planes.p,
+       |           SUM(CAST(idx.x * planes.c AS DECIMAL(38,18))) AS s
+       |    FROM idx JOIN planes ON planes.i = idx.i
+       |    GROUP BY 1, 2
+       |  ) GROUP BY vec_id
+       |),
+       |cands AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id
+       |  FROM buckets a JOIN buckets b
+       |    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+       |),
+       |dots AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         CAST(SUM(CAST(qa.x * qb.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM cands c
+       |  JOIN idx qa ON qa.vec_id = c.query_id
+       |  JOIN idx qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cosine FROM (
+       |  SELECT d.query_id, d.vec_id,
+       |         d.dot / (sqrt(nq.sq) * sqrt(nv.sq)) AS c,
+       |         row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |           d.dot / (sqrt(nq.sq) * sqrt(nv.sq)) DESC, d.vec_id ASC) AS rnk
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.query_id
+       |  JOIN norms nv ON nv.vec_id = d.vec_id
+       |) WHERE rnk = 1 ORDER BY query_id""".stripMargin
+
+  private val quantizedAnnSql: String =
+    s"""WITH $embIdxCte,
+       |norms AS (
+       |  SELECT vec_id,
+       |         sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE))
+       |           AS norm
+       |  FROM idx GROUP BY 1
+       |),
+       |base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |qv AS (
+       |  SELECT m.vec_id, m.maxabs, n.norm,
+       |         CASE WHEN m.maxabs = 0 THEN list_transform(m.v, x -> 0)
+       |         ELSE list_transform(m.v,
+       |           x -> CAST(round(x * ${Quantize.QMax}.0 / m.maxabs) AS INTEGER))
+       |         END AS q
+       |  FROM (
+       |    SELECT vec_id, v,
+       |           list_max(list_transform(v, x -> abs(x))) AS maxabs
+       |    FROM base
+       |  ) m JOIN norms n ON n.vec_id = m.vec_id
+       |  WHERE n.norm > 0
+       |),
+       |dots AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+       |         p.maxabs AS pmax, p.norm AS pnorm,
+       |         c.maxabs AS cmax, c.norm AS cnorm,
+       |         CAST(SUM(CAST(p.q[t.i] AS BIGINT) * c.q[t.i]) AS BIGINT)
+       |           AS iscore
+       |  FROM qv p
+       |  JOIN qv c ON c.vec_id != p.vec_id
+       |  CROSS JOIN unnest(range(1, 64 + 1)) AS t(i)
+       |  WHERE p.vec_id < ${Similarity.ProbeCount}
+       |  GROUP BY 1, 2, 3, 4, 5, 6
+       |)
+       |SELECT query_id, cand_id AS neighbor_id, round(qcos, 6) AS qcos
+       |FROM (
+       |  SELECT query_id, cand_id,
+       |         CAST(iscore AS DOUBLE) * pmax * cmax /
+       |           (${Quantize.QMax * Quantize.QMax}.0 * pnorm * cnorm)
+       |           AS qcos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY CAST(iscore AS DOUBLE) * pmax * cmax /
+       |             (${Quantize.QMax * Quantize.QMax}.0 * pnorm * cnorm)
+       |             DESC, cand_id ASC) AS rnk
+       |  FROM dots
+       |) WHERE rnk = 1 ORDER BY query_id""".stripMargin
+
+  private val ivfAnnSql: String =
+    s"""WITH $embIdxCte,
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+       |  FROM idx GROUP BY 1
+       |),
+       |cdots AS (
+       |  SELECT v.vec_id, c.vec_id AS cid,
+       |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM idx v JOIN idx c ON v.i = c.i
+       |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
+       |    AND c.vec_id < ${Similarity.CentroidStride * Similarity.MaxCells}
+       |  GROUP BY 1, 2
+       |),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT d.vec_id, d.cid,
+       |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |             d.dot / (sqrt(nv.sq) * sqrt(nc.sq)) DESC, d.cid ASC) AS rnk
+       |    FROM cdots d
+       |    JOIN norms nv ON nv.vec_id = d.vec_id
+       |    JOIN norms nc ON nc.vec_id = d.cid
+       |  ) WHERE rnk = 1
+       |),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id,
+       |         CAST(SUM(CAST(qi.x * vi.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM assign q
+       |  JOIN assign v ON q.cid = v.cid AND v.vec_id != q.vec_id
+       |  JOIN idx qi ON qi.vec_id = q.vec_id
+       |  JOIN idx vi ON vi.vec_id = v.vec_id AND vi.i = qi.i
+       |  WHERE q.vec_id < ${Similarity.ProbeCount}
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cosine FROM (
+       |  SELECT p.query_id, p.vec_id,
+       |         p.dot / (sqrt(nq.sq) * sqrt(nv.sq)) AS c,
+       |         row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |           p.dot / (sqrt(nq.sq) * sqrt(nv.sq)) DESC, p.vec_id ASC) AS rnk
+       |  FROM pairs p
+       |  JOIN norms nq ON nq.vec_id = p.query_id
+       |  JOIN norms nv ON nv.vec_id = p.vec_id
+       |) WHERE rnk = 1 ORDER BY query_id""".stripMargin
+
+  /** Recall\@K of each ANN method vs the exact top-K: each method oracle is
+    * nested verbatim as a subquery, so the recall certificate can never
+    * drift from the per-method entries. */
+  private val annRecallSql: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($embeddingTopkSql)),
+       |np AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_probes
+       |       FROM exact),
+       |bk AS (SELECT query_id, neighbor_id FROM ($bucketedAnnSql)
+       |       WHERE query_id < ${Similarity.ProbeCount}),
+       |iv AS (SELECT query_id, neighbor_id FROM ($ivfAnnSql)),
+       |qz AS (SELECT query_id, neighbor_id FROM ($quantizedAnnSql)),
+       |h AS (
+       |  SELECT 'int8_quantized' AS method, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM qz JOIN exact USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'ivf', CAST(count(*) AS BIGINT)
+       |  FROM iv JOIN exact USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'lsh_bucketed', CAST(count(*) AS BIGINT)
+       |  FROM bk JOIN exact USING (query_id, neighbor_id)
+       |)
+       |SELECT h.method, np.n_probes, h.n_hits,
+       |       round(CAST(h.n_hits AS DOUBLE) / CAST(np.n_probes AS DOUBLE), 6)
+       |         AS recall
+       |FROM h CROSS JOIN np ORDER BY method""".stripMargin
+
   val entries: Seq[QEntry] = Seq(
 
     // ── Token-analytics change-log metrics (SURVEY §2.6 A1-A4, §2.10 C1) ──
@@ -2191,32 +2389,8 @@ object Catalog {
          |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ── Embedding similarity (brute-force exact + hyperplane LSH) ──
-    QEntry("q_embedding_topk", Similarity.bruteForceTopK, Some(
-      s"""WITH $embIdxCte,
-         |norms AS (
-         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
-         |  FROM idx GROUP BY 1
-         |),
-         |dots AS (
-         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
-         |  FROM idx q JOIN idx d ON q.i = d.i
-         |  WHERE q.vec_id < ${Similarity.ProbeCount}
-         |    AND d.vec_id != q.vec_id
-         |  GROUP BY 1, 2
-         |),
-         |cos AS (
-         |  SELECT query_id, neighbor_id,
-         |         dot / (sqrt(nq.sq) * sqrt(nd.sq)) AS c
-         |  FROM dots
-         |  JOIN norms nq ON nq.vec_id = query_id
-         |  JOIN norms nd ON nd.vec_id = neighbor_id
-         |)
-         |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY c DESC, neighbor_id ASC) AS rnk
-         |  FROM cos
-         |) WHERE rnk <= ${Similarity.K} ORDER BY query_id, rnk""".stripMargin)),
+    QEntry("q_embedding_topk", Similarity.bruteForceTopK,
+      Some(embeddingTopkSql)),
 
     QEntry("q_lsh_buckets", Similarity.hyperplaneBuckets, Some(
       s"""WITH $embIdxCte,
@@ -2242,53 +2416,7 @@ object Catalog {
     // Scale-path ANN: the q_lsh_buckets bucket CTE plus an in-bucket exact
     // top-1 rerank (arg-max = row_number over cosine DESC, id ASC — the
     // same tie-break the Spark max(struct) encodes via the negated id).
-    QEntry("q_bucketed_ann", Similarity.bucketedTopK, Some(
-      s"""WITH $embIdxCte,
-         |norms AS (
-         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
-         |  FROM idx GROUP BY 1
-         |),
-         |planes AS (
-         |  SELECT p.p, i.i,
-         |         CAST(strpos('0123456789abcdef',
-         |           substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)),
-         |                  1, 1)) - 1 AS DOUBLE) - 7.5 AS c
-         |  FROM (SELECT unnest(range(${Similarity.NumPlanes})) AS p) p,
-         |       (SELECT unnest(range(64)) AS i) i
-         |),
-         |buckets AS (
-         |  SELECT vec_id,
-         |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
-         |           AS bucket
-         |  FROM (
-         |    SELECT idx.vec_id, planes.p,
-         |           SUM(CAST(idx.x * planes.c AS DECIMAL(38,18))) AS s
-         |    FROM idx JOIN planes ON planes.i = idx.i
-         |    GROUP BY 1, 2
-         |  ) GROUP BY vec_id
-         |),
-         |cands AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id
-         |  FROM buckets a JOIN buckets b
-         |    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
-         |),
-         |dots AS (
-         |  SELECT c.query_id, c.vec_id,
-         |         CAST(SUM(CAST(qa.x * qb.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
-         |  FROM cands c
-         |  JOIN idx qa ON qa.vec_id = c.query_id
-         |  JOIN idx qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
-         |  GROUP BY 1, 2
-         |)
-         |SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cosine FROM (
-         |  SELECT d.query_id, d.vec_id,
-         |         d.dot / (sqrt(nq.sq) * sqrt(nv.sq)) AS c,
-         |         row_number() OVER (PARTITION BY d.query_id ORDER BY
-         |           d.dot / (sqrt(nq.sq) * sqrt(nv.sq)) DESC, d.vec_id ASC) AS rnk
-         |  FROM dots d
-         |  JOIN norms nq ON nq.vec_id = d.query_id
-         |  JOIN norms nv ON nv.vec_id = d.vec_id
-         |) WHERE rnk = 1 ORDER BY query_id""".stripMargin)),
+    QEntry("q_bucketed_ann", Similarity.bucketedTopK, Some(bucketedAnnSql)),
 
     // Int8 scalar quantization (faiss/SQ8 scheme): per-vector scale
     // maxabs, components round(x*127/maxabs). Pure IEEE multiply/divide +
@@ -2324,55 +2452,12 @@ object Catalog {
     // BIGINT in both engines and the rescale is one IEEE multiply chain
     // over exact inputs; tie-break to the smaller id (arg-max via negated
     // id on the Spark side, rn ordered qcos DESC / id ASC here).
-    QEntry("q_quantized_ann", Quantize.quantizedTopNeighbor, Some(
-      s"""WITH $embIdxCte,
-         |norms AS (
-         |  SELECT vec_id,
-         |         sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE))
-         |           AS norm
-         |  FROM idx GROUP BY 1
-         |),
-         |base AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |),
-         |qv AS (
-         |  SELECT m.vec_id, m.maxabs, n.norm,
-         |         CASE WHEN m.maxabs = 0 THEN list_transform(m.v, x -> 0)
-         |         ELSE list_transform(m.v,
-         |           x -> CAST(round(x * ${Quantize.QMax}.0 / m.maxabs) AS INTEGER))
-         |         END AS q
-         |  FROM (
-         |    SELECT vec_id, v,
-         |           list_max(list_transform(v, x -> abs(x))) AS maxabs
-         |    FROM base
-         |  ) m JOIN norms n ON n.vec_id = m.vec_id
-         |  WHERE n.norm > 0
-         |),
-         |dots AS (
-         |  SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
-         |         p.maxabs AS pmax, p.norm AS pnorm,
-         |         c.maxabs AS cmax, c.norm AS cnorm,
-         |         CAST(SUM(CAST(p.q[t.i] AS BIGINT) * c.q[t.i]) AS BIGINT)
-         |           AS iscore
-         |  FROM qv p
-         |  JOIN qv c ON c.vec_id != p.vec_id
-         |  CROSS JOIN unnest(range(1, 64 + 1)) AS t(i)
-         |  WHERE p.vec_id < ${Similarity.ProbeCount}
-         |  GROUP BY 1, 2, 3, 4, 5, 6
-         |)
-         |SELECT query_id, cand_id AS neighbor_id, round(qcos, 6) AS qcos
-         |FROM (
-         |  SELECT query_id, cand_id,
-         |         CAST(iscore AS DOUBLE) * pmax * cmax /
-         |           (${Quantize.QMax * Quantize.QMax}.0 * pnorm * cnorm)
-         |           AS qcos,
-         |         row_number() OVER (PARTITION BY query_id
-         |           ORDER BY CAST(iscore AS DOUBLE) * pmax * cmax /
-         |             (${Quantize.QMax * Quantize.QMax}.0 * pnorm * cnorm)
-         |             DESC, cand_id ASC) AS rnk
-         |  FROM dots
-         |) WHERE rnk = 1 ORDER BY query_id""".stripMargin)),
+    QEntry("q_quantized_ann", Quantize.quantizedTopNeighbor,
+      Some(quantizedAnnSql)),
+
+    // ANN recall certificate: recall@K of every approximate method vs the
+    // exact top-K, in one deterministic 3-row result.
+    QEntry("q_ann_recall", Similarity.annRecall, Some(annRecallSql)),
 
     QEntry("q_embedding_neardup",
       (s, d) => Similarity.cosineNearDupPairs(s, d), Some(
@@ -2608,49 +2693,7 @@ object Catalog {
          |    ORDER BY c DESC, cid ASC) AS rnk FROM cos
          |) WHERE rnk = 1 ORDER BY vec_id""".stripMargin)),
 
-    QEntry("q_ivf_ann", Similarity.ivfTopNeighbor, Some(
-      s"""WITH $embIdxCte,
-         |norms AS (
-         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
-         |  FROM idx GROUP BY 1
-         |),
-         |cdots AS (
-         |  SELECT v.vec_id, c.vec_id AS cid,
-         |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
-         |  FROM idx v JOIN idx c ON v.i = c.i
-         |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
-       |    AND c.vec_id < ${Similarity.CentroidStride * Similarity.MaxCells}
-         |  GROUP BY 1, 2
-         |),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT d.vec_id, d.cid,
-         |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
-         |             d.dot / (sqrt(nv.sq) * sqrt(nc.sq)) DESC, d.cid ASC) AS rnk
-         |    FROM cdots d
-         |    JOIN norms nv ON nv.vec_id = d.vec_id
-         |    JOIN norms nc ON nc.vec_id = d.cid
-         |  ) WHERE rnk = 1
-         |),
-         |pairs AS (
-         |  SELECT q.vec_id AS query_id, v.vec_id,
-         |         CAST(SUM(CAST(qi.x * vi.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
-         |  FROM assign q
-         |  JOIN assign v ON q.cid = v.cid AND v.vec_id != q.vec_id
-         |  JOIN idx qi ON qi.vec_id = q.vec_id
-         |  JOIN idx vi ON vi.vec_id = v.vec_id AND vi.i = qi.i
-         |  WHERE q.vec_id < ${Similarity.ProbeCount}
-         |  GROUP BY 1, 2
-         |)
-         |SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cosine FROM (
-         |  SELECT p.query_id, p.vec_id,
-         |         p.dot / (sqrt(nq.sq) * sqrt(nv.sq)) AS c,
-         |         row_number() OVER (PARTITION BY p.query_id ORDER BY
-         |           p.dot / (sqrt(nq.sq) * sqrt(nv.sq)) DESC, p.vec_id ASC) AS rnk
-         |  FROM pairs p
-         |  JOIN norms nq ON nq.vec_id = p.query_id
-         |  JOIN norms nv ON nv.vec_id = p.vec_id
-         |) WHERE rnk = 1 ORDER BY query_id""".stripMargin)),
+    QEntry("q_ivf_ann", Similarity.ivfTopNeighbor, Some(ivfAnnSql)),
 
     QEntry("q_kmeans_assign", Similarity.kmeansAssignments,
       Some(kmeansOracle(1))),

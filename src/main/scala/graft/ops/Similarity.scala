@@ -349,6 +349,38 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** ANN recall certificate: for each approximate method (LSH-bucketed,
+    * IVF cell-restricted, int8-quantized), the fraction of probes whose
+    * method top-1 lands in the EXACT cosine top-[[K]] — recall\@K, the
+    * quality number an index is judged by ("measure, don't guess" applied
+    * to the ANN family itself). A probe the method cannot answer (empty
+    * bucket/cell) counts as a miss: hits are counted against the full
+    * probe set, not the answered subset.
+    *
+    * Deterministic end to end (exact-decimal dots, deterministic
+    * tie-breaks), so the DuckDB oracle reproduces the same three rows —
+    * the recall VALUES are hash-checked, not just bounded. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nProbes = exact.select("query_id").distinct()
+      .agg(count(lit(1)).as("n_probes"))
+    def one(method: String, top1: DataFrame): DataFrame =
+      top1.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nProbes)) // 1-row scalar
+        .select(lit(method).as("method"), col("n_probes"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_probes").cast("double"),
+            6).as("recall"))
+    one("int8_quantized", Quantize.quantizedTopNeighbor(spark, sfDir))
+      .unionByName(one("ivf", ivfTopNeighbor(spark, sfDir)))
+      .unionByName(one("lsh_bucketed",
+        bucketedTopK(spark, sfDir).filter(col("query_id") < ProbeCount)))
+      .orderBy("method")
+  }
+
   /** Scale-path ANN: exact cosine rerank only within LSH buckets (equi-join
     * on bucket). Top-1 per vector among same-bucket candidates. */
   def bucketedTopK(spark: SparkSession, sfDir: String): DataFrame = {
