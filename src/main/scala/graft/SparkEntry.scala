@@ -722,17 +722,91 @@ object Catalog {
        |  JOIN norms nv ON nv.vec_id = p.vec_id
        |) WHERE rnk = 1 ORDER BY query_id""".stripMargin
 
+  private val multiProbeAnnSql: String =
+    s"""WITH $embIdxCte,
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+       |  FROM idx GROUP BY 1
+       |),
+       |planes AS (
+       |  SELECT p.p, i.i,
+       |         CAST(strpos('0123456789abcdef',
+       |           substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)),
+       |                  1, 1)) - 1 AS DOUBLE) - 7.5 AS c
+       |  FROM (SELECT unnest(range(${Similarity.NumPlanes})) AS p) p,
+       |       (SELECT unnest(range(64)) AS i) i
+       |),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+       |           AS bucket
+       |  FROM (
+       |    SELECT idx.vec_id, planes.p,
+       |           SUM(CAST(idx.x * planes.c AS DECIMAL(38,18))) AS s
+       |    FROM idx JOIN planes ON planes.i = idx.i
+       |    GROUP BY 1, 2
+       |  ) GROUP BY vec_id
+       |),
+       |pc AS (
+       |  SELECT vec_id, substr(bucket, 1, ${Similarity.MultiProbeBits}) AS code
+       |  FROM buckets
+       |),
+       |flip1 AS (
+       |  SELECT p.vec_id AS query_id,
+       |         CASE WHEN f.j = 0 THEN p.code
+       |         ELSE substr(p.code, 1, CAST(f.j AS INTEGER) - 1)
+       |           || (CASE WHEN substr(p.code, CAST(f.j AS INTEGER), 1) = '1'
+       |               THEN '0' ELSE '1' END)
+       |           || substr(p.code, CAST(f.j AS INTEGER) + 1) END AS code
+       |  FROM pc p, unnest(range(0, ${Similarity.MultiProbeBits} + 1)) AS f(j)
+       |  WHERE p.vec_id < ${Similarity.ProbeCount}
+       |),
+       |probes AS (
+       |  SELECT DISTINCT query_id,
+       |         CASE WHEN g.k = 0 THEN code
+       |         ELSE substr(code, 1, CAST(g.k AS INTEGER) - 1)
+       |           || (CASE WHEN substr(code, CAST(g.k AS INTEGER), 1) = '1'
+       |               THEN '0' ELSE '1' END)
+       |           || substr(code, CAST(g.k AS INTEGER) + 1) END AS code
+       |  FROM flip1, unnest(range(0, ${Similarity.MultiProbeBits} + 1)) AS g(k)
+       |),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id
+       |  FROM probes p
+       |  JOIN pc c ON c.code = p.code AND c.vec_id != p.query_id
+       |),
+       |dots AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         CAST(SUM(CAST(qa.x * qb.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM cands c
+       |  JOIN idx qa ON qa.vec_id = c.query_id
+       |  JOIN idx qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cosine FROM (
+       |  SELECT d.query_id, d.vec_id,
+       |         d.dot / (sqrt(nq.sq) * sqrt(nv.sq)) AS c,
+       |         row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |           d.dot / (sqrt(nq.sq) * sqrt(nv.sq)) DESC, d.vec_id ASC) AS rnk
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.query_id
+       |  JOIN norms nv ON nv.vec_id = d.vec_id
+       |) WHERE rnk = 1 ORDER BY query_id""".stripMargin
+
   /** Recall\@K of each ANN method vs the exact top-K: each method oracle is
     * nested verbatim as a subquery, so the recall certificate can never
-    * drift from the per-method entries. */
+    * drift from the per-method entries. The sub-SQL is spliced in AFTER
+    * stripMargin — interpolating it before would let the outer stripMargin
+    * eat one pipe of any embedded `||` at a line start. */
   private val annRecallSql: String =
-    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($embeddingTopkSql)),
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM (%%TOPK%%)),
        |np AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_probes
        |       FROM exact),
-       |bk AS (SELECT query_id, neighbor_id FROM ($bucketedAnnSql)
+       |bk AS (SELECT query_id, neighbor_id FROM (%%BUCKETED%%)
        |       WHERE query_id < ${Similarity.ProbeCount}),
-       |iv AS (SELECT query_id, neighbor_id FROM ($ivfAnnSql)),
-       |qz AS (SELECT query_id, neighbor_id FROM ($quantizedAnnSql)),
+       |mp AS (SELECT query_id, neighbor_id FROM (%%MULTIPROBE%%)),
+       |iv AS (SELECT query_id, neighbor_id FROM (%%IVF%%)),
+       |qz AS (SELECT query_id, neighbor_id FROM (%%QUANTIZED%%)),
        |h AS (
        |  SELECT 'int8_quantized' AS method, CAST(count(*) AS BIGINT) AS n_hits
        |  FROM qz JOIN exact USING (query_id, neighbor_id)
@@ -742,11 +816,19 @@ object Catalog {
        |  UNION ALL
        |  SELECT 'lsh_bucketed', CAST(count(*) AS BIGINT)
        |  FROM bk JOIN exact USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'lsh_multiprobe', CAST(count(*) AS BIGINT)
+       |  FROM mp JOIN exact USING (query_id, neighbor_id)
        |)
        |SELECT h.method, np.n_probes, h.n_hits,
        |       round(CAST(h.n_hits AS DOUBLE) / CAST(np.n_probes AS DOUBLE), 6)
        |         AS recall
        |FROM h CROSS JOIN np ORDER BY method""".stripMargin
+      .replace("%%TOPK%%", embeddingTopkSql)
+      .replace("%%BUCKETED%%", bucketedAnnSql)
+      .replace("%%MULTIPROBE%%", multiProbeAnnSql)
+      .replace("%%IVF%%", ivfAnnSql)
+      .replace("%%QUANTIZED%%", quantizedAnnSql)
 
   val entries: Seq[QEntry] = Seq(
 
@@ -2455,8 +2537,14 @@ object Catalog {
     QEntry("q_quantized_ann", Quantize.quantizedTopNeighbor,
       Some(quantizedAnnSql)),
 
+    // Multi-probe LSH (Lv et al. 2007): probe the query's bucket plus all
+    // 16 Hamming-1 neighbor codes — the recall fix the certificate below
+    // demanded for the sparse single-probe table.
+    QEntry("q_multiprobe_ann", Similarity.multiProbeTopK,
+      Some(multiProbeAnnSql)),
+
     // ANN recall certificate: recall@K of every approximate method vs the
-    // exact top-K, in one deterministic 3-row result.
+    // exact top-K, in one deterministic 4-row result.
     QEntry("q_ann_recall", Similarity.annRecall, Some(annRecallSql)),
 
     QEntry("q_embedding_neardup",
