@@ -830,6 +830,31 @@ object Catalog {
       .replace("%%IVF%%", ivfAnnSql)
       .replace("%%QUANTIZED%%", quantizedAnnSql)
 
+  /** LSH-banded candidate pairs (doc_a < doc_b), as a SQL body over the
+    * `shingles` CTE — shared by q_minhash_pairs and the q_dedup_recall
+    * certificate. Spliced into larger WITH scopes, so no ORDER BY. */
+  private val minhashBandedPairsBody: String =
+    s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM (
+       |  SELECT doc_id, j // ${Dedup.BandRows} AS band,
+       |         md5(string_agg(mh, '|' ORDER BY j)) AS bh
+       |  FROM (
+       |    SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
+       |    FROM shingles
+       |    CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
+       |    GROUP BY 1, 2
+       |  ) GROUP BY doc_id, j // ${Dedup.BandRows}
+       |) a JOIN (
+       |  SELECT doc_id, j // ${Dedup.BandRows} AS band,
+       |         md5(string_agg(mh, '|' ORDER BY j)) AS bh
+       |  FROM (
+       |    SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
+       |    FROM shingles
+       |    CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
+       |    GROUP BY 1, 2
+       |  ) GROUP BY doc_id, j // ${Dedup.BandRows}
+       |) b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
+      .stripMargin
+
   val entries: Seq[QEntry] = Seq(
 
     // ── Token-analytics change-log metrics (SURVEY §2.6 A1-A4, §2.10 C1) ──
@@ -1701,27 +1726,55 @@ object Catalog {
          |CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
-    QEntry("q_minhash_pairs", Dedup.minhashPairs, Some(withShingles(
-      s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM (
-         |  SELECT doc_id, j // ${Dedup.BandRows} AS band,
-         |         md5(string_agg(mh, '|' ORDER BY j)) AS bh
-         |  FROM (
-         |    SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
-         |    FROM shingles
-         |    CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
-         |    GROUP BY 1, 2
-         |  ) GROUP BY doc_id, j // ${Dedup.BandRows}
-         |) a JOIN (
-         |  SELECT doc_id, j // ${Dedup.BandRows} AS band,
-         |         md5(string_agg(mh, '|' ORDER BY j)) AS bh
-         |  FROM (
-         |    SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
-         |    FROM shingles
-         |    CROSS JOIN (SELECT unnest(range(${Dedup.NumHashes})) AS j)
-         |    GROUP BY 1, 2
-         |  ) GROUP BY doc_id, j // ${Dedup.BandRows}
-         |) b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-         |ORDER BY 1, 2""".stripMargin))),
+    QEntry("q_minhash_pairs", Dedup.minhashPairs,
+      Some(withShingles(s"$minhashBandedPairsBody\nORDER BY 1, 2"))),
+
+    // MinHash-banding recall certificate (the dedup twin of q_ann_recall):
+    // true pairs by exact shingle Jaccard vs pairs the 4×2 banding caught,
+    // per threshold — the S-curve expectations as measured, hashed values.
+    QEntry("q_dedup_recall", Dedup.bandingRecall, Some(withShingles(
+      s""", sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |           FROM shingles GROUP BY 1),
+         |isect AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |jac AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |         CAST(i.inter AS DOUBLE)
+         |           / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS j
+         |  FROM isect i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |),
+         |banded AS ($minhashBandedPairsBody),
+         |flagged AS (
+         |  SELECT jac.j,
+         |         CASE WHEN bp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+         |  FROM jac LEFT JOIN banded bp
+         |    ON bp.doc_a = jac.doc_a AND bp.doc_b = jac.doc_b
+         |),
+         |m AS (SELECT
+         |${Dedup.RecallThresholds.map { t =>
+             val g = s"t${(t * 10).toInt}"
+             s"""  SUM(CASE WHEN j >= $t THEN 1 ELSE 0 END) AS ${g}_true,
+                |  SUM(CASE WHEN j >= $t THEN caught ELSE 0 END) AS ${g}_caught"""
+               .stripMargin
+           }.mkString(",\n")}
+         |  FROM flagged)
+         |${Dedup.RecallThresholds.map { t =>
+             val g = s"t${(t * 10).toInt}"
+             s"""SELECT '$t' AS threshold, CAST(${g}_true AS BIGINT) AS n_true,
+                |       CAST(${g}_caught AS BIGINT) AS n_caught,
+                |       CASE WHEN ${g}_true = 0 THEN 1.0
+                |       ELSE round(CAST(${g}_caught AS DOUBLE)
+                |                  / CAST(${g}_true AS DOUBLE), 6) END AS recall
+                |FROM m""".stripMargin
+           }.mkString("\nUNION ALL\n")}
+         |ORDER BY threshold""".stripMargin))),
 
     // Connected components over the LSH candidate graph — the dedup
     // decision itself. Oracle: recursive CTE computing each document's

@@ -118,6 +118,56 @@ object Dedup {
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     cachedPairs(spark, sfDir).orderBy("doc_a", "doc_b")
 
+  /** Jaccard thresholds the banding certificate reports recall at. The
+    * 4-band × 2-row scheme's S-curve has its midpoint at (1/4)^(1/2) = 0.5,
+    * so expected catch rates are ~0.68 / ~0.93 / ~0.999 at 0.5 / 0.7 /
+    * 0.9 — the certificate turns those expectations into measured,
+    * hash-verified values. */
+  val RecallThresholds: Seq[Double] = Seq(0.5, 0.7, 0.9)
+
+  /** MinHash-banding recall certificate — the dedup twin of the ANN recall
+    * query: for each Jaccard threshold, how many TRUE near-dup pairs exist
+    * (exact set Jaccard over distinct 3-shingles, computed through the
+    * inverted shingle index — work ∝ shingle co-occurrence, never
+    * |docs|²) and how many the 4×2 banding caught. Deterministic (md5
+    * min-hashing, exact integer Jaccard), so the recall VALUES
+    * hash-match in DuckDB. At 100 TB this is an audit-granularity query
+    * (run on a sample); the banded pipeline itself never pays the exact
+    * join. Thresholds with no true pairs report vacuous recall 1.0. */
+  def bandingRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = TextAnalysis.shingles(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .withColumn("j", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+    val flagged = jac
+      .join(cachedPairs(spark, sfDir).withColumn("caught", lit(1L)),
+        Seq("doc_a", "doc_b"), "left")
+      .select(col("j"), coalesce(col("caught"), lit(0L)).as("caught"))
+    def tag(t: Double) = s"t${(t * 10).toInt}"
+    val aggs = RecallThresholds.flatMap(t => Seq(
+      sum(when(col("j") >= t, 1L).otherwise(0L)).as(s"${tag(t)}_true"),
+      sum(when(col("j") >= t, col("caught")).otherwise(0L))
+        .as(s"${tag(t)}_caught")))
+    flagged.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${RecallThresholds.size}, " +
+          RecallThresholds.map(t =>
+            s"'$t', ${tag(t)}_true, ${tag(t)}_caught").mkString(", ") +
+          ") AS (threshold, n_true, n_caught)"))
+      .withColumn("recall",
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(round(
+            col("n_caught").cast("double") / col("n_true").cast("double"), 6)))
+      .orderBy("threshold")
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the MinHash-LSH
     * candidate pairs ([[minhashPairs]]) — transitively-linked documents
     * collapse to one component whose canonical keeper is the minimum
