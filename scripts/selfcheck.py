@@ -58,7 +58,7 @@ def main(sf_dir, out_dir):
         # between this selfcheck and the driver can't reopen (round-4 lesson).
         import numpy as _np
         arr_cols = [c for c in got.columns
-                    if len(got) and isinstance(got[c].iloc[0], _np.ndarray)]
+                    if got[c].map(lambda v: isinstance(v, _np.ndarray)).any()]
         if arr_cols:
             print(f"[FAIL] {name}: array-typed columns {arr_cols} would "
                   f"crash the driver comparator — render as strings/rows")

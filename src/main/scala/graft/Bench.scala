@@ -63,7 +63,9 @@ object Bench {
       }
     }
     // the one-time shared-frame build is part of the true cold cost: it
-    // joins the report as its own entry (built once — no min-of-2)
+    // joins the report as its own entry (built once — no min-of-2), so the
+    // headline `value` DELIBERATELY includes it on top of the per-query
+    // mins; n_queries counts real catalog entries only
     val mins = names.map { case (n, _) =>
       val ts = passes.map(_.toMap.apply(n))
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -111,7 +113,7 @@ object Bench {
     println(
       s"""{"metric":"total_min_of_2","value":${jnum(total, "%.2f")},"unit":"sec"""" +
         s""","runs":2,"pass_totals":[${passTotals.map(jnum(_, "%.1f")).mkString(",")}]""" +
-        s""","n_queries":${mins.size},"n_shown":${kept.size}""" +
+        s""","n_queries":${names.size},"n_shown":${kept.size}""" +
         s""","queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
     // best-effort checkpoint dir cleanup (reliable checkpoint files are not

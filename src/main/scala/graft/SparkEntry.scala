@@ -1676,7 +1676,7 @@ object Catalog {
          |      / CAST(len(toks) AS DOUBLE) AS tf,
          |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
          |         AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS af
-         |  FROM docs
+         |  FROM docs WHERE text IS NOT NULL
          |)
          |SELECT doc_id, n_words,
          |  round(mwl, 6) AS mean_word_len, round(dr, 6) AS distinct_ratio,
@@ -2590,9 +2590,10 @@ object Catalog {
     QEntry("q_quantized_ann", Quantize.quantizedTopNeighbor,
       Some(quantizedAnnSql)),
 
-    // Multi-probe LSH (Lv et al. 2007): probe the query's bucket plus all
-    // 16 Hamming-1 neighbor codes — the recall fix the certificate below
-    // demanded for the sparse single-probe table.
+    // Multi-probe LSH (Lv et al. 2007): index the first 8 bucket bits and
+    // probe every code within Hamming ≤ 2 of the query's (37 codes) — the
+    // recall fix the certificate below demanded for the sparse
+    // single-probe table.
     QEntry("q_multiprobe_ann", Similarity.multiProbeTopK,
       Some(multiProbeAnnSql)),
 

@@ -125,14 +125,17 @@ object Sinks {
       versionDirs(fs, root).map(_._1)).max + 1L
     val vdir = new org.apache.hadoop.fs.Path(root, f"v=$next%06d")
     df.write.mode(SaveMode.ErrorIfExists).parquet(vdir.toString)
-    // pointer swap is the commit: write sidecar, then rename over _LATEST
+    // pointer swap is the commit: write sidecar, then OVERWRITE-rename over
+    // _LATEST (FileContext supports atomic overwrite where FileSystem.rename
+    // would need a delete first — a delete→rename pair has a crash window
+    // with no pointer on disk at all)
     val tmp = new org.apache.hadoop.fs.Path(root, "_LATEST.tmp")
     val ptr = new org.apache.hadoop.fs.Path(root, "_LATEST")
     val out = fs.create(tmp, true)
     out.write(next.toString.getBytes("UTF-8")); out.close()
-    fs.delete(ptr, false)
-    if (!fs.rename(tmp, ptr))
-      throw new java.io.IOException(s"writeVersioned: pointer swap failed at $ptr")
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 
@@ -148,11 +151,13 @@ object Sinks {
         else None
       }
 
-  /** The committed version: `_LATEST` if present; otherwise (the pointer
-    * swap in [[writeVersioned]] is delete-then-rename, so a crash between
-    * the two leaves no pointer even though good versions exist) the highest
+  /** The committed version: `_LATEST` if present; otherwise the highest
     * `v=N` directory whose Spark `_SUCCESS` marker proves a completed
-    * write. */
+    * write. With [[writeVersioned]]'s atomic overwrite-rename the pointer
+    * can only be absent before the first commit or after external damage —
+    * and in that state the fallback may surface a version whose parquet
+    * job finished but whose pointer swap never ran (best effort by design:
+    * the data is complete, only the commit record is lost). */
   def latestVersion(spark: SparkSession, path: String): Option[Long] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)

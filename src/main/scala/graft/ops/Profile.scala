@@ -47,11 +47,16 @@ object Profile {
   val HeavyHitterK = 20
 
   def heavyHitters(df: DataFrame, keyCol: String): DataFrame = {
-    val counts = df.groupBy(col(keyCol).as("key"))
+    // ONE scan: the grouped per-key counts (|distinct keys| rows) are
+    // persisted and feed BOTH the top-K and the total (Σn = count(*)) — a
+    // separate df.count() would re-read the fact table
+    val grouped = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = grouped
       .orderBy(col("n").desc, col("key").asc)
       .limit(HeavyHitterK)
-    val total = df.agg(count(lit(1)).as("total"))
+    val total = grouped.agg(sum(col("n")).as("total"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("key").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -32,8 +32,10 @@ object Shared {
 
   private val frames = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
+  // eviction hook is PER CONTEXT, not per session: a per-session listener
+  // would itself pin every evicted session on the listener bus forever
   private val evictionHooked = scala.collection.concurrent.TrieMap
-    .empty[SparkSession, Unit]
+    .empty[org.apache.spark.SparkContext, Unit]
   private val lastUsed = scala.collection.concurrent.TrieMap
     .empty[SparkSession, Long]
   private val tick = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -44,7 +46,6 @@ object Shared {
       frames.remove(k).foreach(df => try df.unpersist(false)
         catch { case _: Throwable => () })
     }
-    evictionHooked.remove(spark)
     lastUsed.remove(spark)
   }
 
@@ -62,12 +63,17 @@ object Shared {
       clear(sessions.minBy(s => lastUsed.getOrElse(s, 0L)))
     val key = (spark, sfDir, tag)
     frames.get(key).getOrElse {
-      if (evictionHooked.putIfAbsent(spark, ()).isEmpty)
-        spark.sparkContext.addSparkListener(
+      // one listener per CONTEXT (not per session): it sweeps every session
+      // of that context at application end, and session churn never stacks
+      // additional listeners on the bus
+      if (evictionHooked.putIfAbsent(ctx, ()).isEmpty)
+        ctx.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              clear(spark)
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              lastUsed.keys.filter(_.sparkContext eq ctx).foreach(clear)
+              evictionHooked.remove(ctx)
+            }
           })
       val built = build
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -126,6 +126,10 @@ object TextAnalysis {
 
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
+      // NULL-text docs have NULL toks: Spark's size/aggregate and DuckDB's
+      // len/list_* disagree on null propagation, so exclude them explicitly
+      // (mirrored in the oracle); they carry no text to rule on anyway
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         expr("size(toks)").cast("long").as("n_words"),
         expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
