@@ -793,6 +793,91 @@ object Catalog {
        |  JOIN norms nv ON nv.vec_id = d.vec_id
        |) WHERE rnk = 1 ORDER BY query_id""".stripMargin
 
+  /** Mirror of [[graft.ops.Similarity.hardNegatives]]: the multi-probe
+    * candidate CTEs (verbatim from [[multiProbeAnnSql]] — same planes/
+    * buckets/Hamming-≤2 probe expansion) plus the label joins, label-differ
+    * filter, and top-[[graft.ops.Similarity.HardNegativesK]] rank. */
+  private val hardNegativesSql: String =
+    s"""WITH $embIdxCte,
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+       |  FROM idx GROUP BY 1
+       |),
+       |planes AS (
+       |  SELECT p.p, i.i,
+       |         CAST(strpos('0123456789abcdef',
+       |           substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)),
+       |                  1, 1)) - 1 AS DOUBLE) - 7.5 AS c
+       |  FROM (SELECT unnest(range(${Similarity.NumPlanes})) AS p) p,
+       |       (SELECT unnest(range(64)) AS i) i
+       |),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+       |           AS bucket
+       |  FROM (
+       |    SELECT idx.vec_id, planes.p,
+       |           SUM(CAST(idx.x * planes.c AS DECIMAL(38,18))) AS s
+       |    FROM idx JOIN planes ON planes.i = idx.i
+       |    GROUP BY 1, 2
+       |  ) GROUP BY vec_id
+       |),
+       |pc AS (
+       |  SELECT vec_id, substr(bucket, 1, ${Similarity.MultiProbeBits}) AS code
+       |  FROM buckets
+       |),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |flip1 AS (
+       |  SELECT p.vec_id AS query_id,
+       |         CASE WHEN f.j = 0 THEN p.code
+       |         ELSE substr(p.code, 1, CAST(f.j AS INTEGER) - 1)
+       |           || (CASE WHEN substr(p.code, CAST(f.j AS INTEGER), 1) = '1'
+       |               THEN '0' ELSE '1' END)
+       |           || substr(p.code, CAST(f.j AS INTEGER) + 1) END AS code
+       |  FROM pc p, unnest(range(0, ${Similarity.MultiProbeBits} + 1)) AS f(j)
+       |  WHERE p.vec_id < ${Similarity.ProbeCount}
+       |),
+       |probes AS (
+       |  SELECT DISTINCT query_id,
+       |         CASE WHEN g.k = 0 THEN code
+       |         ELSE substr(code, 1, CAST(g.k AS INTEGER) - 1)
+       |           || (CASE WHEN substr(code, CAST(g.k AS INTEGER), 1) = '1'
+       |               THEN '0' ELSE '1' END)
+       |           || substr(code, CAST(g.k AS INTEGER) + 1) END AS code
+       |  FROM flip1, unnest(range(0, ${Similarity.MultiProbeBits} + 1)) AS g(k)
+       |),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id
+       |  FROM probes p
+       |  JOIN pc c ON c.code = p.code AND c.vec_id != p.query_id
+       |  JOIN lab ql ON ql.vec_id = p.query_id
+       |  JOIN lab cl ON cl.vec_id = c.vec_id
+       |  WHERE ql.label != cl.label
+       |),
+       |dots AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         CAST(SUM(CAST(qa.x * qb.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM cands c
+       |  JOIN idx qa ON qa.vec_id = c.query_id
+       |  JOIN idx qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neg_id,
+       |       query_label, neg_label, round(c, 6) AS cosine
+       |FROM (
+       |  SELECT d.query_id, d.vec_id AS neg_id,
+       |         ql.label AS query_label, cl.label AS neg_label,
+       |         d.dot / (sqrt(nq.sq) * sqrt(nv.sq)) AS c,
+       |         row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |           d.dot / (sqrt(nq.sq) * sqrt(nv.sq)) DESC, d.vec_id ASC) AS rnk
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.query_id
+       |  JOIN norms nv ON nv.vec_id = d.vec_id
+       |  JOIN lab ql ON ql.vec_id = d.query_id
+       |  JOIN lab cl ON cl.vec_id = d.vec_id
+       |) WHERE rnk <= ${Similarity.HardNegativesK}
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** Recall\@K of each ANN method vs the exact top-K: each method oracle is
     * nested verbatim as a subquery, so the recall certificate can never
     * drift from the per-method entries. The sub-SQL is spliced in AFTER
@@ -3111,5 +3196,181 @@ object Catalog {
          |JOIN nation n ON c.c_nationkey = n.n_nationkey
          |JOIN region r ON n.n_regionkey = r.r_regionkey
          |GROUP BY ROLLUP(r.r_name, n.n_name)
-         |ORDER BY r.r_name ASC NULLS FIRST, n.n_name ASC NULLS FIRST""".stripMargin)))
+         |ORDER BY r.r_name ASC NULLS FIRST, n.n_name ASC NULLS FIRST""".stripMargin)),
+
+    // ── Round-5 additions: drift monitoring, curation, mining ──
+
+    // Distribution drift, early half vs late half of the event stream:
+    // per-type shares + exact-integer total-variation distance (log-free
+    // by design — ln is the one non-exactly-rounded IEEE operation, so a
+    // PSI could not hash-match; TVD is Σ|n_e·T_l − n_l·T_e| summed
+    // exactly, divided once).
+    QEntry("q_drift_profile", Profile.eventDrift, Some(
+      s"""WITH ev AS (
+         |  SELECT event_type, epoch_ns(ts) // 1000000000 AS s FROM events
+         |),
+         |b AS (SELECT (min(s) + max(s)) // 2 AS mid FROM ev),
+         |c AS (
+         |  SELECT event_type,
+         |         CAST(SUM(CASE WHEN s <= b.mid THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_early,
+         |         CAST(SUM(CASE WHEN s > b.mid THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_late
+         |  FROM ev, b GROUP BY 1
+         |),
+         |t AS (
+         |  SELECT CAST(SUM(n_early) AS BIGINT) AS te,
+         |         CAST(SUM(n_late) AS BIGINT) AS tl
+         |  FROM c
+         |),
+         |f AS (
+         |  SELECT c.event_type, c.n_early, c.n_late, t.te, t.tl,
+         |         abs(c.n_early * t.tl - c.n_late * t.te) AS num
+         |  FROM c, t
+         |),
+         |s AS (SELECT SUM(num) AS tvd_num FROM f)
+         |SELECT f.event_type, f.n_early, f.n_late,
+         |       round(CAST(f.n_early AS DOUBLE) / CAST(f.te AS DOUBLE), 6)
+         |         AS p_early,
+         |       round(CAST(f.n_late AS DOUBLE) / CAST(f.tl AS DOUBLE), 6)
+         |         AS p_late,
+         |       round(CAST(f.num AS DOUBLE) / CAST(f.te AS DOUBLE)
+         |             / CAST(f.tl AS DOUBLE), 6) AS shift,
+         |       round(CAST(s.tvd_num AS DOUBLE)
+         |             / (2.0 * CAST(f.te AS DOUBLE) * CAST(f.tl AS DOUBLE)), 6)
+         |         AS tvd
+         |FROM f, s ORDER BY event_type""".stripMargin)),
+
+    // Per-source winsorized length stats: exact order-statistic threshold
+    // selected from the length DISTRIBUTION (no row sort, no interpolation
+    // — percentile_cont's lo + f·(hi−lo) is engine-order-sensitive).
+    QEntry("q_winsorize", Profile.winsorize, Some(
+      s"""WITH dist AS (
+         |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2
+         |),
+         |cum AS (
+         |  SELECT source, n_chars, c,
+         |         SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+         |         SUM(c) OVER (PARTITION BY source) AS n
+         |  FROM dist
+         |),
+         |thr AS (
+         |  SELECT source, min(n_chars) AS p95
+         |  FROM cum WHERE cum >= ceil(CAST(n AS DOUBLE) * ${Profile.WinsorizeP})
+         |  GROUP BY source
+         |)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, t.p95,
+         |       CAST(SUM(CASE WHEN d.n_chars > t.p95 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_clipped,
+         |       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(SUM(least(d.n_chars, t.p95)) AS BIGINT)
+         |         AS sum_chars_winsorized
+         |FROM documents d JOIN thr t ON d.source = t.source
+         |GROUP BY d.source, t.p95
+         |ORDER BY d.source""".stripMargin)),
+
+    // BPE merge-candidate table: adjacent-character-pair counts weighted
+    // by word frequency, enumerated over the DISTINCT-word frame.
+    QEntry("q_bpe_pairs", TextAnalysis.bpePairs, Some(withDocs(
+      s""", words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(toks) AS w FROM docs) u
+         |  WHERE length(w) >= 2 GROUP BY 1
+         |),
+         |pairs AS (
+         |  SELECT substr(w.w, CAST(t.i AS INTEGER), 1) || ' ' ||
+         |         substr(w.w, CAST(t.i AS INTEGER) + 1, 1) AS pair, w.c
+         |  FROM words w, unnest(range(1, length(w.w))) AS t(i)
+         |),
+         |top AS (
+         |  SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+         |  FROM pairs GROUP BY 1
+         |  ORDER BY n DESC, pair ASC LIMIT ${TextAnalysis.BpeTopK}
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT)
+         |         AS rnk,
+         |       pair, n
+         |FROM top ORDER BY rnk""".stripMargin))),
+
+    // Self-trained unigram quality signals (log-free CCNet-style filter
+    // core): avg corpus token frequency + rare-token share per document.
+    QEntry("q_unigram_quality", TextAnalysis.unigramQuality, Some(withDocs(
+      s""", dt AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+         |  FROM (
+         |    SELECT doc_id, unnest(toks) AS tok FROM docs
+         |    WHERE text IS NOT NULL AND len(toks) >= 1
+         |  ) u
+         |  GROUP BY 1, 2
+         |),
+         |v AS (SELECT tok, CAST(SUM(k) AS BIGINT) AS cnt FROM dt GROUP BY 1)
+         |SELECT doc_id,
+         |       CAST(SUM(k) AS BIGINT) AS n_toks,
+         |       CAST(min(cnt) AS BIGINT) AS min_cnt,
+         |       round(CAST(SUM(k * cnt) AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6)
+         |         AS avg_tok_count,
+         |       round(CAST(SUM(CASE WHEN cnt <= ${TextAnalysis.RareCount}
+         |                      THEN k ELSE 0 END) AS DOUBLE)
+         |             / CAST(SUM(k) AS DOUBLE), 6) AS rare_frac
+         |FROM dt JOIN v USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+
+    // Curriculum staging on the score DISTRIBUTION (all docs sharing a
+    // score share a stage; exact integer boundary arithmetic — no global
+    // row-ntile, whose single-task sort dies at 100 TB).
+    QEntry("q_curriculum", TextAnalysis.curriculum, Some(withDocs(
+      s""", sc AS (
+         |  SELECT doc_id,
+         |         round(least(1.0, CAST(len(toks) AS DOUBLE) / 20.0)
+         |           * (1.0 - 0.5 * CAST(${markerCount("en")} AS DOUBLE)
+         |                    / CAST(len(toks) AS DOUBLE)), 6) AS quality_score
+         |  FROM docs WHERE text IS NOT NULL AND len(toks) >= 1
+         |),
+         |dist AS (
+         |  SELECT quality_score, CAST(count(*) AS BIGINT) AS c
+         |  FROM sc GROUP BY 1
+         |),
+         |cum AS (
+         |  SELECT quality_score, c,
+         |         COALESCE(SUM(c) OVER (ORDER BY quality_score DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cum_before,
+         |         SUM(c) OVER () AS n
+         |  FROM dist
+         |),
+         |st AS (
+         |  SELECT *, 1 + (${TextAnalysis.CurriculumStages} * cum_before) // n
+         |           AS stage
+         |  FROM cum
+         |)
+         |SELECT CAST(stage AS BIGINT) AS stage,
+         |       CAST(SUM(c) AS BIGINT) AS n_docs,
+         |       min(quality_score) AS min_score,
+         |       max(quality_score) AS max_score,
+         |       round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6)) * c)
+         |             AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS avg_score
+         |FROM st GROUP BY stage ORDER BY stage""".stripMargin))),
+
+    // Contrastive hard-negative mining off the multi-probe LSH index:
+    // nearest different-label candidates per probe.
+    QEntry("q_hard_negatives", Similarity.hardNegatives,
+      Some(hardNegativesSql)),
+
+    // Stream-STATIC dimension enrichment (streaming twin of q_dapp_hourly,
+    // same oracle): per micro-batch broadcast join against the batch dapp
+    // registry — zero join state — then hourly complete-mode aggregation.
+    QEntry("q_stream_enrich", graft.streaming.StreamingMetrics.streamDappHourly,
+      Some(withTransfersAndDapps(
+      s"""SELECT t, count(DISTINCT da.dapp_id) AS n_dapps, count(*) AS n_interactions
+         |FROM (
+         |  SELECT ${hourBucket("transact_at")} AS t, from_address AS address
+         |  FROM transfers
+         |  UNION ALL
+         |  SELECT ${hourBucket("transact_at")} AS t, to_address AS address
+         |  FROM transfers
+         |) l
+         |JOIN (SELECT dapp_id, unnest(addresses) AS address FROM dapps) da
+         |  ON l.address = da.address
+         |GROUP BY t ORDER BY t""".stripMargin))))
 }

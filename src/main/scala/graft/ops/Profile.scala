@@ -78,4 +78,88 @@ object Profile {
     * silently breaks an unsalted 100 TB groupBy. */
   def transferHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
     heavyHitters(Tables.transfers(spark, sfDir), "to_address")
+
+  /** Distribution-drift monitor: split the event stream at its time
+    * midpoint and compare the `event_type` distribution of the early half
+    * against the late half — the check a pipeline runs before declaring a
+    * new batch "same data as last week". Per type: counts, shares, and the
+    * per-type shift; plus the corpus-level total-variation distance
+    * `TVD = Σ|p_early−p_late| / 2` repeated on every row (broadcast scalar,
+    * the house pattern for query-level summary values).
+    *
+    * Deliberately log-free (no PSI/KL): `ln` is the one non-exactly-rounded
+    * operation in IEEE 754, so a PSI would differ from the oracle in the
+    * last ulp. TVD instead is computed as EXACT integer arithmetic —
+    * `Σ|n_early·T_late − n_late·T_early|` summed in DECIMAL(38,0), divided
+    * once at the end — bit-identical in any engine and at any partitioning.
+    *
+    * Scale shape: one map-side-combinable count over the facts; everything
+    * after runs on |event types| rows. The midpoint is a broadcast 1-row
+    * scalar. */
+  def eventDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("ts_sec"))
+    val mid = ev.agg(min("ts_sec").as("t0"), max("ts_sec").as("t1"))
+      .select(expr("(t0 + t1) div 2").as("mid"))
+    val counts = ev.crossJoin(broadcast(mid)) // 1-row scalar
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("ts_sec") <= col("mid"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(col("ts_sec") > col("mid"), 1L).otherwise(0L)).as("n_late"))
+    // whole-frame windows (default frame, no order) over the
+    // |event types|-row frame, never the facts
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("te", sum("n_early").over(all))
+      .withColumn("tl", sum("n_late").over(all))
+      .withColumn("num", abs(col("n_early") * col("tl") - col("n_late") * col("te")))
+      .withColumn("tvd_num", sum(col("num")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(all))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        round(col("n_early").cast("double") / col("te").cast("double"), 6)
+          .as("p_early"),
+        round(col("n_late").cast("double") / col("tl").cast("double"), 6)
+          .as("p_late"),
+        round(col("num").cast("double") / col("te").cast("double")
+          / col("tl").cast("double"), 6).as("shift"),
+        round(col("tvd_num").cast("double")
+          / (lit(2.0) * col("te").cast("double") * col("tl").cast("double")), 6)
+          .as("tvd"))
+      .orderBy("event_type")
+  }
+
+  /** Per-source winsorized length statistics: clip each document's
+    * character count at the source's exact 95th-percentile value and report
+    * how much mass the clip removes — the outlier-taming pass run before
+    * length-based curriculum or packing decisions.
+    *
+    * The percentile is an exact ORDER STATISTIC (the value at rank
+    * ⌈0.95·n⌉), selected WITHOUT sorting rows: the length DISTRIBUTION
+    * (`group by (source, n_chars)` — map-side combinable) is cumulated per
+    * source, and the threshold is the smallest value whose cumulative count
+    * reaches the rank. The window runs over distinct (source, value) rows —
+    * thousands at any corpus size — never the documents; no interpolation
+    * (`percentile_cont`'s `lo + f·(hi−lo)` is engine-order-sensitive in the
+    * last ulp), all integer arithmetic until the final shares. */
+  val WinsorizeP = 0.95
+
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("source"), col("n_chars"))
+    val dist = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val cum = dist
+      .withColumn("cum", sum("c").over(bySrc.orderBy("n_chars")))
+      .withColumn("n", sum("c").over(bySrc))
+    val thr = cum
+      .filter(col("cum") >= ceil(col("n").cast("double") * lit(WinsorizeP)))
+      .groupBy("source").agg(min("n_chars").as("p95"))
+    d.join(broadcast(thr), Seq("source")) // |sources| rows
+      .groupBy("source", "p95")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") > col("p95"), 1L).otherwise(0L)).as("n_clipped"),
+        sum("n_chars").as("sum_chars"),
+        sum(least(col("n_chars"), col("p95"))).as("sum_chars_winsorized"))
+      .select(col("source"), col("n_docs"), col("p95"), col("n_clipped"),
+        col("sum_chars"), col("sum_chars_winsorized"))
+      .orderBy("source")
+  }
 }

@@ -362,24 +362,30 @@ object Similarity {
     * bucket size) so the scanned fraction stays constant. */
   val MultiProbeBits = 8
 
-  def multiProbeTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The Hamming-≤2 probe-code array expression over a `code` column
+    * (1 + B + B·(B−1)/2 codes) — shared by [[multiProbeTopK]] and
+    * [[hardNegatives]] so the two probe sets can never drift apart. */
+  private def probeCodesExpr: String = {
     val B = MultiProbeBits
     def flip(inner: String, pos: String): String =
       s"concat(substring($inner, 1, $pos - 1), " +
         s"IF(substring($inner, $pos, 1) = '1', '0', '1'), " +
         s"substring($inner, $pos + 1, $B))"
-    val probeCodes =
-      s"""concat(
-         |  array(code),
-         |  transform(sequence(1, $B), i -> ${flip("code", "i")}),
-         |  flatten(transform(sequence(1, $B - 1), i ->
-         |    transform(sequence(i + 1, $B), j ->
-         |      ${flip(flip("code", "i"), "j")}))))""".stripMargin
+    s"""concat(
+       |  array(code),
+       |  transform(sequence(1, $B), i -> ${flip("code", "i")}),
+       |  flatten(transform(sequence(1, $B - 1), i ->
+       |    transform(sequence(i + 1, $B), j ->
+       |      ${flip(flip("code", "i"), "j")}))))""".stripMargin
+  }
+
+  def multiProbeTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = MultiProbeBits
     val coded = bucketedVectors(spark, sfDir)
       .withColumn("code", expr(s"substring(bucket, 1, $B)"))
     val probes = coded.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("sq").as("qsq"), explode(expr(probeCodes)).as("code"))
+        col("sq").as("qsq"), explode(expr(probeCodesExpr)).as("code"))
     probes.join(coded.select(col("code"), col("vec_id"), col("v"),
         col("sq")), Seq("code"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -423,6 +429,53 @@ object Similarity {
         bucketedTopK(spark, sfDir).filter(col("query_id") < ProbeCount)))
       .unionByName(one("lsh_multiprobe", multiProbeTopK(spark, sfDir)))
       .orderBy("method")
+  }
+
+  /** Contrastive hard-negative mining: for each probe, the
+    * [[HardNegativesK]] candidates that are CLOSEST by cosine while
+    * carrying a DIFFERENT label — the negatives that actually teach a
+    * contrastive model (random negatives are trivially separable; the
+    * informative ones live near the anchor). Candidates come from the same
+    * Hamming-≤2 multi-probe LSH index as [[multiProbeTopK]] — "near the
+    * anchor" is exactly what the index surfaces — so mining cost scales
+    * with bucket occupancy × probe count, never |table|², and the probe
+    * side stays the bounded O(1) query set. Ties break by neighbor id;
+    * the per-query rank window sorts only the in-bucket candidate set. */
+  val HardNegativesK = 3
+
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = MultiProbeBits
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+    val coded = bucketedVectors(spark, sfDir)
+      .withColumn("code", expr(s"substring(bucket, 1, $B)"))
+      .join(labels, Seq("vec_id"))
+    // candidate generation runs on (id, label, code) rows only — vectors
+    // rejoin AFTER the 37× probe explode and the cross-code dedup, so the
+    // 64-double payload never amplifies or shuffles through the distinct
+    val probeIds = coded.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        explode(expr(probeCodesExpr)).as("code"))
+    val cands = probeIds
+      .join(coded.select(col("code"), col("vec_id"), col("label")), Seq("code"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("query_label"))
+      .select("query_id", "query_label", "vec_id", "label").distinct()
+    val vecs = bucketedVectors(spark, sfDir)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cands
+      .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("sq").as("qsq")), Seq("query_id"))
+      .join(vecs.select(col("vec_id"), col("v"), col("sq")), Seq("vec_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cosine", col("dot") / (sqrt(col("qsq")) * sqrt(col("sq"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= HardNegativesK)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neg_id"),
+        col("query_label"), col("label").as("neg_label"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
   }
 
   /** Scale-path ANN: exact cosine rerank only within LSH buckets (equi-join

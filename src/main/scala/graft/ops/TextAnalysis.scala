@@ -211,6 +211,125 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Curriculum staging: partition the corpus into [[CurriculumStages]]
+    * quality quartiles (stage 1 = highest-quality quarter — what a
+    * quality-ordered training curriculum feeds first) and report each
+    * stage's size and score range.
+    *
+    * NOT an `ntile` over documents — a global row-ntile is a single-task
+    * sort at 100 TB, and its tie behavior splits equal scores across
+    * stages nondeterministically. Instead the stage boundary is defined on
+    * the score DISTRIBUTION: all docs sharing a score share a stage, and
+    * `stage(s) = 1 + ⌊4·|docs with score > s| / n⌋` — exact integer
+    * arithmetic over the distinct-score frame (bounded by the 6-dp score
+    * quantization, ≪ corpus size), so the whole operator is one map-side
+    * combinable count plus window work on thousands of rows. Per-stage
+    * mean scores sum the 6-dp scores as DECIMAL — order-independent. */
+  val CurriculumStages = 4
+
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = docs(spark, sfDir)
+      .filter(col("text").isNotNull && expr("size(toks) >= 1"))
+      .select(col("doc_id"),
+        expr("size(toks)").cast("long").as("n_words"),
+        markerCount("en").as("n_stopwords"))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_words").cast("double") / 20.0)
+          * (lit(1.0) - lit(0.5) * col("n_stopwords").cast("double")
+            / col("n_words").cast("double")), 6))
+    val dist = scored.groupBy("quality_score").agg(count(lit(1)).as("c"))
+    val byScoreDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_score").desc)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    dist
+      .withColumn("cum_before", coalesce(sum("c").over(byScoreDesc
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0L)))
+      .withColumn("n", sum("c").over(all))
+      .withColumn("stage",
+        expr(s"1 + ($CurriculumStages * cum_before) div n"))
+      .groupBy("stage")
+      .agg(sum("c").as("n_docs"),
+        min("quality_score").as("min_score"),
+        max("quality_score").as("max_score"),
+        (sum(col("quality_score")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * col("c"))
+          .cast("double") / sum("c").cast("double")).as("avg_raw"))
+      .select(col("stage"), col("n_docs"), col("min_score"), col("max_score"),
+        round(col("avg_raw"), 6).as("avg_score"))
+      .orderBy("stage")
+  }
+
+  /** BPE merge-candidate table (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): corpus-wide counts of
+    * adjacent CHARACTER pairs inside words — the statistic one BPE training
+    * step ranks to pick its next merge. Top-[[BpeTopK]] pairs, ties broken
+    * by pair text, so the emitted set is deterministic.
+    *
+    * Scale shape: pair enumeration runs over the DISTINCT-WORD frame
+    * weighted by word frequency (a Zipf corpus has orders of magnitude
+    * fewer distinct words than word occurrences), so the expensive
+    * character explode touches |vocab| rows, not |corpus| tokens. Both
+    * aggregations combine map-side; the final TakeOrdered moves K rows. */
+  val BpeTopK = 50
+
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = docs(spark, sfDir)
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val top = words
+      .select(col("c"), explode(expr(
+        """transform(sequence(1, length(w) - 1),
+          |  i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"""
+          .stripMargin)).as("pair"))
+      .groupBy("pair").agg(sum("c").as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(BpeTopK)
+    top.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("pair").asc)).cast("long"))
+      .select("rnk", "pair", "n")
+      .orderBy("rnk")
+  }
+
+  /** Unigram-LM quality signals, self-trained on the corpus itself (the
+    * log-free core of a CCNet-style perplexity filter): per document, the
+    * average corpus frequency of its tokens, the rare-token share
+    * (corpus count ≤ [[RareCount]]), and the rarest token's count — low
+    * averages + high rare share mark gibberish and OCR noise, the documents
+    * a perplexity filter would drop.
+    *
+    * No logarithms by design (`ln` is not exactly rounded — house rule);
+    * each output is exact integer aggregates joined by one IEEE division,
+    * so the oracle matches bit-for-bit.
+    *
+    * Scale shape: tokens collapse to per-(doc, token) counts BEFORE the
+    * vocabulary join, so the join input is distinct doc-terms, not token
+    * occurrences, and hot stopwords amplify nothing. Both the vocabulary
+    * count and the per-doc rollup combine map-side. */
+  val RareCount = 2L
+
+  def unigramQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docTok = docs(spark, sfDir)
+      .filter(col("text").isNotNull && expr("size(toks) >= 1"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+    val vocab = docTok.groupBy("tok").agg(sum("k").as("cnt"))
+    docTok.join(vocab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_toks"),
+        sum(col("k") * col("cnt")).as("sum_cnt"),
+        sum(when(col("cnt") <= RareCount, col("k")).otherwise(0L)).as("n_rare"),
+        min("cnt").as("min_cnt"))
+      .select(col("doc_id"), col("n_toks"), col("min_cnt"),
+        round(col("sum_cnt").cast("double") / col("n_toks").cast("double"), 6)
+          .as("avg_tok_count"),
+        round(col("n_rare").cast("double") / col("n_toks").cast("double"), 6)
+          .as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct 3-word shingles per document — the base for fingerprinting and
     * MinHash ([[Dedup]]). Docs shorter than 3 tokens are excluded (both
     * engines). */

@@ -136,6 +136,52 @@ object StreamingMetrics {
       .orderBy("contract_address", "s_start")
   }
 
+  /** Stream-STATIC dimension enrichment, end-to-end: the events
+    * file-stream is projected to transfer legs, joined per micro-batch
+    * against the broadcast BATCH dapp registry
+    * ([[StreamJoins.enrichWithDapps]]'s pattern — zero join state, the
+    * static side hash-probes locally on every executor), then aggregated
+    * to hourly dapp counts. Drained synchronously in complete mode, so the
+    * result equals batch [[graft.ops.Dapps.hourlyDappCounts]] and shares
+    * its oracle.
+    *
+    * `countDistinct` is unsupported in streaming aggregations; the
+    * per-hour distinct-dapp count is `size(collect_set(dapp_id))` — the
+    * set is bounded by the registry size, so the state stays O(1) per
+    * window. */
+  def streamDappHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tableName = "graft_stream_dapp_hourly"
+    val ev = spark.readStream
+      .schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("t_sec", expr("ts div 1000000000"))
+    // both transfer legs, same derivation as Tables.transfers
+    val legs = ev
+      .select(col("t_sec"), col("user_id").cast("string").as("address"))
+      .unionByName(ev.select(col("t_sec"),
+        ((col("user_id") * 7 + col("event_id")) % 1000).cast("string")
+          .as("address")))
+    val reg = graft.Tables.dapps(spark).select(col("dapp_id"),
+      explode(col("addresses")).as("address"))
+    val enriched = legs.join(broadcast(reg), Seq("address"))
+      .groupBy(graft.ops.Num.hourBucket(col("t_sec")).as("t"))
+      .agg(collect_set(col("dapp_id")).as("dapps"),
+        count(lit(1)).as("n_interactions"))
+    val q = enriched.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(tableName)
+      .select(col("t"), size(col("dapps")).cast("long").as("n_dapps"),
+        col("n_interactions"))
+      .orderBy("t")
+  }
+
   /** documents schema for the streaming dedup source. */
   val DocumentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

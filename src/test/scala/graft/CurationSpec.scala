@@ -1,0 +1,132 @@
+package graft
+
+import graft.ops.{Profile, Similarity, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 curation/monitoring operators: drift, winsorize, BPE pairs,
+  * unigram quality, curriculum, hard negatives. Where the reference answer
+  * is cheap to rebuild in plain Scala (sf0.001), the tests recompute it
+  * exactly rather than asserting shape only. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  private val sf = GraftSpark.Sf
+
+  test("eventDrift: counts partition the stream and TVD is the exact half-sum") {
+    val rows = Profile.eventDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nEvents = Tables.events(spark, sf).count()
+    val te = rows.map(_.getAs[Long]("n_early")).sum
+    val tl = rows.map(_.getAs[Long]("n_late")).sum
+    assert(te + tl == nEvents)
+    // every row carries the same corpus-level TVD, equal to the exact
+    // half-sum of share gaps (rebuilt from the integer counts)
+    val tvds = rows.map(_.getAs[Double]("tvd")).distinct
+    assert(tvds.length == 1)
+    val expected = rows.map { r =>
+      math.abs(r.getAs[Long]("n_early").toDouble / te -
+        r.getAs[Long]("n_late").toDouble / tl)
+    }.sum / 2.0
+    assert(math.abs(tvds.head - expected) < 1e-6)
+    assert(tvds.head >= 0.0 && tvds.head <= 1.0)
+  }
+
+  test("winsorize: threshold is the exact rank-ceil(0.95 n) order statistic") {
+    val rows = Profile.winsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_chars")).sorted).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val lens = bySource(src)
+      val rank = math.ceil(lens.length * Profile.WinsorizeP).toLong
+      val p95 = lens((rank - 1).toInt)
+      assert(r.getAs[Long]("p95") == p95, s"p95 mismatch for $src")
+      assert(r.getAs[Long]("n_docs") == lens.length)
+      assert(r.getAs[Long]("n_clipped") == lens.count(_ > p95))
+      assert(r.getAs[Long]("sum_chars") == lens.sum)
+      assert(r.getAs[Long]("sum_chars_winsorized") ==
+        lens.map(math.min(_, p95)).sum)
+    }
+  }
+
+  test("bpePairs: equals the top-50 recomputed from raw text") {
+    val got = TextAnalysis.bpePairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[String]("pair"),
+        r.getAs[Long]("n"))).toSeq
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(r.getAs[String]("text")))
+      .flatMap(_.trim.split("\\s+"))
+      .filter(_.length >= 2)
+      .foreach { w =>
+        w.sliding(2).foreach { p =>
+          val key = s"${p(0)} ${p(1)}"
+          counts(key) = counts.getOrElse(key, 0L) + 1L
+        }
+      }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(TextAnalysis.BpeTopK)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1L, p, n) }
+    assert(got == expected)
+  }
+
+  test("unigramQuality: exact per-doc signals on a hand-built corpus") {
+    val rows = TextAnalysis.unigramQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_toks") >= 1)
+      assert(r.getAs[Long]("min_cnt") >= 1)
+      val rf = r.getAs[Double]("rare_frac")
+      assert(rf >= 0.0 && rf <= 1.0)
+      // avg corpus count can never undercut the rarest token's count
+      assert(r.getAs[Double]("avg_tok_count") >=
+        r.getAs[Long]("min_cnt").toDouble - 1e-9)
+    }
+    // token totals reconcile with the raw corpus
+    val totalToks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(r.getAs[String]("text")))
+      .map(_.trim.split("\\s+").length).filter(_ >= 1).sum
+    assert(rows.map(_.getAs[Long]("n_toks")).sum == totalToks)
+  }
+
+  test("curriculum: stages partition the corpus in score order") {
+    val rows = TextAnalysis.curriculum(spark, sf).collect()
+    val stages = rows.map(_.getAs[Long]("stage"))
+    assert(stages.forall(s => s >= 1 && s <= TextAnalysis.CurriculumStages))
+    assert(stages.sorted.sameElements(stages))
+    // stages are contiguous score bands: stage k's floor ≥ stage k+1's ceiling
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi.getAs[Double]("min_score") >= lo.getAs[Double]("max_score"))
+      case _ =>
+    }
+    // sizes are near-quartiles: no stage exceeds ⌈n/4⌉ by more than the
+    // largest tie group can force
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val eligible = Tables.documents(spark, sf)
+      .where("text IS NOT NULL AND size(split(trim(text), '\\\\s+')) >= 1")
+      .count()
+    assert(n == eligible)
+  }
+
+  test("hardNegatives: ranked different-label candidates only") {
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.get(r.fieldIndex("query_label")) != r.get(r.fieldIndex("neg_label")))
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // per query: ranks are 1..k consecutive and cosine is non-increasing
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to sorted.length.toLong).toSeq)
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b - 1e-9 })
+      assert(sorted.length <= Similarity.HardNegativesK)
+    }
+  }
+}

@@ -15,6 +15,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-static dapp enrichment equals the batch membership join") {
+    val streamed = StreamingMetrics.streamDappHourly(spark, GraftSpark.Sf)
+      .collect()
+    val batch = graft.ops.Dapps.hourlyDappCounts(spark, GraftSpark.Sf).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("sessionize fold closes sessions on gap and keeps state open") {
     import Sessionize._
     // events 10s apart, then a >30min gap, then two more
