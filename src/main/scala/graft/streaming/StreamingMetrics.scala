@@ -23,7 +23,18 @@ object StreamingMetrics {
 
   /** events schema for the streaming source (file streams require an
     * explicit schema; `ts` arrives as epoch-nanos long under the
-    * nanos-as-long flag set by [[graft.Tables.events]]). */
+    * nanos-as-long flag set by [[graft.Tables.events]]).
+    *
+    * Source paths are spelled `{events}.parquet` — a GLOB, not a literal:
+    * FileStreamSource forces `basePath` to the source path itself and
+    * errors when that path is a plain file, while a glob path infers
+    * basePath from the non-glob prefix (the table directory's parent).
+    * The one spelling therefore reads BOTH layouts: the driver's
+    * single-file `events.parquet` and a cluster writer's
+    * `events.parquet/part-*` directory (the previous
+    * `pathGlobFilter=events.parquet` form silently matched ZERO files in
+    * the directory layout — the 10× scale check caught it as a 0-row
+    * stream). */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -41,8 +52,7 @@ object StreamingMetrics {
 
     val stream = spark.readStream
       .schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .parquet(s"$sfDir/{events}.parquet")
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
       .select(col("event_type").as("contract_address"), col("ts_t"), col("value"))
       // Event-time tumbling window — epoch-aligned, so window.start equals
@@ -76,8 +86,7 @@ object StreamingMetrics {
 
     val stream = spark.readStream
       .schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .parquet(s"$sfDir/{events}.parquet")
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
       .groupBy(col("event_type").as("contract_address"),
         window(col("ts_t"), "2 hours", "1 hour"))
@@ -112,8 +121,7 @@ object StreamingMetrics {
 
     val stream = spark.readStream
       .schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .parquet(s"$sfDir/{events}.parquet")
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
       .groupBy(col("event_type").as("contract_address"),
         session_window(col("ts_t"), "30 minutes"))
@@ -154,8 +162,7 @@ object StreamingMetrics {
     val tableName = "graft_stream_dapp_hourly"
     val ev = spark.readStream
       .schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .parquet(s"$sfDir/{events}.parquet")
       .withColumn("t_sec", expr("ts div 1000000000"))
     // both transfer legs, same derivation as Tables.transfers
     val legs = ev
@@ -201,8 +208,7 @@ object StreamingMetrics {
     val tableName = "graft_stream_dedup"
     val stream = spark.readStream
       .schema(DocumentsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+      .parquet(s"$sfDir/{documents}.parquet")
       .withColumn("h", md5(col("text")))
       // strictly AFTER the initial watermark (epoch 0): doc_id 0 at epoch 0
       // exactly would be discarded as late before reaching the dedup state
