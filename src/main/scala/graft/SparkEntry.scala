@@ -1179,6 +1179,23 @@ object Catalog {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Order-3 sequence-model training pairs: (3-event context, next event)
+    // frequency table — the next-event-prediction dataset.
+    QEntry("q_next_event_pairs", Behavior.nextEventPairs, Some(
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lag(event_type, 1) OVER w AS p1,
+        |         lag(event_type, 2) OVER w AS p2,
+        |         lag(event_type, 3) OVER w AS p3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |)
+        |SELECT p3 || ' ' || p2 || ' ' || p1 AS context,
+        |       event_type AS next_event,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE p3 IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Weekly cohort retention triangle: cohort = epoch-week of first
     // event, n_users = distinct cohort members active at each week offset.
     QEntry("q_cohort_retention", Behavior.cohortRetention, Some(
@@ -2121,6 +2138,55 @@ object Catalog {
         |GROUP BY 1 ORDER BY 1""".stripMargin))),
 
     QEntry("q_bm25", Corpus.bm25, Some(bm25Oracle)),
+
+    // Doc-to-doc TF-IDF retrieval: sparse-vector sibling of the dense ANN
+    // family — rational log-free idf, df-capped inverted index, exact
+    // decimal norms/dots.
+    QEntry("q_tfidf_topk", Corpus.tfidfTopK, Some(withDocs(
+      s""", base AS (
+         |  SELECT doc_id, toks FROM docs
+         |  WHERE text IS NOT NULL AND len(toks) >= 1
+         |),
+         |dt AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) u
+         |  GROUP BY 1, 2
+         |),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+         |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         |wtd AS (
+         |  SELECT dt.doc_id, dt.tok,
+         |         CAST(dt.k AS DOUBLE) *
+         |           ((CAST(nd.n AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
+         |            / (CAST(dfs.df AS DOUBLE) + 0.5)) AS w
+         |  FROM dt JOIN dfs USING (tok), nd
+         |  WHERE dfs.df * ${Corpus.TfidfStopDfMult} <= nd.n
+         |),
+         |norms AS (
+         |  SELECT doc_id,
+         |         sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE))
+         |           AS nrm
+         |  FROM wtd GROUP BY 1
+         |),
+         |dots AS (
+         |  SELECT q.doc_id AS query_id, d.doc_id,
+         |         CAST(SUM(CAST(q.w * d.w AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM wtd q JOIN wtd d ON q.tok = d.tok AND d.doc_id != q.doc_id
+         |  WHERE q.doc_id < ${Corpus.TfidfProbeCount}
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+         |       round(c, 6) AS score
+         |FROM (
+         |  SELECT d.query_id, d.doc_id,
+         |         d.dot / (nq.nrm * nv.nrm) AS c,
+         |         row_number() OVER (PARTITION BY d.query_id
+         |           ORDER BY d.dot / (nq.nrm * nv.nrm) DESC, d.doc_id ASC)
+         |           AS rnk
+         |  FROM dots d
+         |  JOIN norms nq ON nq.doc_id = d.query_id
+         |  JOIN norms nv ON nv.doc_id = d.doc_id
+         |) WHERE rnk <= ${Corpus.TfidfK} ORDER BY query_id, rnk""".stripMargin))),
 
     // ---- corpus cleaning (ops/Clean.scala)
     QEntry("q_token_dedup", Clean.tokenDedup, Some(withDocs(

@@ -113,6 +113,31 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** Sequence-model training pairs: the (3-event context → next event)
+    * frequency table over per-user event streams — the dataset a
+    * next-event-prediction model trains on, and the order-3 extension of
+    * [[eventTransitions]]'s order-1 matrix. One window pass (three stacked
+    * lags over the SAME partition spec — one exchange + one sort), then a
+    * map-side-combinable count; output cardinality is bounded by
+    * |event types|⁴, not events. Ordering ties at equal timestamps break
+    * by event_id, full nanosecond precision — deterministic at any
+    * partitioning. */
+  def nextEventPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("t"))
+      .withColumn("p1", lag("event_type", 1).over(w))
+      .withColumn("p2", lag("event_type", 2).over(w))
+      .withColumn("p3", lag("event_type", 3).over(w))
+      .filter(col("p3").isNotNull)
+      .groupBy(concat_ws(" ", col("p3"), col("p2"), col("p1")).as("context"),
+        col("event_type").as("next_event"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("context", "next_event")
+  }
+
   /** Weekly cohort retention: users grouped by the epoch-week of their
     * first event; n_users counts distinct cohort members active in each
     * subsequent week (offset 0 = the cohort week itself). The classic

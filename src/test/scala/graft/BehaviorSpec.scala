@@ -82,4 +82,18 @@ class BehaviorSpec extends AnyFunSuite {
       (0L, 0, 2L), (0L, 1, 1L), (0L, 2, 1L),
       (wk, 0, 1L)))
   }
+
+  test("next-event pairs: totals equal events with three predecessors") {
+    val rows = Behavior.nextEventPairs(spark, GraftSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("context").split(" ").length == 3)
+      assert(r.getAs[Long]("n") >= 1)
+    }
+    // every event with >= 3 per-user predecessors contributes exactly once
+    val expected = Tables.events(spark, GraftSpark.Sf)
+      .groupBy("user_id").count().collect()
+      .map(r => math.max(0L, r.getAs[Long]("count") - 3L)).sum
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
 }

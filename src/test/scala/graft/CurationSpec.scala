@@ -111,6 +111,27 @@ class CurationSpec extends AnyFunSuite {
     assert(n == eligible)
   }
 
+  test("tfidfTopK: cosine-ranked, self-free, in (0, 1]") {
+    val rows = graft.ops.Corpus.tfidfTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("query_id") < graft.ops.Corpus.TfidfProbeCount)
+      val s = r.getAs[Double]("score")
+      // cosine of non-negative weight vectors: positive (shared term
+      // required for candidacy), at most 1
+      assert(s > 0.0 && s <= 1.0 + 1e-9)
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to sorted.length.toLong).toSeq)
+      assert(sorted.length <= graft.ops.Corpus.TfidfK)
+      val sc = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+  }
+
   test("hardNegatives: ranked different-label candidates only") {
     val rows = Similarity.hardNegatives(spark, sf).collect()
     assert(rows.nonEmpty)
