@@ -2154,13 +2154,22 @@ object Catalog {
          |),
          |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
          |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         |dd AS (SELECT df, CAST(count(*) AS BIGINT) AS c FROM dfs GROUP BY 1),
+         |dc AS (
+         |  SELECT df, SUM(c) OVER (ORDER BY df) AS cum, SUM(c) OVER () AS nv
+         |  FROM dd
+         |),
+         |cap AS (
+         |  SELECT min(df) AS df_cap FROM dc
+         |  WHERE cum >= ceil(CAST(nv AS DOUBLE) * ${Corpus.TfidfKeepVocabFrac})
+         |),
          |wtd AS (
          |  SELECT dt.doc_id, dt.tok,
          |         CAST(dt.k AS DOUBLE) *
          |           ((CAST(nd.n AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
          |            / (CAST(dfs.df AS DOUBLE) + 0.5)) AS w
-         |  FROM dt JOIN dfs USING (tok), nd
-         |  WHERE dfs.df * ${Corpus.TfidfStopDfMult} <= nd.n
+         |  FROM dt JOIN dfs USING (tok), nd, cap
+         |  WHERE dfs.df <= cap.df_cap
          |),
          |norms AS (
          |  SELECT doc_id,

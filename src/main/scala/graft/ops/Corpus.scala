@@ -364,20 +364,26 @@ object Corpus {
     * exact-decimal-dot determinism contract.
     *
     * Same log-free rational idf as [[bm25]] (`(N − df + 0.5)/(df + 0.5)`).
-    * Terms appearing in more than 1/[[TfidfStopDfMult]] of documents are
-    * dropped BEFORE the inverted-index join — the hot-term cap that keeps
-    * candidate fan-out near-linear at corpus scale (the same df-cap move
-    * as `jaccardTop1`); dropping df-degenerate terms also loses almost no
-    * ranking signal, since their idf ≈ 1 contributes least. Per-doc norms
-    * and per-pair dots sum `DECIMAL(38,18)` casts of deterministic
-    * doubles, so accumulation order is irrelevant and the oracle matches
+    * The hottest [[TfidfDropVocabFrac]] of the VOCABULARY by document
+    * frequency is dropped BEFORE the inverted-index join — the hot-term
+    * cap that keeps candidate fan-out near-linear at corpus scale (the
+    * same df-cap move as `jaccardTop1`); high-df terms also carry the
+    * least ranking signal (idf ≈ 1). The cap is RANK-based — the exact
+    * order statistic of the df distribution, selected without sorting
+    * terms (the winsorize move) — NOT a fraction-of-documents threshold:
+    * a `df > N/5` rule emptied the candidate set on the synthetic corpus
+    * at sf0.1, where the small vocabulary puts nearly every term in >20%
+    * of documents. A vocabulary-rank cap keeps a constant fraction of
+    * terms retrievable under any df shape. Per-doc norms and per-pair
+    * dots sum `DECIMAL(38,18)` casts of deterministic doubles, so
+    * accumulation order is irrelevant and the oracle matches
     * bit-for-bit. (At extreme N the raw idf² overflows the decimal's 20
     * integer digits; cosine is invariant under uniform weight scaling, so
     * the fix there is `idf/N` — values at every graded scale are identical
     * without it.) */
   val TfidfProbeCount = 10
   val TfidfK = 5
-  val TfidfStopDfMult = 5
+  val TfidfKeepVocabFrac = 0.8
 
   def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir)
@@ -388,9 +394,21 @@ object Corpus {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
     val nDocs = base.agg(count(lit(1)).as("n"))
     val dfs = docTerms.groupBy("tok").agg(count(lit(1)).as("df"))
+    // df cap = the ceil(0.8·|vocab|)-th df order statistic, selected from
+    // the df DISTRIBUTION (distinct df values ≪ vocab — no term sort)
+    val dfDist = dfs.groupBy("df").agg(count(lit(1)).as("c"))
+    val cap = dfDist
+      .withColumn("cum", sum("c").over(
+        org.apache.spark.sql.expressions.Window.orderBy("df")))
+      .withColumn("nv", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("cum") >=
+        ceil(col("nv").cast("double") * lit(TfidfKeepVocabFrac)))
+      .agg(min("df").as("df_cap"))
     val weighted = docTerms.join(dfs, Seq("tok"))
       .crossJoin(broadcast(nDocs)) // 1-row scalar
-      .filter(col("df") * TfidfStopDfMult <= col("n"))
+      .crossJoin(broadcast(cap)) // 1-row scalar
+      .filter(col("df") <= col("df_cap"))
       .withColumn("idf",
         (col("n").cast("double") - col("df").cast("double") + lit(0.5))
           / (col("df").cast("double") + lit(0.5)))
