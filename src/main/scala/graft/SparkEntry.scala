@@ -2449,6 +2449,39 @@ object Catalog {
          |LEFT JOIN flags f ON f.address = r.v
          |ORDER BY 1""".stripMargin))),
 
+    // 3-core of the transfer graph: iterative peel to a fixpoint; the
+    // oracle unrolls the same 8 peel rounds, and the Spark loop fails
+    // loudly if peeling hasn't stabilized inside that bound — a converged
+    // result can never silently disagree with the unroll.
+    QEntry("q_kcore",
+      (s, d) => Wallet.transferKCore(s, d),
+      Some {
+        val k = 3
+        val rounds = (1 to 8).map { i =>
+          s"""a$i AS (
+             |  SELECT e.src AS v FROM e0 e
+             |  JOIN a${i - 1} s ON e.src = s.v
+             |  JOIN a${i - 1} d ON e.dst = d.v
+             |  GROUP BY 1 HAVING count(*) >= $k
+             |)""".stripMargin
+        }.mkString(",\n")
+        withTransfers(
+          s""", e0 AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT from_address AS src, to_address AS dst FROM transfers
+             |    UNION ALL
+             |    SELECT to_address, from_address FROM transfers
+             |  ) u WHERE src != dst
+             |),
+             |a0 AS (SELECT DISTINCT src AS v FROM e0),
+             |$rounds
+             |SELECT e.src AS v, CAST(count(*) AS BIGINT) AS core_degree
+             |FROM e0 e
+             |JOIN a8 s ON e.src = s.v
+             |JOIN a8 d ON e.dst = d.v
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+      }),
+
     // Synchronous label-propagation communities, 3 deterministic rounds.
     QEntry("q_communities",
       (s, d) => Wallet.transferCommunities(s, d)

@@ -122,6 +122,67 @@ object Graph {
     } finally sym.unpersist()
   }
 
+  /** K-core decomposition (fixed k): iteratively peel vertices of degree
+    * < k until the remaining subgraph — the k-core — is stable; returns
+    * each surviving vertex with its within-core degree. The density filter
+    * graph pipelines run before expensive per-vertex work (a vertex outside
+    * the 3-core cannot sit in a dense fraud/community structure).
+    *
+    * The loop maintains the LIVE EDGE set (edges with both endpoints still
+    * alive) and shrinks it monotonically — each round is one
+    * map-side-combinable degree count plus two semi-joins on the pruned
+    * vertex set, O(|live edges|) per round, with [[LineageCut]] cutting the
+    * growing plan exactly like the CC loop. Convergence is an edge-count
+    * equality (a scalar per round, data never reaches the driver).
+    *
+    * `maxIter` doubles as the ORACLE CONTRACT: the DuckDB mirror unrolls
+    * exactly `maxIter` peel rounds, and once the loop converges within
+    * that bound the remaining unrolled rounds are no-op filters — so a
+    * converged result matches the oracle bit-for-bit, and an UNconverged
+    * one fails loudly instead of silently disagreeing. Peeling removes
+    * whole degree-layers per round, so real graphs converge in a handful
+    * of rounds; pathological chains would need more — raise both sides
+    * together. */
+  def kCore(edges: DataFrame, k: Int = 3, maxIter: Int = 8,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val e = LineageCut.cut(
+      edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")),
+      cutMode)
+    val sym = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var live = LineageCut.cut(sym, cutMode)
+      var nLive = live.count()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val keep = live.groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select("v")
+        val pruned = LineageCut.cut(
+          live
+            .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+            .select("src", "dst"),
+          cutMode)
+        val nPruned = pruned.count()
+        converged = nPruned == nLive
+        live = pruned
+        nLive = nPruned
+        i += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"kCore: peeling not stable after $maxIter rounds — raise maxIter " +
+          "AND the oracle's unroll count together")
+      live.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("core_degree"))
+        .orderBy("v")
+    } finally sym.unpersist()
+  }
+
   /** Per-vertex triangle counts by the ordered-join formulation: orient
     * every undirected edge small→large, join wedges (a<b, b<c) with closing
     * edges (a<c), credit each triangle to its three corners. Ordering makes

@@ -39,6 +39,11 @@ object Wallet {
     Shared.frame(spark, sfDir, "transfer_communities")(
       Graph.labelPropagation(edges(spark, sfDir)))
 
+  /** 3-core of the transfer graph ([[Graph.kCore]]) — the density filter
+    * before expensive per-vertex graph work. */
+  def transferKCore(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.kCore(edges(spark, sfDir))
+
   def wallet360(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables.transfers(spark, sfDir)
     val outF = t.groupBy(col("from_address").as("address"))

@@ -202,4 +202,25 @@ class GraphSpec extends AnyFunSuite {
     // merely close, across partitionings
     assert(a == b)
   }
+
+  test("k-core: K4 survives the 3-core, pendant chain and triangle peel away") {
+    // K4 on 1..4, a chain 4-5-6 hanging off it, and a separate triangle
+    // 7-8-9 (every triangle vertex has degree 2 < 3 — the whole component
+    // peels). Cascading matters: 5 starts at degree 2, drops when 6 goes.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L)
+    ).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // partition independence of the iterative peel
+    val again = Graph.kCore(edges.repartition(5), k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // k = 2: the triangle survives too, the chain still peels
+    val core2 = Graph.kCore(edges, k = 2).as[(Long, Long)].collect().toMap
+    assert(core2.keySet == Set(1L, 2L, 3L, 4L, 7L, 8L, 9L))
+  }
 }

@@ -158,4 +158,50 @@ class PropertySpec extends AnyFunSuite {
       assert(z == refZ(a, b), s"z($a, $b) = $z, expected ${refZ(a, b)}")
     }
   }
+
+  test("property: distribution rank selection equals naive sorted index") {
+    // the shared order-statistic move (winsorize p95, the tf-idf df cap):
+    // cumulate the VALUE DISTRIBUTION, pick the smallest value whose
+    // cumulative count reaches ceil(p·n) — must equal sorting the raw
+    // list and indexing, for any multiset and any p
+    val listGen = Gen.listOfN(80, Gen.choose(0L, 25L)) // heavy ties
+    for (p <- Seq(0.5, 0.8, 0.95); (rows, i) <- samples(listGen, 4).zipWithIndex) {
+      val df = rows.toDF("x")
+      val dist = df.groupBy("x").agg(count(lit(1)).as("c"))
+      val got = dist
+        .withColumn("cum", sum("c").over(
+          org.apache.spark.sql.expressions.Window.orderBy("x")))
+        .filter(col("cum") >= ceil(lit(rows.length).cast("double") * lit(p)))
+        .agg(min("x")).as[Long].head()
+      val expected = rows.sorted.apply(math.ceil(rows.length * p).toInt - 1)
+      assert(got == expected, s"p=$p sample=$i: got $got expected $expected")
+    }
+  }
+
+  test("property: kCore equals a naive peel on random graphs") {
+    def naivePeel(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+      var adj = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var changed = true
+      while (changed) {
+        val drop = adj.filter(_._2.size < k).keySet
+        changed = drop.nonEmpty
+        adj = (adj -- drop).map { case (v, ns) => v -> (ns -- drop) }
+      }
+      adj.map { case (v, ns) => v -> ns.size }
+    }
+    val edgeGen = Gen.listOfN(40, for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L)
+    } yield (a, b))
+    samples(edgeGen, 4).foreach { edges =>
+      // maxIter raised above the catalog's 8-round oracle contract: random
+      // sparse graphs can peel in long chains; the LIBRARY handles any
+      // depth, the bound is only the oracle-mirroring contract
+      val got = graft.ops.Graph.kCore(edges.toDF("src", "dst"), k = 3,
+        maxIter = 40).as[(Long, Long)].collect()
+        .map { case (v, d) => v -> d.toInt }.toMap
+      assert(got == naivePeel(edges, 3))
+    }
+  }
 }
