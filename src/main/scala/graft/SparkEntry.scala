@@ -1190,6 +1190,34 @@ object Catalog {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Last-touch attribution: conversions credited to the most recent
+    // preceding non-conversion touch via one IGNORE NULLS window.
+    QEntry("q_attribution", Behavior.attribution, Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS t
+         |  FROM events
+         |),
+         |att AS (
+         |  SELECT user_id, event_id, event_type, t,
+         |         last_value(CASE WHEN event_type <> '${Behavior.ConversionType}'
+         |             THEN event_type END IGNORE NULLS)
+         |           OVER (PARTITION BY user_id ORDER BY t, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS att_type,
+         |         last_value(CASE WHEN event_type <> '${Behavior.ConversionType}'
+         |             THEN t END IGNORE NULLS)
+         |           OVER (PARTITION BY user_id ORDER BY t, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS att_t
+         |  FROM ev
+         |)
+         |SELECT user_id, event_id, t // 1000 AS conv_t,
+         |       COALESCE(att_type, 'direct') AS attributed_type,
+         |       att_t // 1000 AS attributed_t,
+         |       t // 1000 - att_t // 1000 AS gap_us
+         |FROM att WHERE event_type = '${Behavior.ConversionType}'
+         |ORDER BY user_id, event_id""".stripMargin)),
+
     // Order-3 sequence-model training pairs: (3-event context, next event)
     // frequency table — the next-event-prediction dataset.
     QEntry("q_next_event_pairs", Behavior.nextEventPairs, Some(
@@ -1292,6 +1320,18 @@ object Catalog {
       Some(withBalances(Tables.FocusToken,
         "SELECT address, t, delta, balance FROM bal ORDER BY address, t"))),
 
+    // SCD Type-2 temporal table: balance states as validity intervals,
+    // NULL valid_to = the wallet's open current state.
+    QEntry("q_scd2_intervals",
+      (s, d) => Balances.scd2Intervals(s, d),
+      Some(withBalances(Tables.FocusToken,
+        s"""SELECT address, t AS valid_from,
+           |       lead(t) OVER (PARTITION BY address ORDER BY t) AS valid_to,
+           |       balance,
+           |       lead(t) OVER (PARTITION BY address ORDER BY t) IS NULL
+           |         AS is_current
+           |FROM bal ORDER BY address, valid_from""".stripMargin))),
+
     QEntry("q_holder_count", Balances.holderCount,
       Some(withBalances(Tables.FocusToken,
         s"""SELECT t, CAST(SUM(ih) AS BIGINT) AS holder_count FROM (
@@ -1351,6 +1391,16 @@ object Catalog {
     // ── Skew handling: salted agg/join, oracle-proven equivalent ──
     QEntry("q_salted_agg", Skew.saltedVolume, Some(withTransfers(
       s"""SELECT contract_address, ${dsum("value")} AS volume, count(*) AS n
+         |FROM transfers GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // The planning half of the salted pair: per-key row counts →
+    // ceil(rows/target) salt factors, keys under one target unsalted.
+    QEntry("q_skew_plan", Skew.skewPlan, Some(withTransfers(
+      s"""SELECT contract_address, CAST(count(*) AS BIGINT) AS n_rows,
+         |       (count(*) + ${Skew.TargetRowsPerTask} - 1)
+         |         // ${Skew.TargetRowsPerTask} AS salt_factor,
+         |       (count(*) + ${Skew.TargetRowsPerTask} - 1)
+         |         // ${Skew.TargetRowsPerTask} > 1 AS salted
          |FROM transfers GROUP BY 1 ORDER BY 1""".stripMargin))),
 
     QEntry("q_salted_join", Skew.saltedJoinVolume, Some {
@@ -1889,6 +1939,30 @@ object Catalog {
            }.mkString("\nUNION ALL\n")}
          |ORDER BY threshold""".stripMargin))),
 
+    // Exact Jaccard ≥ τ set-similarity join via rare-first PREFIX
+    // filtering (PPJoin family) — the lossless exact counterpart of the
+    // banded approximate paths. The oracle is the NAIVE all-pairs join:
+    // hash-equality proves the prefix filter drops zero true pairs.
+    QEntry("q_setsim_join", Dedup.setSimJoin, Some(withShingles(
+      s""", sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |           FROM shingles GROUP BY 1),
+         |isect AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.inter,
+         |       round(CAST(i.inter AS DOUBLE)
+         |             / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) AS jaccard
+         |FROM isect i
+         |JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b
+         |WHERE i.inter * ${Dedup.SetSimTauDen}
+         |      >= ${Dedup.SetSimTauNum} * (sa.n + sb.n - i.inter)
+         |ORDER BY doc_a, doc_b""".stripMargin))),
+
     // Connected components over the LSH candidate graph — the dedup
     // decision itself. Oracle: recursive CTE computing each document's
     // minimum transitively-reachable doc_id over the same pair graph.
@@ -1962,6 +2036,57 @@ object Catalog {
          |           AS BIGINT) AS bucket
          |  FROM keyed
          |) ORDER BY doc_id""".stripMargin)),
+
+    // Cross-split leakage certificate: near-dup pair counts by split
+    // combination under the production cluster-keyed split (zero leaked
+    // rows BY CONSTRUCTION) vs a naive doc_id-hash split (the leaked
+    // rows it would ship). Measured, not asserted.
+    QEntry("q_split_leakage", Sampling.splitLeakage, Some(
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         |clusters AS (
+         |  SELECT doc_id, min(r) AS cluster_keeper FROM reach GROUP BY 1
+         |),
+         |ksplit AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bucket < ${Sampling.TrainUpper} THEN 'train'
+         |              WHEN bucket < ${Sampling.ValUpper} THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT d.doc_id,
+         |           ${hexBucketDuck(
+                "md5(CAST(COALESCE(c.cluster_keeper, d.doc_id) AS VARCHAR))")}
+         |             AS bucket
+         |    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+         |  )
+         |),
+         |nsplit AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bucket < ${Sampling.TrainUpper} THEN 'train'
+         |              WHEN bucket < ${Sampling.ValUpper} THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |           ${hexBucketDuck("md5(CAST(doc_id AS VARCHAR))")} AS bucket
+         |    FROM documents
+         |  )
+         |),
+         |combos AS (
+         |  SELECT 'cluster_keyed' AS scheme,
+         |         least(a.split, b.split) AS split_a,
+         |         greatest(a.split, b.split) AS split_b
+         |  FROM mp JOIN ksplit a ON a.doc_id = mp.doc_a
+         |          JOIN ksplit b ON b.doc_id = mp.doc_b
+         |  UNION ALL
+         |  SELECT 'naive_hash',
+         |         least(a.split, b.split), greatest(a.split, b.split)
+         |  FROM mp JOIN nsplit a ON a.doc_id = mp.doc_a
+         |          JOIN nsplit b ON b.doc_id = mp.doc_b
+         |)
+         |SELECT scheme, split_a, split_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       split_a <> split_b AS leaked
+         |FROM combos GROUP BY 1, 2, 3
+         |ORDER BY scheme, split_a, split_b""".stripMargin)),
 
     // ---- corpus assembly (ops/Corpus.scala): mixing, shuffle, packing,
     // decontamination, retrieval. Shared DuckDB fragments: `tok` mirrors
@@ -2315,6 +2440,21 @@ object Catalog {
          |SELECT -1 AS nation, '*' AS segment, CAST(SUM(n) AS BIGINT) AS n_rows
          |FROM cells WHERE n < ${Privacy.KAnon} HAVING count(*) > 0
          |ORDER BY nation, segment""".stripMargin)),
+
+    // l-diversity audit: k-anonymity still leaks on sensitive-homogeneous
+    // cells; publishable = big enough AND ≥ l distinct balance bands.
+    QEntry("q_l_diversity", Privacy.lDiversityAudit, Some(
+      s"""SELECT nation, segment, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(DISTINCT band) AS BIGINT) AS n_bands,
+         |       count(*) >= ${Privacy.KAnon}
+         |         AND count(DISTINCT band) >= ${Privacy.LDiversity}
+         |         AS publishable
+         |FROM (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |         c_mktsegment AS segment,
+         |         floor(c_acctbal / 1000.0) * 1000.0 AS band
+         |  FROM customer
+         |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QEntry("q_source_cap", Clean.sourceCap, Some(
       s"""SELECT doc_id, source, rn FROM (
@@ -3306,6 +3446,24 @@ object Catalog {
          |FROM orders
          |ORDER BY zval, o_orderkey""".stripMargin)),
 
+    // Small-file compaction planner: greedy first-fit bin-packing of
+    // documents into ~target-byte output groups, per source partition.
+    QEntry("q_compaction_plan", Layout.compactionPlan, Some(
+      s"""SELECT source, file_no, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(sz) AS BIGINT) AS bytes,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM (
+         |  SELECT source, doc_id, sz,
+         |         CAST(COALESCE(SUM(sz) OVER (
+         |             PARTITION BY source ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           // ${Layout.CompactionTargetBytes} AS BIGINT) AS file_no
+         |  FROM (
+         |    SELECT source, doc_id, CAST(length(text) AS BIGINT) AS sz
+         |    FROM documents
+         |  )
+         |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QEntry("q_orders_rollup", Relational.ordersRollup, Some(
       s"""SELECT r.r_name, n.n_name,
          |       count(*) AS n_orders,
@@ -3411,6 +3569,47 @@ object Catalog {
          |         AS rnk,
          |       pair, n
          |FROM top ORDER BY rnk""".stripMargin))),
+
+    // Iterative BPE training: 3 actual merge rounds, unrolled in the
+    // oracle. Merge application rewrites the DOUBLE-SPACED symbol string
+    // (' a  b ' → ' ab '), so adjacent matches share no delimiter and any
+    // left-to-right replace() gives the textbook greedy result in both
+    // engines — the round trajectory is the oracle contract.
+    QEntry("q_bpe_merges", TextAnalysis.bpeMerges, Some(withDocs {
+      def round(k: Int): String = {
+        val merge = s"""replace(trim(replace(
+           |    ' ' || replace(sym, ' ', '  ') || ' ',
+           |    ' ' || replace((SELECT pair FROM top$k), ' ', '  ') || ' ',
+           |    ' ' || replace((SELECT pair FROM top$k), ' ', '') || ' ')),
+           |    '  ', ' ')""".stripMargin
+        s"""pairs$k AS (
+           |  SELECT list_extract(w.sy, CAST(t.i AS INTEGER)) || ' ' ||
+           |         list_extract(w.sy, CAST(t.i AS INTEGER) + 1) AS pair, w.c
+           |  FROM (SELECT c, string_split(sym, ' ') AS sy FROM words$k) w,
+           |       unnest(range(1, len(w.sy))) AS t(i)
+           |),
+           |top$k AS (
+           |  SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+           |  FROM pairs$k GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 1
+           |),
+           |words${k + 1} AS (
+           |  SELECT w, c, $merge AS sym FROM words$k
+           |)""".stripMargin
+      }
+      s""", words1 AS (
+         |  SELECT w, c, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym
+         |  FROM (
+         |    SELECT w, CAST(count(*) AS BIGINT) AS c
+         |    FROM (SELECT unnest(toks) AS w FROM docs) u
+         |    WHERE length(w) >= 2 GROUP BY 1
+         |  )
+         |),
+         |${(1 to TextAnalysis.BpeMergeRounds).map(round).mkString(",\n")}
+         |${(1 to TextAnalysis.BpeMergeRounds).map(k =>
+             s"SELECT CAST($k AS BIGINT) AS merge_rank, pair, n FROM top$k")
+             .mkString("\nUNION ALL\n")}
+         |ORDER BY merge_rank""".stripMargin
+    })),
 
     // Self-trained unigram quality signals (log-free CCNet-style filter
     // core): avg corpus token frequency + rare-token share per document.

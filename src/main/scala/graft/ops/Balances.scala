@@ -70,6 +70,25 @@ object Balances {
         sum(col("ddelta")).over(byAddrTime).cast("double").as("balance"))
       .orderBy("address", "t")
 
+  /** SCD Type-2 temporal table over the focus token's balance history:
+    * every (address, balance) state becomes one validity-interval row
+    * `[valid_from, valid_to)` with a NULL `valid_to` (and `is_current`
+    * flag) on each wallet's open state — the standard change-capture →
+    * slowly-changing-dimension build. One `lead` window over the
+    * already-grouped hourly frame, partitioned by wallet, so it rides the
+    * same exchange as the cumulative balance and adds no shuffle;
+    * O(|state changes|) at any scale. */
+  def scd2Intervals(spark: SparkSession, sfDir: String,
+      token: String = Tables.FocusToken): DataFrame = {
+    val leadW = Window.partitionBy("address").orderBy("t")
+    balanceHistory(spark, sfDir, token)
+      .select(col("address"), col("t").as("valid_from"),
+        lead(col("t"), 1).over(leadW).as("valid_to"),
+        col("balance"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("address", "valid_from")
+  }
+
   /** Holder-transition flag per (address, hour) — lag + the reference's
     * null-aware CASE exactly as written (F7, reference:
     * src/main/scala/etl/BaseEnricher.scala:130-155; the isNull arm is

@@ -138,6 +138,43 @@ object Behavior {
       .orderBy("context", "next_event")
   }
 
+  /** The conversion event type [[attribution]] credits. */
+  val ConversionType = "purchase"
+
+  /** Last-touch attribution: each conversion (purchase) event credited to
+    * the user's most recent PRECEDING non-conversion event — the classic
+    * marketing-attribution join, expressed as one `last(..., ignoreNulls)`
+    * window over the per-user stream (no self-join, no as-of join against
+    * a second pass over the same table). Conversions with no prior touch
+    * attribute to `direct` with NULL timestamps. Ordering is (event time,
+    * event id) — a total order, so the window is deterministic at any
+    * partitioning. One exchange on user_id; state per row is O(1). */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("t"))
+      .withColumn("att_type",
+        last(when(col("event_type") =!= ConversionType, col("event_type")),
+          ignoreNulls = true).over(w))
+      .withColumn("att_t",
+        last(when(col("event_type") =!= ConversionType, col("t")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === ConversionType)
+      // emitted times truncate to MICROseconds: the oracle engine reads
+      // the nanos-typed parquet timestamps at micro precision, so micros
+      // are the finest unit both engines agree on bit-for-bit (ordering
+      // above still uses full nanos)
+      .select(col("user_id"), col("event_id"),
+        expr("t div 1000").as("conv_t"),
+        coalesce(col("att_type"), lit("direct")).as("attributed_type"),
+        expr("att_t div 1000").as("attributed_t"),
+        expr("t div 1000 - att_t div 1000").as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Weekly cohort retention: users grouped by the epoch-week of their
     * first event; n_users counts distinct cohort members active in each
     * subsequent week (offset 0 = the cohort week itself). The classic

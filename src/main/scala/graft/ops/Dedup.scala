@@ -384,4 +384,70 @@ object Dedup {
       .distinct() // a close pair collides in several bands
       .orderBy("doc_a", "doc_b")
   }
+
+  // ── Exact threshold set-similarity join (prefix filter) ───────────────
+
+  /** τ = [[SetSimTauNum]]/[[SetSimTauDen]], kept RATIONAL: prefix lengths
+    * and the final threshold test are pure integer arithmetic. A float
+    * `ceil(τ·n)` can round up on an inexact product (0.4×5 =
+    * 2.0000000000000004) and silently SHORTEN a prefix — a false-negative
+    * class no small-scale test would catch. */
+  val SetSimTauNum = 1L
+  val SetSimTauDen = 2L
+
+  /** Exact Jaccard ≥ τ set-similarity self-join over document 3-shingle
+    * sets — the LOSSLESS exact counterpart of the MinHash/SimHash
+    * approximate paths (those trade recall for speed; this trades neither
+    * and is the shape to use when a dedup decision must be certain).
+    *
+    * PPJoin-style prefix filtering: under one global rare-first token
+    * order (ascending document frequency, ties by the token itself), a
+    * pair with J ≥ τ MUST share a token inside both documents' first
+    * `n − ceil(τ·n) + 1` tokens — so only those prefixes generate
+    * candidates, and each candidate is verified with the exact integer
+    * Jaccard test `inter·den ≥ num·(n_a + n_b − inter)`.
+    *
+    * Scale design: candidate work is ∝ collisions on RARE tokens — the
+    * rare-first order pushes every hot shingle to the suffix, where it can
+    * never seed a candidate, so skew protection falls out of the ordering
+    * itself (no df cap, nothing dropped). The pair expansion is the same
+    * bucket-collect codegen as [[minhashPairsRaw]]; verification re-joins
+    * candidate ids against bounded per-document shingle arrays. The
+    * UNCHANGED naive all-pairs oracle proves the filter lossless.
+    * (Chaudhuri et al., "A Primitive Operator for Similarity Joins", and
+    * the PPJoin line of work — public literature, not reference code.) */
+  def setSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = TextAnalysis.shingles(spark, sfDir)
+    val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val prefix = sh.join(dfCounts, "sh")
+      .withColumn("r", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("r") <= col("n") -
+        expr(s"(n * $SetSimTauNum + $SetSimTauDen - 1) div $SetSimTauDen") + 1)
+    val cands = prefix.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select("p.doc_a", "p.doc_b").distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("ss"), count(lit(1)).as("n"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("ss").as("sa"), col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("ss").as("sb"), col("n").as("n_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("inter") * SetSimTauDen >=
+        lit(SetSimTauNum) * (col("n_a") + col("n_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -86,4 +86,37 @@ object Layout {
       .groupBy(input_file_name().as("f"))
       .agg(min("ka").as("amin"), max("ka").as("amax"),
         min("kb").as("bmin"), max("kb").as("bmax"))
+
+  /** Compaction output-group target, in text bytes. Small on purpose so the
+    * tiny test corpora still produce multi-file plans; at 100 TB this is
+    * 128 MB–1 GB. */
+  val CompactionTargetBytes = 4096L
+
+  /** Small-file compaction planner — the query side of OPTIMIZE/compaction:
+    * documents bin-packed, in deterministic doc_id order within each
+    * source, into output groups of ~[[CompactionTargetBytes]] by
+    * cumulative-size-so-far div target (first-fit in a fixed order, the
+    * same greedy every table-format compactor runs). Output: one row per
+    * planned file with its doc count, byte total and id range.
+    *
+    * Scale: one window pass partitioned by `source` — the compaction unit
+    * IS the storage partition, so parallelism is the partition count and
+    * no global order exists anywhere. A group can overshoot the target by
+    * at most one document (greedy first-fit); the planner never splits a
+    * document across files, matching real compactors' row-group
+    * granularity. */
+  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val before = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("sz"))
+      .withColumn("cum_before", coalesce(sum(col("sz")).over(before), lit(0L)))
+      .withColumn("file_no", expr(s"cum_before div $CompactionTargetBytes"))
+      .groupBy("source", "file_no")
+      .agg(count(lit(1)).as("n_docs"), sum("sz").as("bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "file_no")
+  }
 }

@@ -58,4 +58,27 @@ object Privacy {
       .select(lit(-1L).as("nation"), lit("*").as("segment"), col("n_rows"))
     published.unionByName(residual).orderBy("nation", "segment")
   }
+
+  /** Minimum distinct sensitive values a publishable group needs. */
+  val LDiversity = 3L
+
+  /** l-diversity audit over the k-anonymity quasi-identifier groups:
+    * k-anonymity alone still leaks when a group, however large, is
+    * HOMOGENEOUS in the sensitive attribute (everyone in the cell shares
+    * one balance band ⇒ membership reveals the band). A cell is
+    * publishable only if it holds ≥ [[KAnon]] rows AND the sensitive
+    * attribute (the 1000-wide balance band [[redactCustomers]] publishes)
+    * takes ≥ [[LDiversity]] distinct values. One grouped aggregate with a
+    * count-distinct — map-side combinable, no second pass. */
+  def lDiversityAudit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        (floor(col("c_acctbal") / 1000.0) * 1000.0).as("band"))
+      .groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("band")).as("n_bands"))
+      .withColumn("publishable",
+        col("n_rows") >= KAnon && col("n_bands") >= LDiversity)
+      .orderBy("nation", "segment")
 }

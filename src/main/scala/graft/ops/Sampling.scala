@@ -72,4 +72,39 @@ object Sampling {
           .otherwise("test"))
       .select("doc_id", "lang", "source", "split_key", "split")
       .orderBy("doc_id")
+
+  /** Cross-split leakage certificate: the near-dup pair counts by split
+    * combination, under TWO assignment schemes side by side —
+    * `cluster_keyed` (the production [[corpusSplit]]: hash the near-dup
+    * cluster keeper, leakage-proof BY CONSTRUCTION since both endpoints of
+    * every pair share a split_key) and `naive_hash` (hash the raw doc_id,
+    * what a pipeline without dedup-aware splitting does). Rows with
+    * `leaked = true` exist only under the naive scheme — the train/eval
+    * contamination this audit exists to catch, measured not asserted.
+    * Cost: the session-shared banded-pairs frame joined twice against a
+    * 2-column assignment — O(|pairs|), nothing corpus-sized shuffles. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir).select("doc_a", "doc_b")
+    def matrix(assign: DataFrame, scheme: String): DataFrame =
+      pairs
+        .join(assign.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+          "doc_a")
+        .join(assign.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+          "doc_b")
+        .select(lit(scheme).as("scheme"),
+          least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy("scheme", "split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+    val keeper = corpusSplit(spark, sfDir).select("doc_id", "split")
+    val naive = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(expr(bucketSql("doc_id")) < TrainUpper, "train")
+          .when(expr(bucketSql("doc_id")) < ValUpper, "val")
+          .otherwise("test").as("split"))
+    matrix(keeper, "cluster_keyed")
+      .unionByName(matrix(naive, "naive_hash"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+      .orderBy("scheme", "split_a", "split_b")
+  }
 }

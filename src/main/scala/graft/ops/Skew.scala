@@ -24,6 +24,29 @@ object Skew {
 
   val Salts = 16
 
+  /** Rows one reducer task should own before a key gets salted. Tiny here
+    * so test data produces a non-trivial plan; at scale it is the rows
+    * that fit a task's memory/runtime budget. */
+  val TargetRowsPerTask = 2000L
+
+  /** Salting-factor plan from the key histogram — the PLANNING half of the
+    * salted-agg/join pair: one cheap grouped count over the fact table
+    * (map-side combinable; the histogram is |keys|-sized, not |rows|-sized)
+    * emits per key its row count and `ceil(rows/target)` salt buckets.
+    * Keys that fit one task keep factor 1 (salting them would only buy
+    * shuffle overhead). At 100 TB this query IS the driver of adaptive
+    * salting: run it on a sample or yesterday's stats, broadcast the
+    * factors, and the salted operators consume them instead of a global
+    * constant. */
+  def skewPlan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.transfers(spark, sfDir)
+      .groupBy("contract_address")
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("salt_factor",
+        expr(s"(n_rows + $TargetRowsPerTask - 1) div $TargetRowsPerTask"))
+      .withColumn("salted", col("salt_factor") > 1)
+      .orderBy("contract_address")
+
   /** Two-phase salted aggregation: partial per (token, salt) — 5×16 groups
     * spread across the cluster — then final per token. Result provably equal
     * to the direct single-key aggregation (same oracle). */

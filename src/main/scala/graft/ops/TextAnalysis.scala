@@ -293,6 +293,64 @@ object TextAnalysis {
       .orderBy("rnk")
   }
 
+  /** Merge rounds [[bpeMerges]] trains — tiny so the unrolled DuckDB
+    * oracle stays readable; the Spark loop is the same at 32k. */
+  val BpeMergeRounds = 3
+
+  /** Iterative BPE TRAINING (Sennrich et al. 2016): [[BpeMergeRounds]]
+    * actual merge steps, not just the first round's candidate table
+    * ([[bpePairs]]) — each round counts adjacent symbol pairs over the
+    * weighted distinct-word vocabulary, picks the top pair (count desc,
+    * pair text asc — total order, deterministic), applies the merge to
+    * every word, and recounts. Output: the merge table (rank, pair, n),
+    * i.e. the tokenizer's learned merges.
+    *
+    * Merge application is pure string arithmetic shared with the oracle:
+    * symbols live space-joined, and the merge rewrites the DOUBLE-SPACED
+    * form (`' a  b '` → `' ab '`). Double spacing means adjacent
+    * occurrences never share a delimiter character, so any left-to-right
+    * non-overlapping `replace` — Spark's and DuckDB's — produces the
+    * textbook greedy BPE result, including on runs (`a a a` → `aa a`);
+    * with single spaces the two engines' scan-resume behavior would be
+    * load-bearing and unverifiable.
+    *
+    * Scale: every round is |vocab|-sized (the explode runs over distinct
+    * words weighted by count, not corpus tokens), the top-1 is a
+    * TakeOrdered of one row, and the merge applies as a broadcast 1-row
+    * crossJoin + projection — 3 tiny jobs. This is the shape a real 100 TB
+    * tokenizer train takes: the weighted vocabulary is the working set,
+    * and it SHRINKS as merges apply. */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    var words = docs(spark, sfDir)
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("sym", expr("trim(regexp_replace(w, '(.)', '$1 '))"))
+    val rounds = (1 to BpeMergeRounds).map { k =>
+      val pairs = words
+        .filter(expr("size(split(sym, ' ')) >= 2")) // a fully-merged word
+        // has no pairs; Spark's sequence(1, 0) would throw where DuckDB's
+        // range(1, 1) is just empty
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(split(sym, ' ')) - 1),
+            |  i -> concat(element_at(split(sym, ' '), i), ' ',
+            |              element_at(split(sym, ' '), i + 1)))"""
+            .stripMargin)).as("pair"))
+        .groupBy("pair").agg(sum("c").as("n"))
+      val top = pairs.orderBy(col("n").desc, col("pair").asc).limit(1)
+      words = words.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+        .withColumn("sym", expr(
+          """replace(trim(replace(
+            |  concat(' ', replace(sym, ' ', '  '), ' '),
+            |  concat(' ', replace(mp, ' ', '  '), ' '),
+            |  concat(' ', replace(mp, ' ', ''), ' '))), '  ', ' ')"""
+            .stripMargin))
+        .drop("mp")
+      top.select(lit(k.toLong).as("merge_rank"), col("pair"), col("n"))
+    }
+    rounds.reduce(_ unionByName _).orderBy("merge_rank")
+  }
+
   /** Unigram-LM quality signals, self-trained on the corpus itself (the
     * log-free core of a CCNet-style perplexity filter): per document, the
     * average corpus frequency of its tokens, the rare-token share

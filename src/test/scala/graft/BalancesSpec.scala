@@ -67,4 +67,21 @@ class BalancesSpec extends AnyFunSuite {
     val hours = d.select("t").distinct().count()
     assert(n == addrs * hours)
   }
+
+  test("scd2 intervals tile each wallet's timeline with one open state") {
+    val iv = Balances.scd2Intervals(spark, GraftSpark.Sf)
+    // exactly one open (NULL valid_to) interval per address
+    val opens = iv.groupBy("address")
+      .agg(sum(when(col("valid_to").isNull, 1).otherwise(0)).as("n_open"))
+      .filter(col("n_open") =!= 1)
+    assert(opens.isEmpty)
+    // intervals chain: next row's valid_from equals this row's valid_to
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("address").orderBy("valid_from")
+    val broken = iv
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull &&
+        col("valid_to") =!= col("next_from"))
+    assert(broken.isEmpty)
+  }
 }

@@ -83,6 +83,22 @@ class BehaviorSpec extends AnyFunSuite {
       (wk, 0, 1L)))
   }
 
+  test("attribution: one row per conversion, credited strictly earlier") {
+    import org.apache.spark.sql.functions._
+    val a = Behavior.attribution(spark, GraftSpark.Sf)
+    val nConv = Tables.events(spark, GraftSpark.Sf)
+      .filter(col("event_type") === Behavior.ConversionType).count()
+    assert(a.count() == nConv)
+    // credited touch is never the conversion type and strictly precedes it
+    assert(a.filter(col("attributed_type") === Behavior.ConversionType)
+      .isEmpty)
+    assert(a.filter(col("attributed_t").isNotNull && col("gap_us") < 0)
+      .isEmpty)
+    // direct rows are exactly the NULL-timestamp rows
+    assert(a.filter((col("attributed_type") === "direct") =!=
+      col("attributed_t").isNull).isEmpty)
+  }
+
   test("next-event pairs: totals equal events with three predecessors") {
     val rows = Behavior.nextEventPairs(spark, GraftSpark.Sf).collect()
     assert(rows.nonEmpty)

@@ -72,6 +72,29 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("bpeMerges: known trajectory, greedy runs, and dry-round safety") {
+    import spark.implicits._
+    // "aaab"×3: round 1 merges 'a a' (n=6); round 2 tie between
+    // 'aa a' (3) and 'a b' (3) breaks lexicographically to 'a b';
+    // round 3 merges the remaining 'aa ab'
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((1L, "aaab aaab aaab", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.bpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a a", 6L), (2L, "a b", 3L), (3L, "aa ab", 3L)))
+    // "aaaa": greedy left-to-right gives 'aa aa' (textbook), then the
+    // word fully merges and the pair stream runs DRY without throwing
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bpe2").toString
+    Seq((1L, "aaaa", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got2 = TextAnalysis.bpeMerges(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got2 == Seq((1L, "a a", 3L), (2L, "aa aa", 1L)))
+  }
+
   test("unigramQuality: exact per-doc signals on a hand-built corpus") {
     val rows = TextAnalysis.unigramQuality(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -138,6 +138,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: prefix-filtered set-sim join equals naive all-pairs") {
+    // the prefix filter's correctness rests on the rare-first-order
+    // pigeonhole (J >= τ ⇒ a shared token inside both prefixes); verify
+    // against naive all-pairs Jaccard on random short documents over a
+    // tiny vocabulary (dense with partial overlaps and boundary-τ pairs)
+    val docGen = for {
+      len <- Gen.choose(3, 10)
+      ws <- Gen.listOfN(len, Gen.oneOf("ax", "bx", "cx", "dx", "ex"))
+    } yield ws.mkString(" ")
+    val corpusGen = Gen.listOfN(25, docGen)
+    samples(corpusGen, 4).foreach { texts =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ssjprop").toString
+      texts.zipWithIndex.map { case (t, k) => (k.toLong, t, "en", "src0") }
+        .toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.ops.Dedup.setSimJoin(spark, dir)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      def shingleSet(t: String): Set[String] = {
+        val toks = t.trim.split("\\s+").toSeq
+        if (toks.length < 3) Set.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = texts.map(shingleSet)
+      val naive = (for {
+        a <- sets.indices; b <- sets.indices
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        o = (sets(a) & sets(b)).size
+        if o * graft.ops.Dedup.SetSimTauDen >=
+          graft.ops.Dedup.SetSimTauNum * (sets(a).size + sets(b).size - o)
+      } yield (a.toLong, b.toLong)).toSet
+      assert(got == naive)
+    }
+  }
+
   test("property: morton z-value round-trips and preserves bit order") {
     // reference implementation: interleave bit-by-bit in plain Scala
     def refZ(a: Long, b: Long): Long = {

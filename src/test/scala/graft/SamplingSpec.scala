@@ -53,4 +53,14 @@ class SamplingSpec extends AnyFunSuite {
       .filter(col("n") > 1)
     assert(perCluster.isEmpty)
   }
+
+  test("leakage certificate: zero leaked cluster-keyed rows, totals = |pairs|") {
+    val m = Sampling.splitLeakage(spark, GraftSpark.Sf)
+    assert(m.filter(col("scheme") === "cluster_keyed" && col("leaked")).isEmpty)
+    // both schemes classify every near-dup pair exactly once
+    val nPairs = Dedup.minhashPairs(spark, GraftSpark.Sf).count()
+    val totals = m.groupBy("scheme").agg(sum("n_pairs").as("n"))
+      .select("n").collect().map(_.getLong(0)).toSeq
+    assert(totals == Seq(nPairs, nPairs))
+  }
 }
