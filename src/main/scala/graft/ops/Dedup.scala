@@ -419,13 +419,24 @@ object Dedup {
   def setSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = TextAnalysis.shingles(spark, sfDir)
     val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy("doc_id")
-    val prefix = sh.join(dfCounts, "sh")
-      .withColumn("r", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .filter(col("r") <= col("n") -
+    // ONE per-document frame serves both roles: the rank-ordered shingle
+    // array yields the prefix (its first p elements under the global
+    // (df, sh) order) AND the verification set (array_intersect needs no
+    // particular order) — one build, one persist, where the window
+    // formulation paid two sorted window passes plus a second full
+    // shingle aggregation for the sets.
+    val byRank = sh.join(dfCounts, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
+      .select(col("doc_id"),
+        expr("transform(arr, x -> x.sh)").as("ss"),
+        size(col("arr")).cast("long").as("n"))
+      .withColumn("p", col("n") -
         expr(s"(n * $SetSimTauNum + $SetSimTauDen - 1) div $SetSimTauDen") + 1)
-    val cands = prefix.groupBy("sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = byRank
+      .select(col("doc_id"), explode(expr("slice(ss, 1, p)")).as("sh"))
+      .groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(expr(
@@ -434,12 +445,10 @@ object Dedup {
           |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
         .as("p"))
       .select("p.doc_a", "p.doc_b").distinct()
-    val sets = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("ss"), count(lit(1)).as("n"))
     cands
-      .join(sets.select(col("doc_id").as("doc_a"),
+      .join(byRank.select(col("doc_id").as("doc_a"),
         col("ss").as("sa"), col("n").as("n_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"),
+      .join(byRank.select(col("doc_id").as("doc_b"),
         col("ss").as("sb"), col("n").as("n_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .filter(col("inter") * SetSimTauDen >=
