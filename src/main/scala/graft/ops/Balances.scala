@@ -81,7 +81,13 @@ object Balances {
   def scd2Intervals(spark: SparkSession, sfDir: String,
       token: String = Tables.FocusToken): DataFrame = {
     val leadW = Window.partitionBy("address").orderBy("t")
-    balanceHistory(spark, sfDir, token)
+    // build on the UNSORTED cumulative frame, not balanceHistory: its
+    // presentational orderBy range-partitions the stream and would force
+    // this window to re-exchange by address (PlanAuditSpec pins the
+    // ceiling). Both windows here share one (address, t-sorted) pass.
+    hourlyDeltas(spark, sfDir, token)
+      .select(col("address"), col("t"),
+        sum(col("ddelta")).over(byAddrTime).cast("double").as("balance"))
       .select(col("address"), col("t").as("valid_from"),
         lead(col("t"), 1).over(leadW).as("valid_to"),
         col("balance"))

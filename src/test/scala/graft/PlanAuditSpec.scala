@@ -219,6 +219,45 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("single-pass stream queries: one window exchange, no joins") {
+    // attribution, SCD2 and compaction are one-window-pass operators:
+    // exactly one hash exchange (the window partition key) plus the final
+    // presentation sort — a join or second hash exchange means the shape
+    // regressed to a self-join formulation
+    for (n <- Seq("q_attribution", "q_scd2_intervals", "q_compaction_plan")) {
+      val p = plan(n)
+      assert(!p.contains("Join"), s"$n grew a join:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"$n has extra hash exchanges:\n$p")
+    }
+  }
+
+  test("incremental agg: broadcast threshold, no sort-merge join anywhere") {
+    // the base/delta split crosses a broadcast 1-row scalar; the partials
+    // merge through a union + hash agg — a SortMergeJoin would mean the
+    // threshold got joined the expensive way
+    val p = plan("q_incremental_agg")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("set-sim join: one persisted per-doc frame feeds prefix and verify") {
+    val p = plan("q_setsim_join")
+    // the byRank frame is persisted and read at least twice (candidate
+    // generation + two verification sides)
+    assert(p.contains("InMemoryTableScan"), p)
+    // verification joins are id-keyed equi-joins, never a cross join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bpe merges: three broadcast one-row merge applications, no SMJ") {
+    val p = plan("q_bpe_merges")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3, p)
+  }
+
   test("quantized ANN broadcasts the probe side; candidates never shuffle") {
     val p = plan("q_quantized_ann")
     assert(p.contains("BroadcastNestedLoopJoin") ||
