@@ -216,6 +216,42 @@ object Catalog {
          |SELECT v AS address, round(r, 9) AS rank
          |FROM r$iters ORDER BY 1""".stripMargin)
 
+  /** The BPE training CTE chain alone (words1, pairs1/top1/words2, …,
+    * words`rounds+1`) — the DuckDB mirror of [[graft.ops.TextAnalysis]]'s
+    * shared training loop, composed into both the q_bpe_merges and
+    * q_bpe_encode oracles. */
+  private def bpeWordsCtes(rounds: Int): String = {
+    def round(k: Int): String = {
+      val merge = s"""replace(trim(replace(
+         |    ' ' || replace(sym, ' ', '  ') || ' ',
+         |    ' ' || replace((SELECT pair FROM top$k), ' ', '  ') || ' ',
+         |    ' ' || replace((SELECT pair FROM top$k), ' ', '') || ' ')),
+         |    '  ', ' ')""".stripMargin
+      s"""pairs$k AS (
+         |  SELECT list_extract(w.sy, CAST(t.i AS INTEGER)) || ' ' ||
+         |         list_extract(w.sy, CAST(t.i AS INTEGER) + 1) AS pair, w.c
+         |  FROM (SELECT c, string_split(sym, ' ') AS sy FROM words$k) w,
+         |       unnest(range(1, len(w.sy))) AS t(i)
+         |),
+         |top$k AS (
+         |  SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+         |  FROM pairs$k GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 1
+         |),
+         |words${k + 1} AS (
+         |  SELECT w, c, $merge AS sym FROM words$k
+         |)""".stripMargin
+    }
+    s"""words1 AS (
+       |  SELECT w, c, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym
+       |  FROM (
+       |    SELECT w, CAST(count(*) AS BIGINT) AS c
+       |    FROM (SELECT unnest(toks) AS w FROM docs) u
+       |    WHERE length(w) >= 2 GROUP BY 1
+       |  )
+       |),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
   /** The CTE chain alone (e/v/deg/n/r0..r`iters`), for composition into
     * larger oracles (q_wallet360). */
   private def pageRankCtes(iters: Int, weighted: Boolean = false): String = {
@@ -3575,41 +3611,50 @@ object Catalog {
     // (' a  b ' → ' ab '), so adjacent matches share no delimiter and any
     // left-to-right replace() gives the textbook greedy result in both
     // engines — the round trajectory is the oracle contract.
-    QEntry("q_bpe_merges", TextAnalysis.bpeMerges, Some(withDocs {
-      def round(k: Int): String = {
-        val merge = s"""replace(trim(replace(
-           |    ' ' || replace(sym, ' ', '  ') || ' ',
-           |    ' ' || replace((SELECT pair FROM top$k), ' ', '  ') || ' ',
-           |    ' ' || replace((SELECT pair FROM top$k), ' ', '') || ' ')),
-           |    '  ', ' ')""".stripMargin
-        s"""pairs$k AS (
-           |  SELECT list_extract(w.sy, CAST(t.i AS INTEGER)) || ' ' ||
-           |         list_extract(w.sy, CAST(t.i AS INTEGER) + 1) AS pair, w.c
-           |  FROM (SELECT c, string_split(sym, ' ') AS sy FROM words$k) w,
-           |       unnest(range(1, len(w.sy))) AS t(i)
-           |),
-           |top$k AS (
-           |  SELECT pair, CAST(SUM(c) AS BIGINT) AS n
-           |  FROM pairs$k GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 1
-           |),
-           |words${k + 1} AS (
-           |  SELECT w, c, $merge AS sym FROM words$k
-           |)""".stripMargin
-      }
-      s""", words1 AS (
-         |  SELECT w, c, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym
-         |  FROM (
-         |    SELECT w, CAST(count(*) AS BIGINT) AS c
-         |    FROM (SELECT unnest(toks) AS w FROM docs) u
-         |    WHERE length(w) >= 2 GROUP BY 1
-         |  )
-         |),
-         |${(1 to TextAnalysis.BpeMergeRounds).map(round).mkString(",\n")}
+    QEntry("q_bpe_merges", TextAnalysis.bpeMerges, Some(withDocs(
+      s""", ${bpeWordsCtes(TextAnalysis.BpeMergeRounds)}
          |${(1 to TextAnalysis.BpeMergeRounds).map(k =>
              s"SELECT CAST($k AS BIGINT) AS merge_rank, pair, n FROM top$k")
              .mkString("\nUNION ALL\n")}
-         |ORDER BY merge_rank""".stripMargin
-    })),
+         |ORDER BY merge_rank""".stripMargin))),
+
+    // BPE ENCODING — the application half of the trained tokenizer: the
+    // merged word table is the encode DICTIONARY (single-char words map to
+    // themselves), symbol ids rank the frequency-weighted symbol
+    // vocabulary, and each document re-sorts its (token_pos, symbol_pos)
+    // pairs into the final id sequence.
+    QEntry("q_bpe_encode",
+      (s, d) => jsonArr(TextAnalysis.bpeEncode(s, d), "sym_ids"),
+      Some(withDocs(
+      s""", ${bpeWordsCtes(TextAnalysis.BpeMergeRounds)},
+         |enc AS (
+         |  SELECT w, sym FROM words${TextAnalysis.BpeMergeRounds + 1}
+         |  UNION ALL
+         |  SELECT w, w AS sym FROM (
+         |    SELECT DISTINCT unnest(toks) AS w FROM docs
+         |  ) WHERE length(w) = 1
+         |),
+         |occ AS (
+         |  SELECT d.doc_id, t.i AS p, d.toks[t.i] AS w
+         |  FROM docs d, unnest(range(1, len(d.toks) + 1)) AS t(i)
+         |),
+         |symocc AS (
+         |  SELECT o.doc_id, o.p, s.i AS q,
+         |         list_extract(string_split(e.sym, ' '), CAST(s.i AS INTEGER))
+         |           AS sy
+         |  FROM occ o JOIN enc e ON e.w = o.w,
+         |       unnest(range(1, len(string_split(e.sym, ' ')) + 1)) AS s(i)
+         |),
+         |vocab AS (
+         |  SELECT sy, CAST(row_number() OVER (ORDER BY n DESC, sy) AS BIGINT)
+         |           AS id
+         |  FROM (SELECT sy, count(*) AS n FROM symocc GROUP BY 1)
+         |)
+         |SELECT so.doc_id, CAST(count(*) AS BIGINT) AS n_syms,
+         |       '[' || string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY so.p, so.q)
+         |           || ']' AS sym_ids
+         |FROM symocc so JOIN vocab v USING (sy)
+         |GROUP BY so.doc_id ORDER BY so.doc_id""".stripMargin))),
 
     // Self-trained unigram quality signals (log-free CCNet-style filter
     // core): avg corpus token frequency + rare-token share per document.

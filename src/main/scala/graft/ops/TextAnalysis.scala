@@ -321,6 +321,17 @@ object TextAnalysis {
     * tokenizer train takes: the weighted vocabulary is the working set,
     * and it SHRINKS as merges apply. */
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, rounds) = bpeTrain(spark, sfDir)
+    rounds.reduce(_ unionByName _).orderBy("merge_rank")
+  }
+
+  /** Shared BPE training loop: the fully-merged word table `(w, c, sym)`
+    * after [[BpeMergeRounds]] rounds, plus the per-round winning-pair
+    * frames `(merge_rank, pair, n)`. [[bpeMerges]] publishes the merge
+    * table; [[bpeEncode]] consumes the merged words as its encode
+    * dictionary. */
+  private def bpeTrain(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     var words = docs(spark, sfDir)
       .select(explode(col("toks")).as("w"))
       .filter(length(col("w")) >= 2)
@@ -348,7 +359,49 @@ object TextAnalysis {
         .drop("mp")
       top.select(lit(k.toLong).as("merge_rank"), col("pair"), col("n"))
     }
-    rounds.reduce(_ unionByName _).orderBy("merge_rank")
+    (words, rounds)
+  }
+
+  /** BPE ENCODING — the application half of [[bpeMerges]]: every document
+    * rendered as the symbol-id sequence the trained tokenizer produces.
+    * The merged word table already holds each distinct word's final
+    * symbol split, so encoding is a dictionary LOOKUP, not a re-merge:
+    * single-char words (excluded from training, trivially unmergeable)
+    * map to themselves, and the token stream joins the dictionary by
+    * word. Symbol ids rank the corpus-frequency-weighted symbol
+    * vocabulary (count desc, symbol asc — total order).
+    *
+    * Scale: the merge loop stays |vocab|-sized; the corpus-sized work is
+    * one equi-join of the positional token stream against the dictionary
+    * (same shape as [[graft.ops.Clean]]'s vocab-id join) plus a per-doc
+    * re-sort of (token_pos, symbol_pos) pairs. The id-assigning global
+    * window runs over the symbol vocabulary — alphabet + merges, dozens
+    * of rows — never over the corpus. */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val (trained, _) = bpeTrain(spark, sfDir)
+    val singles = docs(spark, sfDir)
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) === 1)
+      .distinct()
+      .withColumn("sym", col("w"))
+    val enc = trained.select("w", "sym").unionByName(singles)
+    val symOcc = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "w")))
+      .join(enc, Seq("w"))
+      .select(col("doc_id"), col("p"),
+        posexplode(split(col("sym"), " ")).as(Seq("q", "sy")))
+    val vocab = symOcc.groupBy("sy").agg(count(lit(1)).as("n"))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("sy").asc)).cast("long"))
+      .select("sy", "id")
+    symOcc.join(broadcast(vocab), Seq("sy"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_syms"),
+        expr("transform(array_sort(collect_list(struct(p, q, id))), x -> x.id)")
+          .as("sym_ids"))
+      .select(col("doc_id"), col("n_syms"), col("sym_ids"))
+      .orderBy("doc_id")
   }
 
   /** Unigram-LM quality signals, self-trained on the corpus itself (the

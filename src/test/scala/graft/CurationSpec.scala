@@ -114,6 +114,38 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_toks")).sum == totalToks)
   }
 
+  test("bpeEncode: symbol streams reconstruct every document's characters") {
+    // ids must be a dense 1..V frequency rank, per-doc id counts must
+    // agree with n_syms, and characters are conserved corpus-wide: every
+    // token is ≥1 symbol, and 3 real merges leave strictly fewer symbols
+    // than characters
+    import org.apache.spark.sql.functions._
+    val enc = TextAnalysis.bpeEncode(spark, sf)
+    val vocabIds = enc.select(explode(col("sym_ids")).as("id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(vocabIds.head == 1L && vocabIds.last == vocabIds.length.toLong,
+      "symbol ids are not a dense 1..V rank")
+    val rows = enc.collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_syms") == r.getAs[Seq[Long]]("sym_ids").length)
+    }
+    val nSymsTotal = rows.map(_.getAs[Long]("n_syms")).sum
+    val nToksTotal = rows.map { r =>
+      docs(r.getAs[Long]("doc_id")).trim.split("\\s+").count(_.nonEmpty)
+    }.sum
+    val nCharsTotal = rows.map { r =>
+      docs(r.getAs[Long]("doc_id")).trim.split("\\s+").map(_.length).sum
+    }.sum
+    // every token is ≥1 symbol and ≤ its char count; 3 merges happened,
+    // so strictly fewer symbols than characters
+    assert(nSymsTotal >= nToksTotal && nSymsTotal < nCharsTotal,
+      s"n_syms=$nSymsTotal outside ($nToksTotal, $nCharsTotal)")
+  }
+
   test("curriculum: stages partition the corpus in score order") {
     val rows = TextAnalysis.curriculum(spark, sf).collect()
     val stages = rows.map(_.getAs[Long]("stage"))
