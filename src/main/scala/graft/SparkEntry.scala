@@ -995,6 +995,33 @@ object Catalog {
          |       CAST(count(*) AS BIGINT) AS tx_count
          |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
+    // Exponentially time-decayed hourly volume: bounded-horizon integer
+    // 2^(H-j) weights keep the convolution exact-decimal; the single final
+    // division by 2^H is exact IEEE exponent scaling, so both engines are
+    // bit-identical.
+    QEntry("q_decayed_volume", Metrics.decayedVolume, Some(withTransfers(
+      s""", hourly AS (
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |         SUM(CAST(value AS DECIMAL(25,2))) AS vol
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |wts AS (
+         |  SELECT j, CAST(CAST(1 AS BIGINT) <<
+         |    (${Metrics.DecayHorizonHours} - j) AS DECIMAL(10,0)) AS wt
+         |  FROM unnest(range(0, ${Metrics.DecayHorizonHours + 1})) AS t(j)
+         |),
+         |contrib AS (
+         |  SELECT contract_address, t + j * 3600 AS t, SUM(vol * wt) AS s
+         |  FROM hourly, wts GROUP BY 1, 2
+         |)
+         |SELECT h.contract_address, h.t, CAST(h.vol AS DOUBLE) AS volume,
+         |       CAST(c.s AS DOUBLE) / ${1L << Metrics.DecayHorizonHours}
+         |         AS decayed
+         |FROM hourly h
+         |JOIN contrib c ON c.contract_address = h.contract_address
+         |              AND c.t = h.t
+         |ORDER BY 1, 2""".stripMargin))),
+
     QEntry("q_txcount_hourly", Metrics.hourlyTxCount, Some(withTransfers(
       s"""SELECT contract_address, ${hourBucket("transact_at")} AS t,
          |       count(*) AS tx_count
@@ -2722,6 +2749,57 @@ object Catalog {
              |),
              |$steps
              |SELECT v AS address, dist AS hops
+             |FROM b4 WHERE dist IS NOT NULL ORDER BY 1""".stripMargin)
+      }),
+
+    // Weighted shortest paths (Bellman-Ford, 4 relaxation rounds): BFS
+    // generalized to integer edge costs (cheapest transfer route from any
+    // dapp); the ≤4-edge cheapest cost is the oracle contract.
+    QEntry("q_shortest_path",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, explode, expr, min => smin}
+        Graph.weightedShortestPaths(
+          graft.Tables.transfers(s, d)
+            .groupBy(col("from_address").as("src"),
+              col("to_address").as("dst"))
+            .agg(smin(expr("block_number % 7 + 1")).as("w")),
+          graft.Tables.dapps(s).select(explode(col("addresses")).as("v")))
+          .select(col("v").as("address"), col("cost"))
+          .orderBy("address")
+      },
+      Some {
+        val steps = (1 to 4).map { i =>
+          s"""nbr$i AS (
+             |  SELECT e.dst AS v, min(b.dist + e.w) AS nd
+             |  FROM e JOIN b${i - 1} b ON b.v = e.src
+             |  WHERE b.dist IS NOT NULL GROUP BY 1
+             |),
+             |b$i AS (
+             |  SELECT v.v, least(b.dist, n.nd) AS dist
+             |  FROM v JOIN b${i - 1} b ON b.v = v.v
+             |  LEFT JOIN nbr$i n ON n.v = v.v
+             |)""".stripMargin
+        }.mkString(",\n")
+        withTransfersAndDapps(
+          s""", e AS (
+             |  SELECT from_address AS src, to_address AS dst,
+             |         min(block_number % 7 + 1) AS w
+             |  FROM transfers GROUP BY 1, 2
+             |),
+             |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             |sd AS (
+             |  SELECT DISTINCT d.addr AS v
+             |  FROM (SELECT unnest(addresses) AS addr FROM dapps) d
+             |  JOIN v ON v.v = d.addr
+             |),
+             |b0 AS (
+             |  SELECT v.v,
+             |         CASE WHEN sd.v IS NOT NULL THEN CAST(0 AS BIGINT)
+             |         ELSE NULL END AS dist
+             |  FROM v LEFT JOIN sd ON sd.v = v.v
+             |),
+             |$steps
+             |SELECT v AS address, dist AS cost
              |FROM b4 WHERE dist IS NOT NULL ORDER BY 1""".stripMargin)
       }),
 

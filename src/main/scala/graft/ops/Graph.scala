@@ -301,6 +301,42 @@ object Graph {
       .select(col("v"), col("dist").as("hops"))
   }
 
+  /** Bounded-round WEIGHTED shortest paths — Bellman-Ford relaxation in
+    * the min-plus semiring over integer edge weights. After round k,
+    * `dist(v)` is the exact cheapest cost over paths of ≤ k edges; that
+    * bounded-depth trajectory is the oracle contract (the same move as
+    * [[bfsHops]], which this generalizes from weight≡1). Integer costs
+    * mean every distance is exact BIGINT arithmetic — no float, ever.
+    *
+    * Per round: one equi-join keyed by src, one min-aggregation keyed by
+    * dst, one left join back — O(|E|) shuffled bytes per round with
+    * map-side-combining mins, rounds lineage-cut like every iterative op
+    * in this module. `edges` must carry (src, dst, w≥0). */
+  def weightedShortestPaths(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 4, cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val e = LineageCut.cut(edges.select(col("src"), col("dst"), col("w")),
+      cutMode)
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    var dist = LineageCut.cut(
+      verts.join(broadcast(seeds.select(col("v")).distinct()
+          .withColumn("d0", lit(0L))), Seq("v"), "left")
+        .select(col("v"), col("d0").as("dist")), cutMode)
+    for (_ <- 1 to rounds) {
+      val nbr = e
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("v").as("src"), col("dist")), Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("dist") + col("w")).as("nd"))
+      dist = LineageCut.cut(
+        dist.join(nbr, Seq("v"), "left")
+          .select(col("v"), least(col("dist"), col("nd")).as("dist")),
+        cutMode)
+    }
+    dist.filter(col("dist").isNotNull)
+      .select(col("v"), col("dist").as("cost"))
+  }
+
   /** Degree distribution of the directed edge set: how many vertices have
     * each (out_degree, in_degree)-summed total degree — the first
     * diagnostic of any graph workload (a heavy tail says "salt your joins

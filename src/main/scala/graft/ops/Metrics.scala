@@ -62,6 +62,45 @@ object Metrics {
       .orderBy("contract_address", "t")
   }
 
+  /** Bounded-horizon decay weights 2^([[DecayHorizonHours]]−j): INTEGER,
+    * so the decayed sum stays exact decimal; the only floating-point step
+    * is one final division by 2^H — exact exponent scaling in IEEE, so the
+    * result is bit-determined by the decimal sum in any engine. */
+  val DecayHorizonHours = 12
+
+  /** Exponentially time-decayed hourly volume (half-life = 1 h, horizon =
+    * [[DecayHorizonHours]] h) — the freshness-weighted activity feature a
+    * feature store serves: `decayed(t) = Σ_{j=0..H} vol(t−j) · 2^(H−j) /
+    * 2^H`, missing hours contributing zero.
+    *
+    * The classic running-product EWMA recursion is order-dependent in
+    * floats and unbounded in decimals (2^t overflows); the scale-safe form
+    * is a bounded-horizon CONVOLUTION: each hourly total scatters into the
+    * H+1 buckets it decays into (a broadcast 13-row weight join over the
+    * already hour-aggregated frame — bounded amplification of a bounded
+    * stream, map-side combined), then one sum per target bucket. Hours are
+    * emitted only where volume was observed (inner join back to the hourly
+    * frame), which also re-uses the (token, hour) partitioning — the join
+    * adds no exchange. */
+  def decayedVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = DecayHorizonHours
+    val hourly = Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"), hourBucket(col("transact_at")).as("t"))
+      .agg(dsumDec(col("value")).as("vol"))
+    val weights = spark.range(0, h + 1L)
+      .select(col("id").as("j"),
+        expr(s"CAST(shiftleft(CAST(1 AS BIGINT), CAST($h - id AS INT)) " +
+          "AS DECIMAL(10,0))").as("wt"))
+    val contrib = hourly.crossJoin(broadcast(weights))
+      .groupBy(col("contract_address"), (col("t") + col("j") * 3600).as("t"))
+      .agg(sum(col("vol") * col("wt")).as("s"))
+    hourly.join(contrib, Seq("contract_address", "t"))
+      .select(col("contract_address"), col("t"),
+        col("vol").cast("double").as("volume"),
+        (col("s").cast("double") / lit(math.pow(2, h))).as("decayed"))
+      .orderBy("contract_address", "t")
+  }
+
   /** Hourly transfer count per token
     * (reference: src/main/scala/etl/BaseEnricher.scala:239-265). */
   def hourlyTxCount(spark: SparkSession, sfDir: String): DataFrame =

@@ -148,6 +148,29 @@ class GraphSpec extends AnyFunSuite {
     assert(hops == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("weighted shortest paths: detours beat heavy direct edges within bound") {
+    // 1->4 direct costs 10; 1->2->3->4 costs 3. With 3+ rounds the detour
+    // wins; with 1 round only the direct edge is reachable. Weight-1 edges
+    // must reproduce bfsHops exactly.
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (8L, 9L, 5L)).toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("v")
+    val d3 = Graph.weightedShortestPaths(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    val d1 = Graph.weightedShortestPaths(edges, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 4L -> 10L)) // direct only
+    // unit weights degenerate to BFS hop counts
+    val unit = edges.select($"src", $"dst",
+      org.apache.spark.sql.functions.lit(1L).as("w"))
+    val viaW = Graph.weightedShortestPaths(unit, seeds, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val viaB = Graph.bfsHops(edges.select("src", "dst"), seeds, maxHops = 4)
+      .as[(Long, Int)].collect().map { case (v, h) => (v, h.toLong) }.toMap
+    assert(viaW == viaB)
+  }
+
   test("personalized pagerank: mass stays near seeds, unreachable = 0.0") {
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
     val seeds = Seq(Tuple1(1L)).toDF("v")

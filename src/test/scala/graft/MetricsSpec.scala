@@ -21,6 +21,30 @@ class MetricsSpec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("decayed volume equals a BigDecimal reconvolution of the hourly series") {
+    import org.apache.spark.sql.functions._
+    val h = graft.ops.Metrics.DecayHorizonHours
+    val hourly = Tables.transfers(spark, GraftSpark.Sf)
+      .groupBy(col("contract_address"),
+        (expr("transact_at div 3600") * 3600).as("t"))
+      .agg(sum(col("value").cast("decimal(25,2)")).as("vol"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDecimal(2))
+      .toMap
+    val got = graft.ops.Metrics.decayedVolume(spark, GraftSpark.Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = r.getString(0); val t = r.getLong(1)
+      val s = (0 to h).map { j =>
+        Option(hourly.getOrElse((key, t - j * 3600L), null))
+          .map(v => BigDecimal(v) * BigDecimal(1L << (h - j)))
+          .getOrElse(BigDecimal(0))
+      }.sum
+      assert(r.getDouble(3) == s.toDouble / (1L << h).toDouble,
+        s"$key@$t: ${r.getDouble(3)} vs $s/2^$h")
+    }
+  }
+
   test("volume anomalies: flagged hours are a sparse tail of the series") {
     import org.apache.spark.sql.functions._
     val flagged = graft.ops.Metrics.volumeAnomalies(spark, GraftSpark.Sf)
