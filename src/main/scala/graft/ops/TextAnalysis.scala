@@ -385,11 +385,15 @@ object TextAnalysis {
       .distinct()
       .withColumn("sym", col("w"))
     val enc = trained.select("w", "sym").unionByName(singles)
+    // the symbol stream feeds BOTH the vocabulary count and the final
+    // render; persisting it runs the training chain + dictionary join
+    // once (at cluster scale this is the frame you'd checkpoint)
     val symOcc = docs(spark, sfDir)
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "w")))
       .join(enc, Seq("w"))
       .select(col("doc_id"), col("p"),
         posexplode(split(col("sym"), " ")).as(Seq("q", "sy")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = symOcc.groupBy("sy").agg(count(lit(1)).as("n"))
       .withColumn("id", row_number().over(
         org.apache.spark.sql.expressions.Window
