@@ -1648,6 +1648,25 @@ object Catalog {
         |  )
         |) GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    // CDC apply (MERGE INTO analog): last op per key wins by total
+    // version order; terminal DELETEs tombstone the key away.
+    QEntry("q_cdc_apply", Keys.cdcApply, Some(withTransfers(
+      """SELECT contract_address, wallet, last_version, last_value, n_ops
+        |FROM (
+        |  SELECT contract_address, from_address AS wallet,
+        |         block_number AS last_version, value AS last_value,
+        |         CASE WHEN block_number % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         row_number() OVER (
+        |           PARTITION BY contract_address, from_address
+        |           ORDER BY block_number DESC) AS rn,
+        |         CAST(count(*) OVER (
+        |           PARTITION BY contract_address, from_address) AS BIGINT)
+        |           AS n_ops
+        |  FROM transfers
+        |)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY contract_address, wallet""".stripMargin))),
+
     // As-of join by composition, proven against DuckDB's native ASOF JOIN.
     QEntry("q_asof_price", AsOf.transfersWithPrice, Some(withTransfers(
       """SELECT t.contract_address, t.transact_at, t.block_number, t.value,
@@ -2594,6 +2613,32 @@ object Catalog {
          |     unnest(range(0, (len(toks) + ${Clean.ChunkStride - 1})
          |       // ${Clean.ChunkStride})) AS t(i)
          |ORDER BY doc_id, chunk_id""".stripMargin))),
+
+    // T5-style span corruption: every 5th 3-token span masked by a
+    // numbered sentinel; position (not RNG) decides the mask, so the
+    // pair generation is deterministic and oracle-checkable. Pure
+    // zero-shuffle projection.
+    QEntry("q_span_corruption", Clean.spanCorruption, Some(withDocs {
+      val L = Clean.CorruptSpanLen; val M = Clean.MaskEvery
+      val sent = s"'<extra_id_' || CAST(s // $M AS VARCHAR) || '>'"
+      s""", base AS (
+         |  SELECT doc_id, toks, (len(toks) + ${L - 1}) // $L AS n_spans
+         |  FROM docs WHERE text IS NOT NULL AND len(toks) >= 1
+         |)
+         |SELECT doc_id,
+         |  array_to_string(flatten(list_transform(range(0, n_spans),
+         |    s -> CASE WHEN s % $M = 0 THEN [$sent]
+         |         ELSE toks[s * $L + 1 : s * $L + $L] END)), ' ')
+         |    AS input_text,
+         |  array_to_string(flatten(list_transform(
+         |    list_filter(range(0, n_spans), s -> s % $M = 0),
+         |    s -> list_prepend($sent, toks[s * $L + 1 : s * $L + $L]))), ' ')
+         |    AS target_text,
+         |  CAST(len(flatten(list_transform(
+         |    list_filter(range(0, n_spans), s -> s % $M = 0),
+         |    s -> toks[s * $L + 1 : s * $L + $L]))) AS BIGINT) AS n_masked
+         |FROM base ORDER BY doc_id""".stripMargin
+    })),
 
     QEntry("q_token_ids", (s, d) => jsonArr(Clean.tokenIds(s, d), "ids"),
       Some(withDocs(

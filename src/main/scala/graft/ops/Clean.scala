@@ -152,6 +152,45 @@ object Clean {
     * frequency (ties → lexicographic). The classic word-count shape: the
     * per-token partial aggregate combines map-side, the top-k is a
     * TakeOrdered — nothing materializes a global sort. */
+  /** Span-corruption training pairs (the T5/UL2 denoising objective):
+    * tokens group into [[CorruptSpanLen]]-token spans, every
+    * [[MaskEvery]]-th span is masked, the input replaces each masked
+    * span with a numbered sentinel, and the target is the
+    * sentinel-delimited concatenation of exactly the masked content.
+    * Deterministic by construction (span position, not RNG, decides the
+    * mask — the house rule that makes the pair generation
+    * oracle-checkable and resumable at any partition count).
+    *
+    * Scale: a PURE PROJECTION — higher-order array functions inside one
+    * whole-stage-codegen pass over the scan; zero shuffles, zero joins.
+    * Example-generation at 100 TB is exactly this shape: embarrassingly
+    * parallel, output partitioned like the input. */
+  val CorruptSpanLen = 3
+  val MaskEvery = 5
+
+  def spanCorruption(spark: SparkSession, sfDir: String): DataFrame = {
+    val L = CorruptSpanLen; val M = MaskEvery
+    val sentinel = s"concat('<extra_id_', cast(s div $M as string), '>')"
+    docs(spark, sfDir)
+      .filter(col("text").isNotNull && size(col("toks")) >= 1)
+      .withColumn("n_spans",
+        expr(s"cast((size(toks) + ${L - 1}) div $L as int)"))
+      .select(col("doc_id"),
+        expr(s"""concat_ws(' ', flatten(transform(sequence(0, n_spans - 1),
+          |  s -> IF(s % $M = 0, array($sentinel),
+          |          slice(toks, s * $L + 1, $L)))))""".stripMargin)
+          .as("input_text"),
+        expr(s"""concat_ws(' ', flatten(transform(
+          |  filter(sequence(0, n_spans - 1), s -> s % $M = 0),
+          |  s -> concat(array($sentinel), slice(toks, s * $L + 1, $L)))))"""
+          .stripMargin).as("target_text"),
+        expr(s"""cast(size(flatten(transform(
+          |  filter(sequence(0, n_spans - 1), s -> s % $M = 0),
+          |  s -> slice(toks, s * $L + 1, $L)))) as bigint)""".stripMargin)
+          .as("n_masked"))
+      .orderBy("doc_id")
+  }
+
   val VocabK = 100
   def vocabTop(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)

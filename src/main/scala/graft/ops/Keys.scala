@@ -81,6 +81,38 @@ object Keys {
       .orderBy("contract_address")
   }
 
+  /** CDC apply (the MERGE INTO analog): a change stream carrying
+    * update/DELETE opcodes collapses to the final table state — the last
+    * op per key wins by the total version order, and a terminal DELETE
+    * erases the key entirely. [[upsertDedupCounts]] is the idempotence
+    * half of a sink's exactly-once story; this is the tombstone half
+    * (which plain upsert cannot express).
+    *
+    * One window pass keyed by the CDC key (rank + per-key count share
+    * the same hash exchange), then keep rn=1 and drop tombstones. The
+    * opcode and version derive deterministically from the data
+    * (block_number: a total order, so no ties to break). Scale: the log-
+    * compaction shape — ONE shuffle by key, no join; that single
+    * exchange is the floor any MERGE implementation pays. */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = Seq("contract_address", "wallet")
+    val ops = Tables.transfers(spark, sfDir)
+      .select(col("contract_address"), col("from_address").as("wallet"),
+        col("block_number").as("version"), col("value"),
+        when(col("block_number") % 10 === 0, "D").otherwise("U").as("op"))
+    ops
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(key.map(col): _*).orderBy(col("version").desc)))
+      .withColumn("n_ops", count(lit(1)).over(
+        Window.partitionBy(key.map(col): _*)))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("contract_address"), col("wallet"),
+        col("version").as("last_version"), col("value").as("last_value"),
+        col("n_ops"))
+      .orderBy("contract_address", "wallet")
+  }
+
   /** Map change-log round trip: per-token map<hour→volume> (A9/C9) serialized
     * to JSON and re-parsed against an explicit MapType (C12, reference:
     * utils/CheckAddress.scala:43-47), then exploded back to rows (C6) —

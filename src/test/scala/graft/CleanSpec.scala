@@ -130,6 +130,59 @@ class CleanSpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("span corruption: sentinels align and input+target reconstruct the doc") {
+    import org.apache.spark.sql.functions._
+    val L = graft.ops.Clean.CorruptSpanLen
+    val M = graft.ops.Clean.MaskEvery
+    val rows = graft.ops.Clean.spanCorruption(spark, GraftSpark.Sf).collect()
+    val texts = Tables.documents(spark, GraftSpark.Sf)
+      .select("doc_id", "text").where(col("text").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).trim.split("\\s+").toSeq
+      val spans = toks.grouped(L).toSeq
+      val masked = spans.zipWithIndex.filter(_._2 % M == 0)
+      val expectIn = spans.zipWithIndex.flatMap { case (sp, s) =>
+        if (s % M == 0) Seq(s"<extra_id_${s / M}>") else sp
+      }.mkString(" ")
+      val expectTgt = masked.flatMap { case (sp, s) =>
+        s"<extra_id_${s / M}>" +: sp
+      }.mkString(" ")
+      assert(r.getString(1) == expectIn, s"doc ${r.getLong(0)} input")
+      assert(r.getString(2) == expectTgt, s"doc ${r.getLong(0)} target")
+      assert(r.getLong(3) == masked.map(_._1.size).sum.toLong)
+      // reconstruction: replacing each sentinel in the input with its
+      // masked span yields the original token stream
+      val bySent = masked.map { case (sp, s) =>
+        s"<extra_id_${s / M}>" -> sp.mkString(" ") }.toMap
+      val rebuilt = r.getString(1).split(" ").flatMap { t =>
+        bySent.get(t).map(_.split(" ").toSeq.filter(_.nonEmpty))
+          .getOrElse(Seq(t))
+      }.mkString(" ")
+      assert(rebuilt == toks.mkString(" "), s"doc ${r.getLong(0)} rebuild")
+    }
+  }
+
+  test("cdc apply: tombstoned keys absent, survivors carry the last version") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Keys.cdcApply(spark, GraftSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val ops = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "from_address", "block_number", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byKey = ops.groupBy(t => (t._1, t._2))
+    val expected = byKey.flatMap { case (k, rs) =>
+      val last = rs.maxBy(_._3)
+      if (last._3 % 10 == 0) None // terminal DELETE: key erased
+      else Some(k -> (last._3, last._4, rs.size.toLong))
+    }
+    assert(got == expected)
+    assert(got.size < byKey.size, "no key was ever tombstoned")
+  }
+
   test("token ids: positional round-trip through the vocab, UNK only for OOV") {
     val ids = Clean.tokenIds(spark, sf)
     val toks = Tables.documents(spark, sf)
