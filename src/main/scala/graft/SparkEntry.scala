@@ -216,6 +216,52 @@ object Catalog {
          |SELECT v AS address, round(r, 9) AS rank
          |FROM r$iters ORDER BY 1""".stripMargin)
 
+  /** The TF-IDF retrieval CTE chain alone (base … dots — per-probe decimal
+    * dot products under rank-capped tf·idf weights), composed into the
+    * q_tfidf_topk and q_rank_fusion oracles. */
+  private val tfidfCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, toks FROM docs
+       |  WHERE text IS NOT NULL AND len(toks) >= 1
+       |),
+       |dt AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) u
+       |  GROUP BY 1, 2
+       |),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+       |dd AS (SELECT df, CAST(count(*) AS BIGINT) AS c FROM dfs GROUP BY 1),
+       |dc AS (
+       |  SELECT df, SUM(c) OVER (ORDER BY df) AS cum, SUM(c) OVER () AS nv
+       |  FROM dd
+       |),
+       |cap AS (
+       |  SELECT min(df) AS df_cap FROM dc
+       |  WHERE cum >= ceil(CAST(nv AS DOUBLE) * ${Corpus.TfidfKeepVocabFrac})
+       |),
+       |wtd AS (
+       |  SELECT dt.doc_id, dt.tok,
+       |         CAST(dt.k AS DOUBLE) *
+       |           ((CAST(nd.n AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
+       |            / (CAST(dfs.df AS DOUBLE) + 0.5)) AS w
+       |  FROM dt JOIN dfs USING (tok), nd, cap
+       |  WHERE dfs.df <= cap.df_cap
+       |),
+       |norms AS (
+       |  SELECT doc_id,
+       |         sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE))
+       |           AS nrm
+       |  FROM wtd GROUP BY 1
+       |),
+       |dots AS (
+       |  SELECT q.doc_id AS query_id, d.doc_id,
+       |         CAST(SUM(CAST(q.w * d.w AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM wtd q JOIN wtd d ON q.tok = d.tok AND d.doc_id != q.doc_id
+       |  WHERE q.doc_id < ${Corpus.TfidfProbeCount}
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   /** The BPE training CTE chain alone (words1, pairs1/top1/words2, …,
     * words`rounds+1`) — the DuckDB mirror of [[graft.ops.TextAnalysis]]'s
     * shared training loop, composed into both the q_bpe_merges and
@@ -2361,47 +2407,7 @@ object Catalog {
     // family — rational log-free idf, df-capped inverted index, exact
     // decimal norms/dots.
     QEntry("q_tfidf_topk", Corpus.tfidfTopK, Some(withDocs(
-      s""", base AS (
-         |  SELECT doc_id, toks FROM docs
-         |  WHERE text IS NOT NULL AND len(toks) >= 1
-         |),
-         |dt AS (
-         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
-         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) u
-         |  GROUP BY 1, 2
-         |),
-         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
-         |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
-         |dd AS (SELECT df, CAST(count(*) AS BIGINT) AS c FROM dfs GROUP BY 1),
-         |dc AS (
-         |  SELECT df, SUM(c) OVER (ORDER BY df) AS cum, SUM(c) OVER () AS nv
-         |  FROM dd
-         |),
-         |cap AS (
-         |  SELECT min(df) AS df_cap FROM dc
-         |  WHERE cum >= ceil(CAST(nv AS DOUBLE) * ${Corpus.TfidfKeepVocabFrac})
-         |),
-         |wtd AS (
-         |  SELECT dt.doc_id, dt.tok,
-         |         CAST(dt.k AS DOUBLE) *
-         |           ((CAST(nd.n AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
-         |            / (CAST(dfs.df AS DOUBLE) + 0.5)) AS w
-         |  FROM dt JOIN dfs USING (tok), nd, cap
-         |  WHERE dfs.df <= cap.df_cap
-         |),
-         |norms AS (
-         |  SELECT doc_id,
-         |         sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE))
-         |           AS nrm
-         |  FROM wtd GROUP BY 1
-         |),
-         |dots AS (
-         |  SELECT q.doc_id AS query_id, d.doc_id,
-         |         CAST(SUM(CAST(q.w * d.w AS DECIMAL(38,18))) AS DOUBLE) AS dot
-         |  FROM wtd q JOIN wtd d ON q.tok = d.tok AND d.doc_id != q.doc_id
-         |  WHERE q.doc_id < ${Corpus.TfidfProbeCount}
-         |  GROUP BY 1, 2
-         |)
+      s""", $tfidfCtes
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
          |       round(c, 6) AS score
          |FROM (
@@ -2414,6 +2420,60 @@ object Catalog {
          |  JOIN norms nq ON nq.doc_id = d.query_id
          |  JOIN norms nv ON nv.doc_id = d.doc_id
          |) WHERE rnk <= ${Corpus.TfidfK} ORDER BY query_id, rnk""".stripMargin))),
+
+    // Hybrid retrieval: sparse (tf·idf) and dense (embedding cosine)
+    // top-5 lists for the shared probe set, fused by integer Borda count
+    // (bit-stable where RRF's float reciprocal sums are not).
+    QEntry("q_rank_fusion", Corpus.hybridFusion, Some(withDocs(
+      s""", $embIdxCte,
+         |$tfidfCtes,
+         |sp AS (
+         |  SELECT query_id, doc_id AS cand, CAST(rnk AS BIGINT) AS rs FROM (
+         |    SELECT d.query_id, d.doc_id,
+         |           row_number() OVER (PARTITION BY d.query_id
+         |             ORDER BY d.dot / (nq.nrm * nv.nrm) DESC, d.doc_id ASC)
+         |             AS rnk
+         |    FROM dots d
+         |    JOIN norms nq ON nq.doc_id = d.query_id
+         |    JOIN norms nv ON nv.doc_id = d.doc_id
+         |  ) WHERE rnk <= ${Corpus.TfidfK}
+         |),
+         |enorms AS (
+         |  SELECT vec_id,
+         |         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |edots AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM idx q JOIN idx d ON q.i = d.i
+         |  WHERE q.vec_id < ${Corpus.TfidfProbeCount}
+         |    AND d.vec_id != q.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |dn AS (
+         |  SELECT query_id, neighbor_id AS cand, CAST(rnk AS BIGINT) AS rd
+         |  FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY dot / (sqrt(nq.sq) * sqrt(nd.sq)) DESC,
+         |                      neighbor_id ASC) AS rnk
+         |    FROM edots
+         |    JOIN enorms nq ON nq.vec_id = query_id
+         |    JOIN enorms nd ON nd.vec_id = neighbor_id
+         |  ) WHERE rnk <= ${Similarity.K}
+         |),
+         |fused AS (
+         |  SELECT query_id, cand,
+         |         COALESCE(${Corpus.TfidfK + 1} - rs, 0)
+         |           + COALESCE(${Similarity.K + 1} - rd, 0) AS borda, rs, rd
+         |  FROM sp FULL JOIN dn USING (query_id, cand)
+         |)
+         |SELECT query_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY borda DESC, cand ASC) AS BIGINT) AS fused_rank,
+         |       cand, borda, rs, rd
+         |FROM fused ORDER BY query_id, fused_rank""".stripMargin))),
 
     // ---- corpus cleaning (ops/Clean.scala)
     QEntry("q_token_dedup", Clean.tokenDedup, Some(withDocs(

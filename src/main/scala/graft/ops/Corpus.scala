@@ -438,4 +438,35 @@ object Corpus {
         round(col("c"), 6).as("score"))
       .orderBy("query_id", "rnk")
   }
+
+  /** Hybrid retrieval fusion: the sparse ([[tfidfTopK]]) and dense
+    * ([[Similarity.bruteForceTopK]], over the aligned embedding of each
+    * document) rankings for the shared probe set, fused by BORDA count —
+    * each candidate scores Σ(K+1−rank) over the lists that retrieved it
+    * (absence contributes 0), re-ranked by (score desc, id asc). Borda is
+    * the integer-exact member of the rank-fusion family: RRF's Σ1/(k+r)
+    * is an order-dependent float sum, Borda is bit-stable by
+    * construction — the house determinism rule picks it.
+    *
+    * Scale: both legs are already top-K-truncated per probe (≤K rows ×
+    * O(1) probes), so the full-outer fusion join and re-rank run over two
+    * tiny frames; the retrieval legs dominate and fusion stays free at
+    * any corpus size. */
+  def hybridFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val sparse = tfidfTopK(spark, sfDir)
+      .select(col("query_id"), col("doc_id").as("cand"), col("rnk").as("rs"))
+    val dense = Similarity.bruteForceTopK(spark, sfDir)
+      .filter(col("query_id") < TfidfProbeCount)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("rnk").as("rd"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("borda").desc, col("cand").asc)
+    sparse.join(dense, Seq("query_id", "cand"), "full_outer")
+      .withColumn("borda",
+        coalesce(lit((TfidfK + 1).toLong) - col("rs"), lit(0L)) +
+          coalesce(lit((Similarity.K + 1).toLong) - col("rd"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .select("query_id", "fused_rank", "cand", "borda", "rs", "rd")
+      .orderBy("query_id", "fused_rank")
+  }
 }

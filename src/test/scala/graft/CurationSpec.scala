@@ -146,6 +146,34 @@ class CurationSpec extends AnyFunSuite {
       s"n_syms=$nSymsTotal outside ($nToksTotal, $nCharsTotal)")
   }
 
+  test("rank fusion: Borda arithmetic, list union, deterministic order") {
+    import org.apache.spark.sql.functions._
+    val fused = graft.ops.Corpus.hybridFusion(spark, sf).collect()
+    val sparse = graft.ops.Corpus.tfidfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val dense = Similarity.bruteForceTopK(spark, sf)
+      .where(col("query_id") < graft.ops.Corpus.TfidfProbeCount).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    assert(fused.nonEmpty)
+    // exact union of the two candidate sets, each exactly once
+    val fKeys = fused.map(r => (r.getLong(0), r.getLong(2)))
+    assert(fKeys.toSet == sparse.keySet ++ dense.keySet)
+    assert(fKeys.length == fKeys.distinct.length)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val expect = sparse.get(key).map(6L - _).getOrElse(0L) +
+        dense.get(key).map(6L - _).getOrElse(0L)
+      assert(r.getLong(3) == expect, s"$key borda")
+    }
+    // per probe: fused_rank is 1..n in (borda desc, cand asc) order
+    fused.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq)
+      val order = sorted.map(r => (-r.getLong(3), r.getLong(2))).toSeq
+      assert(order == order.sorted, s"probe $q fused order")
+    }
+  }
+
   test("curriculum: stages partition the corpus in score order") {
     val rows = TextAnalysis.curriculum(spark, sf).collect()
     val stages = rows.map(_.getAs[Long]("stage"))
