@@ -19,7 +19,7 @@ object ExplainProbe {
       df.count()
       println(f"=== $n r$r ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       if (r == 2 && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-        println(df.queryExecution.executedPlan.toString.take(5000))
+        println(df.queryExecution.executedPlan.toString.take(40000))
     }
     spark.stop()
   }
