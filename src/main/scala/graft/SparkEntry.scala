@@ -262,6 +262,30 @@ object Catalog {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** The BPE ENCODE CTE chain (training words + enc dictionary + the
+    * per-(doc, token_pos, symbol_pos) symbol-occurrence stream) — shared
+    * by the q_bpe_encode and q_tokenizer_fertility oracles. */
+  private lazy val bpeSymOccCtes: String =
+    s"""${bpeWordsCtes(TextAnalysis.BpeMergeRounds)},
+       |enc AS (
+       |  SELECT w, sym FROM words${TextAnalysis.BpeMergeRounds + 1}
+       |  UNION ALL
+       |  SELECT w, w AS sym FROM (
+       |    SELECT DISTINCT unnest(toks) AS w FROM docs
+       |  ) WHERE length(w) = 1
+       |),
+       |occ AS (
+       |  SELECT d.doc_id, t.i AS p, d.toks[t.i] AS w
+       |  FROM docs d, unnest(range(1, len(d.toks) + 1)) AS t(i)
+       |),
+       |symocc AS (
+       |  SELECT o.doc_id, o.p, s.i AS q,
+       |         list_extract(string_split(e.sym, ' '), CAST(s.i AS INTEGER))
+       |           AS sy
+       |  FROM occ o JOIN enc e ON e.w = o.w,
+       |       unnest(range(1, len(string_split(e.sym, ' ')) + 1)) AS s(i)
+       |)""".stripMargin
+
   /** The BPE training CTE chain alone (words1, pairs1/top1/words2, …,
     * words`rounds+1`) — the DuckDB mirror of [[graft.ops.TextAnalysis]]'s
     * shared training loop, composed into both the q_bpe_merges and
@@ -1712,6 +1736,28 @@ object Catalog {
         |)
         |WHERE rn = 1 AND op <> 'D'
         |ORDER BY contract_address, wallet""".stripMargin))),
+
+    // Snapshot diff (change-data-feed rollup): added/updated/unchanged
+    // key counts between the ~90%-block snapshot and the full state; one
+    // aggregation computes both versions per key, no snapshot join.
+    QEntry("q_snapshot_diff", Keys.snapshotDiff, Some(withTransfers(
+      """, thr AS (
+        |  SELECT max(block_number) - max(block_number) // 10 AS thr
+        |  FROM transfers
+        |),
+        |st AS (
+        |  SELECT contract_address, from_address AS wallet,
+        |         max(block_number) AS last_all,
+        |         max(CASE WHEN block_number < thr.thr
+        |             THEN block_number END) AS last_base
+        |  FROM transfers, thr GROUP BY 1, 2
+        |)
+        |SELECT contract_address,
+        |       CASE WHEN last_base IS NULL THEN 'added'
+        |            WHEN last_all > last_base THEN 'updated'
+        |            ELSE 'unchanged' END AS diff_class,
+        |       CAST(count(*) AS BIGINT) AS n_keys
+        |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
     // As-of join by composition, proven against DuckDB's native ASOF JOIN.
     QEntry("q_asof_price", AsOf.transfersWithPrice, Some(withTransfers(
@@ -3683,6 +3729,40 @@ object Catalog {
          |  )
          |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Batch padding audit: arrival vs length-sorted batching waste,
+    // batches formed WITHIN source shards (no global row-number funnel).
+    QEntry("q_batch_padding", Layout.batchPaddingAudit, Some(withDocs {
+      val B = Layout.BatchSize
+      def leg(order: String, strategy: String) =
+        s"""SELECT source, '$strategy' AS strategy,
+           |       CAST(count(*) AS BIGINT) AS n_batches,
+           |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+           |       CAST(sum(n * mx - tok) AS BIGINT) AS n_padding,
+           |       round(CAST(sum(n * mx - tok) AS DOUBLE)
+           |         / CAST(sum(n * mx - tok) + sum(tok) AS DOUBLE), 6)
+           |         AS padding_frac
+           |FROM (
+           |  SELECT source, batch_no, CAST(count(*) AS BIGINT) AS n,
+           |         max(len) AS mx, sum(len) AS tok
+           |  FROM (
+           |    SELECT source,
+           |           (row_number() OVER (PARTITION BY source
+           |              ORDER BY $order) - 1) // $B AS batch_no,
+           |           len
+           |    FROM lens
+           |  ) GROUP BY 1, 2
+           |) GROUP BY 1""".stripMargin
+      s""", lens AS (
+         |  SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS len
+         |  FROM docs WHERE text IS NOT NULL AND len(toks) >= 1
+         |)
+         |SELECT * FROM (
+         |${leg("doc_id", "arrival")}
+         |UNION ALL
+         |${leg("len, doc_id", "length_sorted")}
+         |) ORDER BY source, strategy""".stripMargin
+    })),
+
     QEntry("q_orders_rollup", Relational.ordersRollup, Some(
       s"""SELECT r.r_name, n.n_name,
          |       count(*) AS n_orders,
@@ -3809,25 +3889,7 @@ object Catalog {
     QEntry("q_bpe_encode",
       (s, d) => jsonArr(TextAnalysis.bpeEncode(s, d), "sym_ids"),
       Some(withDocs(
-      s""", ${bpeWordsCtes(TextAnalysis.BpeMergeRounds)},
-         |enc AS (
-         |  SELECT w, sym FROM words${TextAnalysis.BpeMergeRounds + 1}
-         |  UNION ALL
-         |  SELECT w, w AS sym FROM (
-         |    SELECT DISTINCT unnest(toks) AS w FROM docs
-         |  ) WHERE length(w) = 1
-         |),
-         |occ AS (
-         |  SELECT d.doc_id, t.i AS p, d.toks[t.i] AS w
-         |  FROM docs d, unnest(range(1, len(d.toks) + 1)) AS t(i)
-         |),
-         |symocc AS (
-         |  SELECT o.doc_id, o.p, s.i AS q,
-         |         list_extract(string_split(e.sym, ' '), CAST(s.i AS INTEGER))
-         |           AS sy
-         |  FROM occ o JOIN enc e ON e.w = o.w,
-         |       unnest(range(1, len(string_split(e.sym, ' ')) + 1)) AS s(i)
-         |),
+      s""", $bpeSymOccCtes,
          |vocab AS (
          |  SELECT sy, CAST(row_number() OVER (ORDER BY n DESC, sy) AS BIGINT)
          |           AS id
@@ -3838,6 +3900,34 @@ object Catalog {
          |           || ']' AS sym_ids
          |FROM symocc so JOIN vocab v USING (sy)
          |GROUP BY so.doc_id ORDER BY so.doc_id""".stripMargin))),
+
+    // Tokenizer fertility by source: symbols per word + chars per symbol
+    // from the trained encoder — the tokenizer-eval rollup.
+    QEntry("q_tokenizer_fertility", TextAnalysis.tokenizerFertility,
+      Some(withDocs(
+      s""", $bpeSymOccCtes,
+         |ds AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_syms
+         |  FROM symocc GROUP BY 1
+         |),
+         |meta AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(toks, t -> length(t) >= 1))
+         |           AS BIGINT) AS n_words,
+         |         CAST(COALESCE(list_sum(list_transform(
+         |           list_filter(toks, t -> length(t) >= 1),
+         |           t -> length(t))), 0) AS BIGINT) AS n_chars
+         |  FROM docs
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_syms) AS BIGINT) AS n_syms,
+         |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |       round(CAST(SUM(n_syms) AS DOUBLE)
+         |         / CAST(SUM(n_words) AS DOUBLE), 6) AS fertility,
+         |       round(CAST(SUM(n_chars) AS DOUBLE)
+         |         / CAST(SUM(n_syms) AS DOUBLE), 6) AS chars_per_sym
+         |FROM ds JOIN meta USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin))),
 
     // Self-trained unigram quality signals (log-free CCNet-style filter
     // core): avg corpus token frequency + rare-token share per document.

@@ -113,6 +113,33 @@ object Keys {
       .orderBy("contract_address", "wallet")
   }
 
+  /** Snapshot diff — the change-data-feed rollup between two
+    * materializations of the keyed state: the "previous" snapshot is the
+    * state at the ~90% block threshold (the same deterministic split as
+    * [[Metrics.incrementalHourlyVolume]]), the "current" one is the full
+    * state; every key classifies as added (absent before), updated (new
+    * version since), or unchanged. ONE aggregation computes both
+    * snapshots' versions per key (max + conditional max share the
+    * exchange) — the diff never joins two table scans, which is the move
+    * that survives 100 TB snapshots. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+    val thr = t.agg(max("block_number").as("mb"))
+      .select(expr("mb - mb div 10").as("thr"))
+    t.crossJoin(broadcast(thr))
+      .groupBy(col("contract_address"), col("from_address").as("wallet"))
+      .agg(max("block_number").as("last_all"),
+        max(when(col("block_number") < col("thr"), col("block_number")))
+          .as("last_base"))
+      .withColumn("diff_class",
+        when(col("last_base").isNull, "added")
+          .when(col("last_all") > col("last_base"), "updated")
+          .otherwise("unchanged"))
+      .groupBy(col("contract_address"), col("diff_class"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("contract_address", "diff_class")
+  }
+
   /** Map change-log round trip: per-token map<hour→volume> (A9/C9) serialized
     * to JSON and re-parsed against an explicit MapType (C12, reference:
     * utils/CheckAddress.scala:43-47), then exploded back to rows (C6) —

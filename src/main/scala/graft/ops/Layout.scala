@@ -119,4 +119,46 @@ object Layout {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("source", "file_no")
   }
+
+  /** Training-batch padding audit: the token waste of padding each batch
+    * to its longest member, compared between ARRIVAL-order batching and
+    * LENGTH-SORTED batching (the standard dynamic-batching win). Batches
+    * of [[BatchSize]] form WITHIN each source shard — the form batching
+    * takes on a real cluster (a global row-number sort is a single-task
+    * funnel at 100 TB; per-shard windows are not), and what makes the
+    * audit partition-independent. Waste per batch is
+    * `n·max(len) − Σ len` (the final partial batch pads to its own size,
+    * not B). All-integer until the one final waste-fraction division.
+    *
+    * One exchange keyed by source drives both orderings: the two
+    * row-number windows differ only in sort key, so they share the
+    * partitioning; per-batch stats then collapse map-side. */
+  val BatchSize = 32
+
+  def batchPaddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(graft.ops.TextAnalysis.toksExpr))
+      .filter(col("text").isNotNull && expr("size(toks) >= 1"))
+      .select(col("source"), col("doc_id"),
+        expr("size(toks)").cast("long").as("len"))
+      .withColumn("r_arrival", row_number().over(w.orderBy("doc_id")))
+      .withColumn("r_sorted",
+        row_number().over(w.orderBy(col("len"), col("doc_id"))))
+    def audit(rank: String, strategy: String) = base
+      .groupBy(col("source"),
+        expr(s"($rank - 1) div $BatchSize").as("batch_no"))
+      .agg(count(lit(1)).as("n"), max("len").as("mx"), sum("len").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batches"), sum("tok").as("n_tokens"),
+        sum(col("n") * col("mx") - col("tok")).as("n_padding"))
+      .select(col("source"), lit(strategy).as("strategy"), col("n_batches"),
+        col("n_tokens"), col("n_padding"),
+        round(col("n_padding").cast("double") /
+          (col("n_padding") + col("n_tokens")).cast("double"), 6)
+          .as("padding_frac"))
+    audit("r_arrival", "arrival")
+      .unionByName(audit("r_sorted", "length_sorted"))
+      .orderBy("source", "strategy")
+  }
 }

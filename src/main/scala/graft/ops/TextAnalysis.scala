@@ -408,6 +408,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY by source — the standard tokenizer-evaluation
+    * metric (symbols emitted per word; chars carried per symbol): high
+    * fertility on a source means the learned merges serve it poorly and
+    * its token budget inflates. Builds on [[bpeEncode]]'s per-doc symbol
+    * counts; word/char counts cover exactly the encodable tokens
+    * (length ≥ 1), so the ratios are conservation-consistent with the
+    * encoder. All-integer sums; two final IEEE divisions. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = bpeEncode(spark, sfDir).select("doc_id", "n_syms")
+    val meta = docs(spark, sfDir).select(col("doc_id"), col("source"),
+      expr("size(filter(toks, t -> length(t) >= 1))").cast("long")
+        .as("n_words"),
+      expr("""aggregate(filter(toks, t -> length(t) >= 1),
+        |  CAST(0 AS BIGINT), (a, t) -> a + length(t))""".stripMargin)
+        .cast("long").as("n_chars"))
+    enc.join(meta, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_syms").as("n_syms"),
+        sum("n_words").as("n_words"), sum("n_chars").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_syms"), col("n_words"),
+        round(col("n_syms").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_syms").cast("double"), 6)
+          .as("chars_per_sym"))
+      .orderBy("source")
+  }
+
   /** Unigram-LM quality signals, self-trained on the corpus itself (the
     * log-free core of a CCNet-style perplexity filter): per document, the
     * average corpus frequency of its tokens, the rare-token share

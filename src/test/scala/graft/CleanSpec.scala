@@ -183,6 +183,32 @@ class CleanSpec extends AnyFunSuite {
     assert(got.size < byKey.size, "no key was ever tombstoned")
   }
 
+  test("snapshot diff: classes recomputed from the raw version history") {
+    val got = graft.ops.Keys.snapshotDiff(spark, GraftSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ops = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "from_address", "block_number").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val thr = { val mb = ops.map(_._3).max; mb - mb / 10 }
+    val expected = ops.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((c, _), rs) =>
+        val blocks = rs.map(_._3)
+        val cls =
+          if (!blocks.exists(_ < thr)) "added"
+          else if (blocks.max >= thr) "updated"
+          else "unchanged"
+        (c, cls)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected)
+    // every class value is legal and the split is not a single class
+    // ('added' needs a key born in the last 10% of blocks — absent on
+    // the dense sf0.001 stream, so only its legality is asserted here)
+    assert(got.keySet.map(_._2)
+      .subsetOf(Set("added", "updated", "unchanged")))
+    assert(got.keySet.map(_._2).size >= 2, s"degenerate: ${got.keySet}")
+  }
+
   test("token ids: positional round-trip through the vocab, UNK only for OOV") {
     val ids = Clean.tokenIds(spark, sf)
     val toks = Tables.documents(spark, sf)

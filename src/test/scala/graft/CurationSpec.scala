@@ -146,6 +146,20 @@ class CurationSpec extends AnyFunSuite {
       s"n_syms=$nSymsTotal outside ($nToksTotal, $nCharsTotal)")
   }
 
+  test("tokenizer fertility: bounded ratios, reconciles with the encoder") {
+    val rows = TextAnalysis.tokenizerFertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (syms, words) = (r.getLong(2), r.getLong(3))
+      assert(syms >= words, "every word is at least one symbol")
+      assert(r.getDouble(4) >= 1.0 && r.getDouble(5) >= 1.0)
+    }
+    // source totals reconcile with the per-doc encoder output
+    val encTotal = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(_.getAs[Long]("n_syms")).sum
+    assert(rows.map(_.getLong(2)).sum == encTotal)
+  }
+
   test("rank fusion: Borda arithmetic, list union, deterministic order") {
     import org.apache.spark.sql.functions._
     val fused = graft.ops.Corpus.hybridFusion(spark, sf).collect()

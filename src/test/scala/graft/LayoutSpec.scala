@@ -58,4 +58,41 @@ class LayoutSpec extends AnyFunSuite {
       .head()
     assert(a == b)
   }
+
+  test("batch padding: length-sorting never loses, token totals invariant") {
+    val rows = graft.ops.Layout.batchPaddingAudit(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val sources = rows.keySet.map(_._1)
+    assert(sources.nonEmpty)
+    sources.foreach { s =>
+      val (abn, atok, apad, afrac) = rows((s, "arrival"))
+      val (sbn, stok, spad, sfrac) = rows((s, "length_sorted"))
+      // reordering the same rows: batch count and true token mass invariant
+      assert(abn == sbn && atok == stok, s"$s totals drifted")
+      // sorting by length can only reduce per-batch max spread
+      assert(spad <= apad, s"$s: sorted padding $spad > arrival $apad")
+      assert(sfrac <= afrac)
+      // fraction arithmetic consistent with the integer counts
+      assert(math.abs(afrac -
+        apad.toDouble / (apad + atok).toDouble) < 1e-6)
+    }
+    // a hand-built skewed shard where the win MUST materialize: one long
+    // doc per batch of shorts costs arrival dearly, sorting isolates it
+    locally {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_pad").toString
+      val docs = (0L until 64L).map { i =>
+        val len = if (i % 2 == 0) 1 else 100
+        (i, Seq.fill(len.toInt)("w").mkString(" "), "en", "s0")
+      }
+      docs.toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = graft.ops.Layout.batchPaddingAudit(spark, dir).collect()
+        .map(x => x.getString(1) -> x.getLong(4)).toMap
+      assert(r("length_sorted") < r("arrival"),
+        s"skewed shard showed no sorting win: $r")
+    }
+  }
 }
