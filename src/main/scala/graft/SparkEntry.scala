@@ -216,6 +216,26 @@ object Catalog {
          |SELECT v AS address, round(r, 9) AS rank
          |FROM r$iters ORDER BY 1""".stripMargin)
 
+  /** CDC-apply oracle (last op per key by total version order, tombstones
+    * erased) — shared verbatim by q_cdc_apply and its streaming twin
+    * q_stream_cdc, which is what makes their parity hash-proven. */
+  private val cdcApplySql: String = withTransfers(
+    """SELECT contract_address, wallet, last_version, last_value, n_ops
+      |FROM (
+      |  SELECT contract_address, from_address AS wallet,
+      |         block_number AS last_version, value AS last_value,
+      |         CASE WHEN block_number % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+      |         row_number() OVER (
+      |           PARTITION BY contract_address, from_address
+      |           ORDER BY block_number DESC) AS rn,
+      |         CAST(count(*) OVER (
+      |           PARTITION BY contract_address, from_address) AS BIGINT)
+      |           AS n_ops
+      |  FROM transfers
+      |)
+      |WHERE rn = 1 AND op <> 'D'
+      |ORDER BY contract_address, wallet""".stripMargin)
+
   /** The TF-IDF retrieval CTE chain alone (base … dots — per-probe decimal
     * dot products under rank-capped tf·idf weights), composed into the
     * q_tfidf_topk and q_rank_fusion oracles. */
@@ -1720,22 +1740,15 @@ object Catalog {
 
     // CDC apply (MERGE INTO analog): last op per key wins by total
     // version order; terminal DELETEs tombstone the key away.
-    QEntry("q_cdc_apply", Keys.cdcApply, Some(withTransfers(
-      """SELECT contract_address, wallet, last_version, last_value, n_ops
-        |FROM (
-        |  SELECT contract_address, from_address AS wallet,
-        |         block_number AS last_version, value AS last_value,
-        |         CASE WHEN block_number % 10 = 0 THEN 'D' ELSE 'U' END AS op,
-        |         row_number() OVER (
-        |           PARTITION BY contract_address, from_address
-        |           ORDER BY block_number DESC) AS rn,
-        |         CAST(count(*) OVER (
-        |           PARTITION BY contract_address, from_address) AS BIGINT)
-        |           AS n_ops
-        |  FROM transfers
-        |)
-        |WHERE rn = 1 AND op <> 'D'
-        |ORDER BY contract_address, wallet""".stripMargin))),
+    QEntry("q_cdc_apply", Keys.cdcApply, Some(cdcApplySql)),
+
+    // Streaming twin of q_cdc_apply: the CDC state table as a streaming
+    // max(struct) aggregation (last-wins by version in the state store),
+    // tombstones dropped on read-out — same oracle, so batch-stream
+    // parity of the MERGE semantics is hash-proven.
+    QEntry("q_stream_cdc",
+      (s, d) => graft.streaming.StreamingMetrics.streamingCdcState(s, d),
+      Some(cdcApplySql)),
 
     // Snapshot diff (change-data-feed rollup): added/updated/unchanged
     // key counts between the ~90%-block snapshot and the full state; one
@@ -3691,6 +3704,42 @@ object Catalog {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |         AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
          |FROM c CROSS JOIN t ORDER BY rnk""".stripMargin))),
+
+    // Dataset card: the per-source release datasheet — doc/token/char
+    // mass, exact-dup count, majority language + share, mean quality.
+    QEntry("q_dataset_card", Profile.datasetCard, Some(withDocs(
+      s""", b AS (
+         |  SELECT source, lang, text,
+         |         CAST(len(toks) AS BIGINT) AS n_words,
+         |         CAST(length(text) AS BIGINT) AS n_chars,
+         |         round(least(1.0, CAST(len(toks) AS DOUBLE) / 20.0)
+         |           * (1.0 - 0.5 * CAST(${markerCount("en")} AS DOUBLE)
+         |                    / CAST(len(toks) AS DOUBLE)), 6) AS score
+         |  FROM docs WHERE text IS NOT NULL
+         |),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |         CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+         |           AS n_dup_docs,
+         |         round(CAST(SUM(CAST(score AS DECIMAL(25,6))) AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE), 6) AS avg_quality
+         |  FROM b GROUP BY 1
+         |),
+         |lm AS (
+         |  SELECT source, lang AS top_lang, c AS top_c FROM (
+         |    SELECT source, lang, CAST(count(*) AS BIGINT) AS c,
+         |           row_number() OVER (PARTITION BY source
+         |             ORDER BY count(*) DESC, lang ASC) AS rn
+         |    FROM b GROUP BY source, lang
+         |  ) WHERE rn = 1
+         |)
+         |SELECT source, n_docs, n_tokens, n_chars, n_dup_docs, top_lang,
+         |       round(CAST(top_c AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |         AS top_lang_share,
+         |       avg_quality
+         |FROM agg JOIN lm USING (source) ORDER BY source""".stripMargin))),
 
     // One-pass per-column completeness/uniqueness profile (long format).
     QEntry("q_data_profile", Profile.ordersProfile, Some(

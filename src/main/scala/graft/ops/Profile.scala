@@ -162,4 +162,51 @@ object Profile {
         col("sum_chars"), col("sum_chars_winsorized"))
       .orderBy("source")
   }
+
+  /** Dataset card — the per-source datasheet a corpus release ships with
+    * ("Datasheets for Datasets", Gebru et al. 2018): document/token/char
+    * mass, exact-duplicate count, the majority language and its share,
+    * and the mean composite quality score ([[TextAnalysis.quality]]'s
+    * formula). Every number is either an exact integer, a single IEEE
+    * division of exact integers, or a decimal-accumulated mean — so the
+    * whole card is hash-verifiable, which is precisely what you want from
+    * a release artifact.
+    *
+    * Scale: one grouped aggregation over one scan computes everything
+    * except the language mode (a second aggregation over the tiny
+    * (source, lang) frame + one per-source window); `countDistinct`
+    * expands the stream 2-fold (Spark's multi-distinct rewrite) — audit
+    * granularity, same trade as [[profileOf]]. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val b = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(TextAnalysis.toksExpr))
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("lang"), col("text"),
+        expr("size(toks)").cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(least(lit(1.0), expr("size(toks)").cast("double") / 20.0)
+          * (lit(1.0) - lit(0.5) * TextAnalysis.markerCount("en").cast("double")
+            / expr("size(toks)").cast("double")), 6).as("score"))
+    val agg = b.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_words").as("n_tokens"),
+      sum("n_chars").as("n_chars"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"),
+      round(sum(col("score").cast(DecimalType(25, 6))).cast("double")
+        / count(lit(1)).cast("double"), 6).as("avg_quality"))
+    val topLang = b.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("c").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c").as("top_c"))
+    agg.join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_dup_docs"), col("top_lang"),
+        round(col("top_c").cast("double") / col("n_docs").cast("double"), 6)
+          .as("top_lang_share"),
+        col("avg_quality"))
+      .orderBy("source")
+  }
 }

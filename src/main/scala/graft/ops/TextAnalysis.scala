@@ -30,7 +30,7 @@ object TextAnalysis {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).withColumn("toks", expr(toksExpr))
 
-  private def markerCount(lang: String): Column = {
+  private[ops] def markerCount(lang: String): Column = {
     val list = LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
     expr(s"size(filter(toks, x -> x IN ($list)))").cast("long")
   }

@@ -229,4 +229,42 @@ object StreamingMetrics {
       .select(col("h").as("content_hash"))
       .orderBy("content_hash")
   }
+
+  /** Streaming twin of [[graft.ops.Keys.cdcApply]]: the CDC state table
+    * maintained as a streaming aggregation — per key, `max(struct(version,
+    * op, value))` keeps the LAST op in version order inside the state
+    * store (version is unique per key, so the struct max IS last-wins),
+    * and tombstones drop on read-out exactly like a compacted changelog
+    * topic materializes. Complete-mode drain over the static data; the
+    * batch q_cdc_apply oracle verifies the streaming state machine
+    * end-to-end. */
+  def streamingCdcState(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tableName = "graft_stream_cdc"
+    val stream = spark.readStream
+      .schema(EventsSchema)
+      .parquet(s"$sfDir/{events}.parquet")
+      .select(col("event_type").as("contract_address"),
+        col("user_id").cast("string").as("wallet"),
+        col("event_id").as("version"), col("value"),
+        when(col("event_id") % 10 === 0, "D").otherwise("U").as("op"))
+      .groupBy("contract_address", "wallet")
+      .agg(max(struct(col("version"), col("op"), col("value"))).as("last"),
+        count(lit(1)).as("n_ops"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(tableName)
+      .filter(col("last.op") =!= "D")
+      .select(col("contract_address"), col("wallet"),
+        col("last.version").as("last_version"),
+        col("last.value").as("last_value"), col("n_ops"))
+      .orderBy("contract_address", "wallet")
+  }
 }

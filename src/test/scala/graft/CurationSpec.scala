@@ -146,6 +146,29 @@ class CurationSpec extends AnyFunSuite {
       s"n_syms=$nSymsTotal outside ($nToksTotal, $nCharsTotal)")
   }
 
+  test("dataset card: masses, dup counts and shares reconcile with raw docs") {
+    import org.apache.spark.sql.functions._
+    val card = Profile.datasetCard(spark, sf).collect()
+    val raw = Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      val s = r.getString(0)
+      val docs = raw.filter(_._1 == s)
+      assert(r.getLong(1) == docs.length)
+      assert(r.getLong(4) == docs.length - docs.map(_._3).distinct.length,
+        s"$s dup count")
+      val langs = docs.groupBy(_._2).map { case (l, d) => (l, d.length) }
+      val top = langs.toSeq.minBy { case (l, c) => (-c, l) }
+      assert(r.getString(5) == top._1, s"$s top lang")
+      assert(math.abs(r.getDouble(6) -
+        top._2.toDouble / docs.length.toDouble) < 1e-6)
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+    }
+  }
+
   test("tokenizer fertility: bounded ratios, reconciles with the encoder") {
     val rows = TextAnalysis.tokenizerFertility(spark, sf).collect()
     assert(rows.nonEmpty)

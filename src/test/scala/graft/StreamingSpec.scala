@@ -22,6 +22,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming CDC state equals the batch MERGE result") {
+    val streamed = StreamingMetrics.streamingCdcState(spark, GraftSpark.Sf)
+      .collect()
+    val batch = graft.ops.Keys.cdcApply(spark, GraftSpark.Sf).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("sessionize fold closes sessions on gap and keeps state open") {
     import Sessionize._
     // events 10s apart, then a >30min gap, then two more
