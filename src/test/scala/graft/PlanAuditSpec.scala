@@ -219,6 +219,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("span corruption is a pure projection: zero exchanges, zero joins") {
+    val p = plan("q_span_corruption")
+    // the one allowed exchange is the final presentation sort
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("cdc apply and snapshot diff: one key exchange, no self-join") {
+    for (n <- Seq("q_cdc_apply", "q_snapshot_diff")) {
+      val p = plan(n)
+      assert(!p.contains("SortMergeJoin"), s"$n joined its own scan:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"$n has extra hash exchanges:\n$p")
+    }
+  }
+
+  test("batch padding: both orderings ride one source-keyed exchange") {
+    val p = plan("q_batch_padding")
+    // two window sorts (arrival, length) but a single hash partitioning
+    // per union leg feeding them, plus the per-leg rollups
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
+  }
+
   test("single-pass stream queries: one window exchange, no joins") {
     // attribution, SCD2 and compaction are one-window-pass operators:
     // exactly one hash exchange (the window partition key) plus the final
