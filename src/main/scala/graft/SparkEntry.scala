@@ -3084,6 +3084,133 @@ object Catalog {
          |  )
          |) WHERE rn = 1 ORDER BY doc_id""".stripMargin))),
 
+    // Wave 8 — containment join: the asymmetric subset detector next to
+    // the symmetric Jaccard one (same inverted index, one-sided norm)
+    QEntry("q_containment", Dedup.containmentPairs, Some(withShingles(
+      s"""SELECT i.doc_a, i.doc_b, i.inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+         |FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.sh = b.sh AND a.doc_id != b.doc_id
+         |  WHERE a.sh IN (SELECT sh FROM shingles
+         |                 GROUP BY sh HAVING count(*) BETWEEN 2 AND ${Dedup.MaxShingleDf})
+         |  GROUP BY 1, 2
+         |) i
+         |JOIN (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1) sa
+         |  ON sa.doc_id = i.doc_a
+         |JOIN (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1) sb
+         |  ON sb.doc_id = i.doc_b
+         |WHERE sa.n_sh >= ${Dedup.ContainMinShingles}
+         |  AND i.inter * ${Dedup.ContainDen} >= sa.n_sh * ${Dedup.ContainNum}
+         |ORDER BY doc_a, doc_b""".stripMargin))),
+
+    // Wave 8 — per-vertex clustering coefficient over the transfer graph
+    QEntry("q_clustering_coeff",
+      (s, d) => Graph.clusteringCoefficients(
+        graft.Tables.transfers(s, d)
+          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
+            org.apache.spark.sql.functions.col("to_address").as("dst")))
+        .withColumnRenamed("v", "address"),
+      Some(withTransfers(
+        """, e AS (
+          |  SELECT DISTINCT least(from_address, to_address) AS a,
+          |         greatest(from_address, to_address) AS b
+          |  FROM transfers WHERE from_address <> to_address
+          |),
+          |deg AS (
+          |  SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+          |    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+          |  ) GROUP BY 1
+          |),
+          |tri AS (
+          |  SELECT e1.a, e1.b, e2.b AS c
+          |  FROM e e1
+          |  JOIN e e2 ON e2.a = e1.b
+          |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+          |),
+          |tc AS (
+          |  SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+          |    SELECT a AS v FROM tri
+          |    UNION ALL SELECT b FROM tri
+          |    UNION ALL SELECT c FROM tri
+          |  ) GROUP BY 1
+          |)
+          |SELECT d.v AS address, d.degree,
+          |       COALESCE(t.n_triangles, 0) AS n_triangles,
+          |       (2000 * COALESCE(t.n_triangles, 0))
+          |         // (d.degree * (d.degree - 1)) AS coeff_pml
+          |FROM deg d LEFT JOIN tc t ON t.v = d.v
+          |WHERE d.degree >= 2 ORDER BY address""".stripMargin))),
+
+    // Wave 8 — resource-allocation link prediction (log-free Adamic-Adar)
+    QEntry("q_link_predict",
+      (s, d) => Graph.linkPrediction(
+        graft.Tables.transfers(s, d)
+          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
+            org.apache.spark.sql.functions.col("to_address").as("dst"))),
+      Some(withTransfers(
+        s""", e AS (
+           |  SELECT DISTINCT least(from_address, to_address) AS a,
+           |         greatest(from_address, to_address) AS b
+           |  FROM transfers WHERE from_address <> to_address
+           |),
+           |nbrs AS (
+           |  SELECT a AS v, b AS u FROM e
+           |  UNION ALL SELECT b, a FROM e
+           |),
+           |centers AS (
+           |  SELECT v, 1048576 // CAST(count(*) AS BIGINT) AS w
+           |  FROM nbrs GROUP BY v
+           |  HAVING count(*) <= ${Graph.LinkPredDegCap}
+           |),
+           |wedges AS (
+           |  SELECT n.v, n.u, c.w FROM nbrs n JOIN centers c ON c.v = n.v
+           |),
+           |pairs AS (
+           |  SELECT w1.u AS ua, w2.u AS ub, w1.w
+           |  FROM wedges w1 JOIN wedges w2
+           |    ON w2.v = w1.v AND w1.u < w2.u
+           |  WHERE NOT EXISTS (SELECT 1 FROM e
+           |                    WHERE e.a = w1.u AND e.b = w2.u)
+           |)
+           |SELECT ua, ub, CAST(SUM(w) AS BIGINT) AS ra_score,
+           |       CAST(count(*) AS BIGINT) AS n_common
+           |FROM pairs GROUP BY 1, 2
+           |ORDER BY ra_score DESC, ua, ub LIMIT 100""".stripMargin))),
+
+    // Wave 8 — leave-one-out target encoding (ML categorical feature)
+    QEntry("q_target_encode", Features.targetEncodeNation, Some(
+      """WITH keyed AS (
+        |  SELECT o.o_orderkey, c.c_nationkey,
+        |         CAST(o.o_totalprice AS DECIMAL(25,2)) AS p
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |),
+        |stats AS (
+        |  SELECT c_nationkey, SUM(p) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM keyed GROUP BY 1
+        |)
+        |SELECT k.o_orderkey, k.c_nationkey,
+        |       CASE WHEN st.n > 1
+        |            THEN CAST(st.s - k.p AS DOUBLE) / CAST(st.n - 1 AS DOUBLE)
+        |       END AS loo_mean
+        |FROM keyed k JOIN stats st ON st.c_nationkey = k.c_nationkey
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Wave 8 — Rademacher (JL) random projection, zero-shuffle
+    QEntry("q_random_projection", Features.randomProjection, Some {
+      val ys = (0 until Features.ProjDims).map { j =>
+        s"""list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+           |    CAST(embedding[i] AS DOUBLE) *
+           |    (CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR) || '_' || '$j'), 1, 1)
+           |            IN ('0','2','4','6','8','a','c','e')
+           |       THEN 1.0 ELSE -1.0 END)),
+           |  (a, b) -> a + b) AS y$j""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT vec_id,
+         |$ys
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    }),
+
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

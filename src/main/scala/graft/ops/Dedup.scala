@@ -313,6 +313,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Containment threshold (`|A∩B| / |A| ≥ 3/4`) as an exact rational —
+    * integer cross-multiplication decides, no float ratio. */
+  val ContainNum = 3
+  val ContainDen = 4
+
+  /** Minimum shingle count for a containment SOURCE: below this, "3/4 of
+    * A's shingles appear in B" is satisfied by coincidence. */
+  val ContainMinShingles = 5
+
+  /** Asymmetric containment join: directed pairs (a → b) where at least
+    * [[ContainNum]]/[[ContainDen]] of document a's shingles also appear in
+    * document b — the quote/subset detector Jaccard misses (a short doc
+    * pasted inside a long one has tiny Jaccard but containment ≈ 1; see
+    * Broder's containment vs resemblance distinction). Complements
+    * [[jaccardTop1]]: same inverted index, same [[MaxShingleDf]] hot-
+    * shingle cap, but the score normalizes by ONE side, so both pair
+    * directions are scored.
+    *
+    * Cost ∝ index collisions (each bucket ≤ cap docs), never |docs|²; the
+    * threshold test is integer cross-multiplication, exact everywhere. */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = TextAnalysis.shingles(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val half = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, MaxShingleDf))
+      .select(explode(expr(
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .groupBy("p.doc_a", "p.doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val both = half.unionByName(half.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("inter")))
+    both
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .filter(col("n_a") >= ContainMinShingles &&
+        col("inter") * ContainDen >= col("n_a") * ContainNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+        col("n_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val SimHashBits = 16
   val SimHashMaxDist = 3
 

@@ -246,4 +246,44 @@ class GraphSpec extends AnyFunSuite {
     val core2 = Graph.kCore(edges, k = 2).as[(Long, Long)].collect().toMap
     assert(core2.keySet == Set(1L, 2L, 3L, 4L, 7L, 8L, 9L))
   }
+
+  test("clustering coefficients: K4 is 1000 pml, star center is 0") {
+    // K4 (1..4, coeff = 1) + star center 10 with leaves 11..13 (coeff 0:
+    // leaves never touch each other); leaves have degree 1 → excluded
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)
+    ).toDF("src", "dst")
+    val got = Graph.clusteringCoefficients(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      1L -> (3L, 3L, 1000L), 2L -> (3L, 3L, 1000L),
+      3L -> (3L, 3L, 1000L), 4L -> (3L, 3L, 1000L),
+      10L -> (3L, 0L, 0L)))
+    // partition independence
+    val again = Graph.clusteringCoefficients(edges.repartition(7))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(again == got)
+  }
+
+  test("link prediction: wedge endpoints score, existing edges never do") {
+    // path 1-2-3: only candidate pair is (1,3) through center 2 (deg 2 →
+    // weight 2^20/2); plus 4-5 isolated edge contributes nothing
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.linkPrediction(edges)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 3L, (1L << 20) / 2, 1L)))
+    // triangle 1-2-3 closed: no non-edges left among its vertices
+    val closed = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.linkPrediction(closed).count() == 0)
+    // two common neighbors add their weights: square 1-2-3-4 (no diagonal)
+    // predicts both diagonals with weight 2 * 2^20/2
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val sq = Graph.linkPrediction(square)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sq == Set((1L, 3L, 1L << 20, 2L), (2L, 4L, 1L << 20, 2L)))
+  }
 }
