@@ -3211,6 +3211,107 @@ object Catalog {
          |FROM embeddings ORDER BY vec_id""".stripMargin
     }),
 
+    // Wave 9 — time-respecting reachability (temporal taint tracing)
+    QEntry("q_taint_trace",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, explode}
+        Graph.temporalReachability(
+          graft.Tables.transfers(s, d)
+            .select(col("from_address").as("src"),
+              col("to_address").as("dst"),
+              col("transact_at").as("t")),
+          graft.Tables.dapps(s).select(explode(col("addresses")).as("v")))
+          .select(col("v").as("address"), col("tainted_at"))
+          .orderBy("address")
+      },
+      Some {
+        val steps = (1 to 4).map { i =>
+          s"""nbr$i AS (
+             |  SELECT e.dst AS v, min(e.t) AS na
+             |  FROM e JOIN a${i - 1} b ON b.v = e.src
+             |  WHERE b.arr IS NOT NULL AND e.t >= b.arr GROUP BY 1
+             |),
+             |a$i AS (
+             |  SELECT v.v, least(b.arr, n.na) AS arr
+             |  FROM v JOIN a${i - 1} b ON b.v = v.v
+             |  LEFT JOIN nbr$i n ON n.v = v.v
+             |)""".stripMargin
+        }.mkString(",\n")
+        withTransfersAndDapps(
+          s""", e AS (
+             |  SELECT DISTINCT from_address AS src, to_address AS dst,
+             |         transact_at AS t
+             |  FROM transfers
+             |),
+             |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             |sd AS (
+             |  SELECT DISTINCT d.addr AS v
+             |  FROM (SELECT unnest(addresses) AS addr FROM dapps) d
+             |  JOIN v ON v.v = d.addr
+             |),
+             |a0 AS (
+             |  SELECT v.v,
+             |         CASE WHEN sd.v IS NOT NULL THEN CAST(-1 AS BIGINT)
+             |         END AS arr
+             |  FROM v LEFT JOIN sd ON sd.v = v.v
+             |),
+             |$steps
+             |SELECT v AS address, arr AS tainted_at
+             |FROM a4 WHERE arr IS NOT NULL ORDER BY 1""".stripMargin)
+      }),
+
+    // Wave 9 — top principal component (Gramian + 3 power iterations)
+    QEntry("q_pca_power", Features.pcaPower, Some {
+      val rounds = (1 to Features.PcaIters).map { k =>
+        s"""w$k AS (
+           |  SELECT g.i,
+           |         CAST(SUM(CAST(g.c * v.vj AS DECIMAL(38,18))) AS DOUBLE)
+           |           AS w
+           |  FROM gram g JOIN v${k - 1} v ON v.j = g.j GROUP BY 1
+           |),
+           |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+           |v$k AS (SELECT w.i AS j, w.w / m.m AS vj FROM w$k w, m$k m)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $embIdxCte,
+         |mu AS (
+         |  SELECT i, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+         |            / count(*) AS mu
+         |  FROM idx GROUP BY 1
+         |),
+         |xc AS (
+         |  SELECT a.vec_id, a.i, a.x - m.mu AS xc
+         |  FROM idx a JOIN mu m ON m.i = a.i
+         |),
+         |gram AS (
+         |  SELECT a.i, b.i AS j,
+         |         CAST(SUM(CAST(a.xc * b.xc AS DECIMAL(38,18))) AS DOUBLE)
+         |           AS c
+         |  FROM xc a JOIN xc b ON b.vec_id = a.vec_id GROUP BY 1, 2
+         |),
+         |v0 AS (SELECT i AS j, 1.0 AS vj FROM mu),
+         |$rounds
+         |SELECT j AS i, round(vj, 9) AS loading
+         |FROM v${Features.PcaIters} ORDER BY i""".stripMargin
+    }),
+
+    // Wave 9 — quantile normalization (rank-map to the average distribution)
+    QEntry("q_quantile_norm", Features.quantileNormalize, Some(
+      s"""WITH $embIdxCte,
+         |ranked AS (
+         |  SELECT vec_id, i, x,
+         |         row_number() OVER (PARTITION BY i ORDER BY x, vec_id) AS r
+         |  FROM idx
+         |),
+         |ref AS (
+         |  SELECT r, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+         |            / count(*) AS qn
+         |  FROM ranked GROUP BY 1
+         |)
+         |SELECT k.vec_id, k.i, round(f.qn, 9) AS qn
+         |FROM ranked k JOIN ref f ON f.r = k.r
+         |ORDER BY vec_id, i""".stripMargin)),
+
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

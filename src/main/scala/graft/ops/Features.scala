@@ -47,6 +47,89 @@ object Features {
       .orderBy("o_orderkey")
   }
 
+  private def comps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("i", "x")))
+
+  /** Fixed power-method iterations for [[pcaPower]]. */
+  val PcaIters = 3
+
+  /** Top principal component by the Gramian + power method — the
+    * dimensionality-reduction cousin of [[Quantize.standardizedEmbeddings]]
+    * (which whitens per-dim; PCA finds the cross-dim direction of maximum
+    * variance, the first thing any embedding-drift or compression analysis
+    * computes).
+    *
+    * Distributed part: centering (per-dim exact-decimal means, broadcast
+    * back) and the d×d Gramian `C = Σ x_c x_cᵀ` — a self-join on vec_id
+    * whose d²-per-row fan-out map-side-combines straight down to d²
+    * groups, the classic tall-skinny Gramian (row count never shuffles;
+    * only d² partials do, at any corpus size). Iterative part: matvec
+    * `w = C·v` is a d²-row equi-join; normalization divides by the
+    * max-|component| (one broadcast 1-row aggregate — L∞, sqrt-free).
+    * All sums decimal-exact, every division a single IEEE op → the
+    * loadings are bit-identical across engines; fixed iteration count is
+    * the oracle contract (same move as [[Graph.pageRank]]). */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = comps(spark, sfDir)
+    val mu = c.groupBy("i").agg(
+      (expr("CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)") /
+        count(lit(1))).as("mu"))
+    val xc = c.join(broadcast(mu), Seq("i"))
+      .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("xc"))
+    val gram = xc.join(
+        xc.select(col("vec_id"), col("i").as("j"), col("xc").as("yc")),
+        Seq("vec_id"))
+      .groupBy("i", "j")
+      .agg(expr("CAST(SUM(CAST(xc * yc AS DECIMAL(38,18))) AS DOUBLE)")
+        .as("c"))
+    var v = mu.select(col("i").as("j"), lit(1.0).as("vj"))
+    for (_ <- 1 to PcaIters) {
+      val w = gram.join(v, Seq("j"))
+        .groupBy("i")
+        .agg(expr("CAST(SUM(CAST(c * vj AS DECIMAL(38,18))) AS DOUBLE)")
+          .as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("j"), (col("w") / col("m")).as("vj"))
+    }
+    // 9-digit render absorbs the cross-engine double→decimal cast ulp in
+    // the moments (same mitigation as standardizedEmbeddings); loadings
+    // are O(1) after the L∞ normalization, so 1e-9 dwarfs the drift
+    v.select(col("j").as("i"), round(col("vj"), 9).as("loading"))
+      .orderBy("i")
+  }
+
+  /** Quantile normalization: every dimension's empirical distribution is
+    * replaced by the AVERAGE distribution — component (vec, i) maps to the
+    * mean, across dimensions, of each dimension's r-th order statistic,
+    * where r is the component's rank within its own dimension. The
+    * heavy-tail equalizer (standard in bioinformatics, increasingly in
+    * embedding postprocessing) that [[Quantize.standardizedEmbeddings]]'s
+    * linear z-scores cannot express.
+    *
+    * One exchange ranks within dimensions (rank ties broken by vec_id —
+    * total order, partition-independent); the reference distribution is a
+    * map-side-combinable decimal mean per rank (N rows, joined back by
+    * rank equi-join — never broadcast, so the shape survives any corpus
+    * size). Output stays LONG (vec_id, i, qn) — comparator-safe without
+    * array rendering. */
+  def quantileNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = comps(spark, sfDir)
+      .withColumn("r", row_number.over(
+        Window.partitionBy("i").orderBy(col("x").asc, col("vec_id").asc)))
+    val ref = ranked.groupBy("r").agg(
+      (expr("CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)") /
+        count(lit(1))).as("qn"))
+    // 9-digit render absorbs the double→decimal cast ulp (see pcaPower)
+    ranked.join(ref, Seq("r"))
+      .select(col("vec_id"), col("i"), round(col("qn"), 9).as("qn"))
+      .orderBy("vec_id", "i")
+  }
+
   /** Output dimensionality of the random projection. */
   val ProjDims = 8
 

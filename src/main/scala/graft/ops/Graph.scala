@@ -426,6 +426,48 @@ object Graph {
       .limit(topK)
   }
 
+  /** Time-respecting reachability (taint tracing): earliest arrival time
+    * at each vertex along paths whose edge timestamps never decrease —
+    * "once funds leave the seed set, which wallets can they have reached,
+    * and when earliest". A plain BFS overcounts: value cannot flow through
+    * a wallet via a transfer that happened BEFORE the wallet was tainted;
+    * the temporal-path DP (earliest-arrival recurrence over the
+    * (src, dst, t) stream) is the sound version.
+    *
+    * State per vertex is one BIGINT (earliest arrival; seeds = −1 "from
+    * the start"), and earlier arrivals only ever OPEN more edges, so the
+    * min-merge recurrence is monotone and exact — pure integer arithmetic,
+    * deterministic at any partitioning. After k rounds arrivals are exact
+    * over ≤k-edge temporal paths (the oracle's unroll contract, same move
+    * as [[bfsHops]]/[[weightedShortestPaths]]). Per round: one equi-join
+    * keyed by src + a time filter + a map-side-combinable min, O(|E|)
+    * shuffled bytes; rounds lineage-cut. */
+  def temporalReachability(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 4, cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val e = LineageCut.cut(
+      edges.select(col("src"), col("dst"), col("t")).distinct(), cutMode)
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    var arr = LineageCut.cut(
+      verts.join(broadcast(seeds.select(col("v")).distinct()
+          .withColumn("a0", lit(-1L))), Seq("v"), "left")
+        .select(col("v"), col("a0").as("arrived")), cutMode)
+    for (_ <- 1 to rounds) {
+      val nbr = e
+        .join(arr.filter(col("arrived").isNotNull)
+          .select(col("v").as("src"), col("arrived")), Seq("src"))
+        .filter(col("t") >= col("arrived"))
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("t")).as("na"))
+      arr = LineageCut.cut(
+        arr.join(nbr, Seq("v"), "left")
+          .select(col("v"), least(col("arrived"), col("na")).as("arrived")),
+        cutMode)
+    }
+    arr.filter(col("arrived").isNotNull)
+      .select(col("v"), col("arrived").as("tainted_at"))
+  }
+
   /** Community detection by synchronous label propagation (fixed rounds,
     * deterministic): every vertex adopts the most frequent label among
     * its neighbors each round, ties to the SMALLEST label. Unlike

@@ -57,6 +57,47 @@ class FeaturesSpec extends AnyFunSuite {
     assert(got.head.length == 1 + Features.ProjDims)
   }
 
+  test("pca power: loadings match a driver-side recompute of the same chain") {
+    val got = Features.pcaPower(spark, sf)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    val emb = Tables.embeddings(spark, sf)
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE))")
+      .as[Seq[Double]].collect()
+    val n = emb.length; val d = emb.head.length
+    val mu = Array.tabulate(d)(i =>
+      emb.map(v => BigDecimal(v(i)).setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n)
+    val xc = emb.map(v => Array.tabulate(d)(i => v(i) - mu(i)))
+    val gram = Array.tabulate(d, d)((i, j) =>
+      xc.map(r => BigDecimal(r(i) * r(j)).setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to Features.PcaIters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => BigDecimal(gram(i)(j) * v(j)).setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      val m = w.map(math.abs).max
+      v = w.map(_ / m)
+    }
+    assert(got.length == d)
+    // the unit-normalized direction agrees to well past the 9-digit render
+    for (i <- 0 until d)
+      assert(math.abs(got(i) - v(i)) < 1e-8, s"dim $i: ${got(i)} vs ${v(i)}")
+    assert(got.map(math.abs).max == 1.0) // L-inf normalized
+  }
+
+  test("quantile normalization: all dims share one reference distribution") {
+    val got = Features.quantileNormalize(spark, sf)
+      .as[(Long, Int, Double)].collect()
+    val byDim = got.groupBy(_._2).view.mapValues(_.map(_._3).sorted.toSeq)
+    // every dimension maps onto the identical sorted value multiset
+    val ref = byDim.head._2
+    for ((i, vals) <- byDim) assert(vals == ref, s"dim $i")
+    // rank-monotone: within a dim, qn order follows x order (ties by vec)
+    val x = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding[0] AS DOUBLE)")
+      .as[(Long, Double)].collect().toMap
+    val dim0 = got.filter(_._2 == 0).sortBy(r => (x(r._1), r._1)).map(_._3)
+    assert(dim0.zip(dim0.tail).forall { case (a, b) => a <= b })
+  }
+
   test("containment: every emitted pair meets the 3/4 one-sided threshold") {
     val got = Dedup.containmentPairs(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()

@@ -268,6 +268,34 @@ class GraphSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("temporal reachability: backwards-in-time edges do not propagate taint") {
+    // 1 -(t=10)-> 2 -(t=5)-> 3 : BFS would reach 3; temporally 3 is clean
+    // (the 2->3 transfer happened before 2 was tainted); 2 -(t=20)-> 4
+    // works and arrives at 20
+    val edges = Seq(
+      (1L, 2L, 10L), (2L, 3L, 5L), (2L, 4L, 20L)
+    ).toDF("src", "dst", "t")
+    val seeds = Seq(Tuple1(1L)).toDF("v")
+    val got = Graph.temporalReachability(edges, seeds)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> -1L, 2L -> 10L, 4L -> 20L))
+    // a later edge into 3 DOES taint it (arrival respects min over paths)
+    val more = edges.union(Seq((2L, 3L, 15L)).toDF("src", "dst", "t"))
+    val got2 = Graph.temporalReachability(more, seeds)
+      .as[(Long, Long)].collect().toMap
+    assert(got2(3L) == 15L)
+    // earliest arrival wins when multiple temporal paths exist
+    val race = Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 8L), (3L, 4L, 6L))
+      .toDF("src", "dst", "t")
+    val got3 = Graph.temporalReachability(race, seeds)
+      .as[(Long, Long)].collect().toMap
+    assert(got3(4L) == 6L)
+    // partition independence
+    val again = Graph.temporalReachability(more.repartition(5), seeds)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got2)
+  }
+
   test("link prediction: wedge endpoints score, existing edges never do") {
     // path 1-2-3: only candidate pair is (1,3) through center 2 (deg 2 →
     // weight 2^20/2); plus 4-5 isolated edge contributes nothing
