@@ -3312,6 +3312,116 @@ object Catalog {
          |FROM ranked k JOIN ref f ON f.r = k.r
          |ORDER BY vec_id, i""".stripMargin)),
 
+    // Wave 10 — HITS hubs & authorities (directed complement to PageRank)
+    QEntry("q_hits",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        Graph.hits(
+          graft.Tables.transfers(s, d)
+            .select(col("from_address").as("src"),
+              col("to_address").as("dst")))
+          .select(col("v").as("address"), col("hub"), col("authority"))
+          .orderBy("address")
+      },
+      Some {
+        val rounds = (1 to Graph.HitsRounds).map { k =>
+          s"""a${k}r AS (
+             |  SELECT e.dst AS v,
+             |         CAST(SUM(CAST(h.h AS DECIMAL(38,18))) AS DOUBLE) AS s
+             |  FROM e JOIN h${k - 1} h ON h.v = e.src GROUP BY 1
+             |),
+             |a${k}f AS (
+             |  SELECT vv.v, COALESCE(a.s, 0.0) AS raw
+             |  FROM vv LEFT JOIN a${k}r a ON a.v = vv.v
+             |),
+             |a${k}m AS (SELECT max(raw) AS m FROM a${k}f),
+             |a$k AS (
+             |  SELECT f.v, CASE WHEN m.m > 0 THEN f.raw / m.m
+             |              ELSE 0.0 END AS a
+             |  FROM a${k}f f, a${k}m m
+             |),
+             |h${k}r AS (
+             |  SELECT e.src AS v,
+             |         CAST(SUM(CAST(a.a AS DECIMAL(38,18))) AS DOUBLE) AS s
+             |  FROM e JOIN a$k a ON a.v = e.dst GROUP BY 1
+             |),
+             |h${k}f AS (
+             |  SELECT vv.v, COALESCE(h.s, 0.0) AS raw
+             |  FROM vv LEFT JOIN h${k}r h ON h.v = vv.v
+             |),
+             |h${k}m AS (SELECT max(raw) AS m FROM h${k}f),
+             |h$k AS (
+             |  SELECT f.v, CASE WHEN m.m > 0 THEN f.raw / m.m
+             |              ELSE 0.0 END AS h
+             |  FROM h${k}f f, h${k}m m
+             |)""".stripMargin
+        }.mkString(",\n")
+        val R = Graph.HitsRounds
+        withTransfers(
+          s""", e AS (
+             |  SELECT DISTINCT from_address AS src, to_address AS dst
+             |  FROM transfers
+             |),
+             |vv AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             |h0 AS (SELECT v, 1.0 AS h FROM vv),
+             |$rounds
+             |SELECT h.v AS address, round(h.h, 9) AS hub,
+             |       round(a.a, 9) AS authority
+             |FROM h$R h JOIN a$R a ON a.v = h.v ORDER BY 1""".stripMargin)
+      }),
+
+    // Wave 10 — seasonal decomposition: volume = trend + seasonal + residual
+    QEntry("q_seasonal", Metrics.seasonalDecompose, Some(withTransfers(
+      s""", hourly AS (
+         |  SELECT contract_address AS token, ${hourBucket("transact_at")} AS t,
+         |         SUM(CAST(value AS DECIMAL(25,2))) AS vol
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |tr AS (
+         |  SELECT token, t, vol,
+         |         CAST(SUM(vol) OVER w AS DOUBLE)
+         |           / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY token ORDER BY t
+         |    RANGE BETWEEN ${Metrics.TrendHalfWidthSec} PRECEDING
+         |              AND ${Metrics.TrendHalfWidthSec} FOLLOWING)
+         |),
+         |se AS (
+         |  SELECT token, (t % 86400) // 3600 AS hod,
+         |         CAST(SUM(vol) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |           AS seasonal
+         |  FROM hourly GROUP BY 1, 2
+         |)
+         |SELECT tr.token, tr.t, CAST(tr.vol AS DOUBLE) AS volume,
+         |       tr.trend, se.seasonal,
+         |       CAST(tr.vol AS DOUBLE) - tr.trend - se.seasonal AS residual
+         |FROM tr JOIN se
+         |  ON se.token = tr.token AND se.hod = (tr.t % 86400) // 3600
+         |ORDER BY tr.token, tr.t""".stripMargin))),
+
+    // Wave 10 — per-source leave-one-out ablation screen
+    QEntry("q_source_ablation", Profile.sourceAblation, Some(
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS s_chars
+        |  FROM documents GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+        |         CAST(SUM(s_chars) AS BIGINT) AS ss
+        |  FROM per
+        |)
+        |SELECT p.source, p.n_docs,
+        |       CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS mean_all,
+        |       CASE WHEN nn > p.n_docs
+        |            THEN CAST(ss - s_chars AS DOUBLE)
+        |                 / CAST(nn - p.n_docs AS DOUBLE) END AS mean_without,
+        |       CASE WHEN nn > p.n_docs
+        |            THEN CAST(ss - s_chars AS DOUBLE)
+        |                 / CAST(nn - p.n_docs AS DOUBLE) END
+        |         - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS delta
+        |FROM per p, tot ORDER BY source""".stripMargin)),
+
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

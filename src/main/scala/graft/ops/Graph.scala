@@ -426,6 +426,54 @@ object Graph {
       .limit(topK)
   }
 
+  /** Fixed iteration count for [[hits]] — the oracle's unroll contract. */
+  val HitsRounds = 2
+
+  /** HITS hubs & authorities — the directed complement to [[pageRank]]:
+    * a good AUTHORITY is pointed at by good hubs (wallets everyone sends
+    * to: exchanges, sinks), a good HUB points at good authorities
+    * (distributor wallets). Two mutually-recursive scores per vertex that
+    * one PageRank number conflates.
+    *
+    * Per half-round: one equi-join + one decimal-exact grouped sum keyed
+    * by vertex (O(|E|) shuffled bytes, map-side combinable) + an L∞
+    * normalization against a broadcast 1-row max (scores stay in [0,1]
+    * without any sqrt). Fixed [[HitsRounds]] iterations; 9-digit render
+    * absorbs the double→decimal cast ulp (the [[graft.ops.Quantize]]
+    * mitigation). Returns (v, hub, authority) for every vertex. */
+  def hits(edges: DataFrame, rounds: Int = HitsRounds,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val e = LineageCut.cut(
+      edges.select(col("src"), col("dst")).distinct(), cutMode)
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      val full = verts.join(raw, Seq("v"), "left")
+        .select(col("v"), coalesce(col(c), lit(0.0)).as("raw"))
+      val m = full.agg(max(col("raw")).as("m"))
+      full.crossJoin(broadcast(m))
+        .select(col("v"),
+          when(col("m") > 0, col("raw") / col("m")).otherwise(0.0).as(c))
+    }
+    var h = verts.withColumn("h", lit(1.0))
+    var a = verts.withColumn("a", lit(0.0))
+    for (_ <- 1 to rounds) {
+      a = LineageCut.cut(normalized(
+        e.join(h.select(col("v").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("v"))
+          .agg(expr("CAST(SUM(CAST(h AS DECIMAL(38,18))) AS DOUBLE)")
+            .as("a")), "a"), cutMode)
+      h = LineageCut.cut(normalized(
+        e.join(a.select(col("v").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("v"))
+          .agg(expr("CAST(SUM(CAST(a AS DECIMAL(38,18))) AS DOUBLE)")
+            .as("h")), "h"), cutMode)
+    }
+    h.join(a, Seq("v"))
+      .select(col("v"), round(col("h"), 9).as("hub"),
+        round(col("a"), 9).as("authority"))
+  }
+
   /** Time-respecting reachability (taint tracing): earliest arrival time
     * at each vertex along paths whose edge timestamps never decrease —
     * "once funds leave the seed set, which wallets can they have reached,

@@ -294,4 +294,51 @@ object Metrics {
         col("n_transfers").cast("double") / col("active_days").cast("double"))
       .orderBy("contract_address")
   }
+
+  /** Half-width (seconds) of the centered trend window in
+    * [[seasonalDecompose]] — ±12 hours. */
+  val TrendHalfWidthSec = 43200L
+
+  /** Classical seasonal decomposition of the hourly volume series:
+    * `volume = trend + seasonal + residual`, where trend is a centered
+    * ±12 h moving average (RANGE frame on the hour key — correct with
+    * GAPS in the series, where a row-count frame silently widens), and
+    * seasonal is the per-(token, hour-of-day) mean — the load profile.
+    * The monitoring decomposition behind "is this hour's volume actually
+    * anomalous, or is it just 3 am": [[volumeAnomalies]] z-scores the raw
+    * series; this one removes the daily rhythm first.
+    *
+    * Determinism: the hourly sums and every window/group sum are exact
+    * DECIMAL; trend and seasonal are each ONE IEEE division of exactly-
+    * represented operands, and the residual subtracts those bit-stable
+    * doubles — so no rendering round-off is needed anywhere. Shuffles:
+    * the (token, hour) aggregation, one window exchange keyed by token
+    * (series length per token is time-bounded, not data-bounded — no
+    * skew growth at scale), one tiny (token, 24) seasonal join back. */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address").as("token"),
+        hourBucket(col("transact_at")).as("t"))
+      .agg(dsumDec(col("value")).as("vol"))
+    val w = Window.partitionBy("token").orderBy(col("t"))
+      .rangeBetween(-TrendHalfWidthSec, TrendHalfWidthSec)
+    val trended = hourly
+      .withColumn("trend",
+        sum(col("vol")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+    val seasonal = hourly
+      .groupBy(col("token"),
+        expr("CAST((t % 86400) DIV 3600 AS INT)").as("hod"))
+      .agg((sum(col("vol")).cast("double") /
+        count(lit(1)).cast("double")).as("seasonal"))
+    trended
+      .withColumn("hod", expr("CAST((t % 86400) DIV 3600 AS INT)"))
+      .join(seasonal, Seq("token", "hod"))
+      .select(col("token"), col("t"), col("vol").cast("double").as("volume"),
+        col("trend"), col("seasonal"),
+        (col("vol").cast("double") - col("trend") - col("seasonal"))
+          .as("residual"))
+      .orderBy("token", "t")
+  }
 }

@@ -209,4 +209,32 @@ object Profile {
         col("avg_quality"))
       .orderBy("source")
   }
+
+  /** Per-source ablation table: what happens to the corpus-wide mean
+    * document length when each source is REMOVED — the leave-one-source-
+    * out screen a curation pipeline runs before expensive per-source
+    * training ablations ("which source is dragging the average"). Same
+    * LOO algebra as [[graft.ops.Features.targetEncodeNation]], lifted
+    * from rows to sources: `mean₋ₛ = (S − Sₛ)/(N − nₛ)`.
+    *
+    * `n_chars` is integral, so every sum is an exact BIGINT — no decimal
+    * detour needed; the means are single IEEE divisions of exact
+    * operands, and delta subtracts two such doubles. One map-side-
+    * combinable aggregation + a broadcast 1-row total: the ablation adds
+    * nothing that scales with corpus size. */
+  def sourceAblation(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("s_chars"))
+    val tot = per.agg(sum(col("n_docs")).as("nn"), sum(col("s_chars")).as("ss"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (col("ss").cast("double") / col("nn").cast("double"))
+          .as("mean_all"),
+        when(col("nn") > col("n_docs"),
+          (col("ss") - col("s_chars")).cast("double") /
+            (col("nn") - col("n_docs")).cast("double")).as("mean_without"))
+      .withColumn("delta", col("mean_without") - col("mean_all"))
+      .orderBy("source")
+  }
 }

@@ -270,4 +270,25 @@ class CurationSpec extends AnyFunSuite {
       assert(sorted.length <= Similarity.HardNegativesK)
     }
   }
+
+  test("source ablation: LOO means reconcile with raw totals") {
+    val rows = Profile.sourceAblation(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("source")).toSet == bySrc.keySet)
+    val nn = docs.length.toLong
+    val ss = docs.map(_._2).sum
+    for (r <- rows) {
+      val src = r.getAs[String]("source")
+      val n = bySrc(src).length.toLong
+      val s = bySrc(src).map(_._2).sum
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Double]("mean_all") == ss.toDouble / nn.toDouble)
+      val mw = (ss - s).toDouble / (nn - n).toDouble
+      assert(r.getAs[Double]("mean_without") == mw)
+      assert(r.getAs[Double]("delta") == mw - ss.toDouble / nn.toDouble)
+    }
+  }
 }

@@ -268,6 +268,28 @@ class GraphSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("hits: star hub and shared authority, hand-computed 2-round values") {
+    // 1 -> {2,3,4}, 5 -> 2: round-by-round with L-inf normalization gives
+    // hub(1)=1, hub(5)=3/7; auth(2)=1, auth(3)=auth(4)=2/3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.hits(edges)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((1.0, 0.0)))
+    assert(got(5L) == ((r9(3.0 / 7.0), 0.0)))
+    assert(got(2L) == ((0.0, 1.0)))
+    assert(got(3L) == ((0.0, r9(2.0 / 3.0))))
+    assert(got(4L) == ((0.0, r9(2.0 / 3.0))))
+    // partition independence
+    val again = Graph.hits(edges.repartition(5))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == got)
+  }
+
   test("temporal reachability: backwards-in-time edges do not propagate taint") {
     // 1 -(t=10)-> 2 -(t=5)-> 3 : BFS would reach 3; temporally 3 is clean
     // (the 2->3 transfer happened before 2 was tainted); 2 -(t=20)-> 4

@@ -127,4 +127,26 @@ class MetricsSpec extends AnyFunSuite {
         s"merged estimate $est vs exact $n")
     }
   }
+
+  test("seasonal decomposition reconstructs exactly and means recompute") {
+    val rows = graft.ops.Metrics.seasonalDecompose(spark, GraftSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // volume = trend + seasonal + residual, bit-exact by construction
+    for (r <- rows) {
+      val (v, t, s, res) = (r.getAs[Double]("volume"), r.getAs[Double]("trend"),
+        r.getAs[Double]("seasonal"), r.getAs[Double]("residual"))
+      assert(res == v - t - s)
+    }
+    // seasonal is the exact per-(token, hour-of-day) mean of hourly volume
+    val byKey = rows.groupBy(r =>
+      (r.getAs[String]("token"), (r.getAs[Long]("t") % 86400) / 3600))
+    for (((tok, hod), rs) <- byKey) {
+      val vols = rs.map(r => BigDecimal(r.getAs[Double]("volume"))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      val mean = (vols.sum.toDouble) / vols.length.toDouble
+      assert(rs.forall(_.getAs[Double]("seasonal") == mean),
+        s"seasonal mismatch for ($tok, $hod)")
+    }
+  }
 }
