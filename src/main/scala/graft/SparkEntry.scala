@@ -3422,6 +3422,141 @@ object Catalog {
         |         - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS delta
         |FROM per p, tot ORDER BY source""".stripMargin)),
 
+    // Wave 11 — deterministic-Luby maximal independent set
+    QEntry("q_mis",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        Graph.maximalIndependentSet(
+          graft.Tables.transfers(s, d)
+            .select(col("from_address").as("src"),
+              col("to_address").as("dst")))
+          .select(col("v").as("address"), col("state"), col("round"))
+          .orderBy("address")
+      },
+      Some {
+        val R = Graph.MisRounds
+        val rounds = (1 to R).map { k =>
+          s"""le$k AS MATERIALIZED (
+             |  SELECT e.a, e.b FROM e
+             |  JOIN lv${k - 1} la ON la.v = e.a
+             |  JOIN lv${k - 1} lb ON lb.v = e.b
+             |),
+             |nb$k AS MATERIALIZED (
+             |  SELECT a AS v, b AS u FROM le$k
+             |  UNION ALL SELECT b, a FROM le$k
+             |),
+             |nm$k AS MATERIALIZED (
+             |  SELECT n.v, min(l.p) AS nm
+             |  FROM nb$k n JOIN lv${k - 1} l ON l.v = n.u GROUP BY 1
+             |),
+             |mis$k AS MATERIALIZED (
+             |  SELECT l.v FROM lv${k - 1} l
+             |  LEFT JOIN nm$k m ON m.v = l.v
+             |  WHERE m.nm IS NULL OR l.p < m.nm
+             |),
+             |ex$k AS MATERIALIZED (
+             |  SELECT DISTINCT n.v FROM nb$k n
+             |  JOIN mis$k m ON m.v = n.u
+             |  WHERE n.v NOT IN (SELECT v FROM mis$k)
+             |),
+             |lv$k AS MATERIALIZED (
+             |  SELECT l.v, l.p FROM lv${k - 1} l
+             |  WHERE l.v NOT IN (SELECT v FROM mis$k)
+             |    AND l.v NOT IN (SELECT v FROM ex$k)
+             |)""".stripMargin
+        }.mkString(",\n")
+        val decided = (1 to R).flatMap { k =>
+          Seq(
+            s"SELECT v, 'mis' AS state, CAST($k AS INT) AS round FROM mis$k",
+            s"SELECT v, 'excluded', CAST($k AS INT) FROM ex$k")
+        }.mkString("\n  UNION ALL ")
+        withTransfers(
+          s""", e AS MATERIALIZED (
+             |  SELECT DISTINCT least(from_address, to_address) AS a,
+             |         greatest(from_address, to_address) AS b
+             |  FROM transfers WHERE from_address <> to_address
+             |),
+             |lv0 AS MATERIALIZED (
+             |  SELECT v, md5(v) AS p FROM (
+             |    SELECT a AS v FROM e UNION SELECT b FROM e
+             |  )
+             |),
+             |$rounds
+             |SELECT v AS address, state, round FROM (
+             |  $decided
+             |  UNION ALL SELECT v, 'undecided', CAST(0 AS INT) FROM lv$R
+             |) ORDER BY address""".stripMargin)
+      }),
+
+    // Wave 11 — RFM wallet segmentation (tertile bands on exact order stats)
+    QEntry("q_rfm", Wallet.rfmSegments, Some {
+      def bandCte(metric: String, alias: String, short: String): String =
+        s"""$alias AS (
+           |  SELECT $metric,
+           |         CAST(1 + (${Wallet.RfmBands} * cum_before) // n AS INT)
+           |           AS ${short}_band
+           |  FROM (
+           |    SELECT $metric,
+           |           COALESCE(SUM(c) OVER (ORDER BY $metric ASC
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |             0) AS cum_before,
+           |           SUM(c) OVER () AS n
+           |    FROM (SELECT $metric, count(*) AS c FROM m GROUP BY 1)
+           |  )
+           |)""".stripMargin
+      withTransfers(
+        s""", base AS (
+           |  SELECT from_address AS address, max(transact_at) AS last_ts,
+           |         CAST(count(*) AS BIGINT) AS freq,
+           |         SUM(CAST(value AS DECIMAL(25,2))) AS mon
+           |  FROM transfers GROUP BY 1
+           |),
+           |tm AS (SELECT max(last_ts) AS tmax FROM base),
+           |m AS (
+           |  SELECT address, (tmax - last_ts) // 86400 AS rec_days,
+           |         freq, mon
+           |  FROM base, tm
+           |),
+           |${bandCte("rec_days", "rb", "r")},
+           |${bandCte("freq", "fb", "f")},
+           |${bandCte("mon", "mb", "m")}
+           |SELECT m.address, m.rec_days, m.freq,
+           |       CAST(m.mon AS DOUBLE) AS volume,
+           |       rb.r_band, fb.f_band, mb.m_band,
+           |       rb.r_band * 100 + fb.f_band * 10 + mb.m_band AS rfm
+           |FROM m
+           |JOIN rb ON rb.rec_days = m.rec_days
+           |JOIN fb ON fb.freq = m.freq
+           |JOIN mb ON mb.mon = m.mon
+           |ORDER BY m.address""".stripMargin)
+    }),
+
+    // Wave 11 — CUSUM drift statistic on the hourly count series
+    QEntry("q_cusum", Metrics.cusumDrift, Some(withTransfers(
+      s""", hourly AS (
+         |  SELECT contract_address AS token, ${hourBucket("transact_at")} AS t,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |tot AS (
+         |  SELECT token, CAST(SUM(x) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM hourly GROUP BY 1
+         |),
+         |cu AS (
+         |  SELECT h.token, h.t, h.x, t2.s, t2.n,
+         |         CAST(SUM(h.x) OVER (PARTITION BY h.token ORDER BY h.t
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum,
+         |         CAST(row_number() OVER (PARTITION BY h.token ORDER BY h.t)
+         |           AS BIGINT) AS idx
+         |  FROM hourly h JOIN tot t2 ON t2.token = h.token
+         |)
+         |SELECT token, t, x, n * cum - idx * s AS dev,
+         |       abs(n * cum - idx * s) * ${Metrics.CusumDenom} > n * s
+         |         AS drift
+         |FROM cu ORDER BY token, t""".stripMargin))),
+
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

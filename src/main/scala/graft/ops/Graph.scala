@@ -426,6 +426,69 @@ object Graph {
       .limit(topK)
   }
 
+  /** Fixed round count for [[maximalIndependentSet]] — the unroll
+    * contract; vertices still undecided after this many rounds are
+    * reported as such (bounded-round state IS the result, the same
+    * contract move as [[bfsHops]]). */
+  val MisRounds = 3
+
+  /** Maximal independent set by DETERMINISTIC Luby rounds: priorities are
+    * `md5(v)` (a fixed random-enough total order both engines compute
+    * identically — no RNG state), a live vertex enters the MIS when its
+    * priority beats every live neighbor's, its neighbors drop out, and
+    * the next round runs on the induced remainder. The
+    * dedup-representative primitive: an MIS of the near-dup pair graph is
+    * a set of mutually-non-duplicate documents that touches every
+    * duplicate neighborhood — the "pick diverse exemplars" alternative to
+    * [[connectedComponents]]' one-keeper-per-cluster.
+    *
+    * Per round: one live-edge semi-join pass + a grouped min + two
+    * anti/semi joins — all keyed by vertex, O(|E|) shuffled bytes,
+    * lineage-cut. Luby's analysis kills ~half the EDGES per round in
+    * expectation, so [[MisRounds]] rounds decide the overwhelming mass;
+    * the remainder surfaces as `undecided` (deterministic, never wrong —
+    * a later round can only refine it). Returns (v, state, round) with
+    * state ∈ mis|excluded|undecided, round = when decided (0 for
+    * undecided). */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int = MisRounds,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val und = LineageCut.cut(
+      edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct(), cutMode)
+    var live = LineageCut.cut(
+      und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
+        .distinct().withColumn("p", md5(col("v").cast("string"))), cutMode)
+    var decided: DataFrame = null
+    for (k <- 1 to rounds) {
+      val le = und
+        .join(live.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(live.select(col("v").as("b")), Seq("b"), "left_semi")
+      val nbrs = le.select(col("a").as("v"), col("b").as("u"))
+        .unionByName(le.select(col("b").as("v"), col("a").as("u")))
+      val nm = nbrs
+        .join(live.select(col("v").as("u"), col("p").as("pu")), Seq("u"))
+        .groupBy("v").agg(min(col("pu")).as("nm"))
+      val mis = live.join(nm, Seq("v"), "left")
+        .filter(col("nm").isNull || col("p") < col("nm"))
+        .select(col("v"))
+      val excl = nbrs.join(mis.select(col("v").as("u")), Seq("u"), "left_semi")
+        .select(col("v")).distinct()
+        .join(mis, Seq("v"), "left_anti")
+      val roundDecided = mis.withColumn("state", lit("mis"))
+        .unionByName(excl.withColumn("state", lit("excluded")))
+        .withColumn("round", lit(k))
+      decided = if (decided == null) roundDecided
+        else decided.unionByName(roundDecided)
+      live = LineageCut.cut(
+        live.join(roundDecided.select("v"), Seq("v"), "left_anti"), cutMode)
+      decided = LineageCut.cut(decided, cutMode)
+    }
+    decided.unionByName(live.select(col("v"),
+      lit("undecided").as("state"), lit(0).as("round")))
+  }
+
   /** Fixed iteration count for [[hits]] — the oracle's unroll contract. */
   val HitsRounds = 2
 

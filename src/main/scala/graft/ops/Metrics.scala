@@ -295,6 +295,42 @@ object Metrics {
       .orderBy("contract_address")
   }
 
+  /** CUSUM flag threshold: flag hours where the cumulative count deviates
+    * from the uniform-rate line by more than 1/[[CusumDenom]] of the
+    * series' total mass. */
+  val CusumDenom = 10
+
+  /** CUSUM-style drift detection on the hourly transaction-count series:
+    * the V-mask statistic `D_t = Σ_{i≤t}(x_i − μ)` — how far the
+    * cumulative count has drifted from the uniform-rate line — flags
+    * regime changes a pointwise z-score ([[volumeAnomalies]]) cannot see
+    * (many small same-direction deviations). Scaled by n to stay in exact
+    * BIGINTs: `dev = n·C_t − t·S` (μ = S/n), flagged when
+    * `CusumDenom·|dev| > n·S`, i.e. |D_t| > S/CusumDenom. Pure integer
+    * arithmetic end-to-end — no float ever.
+    *
+    * One (token, hour) aggregation, one token-keyed window pass (series
+    * length per token is time-bounded — no growth with data volume), one
+    * token-keyed totals join. */
+  def cusumDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address").as("token"),
+        hourBucket(col("transact_at")).as("t"))
+      .agg(count(lit(1)).as("x"))
+    val tot = hourly.groupBy("token")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("token").orderBy("t")
+    hourly.join(tot, Seq("token"))
+      .withColumn("cum",
+        sum(col("x")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("idx", row_number().over(w))
+      .withColumn("dev", col("n") * col("cum") - col("idx") * col("s"))
+      .select(col("token"), col("t"), col("x"), col("dev"),
+        (abs(col("dev")) * CusumDenom > col("n") * col("s")).as("drift"))
+      .orderBy("token", "t")
+  }
+
   /** Half-width (seconds) of the centered trend window in
     * [[seasonalDecompose]] — ±12 hours. */
   val TrendHalfWidthSec = 43200L

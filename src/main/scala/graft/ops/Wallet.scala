@@ -70,4 +70,56 @@ object Wallet {
         coalesce(col("is_dapp"), lit(false)).as("is_dapp"))
       .orderBy("address")
   }
+
+  /** Number of RFM bands per dimension (tertiles). */
+  val RfmBands = 3
+
+  /** RFM segmentation — the classic warehouse customer-value model
+    * (recency / frequency / monetary), lifted to wallets: days since last
+    * send, send count, sent volume, each banded into [[RfmBands]] tertiles
+    * and composed into one `rfm = 100·r + 10·f + m` segment code.
+    *
+    * Band edges are EXACT order statistics of each metric's DISTRIBUTION
+    * (value + count + cumulative-before, `1 + (bands·cum) div n` —
+    * [[TextAnalysis.curriculum]]'s integer boundary arithmetic), so ties
+    * share a band and no float quantile estimate crosses engines. Bands
+    * are ascending in the metric: r_band 1 = most recent, f_band/m_band 3
+    * = most active/valuable. The distribution frames are |distinct
+    * values|-sized — the partition-less windows run on summaries, never
+    * on the wallet stream; everything else is one grouped aggregate and
+    * three value-keyed equi-joins. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.transfers(spark, sfDir)
+      .groupBy(col("from_address").as("address"))
+      .agg(max(col("transact_at")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        Num.dsumDec(col("value")).as("mon"))
+    val tmax = base.agg(max(col("last_ts")).as("tmax"))
+    val metrics = base.crossJoin(broadcast(tmax))
+      .select(col("address"),
+        expr("CAST((tmax - last_ts) DIV 86400 AS BIGINT)").as("rec_days"),
+        col("freq"), col("mon"))
+    def bandTable(metric: String): DataFrame = {
+      val byAsc = Window.orderBy(col(metric).asc)
+      val all = Window.partitionBy()
+      metrics.groupBy(metric).agg(count(lit(1)).as("c"))
+        .withColumn("cum_before", coalesce(sum("c").over(byAsc
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("c").over(all))
+        .select(col(metric),
+          expr(s"CAST(1 + ($RfmBands * cum_before) DIV n AS INT)")
+            .as(s"${metric.take(1)}_band"))
+    }
+    metrics
+      .join(bandTable("rec_days"), Seq("rec_days"))
+      .join(bandTable("freq"), Seq("freq"))
+      .join(bandTable("mon"), Seq("mon"))
+      .select(col("address"), col("rec_days"), col("freq"),
+        col("mon").cast("double").as("volume"),
+        col("r_band"), col("f_band"), col("m_band"),
+        (col("r_band") * 100 + col("f_band") * 10 + col("m_band"))
+          .as("rfm"))
+      .orderBy("address")
+  }
 }

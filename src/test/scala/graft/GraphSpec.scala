@@ -268,6 +268,31 @@ class GraphSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("mis: independent, maximal among decided, partition-independent") {
+    // triangle 1-2-3 + chain 3-4-5 + isolated edge 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (8L, 9L)).toDF("src", "dst")
+    val got = Graph.maximalIndependentSet(edges)
+      .as[(Long, String, Int)].collect()
+    val byV = got.map(r => r._1 -> r._2).toMap
+    assert(byV.keySet == Set(1L, 2L, 3L, 4L, 5L, 8L, 9L))
+    val mis = byV.filter(_._2 == "mis").keySet
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    // independence: no edge inside the MIS
+    assert(und.forall { case (a, b) => !(mis(a) && mis(b)) })
+    // every excluded vertex has an MIS neighbor
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet)
+    for ((v, st) <- byV if st == "excluded")
+      assert(nbrs(v).exists(mis), s"excluded $v has no MIS neighbor")
+    // this small graph decides fully within the round budget
+    assert(!byV.values.exists(_ == "undecided"))
+    // partition independence
+    val again = Graph.maximalIndependentSet(edges.repartition(5))
+      .as[(Long, String, Int)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
   test("hits: star hub and shared authority, hand-computed 2-round values") {
     // 1 -> {2,3,4}, 5 -> 2: round-by-round with L-inf normalization gives
     // hub(1)=1, hub(5)=3/7; auth(2)=1, auth(3)=auth(4)=2/3

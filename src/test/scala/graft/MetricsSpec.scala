@@ -128,6 +128,49 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum: dev recomputes from raw cumulative counts, final dev = 0") {
+    val rows = graft.ops.Metrics.cusumDrift(spark, GraftSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val byTok = rows.groupBy(_.getAs[String]("token"))
+    for ((_, rs) <- byTok) {
+      val ordered = rs.sortBy(_.getAs[Long]("t"))
+      val xs = ordered.map(_.getAs[Long]("x"))
+      val s = xs.sum; val n = xs.length.toLong
+      var cum = 0L
+      for ((r, i) <- ordered.zipWithIndex) {
+        cum += xs(i)
+        val dev = n * cum - (i + 1).toLong * s
+        assert(r.getAs[Long]("dev") == dev)
+        assert(r.getAs[Boolean]("drift") ==
+          (math.abs(dev) * graft.ops.Metrics.CusumDenom > n * s))
+      }
+      assert(ordered.last.getAs[Long]("dev") == 0L)
+    }
+  }
+
+  test("rfm: bands are metric-monotone tertiles and compose the segment code") {
+    val rows = graft.ops.Wallet.rfmSegments(spark, GraftSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (rb, fb, mb) = (r.getAs[Int]("r_band"), r.getAs[Int]("f_band"),
+        r.getAs[Int]("m_band"))
+      assert(rb >= 1 && rb <= graft.ops.Wallet.RfmBands)
+      assert(fb >= 1 && fb <= graft.ops.Wallet.RfmBands)
+      assert(mb >= 1 && mb <= graft.ops.Wallet.RfmBands)
+      assert(r.getAs[Int]("rfm") == rb * 100 + fb * 10 + mb)
+    }
+    // monotone: a strictly larger metric value never lands in a lower band
+    def mono(metric: String, band: String): Unit = {
+      val pairs = rows.map(r =>
+        (BigDecimal(r.getAs[Any](metric).toString), r.getAs[Int](band)))
+      for (w <- pairs.sortBy(_._1).sliding(2) if w.length == 2
+           && w(0)._1 < w(1)._1)
+        assert(w(0)._2 <= w(1)._2,
+          s"$metric ${w(0)._1}->${w(1)._1} band ${w(0)._2}->${w(1)._2}")
+    }
+    mono("rec_days", "r_band"); mono("freq", "f_band"); mono("volume", "m_band")
+  }
+
   test("seasonal decomposition reconstructs exactly and means recompute") {
     val rows = graft.ops.Metrics.seasonalDecompose(spark, GraftSpark.Sf)
       .collect()
