@@ -3380,24 +3380,19 @@ object Catalog {
          |tr AS (
          |  SELECT token, t, vol,
          |         CAST(SUM(vol) OVER w AS DOUBLE)
-         |           / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+         |           / CAST(COUNT(*) OVER w AS DOUBLE) AS trend,
+         |         CAST(SUM(vol) OVER ws AS DOUBLE)
+         |           / CAST(COUNT(*) OVER ws AS DOUBLE) AS seasonal
          |  FROM hourly
          |  WINDOW w AS (PARTITION BY token ORDER BY t
          |    RANGE BETWEEN ${Metrics.TrendHalfWidthSec} PRECEDING
-         |              AND ${Metrics.TrendHalfWidthSec} FOLLOWING)
-         |),
-         |se AS (
-         |  SELECT token, (t % 86400) // 3600 AS hod,
-         |         CAST(SUM(vol) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-         |           AS seasonal
-         |  FROM hourly GROUP BY 1, 2
+         |              AND ${Metrics.TrendHalfWidthSec} FOLLOWING),
+         |  ws AS (PARTITION BY token, (t % 86400) // 3600)
          |)
-         |SELECT tr.token, tr.t, CAST(tr.vol AS DOUBLE) AS volume,
-         |       tr.trend, se.seasonal,
-         |       CAST(tr.vol AS DOUBLE) - tr.trend - se.seasonal AS residual
-         |FROM tr JOIN se
-         |  ON se.token = tr.token AND se.hod = (tr.t % 86400) // 3600
-         |ORDER BY tr.token, tr.t""".stripMargin))),
+         |SELECT token, t, CAST(vol AS DOUBLE) AS volume,
+         |       trend, seasonal,
+         |       CAST(vol AS DOUBLE) - trend - seasonal AS residual
+         |FROM tr ORDER BY token, t""".stripMargin))),
 
     // Wave 10 — per-source leave-one-out ablation screen
     QEntry("q_source_ablation", Profile.sourceAblation, Some(

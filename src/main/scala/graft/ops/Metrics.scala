@@ -359,18 +359,18 @@ object Metrics {
       .agg(dsumDec(col("value")).as("vol"))
     val w = Window.partitionBy("token").orderBy(col("t"))
       .rangeBetween(-TrendHalfWidthSec, TrendHalfWidthSec)
-    val trended = hourly
+    // seasonal as a WINDOW over the same hourly frame (not a groupBy +
+    // join back): the hourly subtree is scanned once, not twice — at
+    // scale the second scan is a full recompute, not a cache hit
+    val ws = Window.partitionBy(col("token"),
+      expr("CAST((t % 86400) DIV 3600 AS INT)"))
+    hourly
       .withColumn("trend",
         sum(col("vol")).over(w).cast("double") /
           count(lit(1)).over(w).cast("double"))
-    val seasonal = hourly
-      .groupBy(col("token"),
-        expr("CAST((t % 86400) DIV 3600 AS INT)").as("hod"))
-      .agg((sum(col("vol")).cast("double") /
-        count(lit(1)).cast("double")).as("seasonal"))
-    trended
-      .withColumn("hod", expr("CAST((t % 86400) DIV 3600 AS INT)"))
-      .join(seasonal, Seq("token", "hod"))
+      .withColumn("seasonal",
+        sum(col("vol")).over(ws).cast("double") /
+          count(lit(1)).over(ws).cast("double"))
       .select(col("token"), col("t"), col("vol").cast("double").as("volume"),
         col("trend"), col("seasonal"),
         (col("vol").cast("double") - col("trend") - col("seasonal"))

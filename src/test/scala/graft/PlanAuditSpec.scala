@@ -291,4 +291,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("graft_idot") || p.contains("intdot"),
       s"integer kernel missing from plan:\n$p")
   }
+
+  test("random projection is a zero-exchange narrow projection") {
+    val p = plan("q_random_projection")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"projection should add no shuffle:\n$p")
+    // the only exchange allowed is the final range sort
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("target encoding broadcasts the 25-row stats frame") {
+    val p = plan("q_target_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("source ablation: one aggregate + broadcast 1-row total, no SMJ") {
+    val p = plan("q_source_ablation")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("link prediction: wedge and anti joins are all equi-joins") {
+    val p = plan("q_link_predict")
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate cut is a TakeOrdered, not a global sort + limit
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("containment join never goes quadratic: no cross join in the plan") {
+    val p = plan("q_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("seasonal decomposition: trend window and hourly agg share a token exchange") {
+    val p = plan("q_seasonal")
+    // hourly agg keyed (token, t); window keyed token; seasonal join keyed
+    // (token, hod) — at most three hash exchanges total plus the sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges\n$p")
+  }
+
+  test("rfm: band tables join back by value without a cross join") {
+    val p = plan("q_rfm")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
