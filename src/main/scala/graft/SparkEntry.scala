@@ -3552,6 +3552,90 @@ object Catalog {
          |         AS drift
          |FROM cu ORDER BY token, t""".stripMargin))),
 
+    // Wave 12 — Matryoshka truncation certificate (prefix-dim recall)
+    QEntry("q_mrl_recall", (s, d) => Similarity.mrlRecall(s, d), Some {
+      val perL = Similarity.MrlDims.map { l =>
+        s"""norms$l AS (
+           |  SELECT vec_id,
+           |         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+           |  FROM idx WHERE i < $l GROUP BY 1
+           |),
+           |dots$l AS (
+           |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE)
+           |           AS dot
+           |  FROM idx q JOIN idx d ON q.i = d.i
+           |  WHERE q.i < $l AND q.vec_id < ${Similarity.ProbeCount}
+           |    AND d.vec_id != q.vec_id
+           |  GROUP BY 1, 2
+           |),
+           |top$l AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT dd.query_id, dd.neighbor_id,
+           |           row_number() OVER (PARTITION BY dd.query_id
+           |             ORDER BY dd.dot / (sqrt(nq.sq) * sqrt(nd.sq)) DESC,
+           |                      dd.neighbor_id ASC) AS rn
+           |    FROM dots$l dd
+           |    JOIN norms$l nq ON nq.vec_id = dd.query_id
+           |    JOIN norms$l nd ON nd.vec_id = dd.neighbor_id
+           |    WHERE nq.sq > 0 AND nd.sq > 0
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val hits = Similarity.MrlDims.map { l =>
+        s"""SELECT CAST($l AS INT) AS prefix_dims,
+           |       CAST(count(*) AS BIGINT) AS n_hits
+           |FROM top$l JOIN exact USING (query_id, neighbor_id)""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH exact AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (%%TOPK%%) WHERE rnk = 1
+         |),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM exact),
+         |idx AS MATERIALIZED (
+         |  SELECT e.vec_id, t.i - 1 AS i,
+         |         CAST(e.embedding[t.i] AS DOUBLE) AS x
+         |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+         |),
+         |$perL,
+         |h AS ($hits)
+         |SELECT h.prefix_dims, np.n_probes, h.n_hits,
+         |       round(CAST(h.n_hits AS DOUBLE) / CAST(np.n_probes AS DOUBLE),
+         |             6) AS recall
+         |FROM h CROSS JOIN np ORDER BY prefix_dims""".stripMargin
+        .replace("%%TOPK%%", embeddingTopkSql)
+    }),
+
+    // Wave 12 — entity-resolution golden records (linkage → CC → fusion)
+    QEntry("q_golden_record", Membership.goldenRecords, Some(
+      s"""WITH RECURSIVE lp AS (
+         |  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+         |  FROM customer a JOIN customer b
+         |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         |  WHERE levenshtein(a.c_name, b.c_name) <= ${Membership.LinkMaxDist}
+         |),
+         |sym AS (
+         |  SELECT key_a AS s, key_b AS t FROM lp
+         |  UNION SELECT key_b, key_a FROM lp
+         |),
+         |reach AS (
+         |  SELECT s AS k, s AS r FROM sym
+         |  UNION
+         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.t = reach.k
+         |),
+         |labels AS (SELECT k, min(r) AS cluster FROM reach GROUP BY 1),
+         |cl AS (
+         |  SELECT c.*, COALESCE(l.cluster, c.c_custkey) AS cluster
+         |  FROM customer c LEFT JOIN labels l ON l.k = c.c_custkey
+         |)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |       min(c_custkey) AS canonical_key,
+         |       min(c_name) AS canonical_name,
+         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE)
+         |         AS total_acctbal,
+         |       min(c_nationkey) AS nation,
+         |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

@@ -120,7 +120,14 @@ object Membership {
     * buckets. */
   val LinkMaxDist = 2
 
-  def nameLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Linkage pairs, materialized once per (session, sfDir) — the variant-
+    * hash blocking + Levenshtein refine subtree is the expensive part and
+    * both q_name_linkage and [[goldenRecords]] consume it; the pair frame
+    * is summary-sized (matches only), the [[Shared]] contract. */
+  def nameLinkage(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.frame(spark, sfDir, "linkage_pairs")(nameLinkageRaw(spark, sfDir))
+
+  private def nameLinkageRaw(spark: SparkSession, sfDir: String): DataFrame = {
     // all strings reachable by deleting 0, 1 or 2 characters; one generator
     // expression, exploded once (no UDF, stays in codegen). Duplicate
     // variants from repeated characters are tolerated — the candidate
@@ -172,6 +179,39 @@ object Membership {
       .filter(col("dist") >= 0)
       .select(col("key_a"), col("key_b"), col("dist"))
       .orderBy("key_a", "key_b")
+  }
+
+  /** Golden records: the entity-resolution END state — fuse each linkage
+    * cluster ([[nameLinkage]] pairs closed under [[Graph
+    * .connectedComponents]]) into ONE canonical customer row with
+    * deterministic fusion rules (min key as canonical id, lexicographic-
+    * min name, decimal-summed balance, distinct-segment count as a fusion-
+    * conflict signal). Unlinked customers pass through as singleton
+    * clusters of themselves — the output is a complete deduplicated
+    * master table, not just the merged subset (the MDM "survivorship"
+    * step downstream of every linkage pipeline).
+    *
+    * The expensive subtrees are the proven ones (variant-hash blocking,
+    * min-label propagation); fusion itself is one grouped aggregate keyed
+    * by cluster. */
+  def goldenRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = nameLinkage(spark, sfDir)
+      .select(col("key_a").as("src"), col("key_b").as("dst"))
+    val labels = Graph.connectedComponents(pairs)
+      .toDF("c_custkey", "cluster")
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .join(labels, Seq("c_custkey"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("c_custkey")))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("c_custkey")).as("canonical_key"),
+        min(col("c_name")).as("canonical_name"),
+        Num.dsum(col("c_acctbal")).as("total_acctbal"),
+        min(col("c_nationkey")).as("nation"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy("cluster")
   }
 
   /** Per-wallet dapp-membership flag — the semi-join form of isDappAddress:

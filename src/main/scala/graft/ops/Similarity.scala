@@ -495,4 +495,61 @@ object Similarity {
         round(col("best.cosine"), 6).as("cosine"))
       .orderBy("query_id")
   }
+
+  /** Prefix lengths certified by [[mrlRecall]]. */
+  val MrlDims: Seq[Int] = Seq(8, 16, 32)
+
+  /** Matryoshka truncation certificate: top-1 agreement between full-dim
+    * cosine and cosine over the FIRST-L-component prefix, for each L in
+    * [[MrlDims]] — "how many dimensions does this embedding table really
+    * need". Matryoshka-trained embeddings concentrate signal in the
+    * prefix, so a high prefix recall licenses shipping 8 of 64 floats
+    * through every downstream shuffle (the same bytes argument as
+    * [[graft.ops.Quantize]], on the dimension axis instead of the
+    * precision axis); a low one says the table was not trained that way.
+    * Sibling of [[annRecall]] — same certificate shape, measuring the
+    * representation instead of the index.
+    *
+    * Each truncated search is the broadcast-probe arg-max (no window, no
+    * candidate shuffle); the exact top-1 frame is computed once and
+    * persisted across the three comparisons. */
+  def mrlRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir).filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nProbes = exact.agg(count(lit(1)).as("n_probes"))
+    // ONE candidate pass scores every prefix length: the per-L slices and
+    // dots are per-row expressions, so adding a prefix costs columns, not
+    // another O(probes × table) scan (3 passes → 1)
+    val sliceCols = MrlDims.flatMap { l =>
+      Seq(expr(s"slice(v, 1, $l)").as(s"tv$l"))
+    }
+    val base = emb(spark, sfDir)
+      .select(col("vec_id") +: sliceCols: _*)
+    val withSq = base.select(col("vec_id") +:
+      MrlDims.map(l => col(s"tv$l")) ++:
+      MrlDims.map(l => expr(normSqOf(s"tv$l")).as(s"sq$l")): _*)
+    val probes = withSq.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id") +:
+        MrlDims.map(l => col(s"tv$l").as(s"qtv$l")) ++:
+        MrlDims.map(l => col(s"sq$l").as(s"qsq$l")): _*)
+    val scored = withSq
+      .join(broadcast(probes), col("vec_id") =!= col("query_id"))
+    val argmaxes = MrlDims.map { l =>
+      max(when(col(s"sq$l") > 0 && col(s"qsq$l") > 0,
+        struct((expr(dotOf(s"qtv$l", s"tv$l")) /
+          (sqrt(col(s"qsq$l")) * sqrt(col(s"sq$l")))).as("c"),
+          (-col("vec_id")).as("nid")))).as(s"b$l")
+    }
+    val top = scored.groupBy("query_id").agg(argmaxes.head, argmaxes.tail: _*)
+    MrlDims.map { l =>
+      top.select(col("query_id"), (-col(s"b$l.nid")).as("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nProbes))
+        .select(lit(l).as("prefix_dims"), col("n_probes"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_probes").cast("double"),
+            6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("prefix_dims")
+  }
 }

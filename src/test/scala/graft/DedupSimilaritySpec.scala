@@ -118,4 +118,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .toDF().orderBy("doc_id").collect()
     assert(f1.toSeq == f2.toSeq)
   }
+
+  test("mrl recall certificate: one row per prefix, hits bounded by probes") {
+    val rows = graft.ops.Similarity.mrlRecall(spark, GraftSpark.Sf).collect()
+    assert(rows.map(_.getAs[Int]("prefix_dims")).toSeq ==
+      graft.ops.Similarity.MrlDims)
+    val probes = rows.head.getAs[Long]("n_probes")
+    assert(probes > 0)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_probes") == probes)
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= probes)
+      assert(r.getAs[Double]("recall") ==
+        BigDecimal(hits.toDouble / probes.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }

@@ -20,4 +20,27 @@ class MembershipSpec extends AnyFunSuite {
     assert(bloom == naive)
     assert(bloom.nonEmpty)
   }
+
+  test("golden records: complete partition of customers, fusion rules hold") {
+    val rows = Membership.goldenRecords(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    // every customer lands in exactly one cluster
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nCust)
+    for (r <- rows) {
+      // the CC label is the min member id, which is also the canonical key
+      assert(r.getAs[Long]("canonical_key") == r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("n_segments") >= 1)
+      assert(r.getAs[Long]("n_segments") <=
+        math.min(r.getAs[Long]("n_members"), 5L))
+    }
+    // merged clusters exist at this sf (linkage finds near-identical names)
+    assert(rows.exists(_.getAs[Long]("n_members") > 1))
+    // balance mass is conserved through fusion
+    val fused = rows.map(r => BigDecimal(r.getAs[Double]("total_acctbal")))
+      .sum
+    val raw = Tables.customer(spark, sf).select("c_acctbal")
+      .collect().map(r => BigDecimal(r.getDouble(0))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert((fused - raw).abs < BigDecimal(0.01))
+  }
 }
