@@ -1009,6 +1009,47 @@ object Catalog {
     * drift from the per-method entries. The sub-SQL is spliced in AFTER
     * stripMargin — interpolating it before would let the outer stripMargin
     * eat one pipe of any embedded `||` at a line start. */
+  /** PCA chain: centered components → Gramian → power-method rounds
+    * (mirror of [[graft.ops.Features.pcaPower]]); shared by q_pca_power
+    * and q_pca_project. MATERIALIZED: xc/gram are multiply referenced. */
+  private val pcaChainCtes: String = {
+    val rounds = (1 to graft.ops.Features.PcaIters).map { k =>
+      s"""w$k AS (
+         |  SELECT g.i,
+         |         CAST(SUM(CAST(g.c * v.vj AS DECIMAL(38,18))) AS DOUBLE)
+         |           AS w
+         |  FROM gram g JOIN v${k - 1} v ON v.j = g.j GROUP BY 1
+         |),
+         |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS (SELECT w.i AS j, w.w / m.m AS vj FROM w$k w, m$k m)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$embIdxCte,
+       |mu AS (
+       |  SELECT i, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+       |            / count(*) AS mu
+       |  FROM idx GROUP BY 1
+       |),
+       |xc AS MATERIALIZED (
+       |  SELECT a.vec_id, a.i, a.x - m.mu AS xc
+       |  FROM idx a JOIN mu m ON m.i = a.i
+       |),
+       |gram_half AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j,
+       |         CAST(SUM(CAST(a.xc * b.xc AS DECIMAL(38,18))) AS DOUBLE)
+       |           AS c
+       |  FROM xc a JOIN xc b ON b.vec_id = a.vec_id AND b.i >= a.i
+       |  GROUP BY 1, 2
+       |),
+       |gram AS (
+       |  SELECT i, j, c FROM gram_half
+       |  UNION ALL
+       |  SELECT j, i, c FROM gram_half WHERE i < j
+       |),
+       |v0 AS (SELECT i AS j, 1.0 AS vj FROM mu),
+       |$rounds""".stripMargin
+  }
+
   private val annRecallSql: String =
     s"""WITH exact AS (SELECT query_id, neighbor_id FROM (%%TOPK%%)),
        |np AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_probes
@@ -3261,39 +3302,23 @@ object Catalog {
       }),
 
     // Wave 9 — top principal component (Gramian + 3 power iterations)
-    QEntry("q_pca_power", Features.pcaPower, Some {
-      val rounds = (1 to Features.PcaIters).map { k =>
-        s"""w$k AS (
-           |  SELECT g.i,
-           |         CAST(SUM(CAST(g.c * v.vj AS DECIMAL(38,18))) AS DOUBLE)
-           |           AS w
-           |  FROM gram g JOIN v${k - 1} v ON v.j = g.j GROUP BY 1
-           |),
-           |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
-           |v$k AS (SELECT w.i AS j, w.w / m.m AS vj FROM w$k w, m$k m)"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH $embIdxCte,
-         |mu AS (
-         |  SELECT i, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
-         |            / count(*) AS mu
-         |  FROM idx GROUP BY 1
-         |),
-         |xc AS (
-         |  SELECT a.vec_id, a.i, a.x - m.mu AS xc
-         |  FROM idx a JOIN mu m ON m.i = a.i
-         |),
-         |gram AS (
-         |  SELECT a.i, b.i AS j,
-         |         CAST(SUM(CAST(a.xc * b.xc AS DECIMAL(38,18))) AS DOUBLE)
-         |           AS c
-         |  FROM xc a JOIN xc b ON b.vec_id = a.vec_id GROUP BY 1, 2
-         |),
-         |v0 AS (SELECT i AS j, 1.0 AS vj FROM mu),
-         |$rounds
+    QEntry("q_pca_power", Features.pcaPower, Some(
+      s"""WITH $pcaChainCtes
          |SELECT j AS i, round(vj, 9) AS loading
-         |FROM v${Features.PcaIters} ORDER BY i""".stripMargin
-    }),
+         |FROM v${Features.PcaIters} ORDER BY i""".stripMargin)),
+
+    // Wave 13 — projection onto the top component (the reduction PCA buys)
+    QEntry("q_pca_project", Features.pcaProject, Some(
+      s"""WITH $pcaChainCtes,
+         |loads AS (
+         |  SELECT j AS i, round(vj, 9) AS loading
+         |  FROM v${Features.PcaIters}
+         |)
+         |SELECT x.vec_id,
+         |       round(CAST(SUM(CAST(x.xc * l.loading AS DECIMAL(38,18)))
+         |             AS DOUBLE), 9) AS pc1
+         |FROM xc x JOIN loads l ON l.i = x.i
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Wave 9 — quantile normalization (rank-map to the average distribution)
     QEntry("q_quantile_norm", Features.quantileNormalize, Some(
@@ -3635,6 +3660,62 @@ object Catalog {
          |       min(c_nationkey) AS nation,
          |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
          |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Wave 13 — session entry-path mining (gap sessionization + top paths)
+    QEntry("q_session_paths", Behavior.sessionPaths, Some(
+      s"""WITH s1 AS (
+         |  SELECT user_id, event_id, event_type,
+         |         epoch_ns(ts) // 1000000000 AS ts_sec,
+         |         epoch_ns(ts) AS tns
+         |  FROM events
+         |),
+         |s2 AS (
+         |  SELECT *,
+         |         CASE WHEN lag(ts_sec) OVER w IS NULL
+         |                OR ts_sec - lag(ts_sec) OVER w
+         |                   > ${Behavior.SessionGapSec}
+         |              THEN 1 ELSE 0 END AS gap
+         |  FROM s1
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+         |),
+         |s3 AS (
+         |  SELECT *,
+         |         SUM(gap) OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS sess
+         |  FROM s2
+         |),
+         |s4 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, sess
+         |           ORDER BY tns, event_id) AS rn
+         |  FROM s3
+         |),
+         |p AS (
+         |  SELECT user_id, sess,
+         |         string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM s4 WHERE rn <= ${Behavior.PathLen} GROUP BY 1, 2
+         |)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM p GROUP BY 1
+         |ORDER BY n_sessions DESC, path""".stripMargin)),
+
+    // Wave 13 — streaming hourly top-K token leaderboard (batch-parity)
+    QEntry("q_stream_topk",
+      (s, d) => graft.streaming.StreamingMetrics.streamingTopTokens(s, d),
+      Some(withTransfers(
+        s""", hourly AS (
+           |  SELECT contract_address AS token,
+           |         ${hourBucket("transact_at")} AS t,
+           |         SUM(CAST(value AS DECIMAL(25,2))) AS dvol,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM transfers GROUP BY 1, 2
+           |)
+           |SELECT t, rnk, token, CAST(dvol AS DOUBLE) AS volume, n FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY t
+           |    ORDER BY dvol DESC, token ASC) AS BIGINT) AS rnk
+           |  FROM hourly
+           |) WHERE rnk <= ${graft.streaming.StreamingMetrics.TopTokensK}
+           |ORDER BY t, rnk""".stripMargin))),
 
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (

@@ -200,4 +200,49 @@ object Behavior {
       .agg(countDistinct("user_id").as("n_users"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** Session gap (seconds) for [[sessionPaths]] — 30 minutes of
+    * inactivity closes a session, the classic web-analytics cut. */
+  val SessionGapSec = 1800L
+
+  /** Leading events per session kept in the path signature. */
+  val PathLen = 3
+
+  /** Session path mining: the most common opening event-type sequences —
+    * sessionize each user's stream by [[SessionGapSec]] inactivity gaps
+    * (one lag + running flag-sum window), keep each session's first
+    * [[PathLen]] events, and count path signatures. The navigational
+    * twin of [[nextEventPairs]]: that one learns local transitions, this
+    * one surfaces whole entry funnels ("view>click>purchase").
+    *
+    * ONE exchange keyed by user drives the lag, the session running sum,
+    * and the in-session rank (same partition spec); the path assembly
+    * sorts ≤[[PathLen]] rows per session inside the row via
+    * `array_sort(collect_list)`. Output is bounded by |event types|^len.
+    * Total (ts, event_id) ordering makes every step deterministic. */
+  def sessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ranked = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("ts_sec"))
+      .withColumn("gap",
+        when(col("ts_sec") - lag("ts_sec", 1).over(byUser) > SessionGapSec
+          || lag("ts_sec", 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("sess", sum("gap").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "sess")
+          .orderBy(col("ts").asc, col("event_id").asc)))
+      .filter(col("rn") <= PathLen)
+    ranked
+      .groupBy("user_id", "sess")
+      .agg(expr(
+        """concat_ws('>', transform(
+          |  array_sort(collect_list(struct(rn, event_type))),
+          |  s -> s.event_type))""".stripMargin).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+  }
 }

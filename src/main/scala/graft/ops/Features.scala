@@ -72,19 +72,26 @@ object Features {
     * All sums decimal-exact, every division a single IEEE op → the
     * loadings are bit-identical across engines; fixed iteration count is
     * the oracle contract (same move as [[Graph.pageRank]]). */
-  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.frame(spark, sfDir, "pca_loadings")(pcaPowerRaw(spark, sfDir))
+
+  private def pcaPowerRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val c = comps(spark, sfDir)
     val mu = c.groupBy("i").agg(
       (expr("CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)") /
         count(lit(1))).as("mu"))
     val xc = c.join(broadcast(mu), Seq("i"))
       .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("xc"))
-    val gram = xc.join(
-        xc.select(col("vec_id"), col("i").as("j"), col("xc").as("yc")),
-        Seq("vec_id"))
+    // symmetric Gramian: compute only i ≤ j (the join condition halves the
+    // amplified stream before it shuffles) and mirror the strict half
+    val half = xc.as("a").join(
+        xc.select(col("vec_id"), col("i").as("j"), col("xc").as("yc")).as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("j") >= col("i"))
       .groupBy("i", "j")
       .agg(expr("CAST(SUM(CAST(xc * yc AS DECIMAL(38,18))) AS DOUBLE)")
         .as("c"))
+    val gram = half.unionByName(half.filter(col("i") < col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("c")))
     var v = mu.select(col("i").as("j"), lit(1.0).as("vj"))
     for (_ <- 1 to PcaIters) {
       val w = gram.join(v, Seq("j"))
@@ -100,6 +107,30 @@ object Features {
     // are O(1) after the L∞ normalization, so 1e-9 dwarfs the drift
     v.select(col("j").as("i"), round(col("vj"), 9).as("loading"))
       .orderBy("i")
+  }
+
+  /** Projection of every (centered) embedding onto the top principal
+    * component — the 64-float → 1-float reduction [[pcaPower]] licenses:
+    * `score_v = Σ_i (x_vi − μ_i)·loading_i`. The loadings frame is the
+    * session-shared [[pcaPower]] output (64 rows, broadcast); the
+    * projection itself is one decimal-exact grouped sum over the
+    * component stream — the scan is the only data-sized cost. 9-digit
+    * render absorbs the centered stream's cast ulp. */
+  def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = comps(spark, sfDir)
+    val mu = c.groupBy("i").agg(
+      (expr("CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)") /
+        count(lit(1))).as("mu"))
+    val loads = pcaPower(spark, sfDir)
+      .select(col("i"), col("loading"))
+    c.join(broadcast(mu), Seq("i"))
+      .join(broadcast(loads), Seq("i"))
+      .groupBy("vec_id")
+      .agg(expr(
+        "CAST(SUM(CAST((x - mu) * loading AS DECIMAL(38,18))) AS DOUBLE)")
+        .as("s"))
+      .select(col("vec_id"), round(col("s"), 9).as("pc1"))
+      .orderBy("vec_id")
   }
 
   /** Quantile normalization: every dimension's empirical distribution is

@@ -267,4 +267,42 @@ object StreamingMetrics {
         col("last.value").as("last_value"), col("n_ops"))
       .orderBy("contract_address", "wallet")
   }
+
+  /** Hourly leaderboard size for [[streamingTopTokens]]. */
+  val TopTokensK = 3
+
+  /** Streaming hourly top-K tokens by volume — the live-leaderboard
+    * pattern: the STREAMING layer maintains the (token, hour) decimal
+    * volume state (complete-mode aggregation, exactly the state a
+    * dashboard sink holds); the top-K cut ranks the drained state
+    * snapshot — ranking is not a streaming-legal aggregation, and real
+    * leaderboards rank at read time for the same reason. Batch
+    * equivalence is the oracle: same sums, same window cut. */
+  def streamingTopTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tableName = "graft_stream_top_tokens"
+    val stream = spark.readStream
+      .schema(EventsSchema)
+      .parquet(s"$sfDir/{events}.parquet")
+      .select(col("event_type").as("token"), col("value"),
+        expr("ts div 1000000000").as("t_sec"))
+      .groupBy(graft.ops.Num.hourBucket(col("t_sec")).as("t"), col("token"))
+      .agg(sum(col("value").cast("decimal(25,2)")).as("dvol"),
+        count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
+      .orderBy(col("dvol").desc, col("token").asc)
+    spark.table(tableName)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopTokensK)
+      .select(col("t"), col("rnk").cast("long").as("rnk"), col("token"),
+        col("dvol").cast("double").as("volume"), col("n"))
+      .orderBy("t", "rnk")
+  }
 }

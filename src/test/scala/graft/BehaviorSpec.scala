@@ -112,4 +112,38 @@ class BehaviorSpec extends AnyFunSuite {
       .map(r => math.max(0L, r.getAs[Long]("count") - 3L)).sum
     assert(rows.map(_.getAs[Long]("n")).sum == expected)
   }
+
+  test("session paths: totals match a driver-side sessionizer recount") {
+    val rows = graft.ops.Behavior.sessionPaths(spark, GraftSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    // recount: sessionize each user stream with the same gap rule
+    val ev = Tables.events(spark, GraftSpark.Sf)
+      .select("user_id", "event_id", "event_type", "ts", "ts_sec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val paths = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, es) <- ev.groupBy(_._1)) {
+      val ordered = es.sortBy(e => (e._4, e._2))
+      var prev = Long.MinValue
+      var cur = List.empty[String]
+      def flush(): Unit = if (cur.nonEmpty) {
+        val p = cur.reverse.take(graft.ops.Behavior.PathLen).mkString(">")
+        paths(p) = paths.getOrElse(p, 0L) + 1
+        cur = Nil
+      }
+      for (e <- ordered) {
+        if (prev != Long.MinValue &&
+          e._5 - prev > graft.ops.Behavior.SessionGapSec) flush()
+        cur = e._3 :: cur
+        prev = e._5
+      }
+      flush()
+    }
+    assert(rows.toMap == paths.toMap)
+    // ranking is (count desc, path asc)
+    val sorted = rows.sortBy { case (p, n) => (-n, p) }
+    assert(rows.toSeq == sorted.toSeq)
+  }
 }

@@ -83,6 +83,29 @@ class FeaturesSpec extends AnyFunSuite {
     assert(got.map(math.abs).max == 1.0) // L-inf normalized
   }
 
+  test("pca projection: scores recompute from centered vectors and loadings") {
+    val loads = Features.pcaPower(spark, sf)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    val got = Features.pcaProject(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    val emb = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE))")
+      .as[(Long, Seq[Double])].collect()
+    val d = loads.length
+    val n = emb.length
+    val mu = Array.tabulate(d)(i =>
+      emb.map(v => BigDecimal(v._2(i)).setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n)
+    assert(got.size == n)
+    for ((vid, v) <- emb.take(50)) {
+      val s = (0 until d)
+        .map(i => BigDecimal((v(i) - mu(i)) * loads(i))
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val want = BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(math.abs(got(vid) - want) < 2e-9, s"vec $vid: ${got(vid)} vs $want")
+    }
+  }
+
   test("quantile normalization: all dims share one reference distribution") {
     val got = Features.quantileNormalize(spark, sf)
       .as[(Long, Int, Double)].collect()

@@ -29,6 +29,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming top-K leaderboard equals the batch rank over hourly sums") {
+    val streamed = StreamingMetrics.streamingTopTokens(spark, GraftSpark.Sf)
+      .collect()
+    assert(streamed.nonEmpty)
+    // per hour: at most K rows, ranks contiguous from 1, volumes descending
+    for ((_, rs) <- streamed.groupBy(_.getAs[Long]("t"))) {
+      val ordered = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(ordered.length <= StreamingMetrics.TopTokensK)
+      assert(ordered.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to ordered.length).toSeq)
+      val vols = ordered.map(_.getAs[Double]("volume"))
+      assert(vols.zip(vols.tail).forall { case (a, b) => a >= b })
+    }
+    // batch parity on the state itself: hourly sums match the batch metric
+    import org.apache.spark.sql.functions.col
+    val batch = graft.Tables.transfers(spark, GraftSpark.Sf)
+      .groupBy(col("contract_address"),
+        graft.ops.Num.hourBucket(col("transact_at")).cast("long").as("t"))
+      .agg(graft.ops.Num.dsum(col("value")).as("volume"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (r <- streamed)
+      assert(r.getAs[Double]("volume") ==
+        batch((r.getAs[String]("token"), r.getAs[Long]("t"))))
+  }
+
   test("sessionize fold closes sessions on gap and keeps state open") {
     import Sessionize._
     // events 10s apart, then a >30min gap, then two more
