@@ -3717,6 +3717,119 @@ object Catalog {
            |) WHERE rnk <= ${graft.streaming.StreamingMetrics.TopTokensK}
            |ORDER BY t, rnk""".stripMargin))),
 
+    // Wave 14 — GraphSAGE-style 2-layer mean aggregation over degrees
+    QEntry("q_graph_agg",
+      (s, d) => Graph.neighborhoodAggregate(
+        graft.Tables.transfers(s, d)
+          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
+            org.apache.spark.sql.functions.col("to_address").as("dst")))
+        .withColumnRenamed("v", "address"),
+      Some(withTransfers(
+        """, e AS (
+          |  SELECT DISTINCT least(from_address, to_address) AS a,
+          |         greatest(from_address, to_address) AS b
+          |  FROM transfers WHERE from_address <> to_address
+          |),
+          |nbrs AS (
+          |  SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e
+          |),
+          |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree
+          |        FROM nbrs GROUP BY 1),
+          |h1 AS (
+          |  SELECT n.v,
+          |         CAST(SUM(d.degree) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |           AS h1
+          |  FROM nbrs n JOIN deg d ON d.v = n.u GROUP BY 1
+          |),
+          |h2 AS (
+          |  SELECT n.v,
+          |         CAST(SUM(CAST(h.h1 AS DECIMAL(38,18))) AS DOUBLE)
+          |           / CAST(count(*) AS DOUBLE) AS h2
+          |  FROM nbrs n JOIN h1 h ON h.v = n.u GROUP BY 1
+          |)
+          |SELECT d.v AS address, d.degree, h1.h1, round(h2.h2, 9) AS h2
+          |FROM deg d JOIN h1 ON h1.v = d.v JOIN h2 ON h2.v = d.v
+          |ORDER BY address""".stripMargin))),
+
+    // Wave 14 — label-noise screen by same-bucket neighborhood voting
+    QEntry("q_label_noise", (s, d) => Similarity.labelNoise(s, d), Some(
+      s"""WITH $embIdxCte,
+         |planes AS (
+         |  SELECT p.p, i.i,
+         |         CAST(strpos('0123456789abcdef',
+         |           substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)),
+         |                  1, 1)) - 1 AS DOUBLE) - 7.5 AS c
+         |  FROM (SELECT unnest(range(${Similarity.NumPlanes})) AS p) p,
+         |       (SELECT unnest(range(64)) AS i) i
+         |),
+         |buckets AS (
+         |  SELECT vec_id,
+         |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+         |                    ORDER BY p) AS bucket
+         |  FROM (
+         |    SELECT idx.vec_id, planes.p,
+         |           SUM(CAST(idx.x * planes.c AS DECIMAL(38,18))) AS s
+         |    FROM idx JOIN planes ON planes.i = idx.i
+         |    GROUP BY 1, 2
+         |  ) GROUP BY vec_id
+         |),
+         |pc AS (
+         |  SELECT b.vec_id,
+         |         substr(b.bucket, 1, ${Similarity.MultiProbeBits}) AS code,
+         |         e.label
+         |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+         |)
+         |SELECT a.vec_id, a.label, CAST(count(*) AS BIGINT) AS n_cand,
+         |       CAST(SUM(CASE WHEN b.label = a.label THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_same,
+         |       SUM(CASE WHEN b.label = a.label THEN 1 ELSE 0 END) * 2
+         |         < count(*) AS flagged
+         |FROM pc a JOIN pc b ON b.code = a.code AND b.vec_id != a.vec_id
+         |GROUP BY 1, 2 ORDER BY a.vec_id""".stripMargin)),
+
+    // Wave 14 — seasonal forecaster backtest (train/holdout by hour range)
+    QEntry("q_seasonal_backtest", Metrics.seasonalBacktest, Some(withTransfers(
+      s""", hourly AS (
+         |  SELECT contract_address AS token, ${hourBucket("transact_at")} AS t,
+         |         SUM(CAST(value AS DECIMAL(25,2))) AS vol
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |hh AS (
+         |  SELECT token, t, vol, (t % 86400) // 3600 AS hod,
+         |         (SELECT min(t) FROM hourly)
+         |           + ((SELECT max(t) FROM hourly)
+         |              - (SELECT min(t) FROM hourly)) * 4 // 5 AS cutoff
+         |  FROM hourly
+         |),
+         |train AS (SELECT * FROM hh WHERE t < cutoff),
+         |test AS (SELECT * FROM hh WHERE t >= cutoff),
+         |prof AS (
+         |  SELECT token, hod,
+         |         CAST(SUM(vol) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS sf
+         |  FROM train GROUP BY 1, 2
+         |),
+         |gmean AS (
+         |  SELECT token,
+         |         CAST(SUM(vol) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gm,
+         |         CAST(count(*) AS BIGINT) AS n_train
+         |  FROM train GROUP BY 1
+         |),
+         |sc AS (
+         |  SELECT te.token, g.n_train,
+         |         abs(CAST(te.vol AS DOUBLE) - COALESCE(p.sf, g.gm)) AS err,
+         |         abs(CAST(te.vol AS DOUBLE) - g.gm) AS base_err
+         |  FROM test te
+         |  LEFT JOIN prof p ON p.token = te.token AND p.hod = te.hod
+         |  JOIN gmean g ON g.token = te.token
+         |)
+         |SELECT token, max(n_train) AS n_train,
+         |       CAST(count(*) AS BIGINT) AS n_test,
+         |       round(CAST(SUM(CAST(err AS DECIMAL(38,18))) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 9) AS mae,
+         |       round(CAST(SUM(CAST(base_err AS DECIMAL(38,18))) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 9) AS base_mae
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin))),
+
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

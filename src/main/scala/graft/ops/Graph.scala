@@ -426,6 +426,43 @@ object Graph {
       .limit(topK)
   }
 
+  /** GraphSAGE-style neighborhood aggregation, 2 layers of mean-pooling
+    * over the degree feature: `h1(v) = mean_{u∈Γ(v)} deg(u)`, `h2(v) =
+    * mean_{u∈Γ(v)} h1(u)` — the message-passing layer every GNN training
+    * pipeline materializes before the model sees the graph ("average
+    * degree of my neighbors, and of my neighbors' neighbors"). One
+    * equi-join + one grouped mean per layer, O(|E|) shuffled bytes —
+    * the exact cost envelope of a PageRank round, without the iteration
+    * count.
+    *
+    * h1 is exact (integer sum / count, one IEEE division); h2 averages
+    * doubles through the decimal accumulator and renders at 9 digits
+    * (the cast-ulp mitigation). */
+  def neighborhoodAggregate(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nbrs = und.select(col("a").as("v"), col("b").as("u"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("u")))
+    val deg = nbrs.groupBy("v").agg(count(lit(1)).as("degree"))
+    val h1 = nbrs
+      .join(deg.select(col("v").as("u"), col("degree").as("hu")), Seq("u"))
+      .groupBy("v")
+      .agg((sum(col("hu")).cast("double") / count(lit(1)).cast("double"))
+        .as("h1"))
+    val h2 = nbrs
+      .join(h1.select(col("v").as("u"), col("h1").as("hu")), Seq("u"))
+      .groupBy("v")
+      .agg((expr("CAST(SUM(CAST(hu AS DECIMAL(38,18))) AS DOUBLE)") /
+        count(lit(1)).cast("double")).as("h2"))
+    deg.join(h1, Seq("v")).join(h2, Seq("v"))
+      .select(col("v"), col("degree"), col("h1"),
+        round(col("h2"), 9).as("h2"))
+      .orderBy("v")
+  }
+
   /** Fixed round count for [[maximalIndependentSet]] — the unroll
     * contract; vertices still undecided after this many rounds are
     * reported as such (bounded-round state IS the result, the same

@@ -331,6 +331,55 @@ object Metrics {
       .orderBy("token", "t")
   }
 
+  /** Backtest of the naive seasonal forecaster: train on the first 4/5 of
+    * the hour range (integer cutoff arithmetic — no float split), predict
+    * each holdout hour with the train-period (token, hour-of-day) mean
+    * (global token train mean where the hod was never seen), and score
+    * per-token MAE against the do-nothing baseline (predict the train
+    * mean everywhere) — the "is seasonality real signal here" check every
+    * forecasting pipeline runs before shipping a model. `mae <
+    * base_mae` ⇒ the daily profile carries information for that token.
+    *
+    * Sums are decimal-exact; each mean is one IEEE division; the error
+    * aggregation averages doubles through the decimal accumulator and
+    * renders at 9 digits (cast-ulp mitigation). One (token, hour)
+    * aggregation + two broadcast-sized profile joins. */
+  def seasonalBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address").as("token"),
+        hourBucket(col("transact_at")).as("t"))
+      .agg(dsumDec(col("value")).as("vol"))
+      .withColumn("hod", expr("CAST((t % 86400) DIV 3600 AS INT)"))
+    val rng = hourly.agg(min("t").as("tmin"), max("t").as("tmax"))
+    val cut = hourly.crossJoin(broadcast(rng))
+      .withColumn("cutoff",
+        expr("tmin + CAST((tmax - tmin) * 4 DIV 5 AS BIGINT)"))
+    val train = cut.filter(col("t") < col("cutoff"))
+    val test = cut.filter(col("t") >= col("cutoff"))
+    val prof = train.groupBy("token", "hod")
+      .agg((sum(col("vol")).cast("double") / count(lit(1)).cast("double"))
+        .as("sf"))
+    val gmean = train.groupBy("token")
+      .agg((sum(col("vol")).cast("double") / count(lit(1)).cast("double"))
+        .as("gm"), count(lit(1)).as("n_train"))
+    // profile frames are (tokens × 24) and (tokens) — summary-sized but
+    // token-proportional, so no broadcast hint: AQE picks broadcast while
+    // they fit and falls back to a keyed join when the universe grows
+    test
+      .join(prof, Seq("token", "hod"), "left")
+      .join(gmean, Seq("token"))
+      .withColumn("forecast", coalesce(col("sf"), col("gm")))
+      .withColumn("err", abs(col("vol").cast("double") - col("forecast")))
+      .withColumn("base_err", abs(col("vol").cast("double") - col("gm")))
+      .groupBy("token")
+      .agg(max(col("n_train")).as("n_train"), count(lit(1)).as("n_test"),
+        round(expr("CAST(SUM(CAST(err AS DECIMAL(38,18))) AS DOUBLE)") /
+          count(lit(1)).cast("double"), 9).as("mae"),
+        round(expr("CAST(SUM(CAST(base_err AS DECIMAL(38,18))) AS DOUBLE)") /
+          count(lit(1)).cast("double"), 9).as("base_mae"))
+      .orderBy("token")
+  }
+
   /** Half-width (seconds) of the centered trend window in
     * [[seasonalDecompose]] — ±12 hours. */
   val TrendHalfWidthSec = 43200L

@@ -496,6 +496,43 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Label-noise screen by neighborhood voting (confident-learning lite):
+    * for every vector with bucket neighbors, the share of same-8-bit-code
+    * neighbors carrying the SAME label; a vector outvoted by its
+    * neighborhood (`2·n_same < n_cand`) is flagged as probably
+    * mislabeled — the cheap pre-training pass that catches annotation
+    * errors before they poison a classifier. Candidates come from the
+    * same hyperplane-code index as the ANN family — per-bucket work is
+    * occupancy², never |table|², and every vector is a query (no probe
+    * cut: noise screening is a full-table pass by definition).
+    *
+    * SCALE KNOB: with a fixed [[MultiProbeBits]]-bit code, occupancy (and
+    * so per-bucket pair work) grows linearly with the table — at larger N
+    * extend the code prefix (bits ≈ log₂(N / target occupancy); the
+    * underlying index already computes [[NumPlanes]] bucket bits) to hold
+    * occupancy constant. The catalog entry pins 8 bits because the
+    * oracle must be a pure function of the data, not its size.
+    *
+    * Pure integer voting — no floats anywhere. */
+  def labelNoise(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = MultiProbeBits
+    val coded = bucketedVectors(spark, sfDir)
+      .withColumn("code", expr(s"substring(bucket, 1, $B)"))
+      .select(col("vec_id"), col("code"))
+      .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+    coded.as("a")
+      .join(coded.select(col("code"), col("vec_id").as("nb"),
+        col("label").as("nb_label")).as("b"),
+        col("a.code") === col("b.code") && col("nb") =!= col("a.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_id"), col("a.label").as("label"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("nb_label") === col("a.label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("flagged", col("n_same") * 2 < col("n_cand"))
+      .orderBy("vec_id")
+  }
+
   /** Prefix lengths certified by [[mrlRecall]]. */
   val MrlDims: Seq[Int] = Seq(8, 16, 32)
 

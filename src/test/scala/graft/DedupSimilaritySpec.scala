@@ -119,6 +119,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(f1.toSeq == f2.toSeq)
   }
 
+  test("label noise: votes are symmetric counts and the flag is the minority rule") {
+    val rows = graft.ops.Similarity.labelNoise(spark, GraftSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, s) = (r.getAs[Long]("n_cand"), r.getAs[Long]("n_same"))
+      assert(s >= 0 && s <= n && n >= 1)
+      assert(r.getAs[Boolean]("flagged") == (2 * s < n))
+    }
+    // vote symmetry: total same-label agreements are even (each agreeing
+    // pair is counted from both ends)
+    assert(rows.map(_.getAs[Long]("n_same")).sum % 2 == 0)
+    assert(rows.map(_.getAs[Long]("n_cand")).sum % 2 == 0)
+  }
+
   test("mrl recall certificate: one row per prefix, hits bounded by probes") {
     val rows = graft.ops.Similarity.mrlRecall(spark, GraftSpark.Sf).collect()
     assert(rows.map(_.getAs[Int]("prefix_dims")).toSeq ==

@@ -268,6 +268,22 @@ class GraphSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("neighborhood aggregation: star means are exact by hand") {
+    // star center 1 with leaves 2,3,4: deg(1)=3, deg(leaf)=1;
+    // h1(1)=mean(1,1,1)=1, h1(leaf)=3; h2(1)=mean(3,3,3)=3, h2(leaf)=1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.neighborhoodAggregate(edges)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      1L -> (3L, 1.0, 3.0), 2L -> (1L, 3.0, 1.0),
+      3L -> (1L, 3.0, 1.0), 4L -> (1L, 3.0, 1.0)))
+    val again = Graph.neighborhoodAggregate(edges.repartition(5))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(again == got)
+  }
+
   test("mis: independent, maximal among decided, partition-independent") {
     // triangle 1-2-3 + chain 3-4-5 + isolated edge 8-9
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),

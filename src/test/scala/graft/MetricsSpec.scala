@@ -128,6 +128,36 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal backtest: MAE reconciles with a raw holdout recompute") {
+    import graft.ops.Num
+    val rows = graft.ops.Metrics.seasonalBacktest(spark, GraftSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val hourly = graft.Tables.transfers(spark, GraftSpark.Sf)
+      .groupBy(col("contract_address").as("token"),
+        Num.hourBucket(col("transact_at")).cast("long").as("t"))
+      .agg(Num.dsum(col("value")).as("vol"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val tmin = hourly.map(_._2).min; val tmax = hourly.map(_._2).max
+    val cutoff = tmin + (tmax - tmin) * 4 / 5
+    for (r <- rows) {
+      val tok = r.getAs[String]("token")
+      val train = hourly.filter(h => h._1 == tok && h._2 < cutoff)
+      val test = hourly.filter(h => h._1 == tok && h._2 >= cutoff)
+      assert(r.getAs[Long]("n_train") == train.length)
+      assert(r.getAs[Long]("n_test") == test.length)
+      def mean(xs: Array[Double]) = xs.map(BigDecimal(_)).sum.toDouble / xs.length
+      val gm = mean(train.map(_._3))
+      val prof = train.groupBy(h => (h._2 % 86400) / 3600).view
+        .mapValues(hs => mean(hs.map(_._3))).toMap
+      val errs = test.map { h =>
+        math.abs(h._3 - prof.getOrElse((h._2 % 86400) / 3600, gm)) }
+      val mae = errs.map(BigDecimal(_)).sum.toDouble / errs.length
+      assert(math.abs(r.getAs[Double]("mae") - mae) < 1e-6,
+        s"$tok mae ${r.getAs[Double]("mae")} vs $mae")
+    }
+  }
+
   test("cusum: dev recomputes from raw cumulative counts, final dev = 0") {
     val rows = graft.ops.Metrics.cusumDrift(spark, GraftSpark.Sf).collect()
     assert(rows.nonEmpty)
