@@ -3830,6 +3830,59 @@ object Catalog {
          |             / CAST(count(*) AS DOUBLE), 9) AS base_mae
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    // Wave 15 — 2-D skyline (Pareto frontier) in window form
+    QEntry("q_skyline", Relational.orderSkyline, Some(
+      """SELECT o_orderkey, o_totalprice, ts FROM (
+        |  SELECT o_orderkey, o_totalprice, ts,
+        |         max(ts) OVER (ORDER BY o_totalprice DESC, ts DESC,
+        |           o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS best_prev_ts
+        |  FROM (
+        |    SELECT o_orderkey, o_totalprice,
+        |           CAST(epoch(o_orderdate) AS BIGINT) AS ts
+        |    FROM orders
+        |  )
+        |) WHERE best_prev_ts IS NULL OR ts > best_prev_ts
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // Wave 15 — exact weighted median by cumulative-weight crossing
+    QEntry("q_weighted_median", Relational.weightedMedianPrice, Some(
+      """WITH d AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qd
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |c AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         SUM(qd) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(qd) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM d
+        |)
+        |SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
+        |       CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Wave 15 — LPA-coarsened community flow matrix
+    QEntry("q_community_flow", (s, d) => Wallet.communityFlow(s, d), Some {
+      withTransfers(
+        s""", ${lpaCtes(3)},
+           |lbl AS (SELECT id, label FROM lp3)
+           |SELECT COALESCE(la.label, t.from_address) AS c_src,
+           |       COALESCE(lb.label, t.to_address) AS c_dst,
+           |       CAST(count(*) AS BIGINT) AS n_transfers,
+           |       ${dsum("t.value")} AS volume,
+           |       COALESCE(la.label, t.from_address)
+           |         = COALESCE(lb.label, t.to_address) AS internal
+           |FROM transfers t
+           |LEFT JOIN lbl la ON la.id = t.from_address
+           |LEFT JOIN lbl lb ON lb.id = t.to_address
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

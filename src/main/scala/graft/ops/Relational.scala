@@ -304,4 +304,63 @@ object Relational {
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
   }
+
+  /** 2-D skyline (Pareto frontier) of orders on (totalprice ↑, orderdate ↑
+    * recency): orders not dominated by any other — no order is both more
+    * expensive AND more recent. The classic Börzsönyi skyline operator,
+    * in its 2-D window form: sort one dimension descending, keep rows
+    * whose OTHER dimension strictly exceeds the running maximum — one
+    * sort, O(n log n), instead of the textbook quadratic dominance
+    * anti-join (ties on price need the date tie-break in the running max
+    * so equal-price rows can't dominate each other's survival).
+    *
+    * The global window is a SUMMARY-size concern only if the frontier
+    * input is; at scale the standard move is local skyline per partition
+    * (mapPartitions) then this window over the tiny union — the window
+    * form IS that merge step. */
+  def orderSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .orderBy(col("o_totalprice").desc, col("ts").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        unix_timestamp(col("o_orderdate")).as("ts"))
+      .withColumn("best_prev_ts", max(col("ts")).over(w))
+      .filter(col("best_prev_ts").isNull || col("ts") > col("best_prev_ts"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("ts"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  /** Exact weighted median of the extended price, weighted by quantity,
+    * per return-flag group — the order statistic where half the WEIGHT
+    * (not half the rows) sits on each side, the robust location measure
+    * for value-weighted distributions. Pure cumulative-weight crossing on
+    * exact integer arithmetic: the median is the smallest value whose
+    * running weight reaches half the total (2·cum ≥ W, integer cross-
+    * multiplication — no float rank).
+    *
+    * Runs on the (flag, price) weight DISTRIBUTION, not the row stream:
+    * the map-side-combinable pre-aggregation collapses duplicate prices
+    * before the 3-partition window ever sorts anything (the winsorize /
+    * curriculum move) — the window input is |distinct prices per flag|,
+    * bounded by the value domain, not the row count. */
+  def weightedMedianPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity").cast("long")).as("qd"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wa = Window.partitionBy("l_returnflag")
+    dist
+      .withColumn("cum", sum(col("qd")).over(w))
+      .withColumn("tot", sum(col("qd")).over(wa))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min(col("l_extendedprice")).as("weighted_median"),
+        max(col("tot")).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
 }

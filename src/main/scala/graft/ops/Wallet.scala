@@ -71,6 +71,31 @@ object Wallet {
       .orderBy("address")
   }
 
+  /** Community-level flow matrix — the transfer graph COARSENED to its
+    * LPA communities: every edge re-keyed to (src community, dst
+    * community), volumes decimal-summed. The first step of any
+    * multi-level graph analysis (Louvain's aggregation phase, inter-ring
+    * flow monitoring: "how much value moves between ring A and ring B
+    * vs inside each"). The expensive subtree is the session-shared LPA
+    * frame; the coarsening itself is two label equi-joins + one grouped
+    * sum, all O(|E|). Vertices LPA never labeled (self-loop-only) are
+    * their own community, same default as [[wallet360]]. */
+  def communityFlow(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = transferCommunities(spark, sfDir)
+      .select(col("id").as("address"), col("label"))
+    val e = Tables.transfers(spark, sfDir)
+      .select(col("from_address"), col("to_address"), col("value"))
+    e.join(labels.toDF("from_address", "ca"), Seq("from_address"), "left")
+      .join(labels.toDF("to_address", "cb"), Seq("to_address"), "left")
+      .select(coalesce(col("ca"), col("from_address")).as("c_src"),
+        coalesce(col("cb"), col("to_address")).as("c_dst"), col("value"))
+      .groupBy("c_src", "c_dst")
+      .agg(count(lit(1)).as("n_transfers"),
+        Num.dsum(col("value")).as("volume"))
+      .withColumn("internal", col("c_src") === col("c_dst"))
+      .orderBy("c_src", "c_dst")
+  }
+
   /** Number of RFM bands per dimension (tertiles). */
   val RfmBands = 3
 

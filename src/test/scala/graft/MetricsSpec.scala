@@ -128,6 +128,58 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("skyline: no emitted order is dominated; every dropped one is") {
+    val sky = graft.ops.Relational.orderSkyline(spark, GraftSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val all = graft.Tables.orders(spark, GraftSpark.Sf)
+      .selectExpr("o_orderkey", "o_totalprice",
+        "unix_timestamp(o_orderdate)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dominates(a: (Long, Double, Long), b: (Long, Double, Long)) =
+      a._2 >= b._2 && a._3 >= b._3 && (a._2 > b._2 || a._3 > b._3)
+    val skySet = sky.map(_._1).toSet
+    for (s <- sky; o <- all if o._1 != s._1)
+      assert(!dominates(o, s), s"skyline ${s._1} dominated by ${o._1}")
+    for (o <- all if !skySet(o._1))
+      assert(all.exists(x => x._1 != o._1 && dominates(x, o))
+        || sky.exists(s => s._2 == o._2 && s._3 == o._3),
+        s"dropped ${o._1} is neither dominated nor a frontier tie")
+  }
+
+  test("weighted median: half the weight sits at or below it") {
+    val rows = graft.ops.Relational.weightedMedianPrice(spark, GraftSpark.Sf)
+      .collect()
+    val items = graft.Tables.lineitem(spark, GraftSpark.Sf)
+      .selectExpr("l_returnflag", "l_extendedprice",
+        "CAST(l_quantity AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    for (r <- rows) {
+      val flag = r.getString(0); val med = r.getDouble(1)
+      val grp = items.filter(_._1 == flag)
+      val tot = grp.map(_._3).sum
+      assert(r.getAs[Long]("total_weight") == tot)
+      val below = grp.filter(_._2 <= med).map(_._3).sum
+      val above = grp.filter(_._2 >= med).map(_._3).sum
+      assert(below * 2 >= tot, s"$flag: below=$below tot=$tot")
+      assert(above * 2 >= tot, s"$flag: above=$above tot=$tot")
+    }
+  }
+
+  test("community flow: volume mass is conserved through coarsening") {
+    import graft.ops.Num
+    val rows = graft.ops.Wallet.communityFlow(spark, GraftSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val totalFlow = rows.map(r => BigDecimal(r.getAs[Double]("volume"))).sum
+    val raw = graft.Tables.transfers(spark, GraftSpark.Sf)
+      .agg(Num.dsum(col("value"))).collect()(0).getDouble(0)
+    assert((totalFlow - BigDecimal(raw)).abs < BigDecimal(0.01))
+    assert(rows.map(_.getAs[Long]("n_transfers")).sum ==
+      graft.Tables.transfers(spark, GraftSpark.Sf).count())
+    for (r <- rows)
+      assert(r.getAs[Boolean]("internal") ==
+        (r.getAs[String]("c_src") == r.getAs[String]("c_dst")))
+  }
+
   test("seasonal backtest: MAE reconciles with a raw holdout recompute") {
     import graft.ops.Num
     val rows = graft.ops.Metrics.seasonalBacktest(spark, GraftSpark.Sf)
