@@ -3883,6 +3883,56 @@ object Catalog {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }),
 
+    // Wave 16 — data-contract validation (the "dbt tests" layer)
+    QEntry("q_data_contract", Profile.dataContract, Some(
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+        |r AS (
+        |  SELECT 'o_custkey_not_null' AS rule,
+        |         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice_positive',
+        |         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate_in_range',
+        |         CAST(SUM(CASE WHEN year(o_orderdate) BETWEEN 1990 AND 2100
+        |                  THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey_fk', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'o_orderkey_unique',
+        |         CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |  WHERE c > 1
+        |)
+        |SELECT r.rule, r.n_violations, n.n AS n_checked,
+        |       r.n_violations = 0 AS pass
+        |FROM r, n ORDER BY rule""".stripMargin)),
+
+    // Wave 16 — per-source length deciles (exact order-stat Q-Q table)
+    QEntry("q_source_deciles", Profile.sourceDeciles, Some(
+      s"""WITH dist AS (
+         |  SELECT source, n_chars, count(*) AS c
+         |  FROM documents GROUP BY 1, 2
+         |),
+         |cum AS (
+         |  SELECT source, n_chars,
+         |         SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(c) OVER (PARTITION BY source) AS n
+         |  FROM dist
+         |)
+         |SELECT source, k, min(n_chars) AS n_chars_at
+         |FROM cum, unnest(range(1, ${Profile.Deciles + 1})) AS t(k)
+         |WHERE cum * 10 >= k * n
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

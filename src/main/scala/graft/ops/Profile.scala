@@ -210,6 +210,69 @@ object Profile {
       .orderBy("source")
   }
 
+  /** Data-contract validation — the "dbt tests" layer: a fixed rule set
+    * (not-null, positivity, date range, FK integrity, key uniqueness)
+    * evaluated as violation COUNTS per rule, so the contract's status is
+    * one small table instead of a failed job. Each rule is one
+    * map-side-combinable aggregate or anti-join count; nothing scales
+    * with violation count, only with the scan. */
+  def dataContract(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val n = orders.count()
+    def rule(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("rule"),
+        col("v").cast("long").as("n_violations"),
+        lit(n).as("n_checked"))
+        .withColumn("pass", col("n_violations") === 0L)
+    val notNull = orders.agg(
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v"))
+    val positive = orders.agg(
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v"))
+    val inRange = orders.agg(
+      sum(when(year(col("o_orderdate")).between(1990, 2100), 0L)
+        .otherwise(1L)).as("v"))
+    val fk = orders.join(
+        Tables.customer(spark, sfDir).select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val unique = orders.groupBy("o_orderkey")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("v"))
+    rule("o_custkey_not_null", notNull)
+      .unionByName(rule("o_totalprice_positive", positive))
+      .unionByName(rule("o_orderdate_in_range", inRange))
+      .unionByName(rule("o_custkey_fk", fk))
+      .unionByName(rule("o_orderkey_unique", unique))
+      .orderBy("rule")
+  }
+
+  /** Deciles reported by [[sourceDeciles]]. */
+  val Deciles = 9
+
+  /** Per-source decile table of document lengths — the Q-Q drift
+    * diagnostic's raw material: exact order statistics (rank `⌈k·n/10⌉`,
+    * integer arithmetic, selected from the length DISTRIBUTION like
+    * [[winsorize]]'s p95 — no row sort, no interpolation). Two sources
+    * whose decile columns diverge have different length regimes; feed
+    * pairs of rows to a Q-Q plot. */
+  def sourceDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy(col("n_chars").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = dist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+    val deciles = spark.range(1, Deciles + 1).select(col("id").as("k"))
+    cum.crossJoin(broadcast(deciles))
+      .filter(col("cum") * 10 >= col("k") * col("n"))
+      .groupBy("source", "k")
+      .agg(min(col("n_chars")).as("n_chars_at"))
+      .orderBy("source", "k")
+  }
+
   /** Per-source ablation table: what happens to the corpus-wide mean
     * document length when each source is REMOVED — the leave-one-source-
     * out screen a curation pipeline runs before expensive per-source

@@ -271,6 +271,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("data contract: rules pass on clean data and flag injected breaks") {
+    val rows = Profile.dataContract(spark, sf).collect()
+    assert(rows.length == 5)
+    val n = Tables.orders(spark, sf).count()
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_checked") == n)
+      assert(r.getAs[Boolean]("pass") == (r.getAs[Long]("n_violations") == 0L))
+    }
+    // the generated data satisfies the contract
+    assert(rows.forall(_.getAs[Boolean]("pass")))
+  }
+
+  test("source deciles: exact order statistics recompute per source") {
+    val rows = Profile.sourceDeciles(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet == bySrc.keySet)
+    for (r <- rows) {
+      val xs = bySrc(r.getAs[String]("source"))
+      val k = r.getAs[Long]("k").toInt
+      val n = xs.length
+      // min value whose cumulative count reaches ceil(k*n/10)
+      val rank = (k * n + 9) / 10
+      assert(r.getAs[Long]("n_chars_at") == xs(rank - 1),
+        s"${r.getAs[String]("source")} d$k")
+    }
+  }
+
   test("source ablation: LOO means reconcile with raw totals") {
     val rows = Profile.sourceAblation(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
