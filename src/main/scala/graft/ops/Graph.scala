@@ -518,9 +518,11 @@ object Graph {
         .withColumn("round", lit(k))
       decided = if (decided == null) roundDecided
         else decided.unionByName(roundDecided)
+      // only `live` iterates — it must be cut; `decided` is an append-only
+      // union whose lineage depth is the (small, fixed) round count, so
+      // checkpointing it every round would just add a write per round
       live = LineageCut.cut(
         live.join(roundDecided.select("v"), Seq("v"), "left_anti"), cutMode)
-      decided = LineageCut.cut(decided, cutMode)
     }
     decided.unionByName(live.select(col("v"),
       lit("undecided").as("state"), lit(0).as("round")))
