@@ -3933,6 +3933,66 @@ object Catalog {
          |WHERE cum * 10 >= k * n
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Wave 17 — drift flags merged into burst episodes (gaps-and-islands)
+    QEntry("q_burst_intervals", Metrics.burstIntervals, Some(withTransfers(
+      s""", hourly AS (
+         |  SELECT contract_address AS token, ${hourBucket("transact_at")} AS t,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |tot AS (
+         |  SELECT token, CAST(SUM(x) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM hourly GROUP BY 1
+         |),
+         |cu AS (
+         |  SELECT h.token, h.t, t2.s, t2.n,
+         |         CAST(SUM(h.x) OVER (PARTITION BY h.token ORDER BY h.t
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum,
+         |         CAST(row_number() OVER (PARTITION BY h.token ORDER BY h.t)
+         |           AS BIGINT) AS idx
+         |  FROM hourly h JOIN tot t2 ON t2.token = h.token
+         |),
+         |devs AS (
+         |  SELECT token, t, abs(n * cum - idx * s) AS a FROM cu
+         |),
+         |dd AS (SELECT token, a, count(*) AS c FROM devs GROUP BY 1, 2),
+         |thr AS (
+         |  SELECT token, min(a) AS thr FROM (
+         |    SELECT token, a,
+         |           SUM(c) OVER (PARTITION BY token ORDER BY a
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             AS cum,
+         |           SUM(c) OVER (PARTITION BY token) AS n
+         |    FROM dd
+         |  ) WHERE cum * 10 >= n * 9 GROUP BY 1
+         |),
+         |isl AS (
+         |  SELECT d.token, d.t, d.a,
+         |         d.t // 3600 - row_number() OVER (PARTITION BY d.token
+         |           ORDER BY d.t) AS island
+         |  FROM devs d JOIN thr ON thr.token = d.token
+         |  WHERE d.a >= thr.thr AND d.a > 0
+         |)
+         |SELECT token, min(t) AS burst_start, max(t) AS burst_end,
+         |       CAST(count(*) AS BIGINT) AS n_hours,
+         |       CAST(max(a) AS BIGINT) AS peak_dev
+         |FROM isl GROUP BY token, island
+         |ORDER BY token, burst_start""".stripMargin))),
+
+    // Wave 17 — hourly share-of-total (one-window OLAP classic)
+    QEntry("q_market_share", Metrics.hourlyMarketShare, Some(withTransfers(
+      s""", hourly AS (
+         |  SELECT contract_address AS token, ${hourBucket("transact_at")} AS t,
+         |         SUM(CAST(value AS DECIMAL(25,2))) AS vol
+         |  FROM transfers GROUP BY 1, 2
+         |)
+         |SELECT token, t, CAST(vol AS DOUBLE) AS volume,
+         |       CAST(vol AS DOUBLE)
+         |         / CAST(SUM(vol) OVER (PARTITION BY t) AS DOUBLE) AS share
+         |FROM hourly ORDER BY token, t""".stripMargin))),
+
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

@@ -380,6 +380,59 @@ object Metrics {
       .orderBy("token")
   }
 
+  /** Burst intervals: each token's top-decile |deviation| hours
+    * ([[cusumDrift]]'s statistic, thresholded RELATIVELY — the exact p90
+    * order statistic of the |dev| distribution, so bursts exist whenever
+    * the series is not perfectly flat, unlike the absolute S/10 flag
+    * which a well-behaved stream never trips) merged into (start, end)
+    * episodes — the gaps-and-islands pass that turns per-hour flags into
+    * reportable incidents. Island key is the classic `hour_index −
+    * row_number` difference (constant within a consecutive run, pure
+    * integer); the threshold is rank-selected from the per-token
+    * DISTRIBUTION, no float percentile anywhere. */
+  def burstIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val devs = cusumDrift(spark, sfDir)
+      .select(col("token"), col("t"), abs(col("dev")).as("a"))
+    val dist = devs.groupBy("token", "a").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("token").orderBy(col("a").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val thr = dist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("token")))
+      .filter(col("cum") * 10 >= col("n") * 9)
+      .groupBy("token").agg(min(col("a")).as("thr"))
+    devs.join(thr, Seq("token"))
+      .filter(col("a") >= col("thr") && col("a") > 0)
+      .withColumn("island",
+        expr("t DIV 3600") - row_number().over(
+          Window.partitionBy("token").orderBy("t")))
+      .groupBy("token", "island")
+      .agg(min("t").as("burst_start"), max("t").as("burst_end"),
+        count(lit(1)).as("n_hours"), max(col("a")).as("peak_dev"))
+      .select(col("token"), col("burst_start"), col("burst_end"),
+        col("n_hours"), col("peak_dev"))
+      .orderBy("token", "burst_start")
+  }
+
+  /** Hourly market share: each token's fraction of the hour's total
+    * volume — share-of-total, the one-window OLAP classic. Both sums are
+    * exact decimal; the share is one IEEE division of their double
+    * renders, bit-stable without rounding. */
+  def hourlyMarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address").as("token"),
+        hourBucket(col("transact_at")).as("t"))
+      .agg(dsumDec(col("value")).as("vol"))
+      .withColumn("share",
+        col("vol").cast("double") /
+          sum(col("vol")).over(Window.partitionBy("t")).cast("double"))
+      .select(col("token"), col("t"), col("vol").cast("double").as("volume"),
+        col("share"))
+      .orderBy("token", "t")
+  }
+
   /** Half-width (seconds) of the centered trend window in
     * [[seasonalDecompose]] — ±12 hours. */
   val TrendHalfWidthSec = 43200L

@@ -210,6 +210,46 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("burst intervals: episodes are maximal runs of top-decile hours") {
+    val bursts = graft.ops.Metrics.burstIntervals(spark, GraftSpark.Sf)
+      .collect()
+    assert(bursts.nonEmpty)
+    val devs = graft.ops.Metrics.cusumDrift(spark, GraftSpark.Sf)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("t"),
+        math.abs(r.getAs[Long]("dev"))))
+    for ((tok, rs) <- bursts.groupBy(_.getAs[String]("token"))) {
+      val ds = devs.filter(_._1 == tok).map(d => (d._2, d._3)).sortBy(_._1)
+      // exact p90 threshold from the |dev| distribution
+      val sortedA = ds.map(_._2).sorted
+      val thr = sortedA((9 * sortedA.length + 9) / 10 - 1)
+      val flagged = ds.filter(d => d._2 >= thr && d._2 > 0).map(_._1).toSet
+      // every burst hour is flagged, episodes don't touch (maximality)
+      val covered = rs.flatMap(r =>
+        (r.getAs[Long]("burst_start") to r.getAs[Long]("burst_end") by 3600)
+          .filter(flagged)).toSet
+      assert(covered == flagged, s"$tok: coverage mismatch")
+      val sorted = rs.sortBy(_.getAs[Long]("burst_start"))
+      for (w <- sorted.sliding(2) if w.length == 2)
+        assert(w(1).getAs[Long]("burst_start") >
+          w(0).getAs[Long]("burst_end") + 3600,
+          s"$tok: adjacent episodes should have merged")
+    }
+  }
+
+  test("market share: shares sum to 1 per hour") {
+    val rows = graft.ops.Metrics.hourlyMarketShare(spark, GraftSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getAs[Long]("t"))) {
+      val s = rs.map(r => BigDecimal(r.getAs[Double]("share"))).sum
+      assert((s - 1).abs < BigDecimal(1e-9))
+      val vols = rs.map(r => BigDecimal(r.getAs[Double]("volume"))).sum
+      for (r <- rs)
+        assert(math.abs(r.getAs[Double]("share") -
+          r.getAs[Double]("volume") / vols.toDouble) < 1e-12)
+    }
+  }
+
   test("cusum: dev recomputes from raw cumulative counts, final dev = 0") {
     val rows = graft.ops.Metrics.cusumDrift(spark, GraftSpark.Sf).collect()
     assert(rows.nonEmpty)
