@@ -3993,6 +3993,66 @@ object Catalog {
          |         / CAST(SUM(vol) OVER (PARTITION BY t) AS DOUBLE) AS share
          |FROM hourly ORDER BY token, t""".stripMargin))),
 
+    // Wave 18 — A/B experiment readout (hash arms, exact counts)
+    QEntry("q_ab_test", Behavior.abTestReadout, Some(
+      """WITH fv AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns, event_type,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+        |           OVER (PARTITION BY user_id) AS first_view
+        |  FROM events
+        |),
+        |pu AS (
+        |  SELECT user_id, max(first_view) AS first_view,
+        |         max(CASE WHEN event_type = 'purchase' AND tns > first_view
+        |             THEN 1 ELSE 0 END) AS conv
+        |  FROM fv GROUP BY 1
+        |),
+        |armed AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |              IN ('0','2','4','6','8','a','c','e')
+        |         THEN 'A' ELSE 'B' END AS arm, conv
+        |  FROM pu WHERE first_view IS NOT NULL
+        |),
+        |arms AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |         CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |         CAST(SUM(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |           AS rate
+        |  FROM armed GROUP BY 1
+        |),
+        |ra AS (SELECT rate AS rate_a FROM arms WHERE arm = 'A')
+        |SELECT a.arm, a.n_users, a.n_converted, a.rate,
+        |       a.rate - ra.rate_a AS lift_vs_a
+        |FROM arms a, ra ORDER BY arm""".stripMargin)),
+
+    // Wave 18 — dapp audience-overlap matrix (exact Jaccard fractions)
+    QEntry("q_dapp_overlap", Dapps.dappOverlap, Some(withTransfersAndDapps(
+      """, dw AS (
+        |  SELECT DISTINCT da.dapp_id, l.wallet AS address
+        |  FROM (
+        |    SELECT to_address AS address, from_address AS wallet
+        |    FROM transfers
+        |    UNION ALL
+        |    SELECT from_address, to_address FROM transfers
+        |  ) l
+        |  JOIN (SELECT dapp_id, unnest(addresses) AS address FROM dapps) da
+        |    ON l.address = da.address
+        |),
+        |sizes AS (SELECT dapp_id, CAST(count(*) AS BIGINT) AS n
+        |          FROM dw GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.dapp_id AS da, b.dapp_id AS db,
+        |         CAST(count(*) AS BIGINT) AS inter
+        |  FROM dw a JOIN dw b
+        |    ON b.address = a.address AND a.dapp_id < b.dapp_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.da, p.db, p.inter, sa.n + sb.n - p.inter AS union_n
+        |FROM pairs p
+        |JOIN sizes sa ON sa.dapp_id = p.da
+        |JOIN sizes sb ON sb.dapp_id = p.db
+        |ORDER BY p.da, p.db""".stripMargin))),
+
     QEntry("q_simhash", Dedup.simhash, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

@@ -201,6 +201,45 @@ object Behavior {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** A/B experiment readout: users deterministically assigned to arms by
+    * id-hash parity (the assignment any experimentation platform derives
+    * from a stable unit id — md5 parity here, NOT `user_id % 2`, whose
+    * correlation with enrollment order would bias real data), conversion
+    * = "ever purchased after first view", per-arm exact counts and one
+    * IEEE-division rate, plus the absolute rate lift. Statistical
+    * significance needs a normal CDF (float libm territory — out of the
+    * hash-checked contract); the exact counts let any stats layer
+    * compute it downstream.
+    *
+    * One user-keyed window pass (first-view time + any-later-purchase
+    * flag share the exchange) and one 2-row aggregate. */
+  def abTestReadout(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("converted",
+        max(when(col("event_type") === "purchase" &&
+          col("ts") > col("first_view"), 1L).otherwise(0L)).over(w))
+      .groupBy("user_id")
+      .agg(max("first_view").as("first_view"), max("converted").as("conv"))
+      .filter(col("first_view").isNotNull)
+      .withColumn("arm",
+        when(expr("substr(md5(CAST(user_id AS STRING)), 1, 1)")
+          .isin("0", "2", "4", "6", "8", "a", "c", "e"), "A").otherwise("B"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted"))
+      .withColumn("rate",
+        col("n_converted").cast("double") / col("n_users").cast("double"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("rate").as("rate_a"))
+    arms.crossJoin(broadcast(a))
+      .select(col("arm"), col("n_users"), col("n_converted"), col("rate"),
+        (col("rate") - col("rate_a")).as("lift_vs_a"))
+      .orderBy("arm")
+  }
+
   /** Session gap (seconds) for [[sessionPaths]] — 30 minutes of
     * inactivity closes a session, the classic web-analytics cut. */
   val SessionGapSec = 1800L

@@ -70,4 +70,39 @@ object Dapps {
       .na.fill(Map("image" -> "default.png"))
       .orderBy("dapp_id")
   }
+
+  /** Audience overlap between dapp pairs: |users(a) ∩ users(b)| and the
+    * exact Jaccard numerator/denominator — "which dapps share a user
+    * base", the co-usage matrix partnerships and ring analysis read. A
+    * dapp's AUDIENCE is the set of counterparty wallets on transfers
+    * touching its registered addresses (the dapp contracts themselves
+    * are membership, not audience — and registry address sets are
+    * disjoint, so contract-level overlap is vacuously empty). The pair
+    * intersection is an equi-join on the WALLET key (each wallet fans
+    * out only to its own dapp pairs — bounded by registry² per wallet,
+    * never |wallets|²). Jaccard is emitted as an exact fraction
+    * (inter, union) — no float ratio in the contract. */
+  def dappOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+    val reg = broadcast(dappAddresses(spark).select("dapp_id", "address"))
+    val dw = t.select(col("to_address").as("address"),
+        col("from_address").as("wallet"))
+      .unionByName(t.select(col("from_address").as("address"),
+        col("to_address").as("wallet")))
+      .join(reg, Seq("address"))
+      .select(col("dapp_id"), col("wallet").as("address"))
+      .distinct()
+    val sizes = dw.groupBy("dapp_id").agg(count(lit(1)).as("n"))
+    val pairs = dw.toDF("da", "address")
+      .join(dw.toDF("db", "address"), Seq("address"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.toDF("da", "na"), Seq("da"))
+      .join(sizes.toDF("db", "nb"), Seq("db"))
+      .select(col("da"), col("db"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("union_n"))
+      .orderBy("da", "db")
+  }
 }

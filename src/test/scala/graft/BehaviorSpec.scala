@@ -113,6 +113,66 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == expected)
   }
 
+  test("ab test: arms partition viewers, rates recompute, lift vs A is exact") {
+    val rows = graft.ops.Behavior.abTestReadout(spark, GraftSpark.Sf)
+      .collect()
+    assert(rows.map(_.getAs[String]("arm")).toSeq == Seq("A", "B"))
+    val ev = Tables.events(spark, GraftSpark.Sf)
+      .select("user_id", "event_type", "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(u: Long): String = {
+      val h = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("02468ace".contains(h.head)) "A" else "B"
+    }
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.toSeq.flatMap { case (u, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val fv = views.min
+        val conv = es.exists(e => e._2 == "purchase" && e._3 > fv)
+        Some((arm(u), conv))
+      }
+    }
+    for (r <- rows) {
+      val a = r.getAs[String]("arm")
+      val mine = expected.filter(_._1 == a)
+      assert(r.getAs[Long]("n_users") == mine.length)
+      assert(r.getAs[Long]("n_converted") == mine.count(_._2))
+      assert(r.getAs[Double]("rate") ==
+        mine.count(_._2).toDouble / mine.length.toDouble)
+    }
+    val rateA = rows.find(_.getAs[String]("arm") == "A").get
+      .getAs[Double]("rate")
+    for (r <- rows)
+      assert(r.getAs[Double]("lift_vs_a") == r.getAs[Double]("rate") - rateA)
+  }
+
+  test("dapp overlap: intersections recompute from counterparty audiences") {
+    val rows = graft.ops.Dapps.dappOverlap(spark, GraftSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val t = Tables.transfers(spark, GraftSpark.Sf)
+      .select("from_address", "to_address")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val reg = Tables.DappRegistry.flatMap { case (id, _, as) =>
+      as.map(a => a -> id) }.toMap
+    val aud = scala.collection.mutable.Map.empty[String, Set[String]]
+      .withDefaultValue(Set.empty)
+    for ((f, to) <- t) {
+      reg.get(to).foreach(d => aud(d) = aud(d) + f)
+      reg.get(f).foreach(d => aud(d) = aud(d) + to)
+    }
+    for (r <- rows) {
+      val (da, db) = (r.getAs[String]("da"), r.getAs[String]("db"))
+      assert(da < db)
+      val (sa, sb) = (aud(da), aud(db))
+      assert(r.getAs[Long]("inter") == (sa intersect sb).size)
+      assert(r.getAs[Long]("union_n") == (sa union sb).size)
+    }
+  }
+
   test("session paths: totals match a driver-side sessionizer recount") {
     val rows = graft.ops.Behavior.sessionPaths(spark, GraftSpark.Sf)
       .collect().map(r => r.getString(0) -> r.getLong(1))
