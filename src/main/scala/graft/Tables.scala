@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet table loaders and the token-transfer view.
   *
@@ -17,18 +18,89 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    model.Boundary.conform(name, spark.read.parquet(s"$sfDir/$name.parquet"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads with
-    * the nanos-as-long legacy flag; [[events]] reads it as epoch-nanos long
-    * and exposes `ts_sec` (epoch seconds, exact integer division — a double
-    * division at 1e18 magnitude would lose sub-second precision) plus a
-    * microsecond-precision `ts_t` timestamp for window/streaming use. */
+  /** Canonical event-time normalization: whatever the on-disk encoding of
+    * `events.ts`, every consumer sees the same three columns —
+    *  - `ts`     : epoch-NANOS long (what the DuckDB oracle's `epoch_ns(ts)`
+    *               computes, and what sequence ops like
+    *               [[ops.Behavior.FunnelDeadlineNs]] do arithmetic on),
+    *  - `ts_sec` : epoch seconds (exact integer division — a double division
+    *               at 1e18 magnitude would lose sub-second precision),
+    *  - `ts_t`   : microsecond-precision TIMESTAMP for window/streaming use.
+    *
+    * Accepts `ts` as epoch-nanos long (parquet TIMESTAMP(NANOS) under the
+    * nanos-as-long legacy flag) or as TimestampType (parquet
+    * TIMESTAMP(MICROS), either UTC-adjusted or NTZ — see [[events]] for how
+    * NTZ is read tz-independently). Any other type fails loudly here at the
+    * schema boundary instead of crashing 80 queries downstream. */
+  private[graft] def normalizeEventTime(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts_sec", expr("ts div 1000000000"))
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      case TimestampType =>
+        df.withColumn("ts_t", col("ts"))
+          .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+          .withColumn("ts_sec", expr("ts div 1000000000"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as $other; expected epoch-nanos LONG or TIMESTAMP. " +
+            "Update Tables.events' pinned read schema for the new encoding.")
+    }
+
+  /** Events table with [[normalizeEventTime]]'s canonical `ts`/`ts_sec`/`ts_t`.
+    *
+    * Encoding-robust by inspection, not assumption (a testdata re-encode from
+    * TIMESTAMP(NANOS) to TIMESTAMP(MICROS,NTZ) once silently invalidated 40%
+    * of the catalog): the footer schema decides the read path.
+    *  - TIMESTAMP(NANOS): the legacy flag surfaces it as epoch-nanos long.
+    *  - TIMESTAMP(MICROS) NTZ: re-read with a pinned schema forcing
+    *    TimestampType — parquet micros are then taken verbatim as epoch
+    *    micros with NO session-timezone conversion (a cast from
+    *    TIMESTAMP_NTZ would shift by the session zone), matching DuckDB's
+    *    naive-as-UTC `epoch_ns`. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val path = s"$sfDir/events.parquet"
+    // raw FILE schema — the pinned re-read schema must match what's on disk
+    val fileSchema = spark.read.parquet(path).schema
+    val src = fileSchema("ts").dataType match {
+      case TimestampNTZType =>
+        model.Boundary.conform("events",
+          spark.read.schema(pinTsAsInstant(fileSchema)).parquet(path))
+      case _ => table(spark, sfDir, "events")
+    }
+    normalizeEventTime(src)
+  }
+
+  /** The file schema with `ts` re-typed TimestampType (see [[events]]). */
+  private def pinTsAsInstant(fileSchema: StructType): StructType =
+    StructType(fileSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
+  /** File-stream twin of [[events]]: same canonical `ts`/`ts_sec`/`ts_t`, fed
+    * by a FileStreamSource. Streams require an explicit schema, so the
+    * encoding is sniffed from the static footer first (a one-footer read) and
+    * the stream schema pinned to match — long for nanos files, TimestampType
+    * for micros files (tz-independent, as in [[events]]).
+    *
+    * The path is spelled `{events}.parquet` — a GLOB, not a literal:
+    * FileStreamSource forces `basePath` to the source path itself and errors
+    * when that path is a plain file, while a glob infers basePath from the
+    * non-glob prefix. One spelling reads BOTH layouts: the driver's
+    * single-file `events.parquet` and a cluster writer's
+    * `events.parquet/part-*` directory. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // raw FILE schema (not the conformed one — the stream's explicit schema
+    // must match what's on disk; Boundary coercions happen after the read)
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val pinned =
+      if (fileSchema("ts").dataType == LongType) fileSchema
+      else pinTsAsInstant(fileSchema)
+    normalizeEventTime(model.Boundary.conform("events",
+      spark.readStream.schema(pinned).parquet(s"$sfDir/{events}.parquet")))
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")

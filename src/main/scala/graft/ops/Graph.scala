@@ -46,6 +46,35 @@ object LineageCut {
       out
     }
   }
+
+  /** [[cut]] plus the frame's row count, computed from the SAME
+    * materialization instead of a separate action afterwards — iterative
+    * algorithms need the count every round for their convergence test, and
+    * a tiny frame's per-round cost is all job-scheduling overhead, so one
+    * fewer job per round is a real win (alt-star CC runs 3 actions/round
+    * without this, 2 with). On the reliable path the count job is also the
+    * job that fills the cache the checkpoint writer then reads, so nothing
+    * is computed twice. */
+  def cutCounted(df: DataFrame, mode: LineageCut): (DataFrame, Long) = {
+    val reliable = mode match {
+      case Reliable => true
+      case Local => false
+      case Auto =>
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    }
+    if (!reliable) {
+      val out = df.localCheckpoint(true)
+      (out, out.count())
+    } else {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "LineageCut.Reliable needs SparkContext.setCheckpointDir")
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = cached.count()
+      val out = cached.checkpoint(true)
+      cached.unpersist(false)
+      (out, n)
+    }
+  }
 }
 
 /** Distributed connected components by iterative min-label propagation —
@@ -153,8 +182,7 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var live = LineageCut.cut(sym, cutMode)
-      var nLive = live.count()
+      var (live, nLive) = LineageCut.cutCounted(sym, cutMode)
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
@@ -162,13 +190,12 @@ object Graph {
           .agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .select("v")
-        val pruned = LineageCut.cut(
+        val (pruned, nPruned) = LineageCut.cutCounted(
           live
             .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
             .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
             .select("src", "dst"),
           cutMode)
-        val nPruned = pruned.count()
         converged = nPruned == nLive
         live = pruned
         nLive = nPruned
@@ -782,12 +809,11 @@ object Graph {
     // (label = themselves) to honor the connectedComponents contract
     val verts = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
-    var e = LineageCut.cut(
+    var (e, eCount) = LineageCut.cutCounted(
       edges.filter(col("src") =!= col("dst"))
         .select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
         .distinct(), cutMode)
-    var eCount = e.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -803,19 +829,19 @@ object Graph {
         .select(col("dst").as("src"), col("m").as("dst"))
         .distinct()
       val smallMins = ls.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
-      val next = LineageCut.cut(
+      // fixed point = edge set unchanged. Both frames are materialized and
+      // DISTINCT, so |next| = |e| plus next ⊆ e (one anti-join emptiness
+      // probe) already implies equality — the reverse probe is redundant,
+      // and unequal counts (the common non-converged case) skip the join
+      // entirely. The count rides the cut's own materialization job
+      // (cutCounted), so a round is two actions, not three.
+      val (next, nextCount) = LineageCut.cutCounted(
         ls.join(smallMins, col("src") === col("u"))
           .select(col("dst").as("v"), col("m"))
           .filter(col("v") =!= col("m"))
           .select(col("v").as("src"), col("m").as("dst"))
           .unionByName(smallMins.select(col("u").as("src"), col("m").as("dst")))
           .distinct(), cutMode)
-      // fixed point = edge set unchanged. Both frames are materialized and
-      // DISTINCT, so |next| = |e| plus next ⊆ e (one anti-join emptiness
-      // probe) already implies equality — the reverse probe is redundant,
-      // and unequal counts (the common non-converged case) skip the join
-      // entirely: one cheap count on checkpointed blocks per round
-      val nextCount = next.count()
       converged = nextCount == eCount && next.except(e).isEmpty
       e = next
       eCount = nextCount

@@ -21,39 +21,17 @@ import org.apache.spark.sql.types._
   */
 object StreamingMetrics {
 
-  /** events schema for the streaming source (file streams require an
-    * explicit schema; `ts` arrives as epoch-nanos long under the
-    * nanos-as-long flag set by [[graft.Tables.events]]).
-    *
-    * Source paths are spelled `{events}.parquet` — a GLOB, not a literal:
-    * FileStreamSource forces `basePath` to the source path itself and
-    * errors when that path is a plain file, while a glob path infers
-    * basePath from the non-glob prefix (the table directory's parent).
-    * The one spelling therefore reads BOTH layouts: the driver's
-    * single-file `events.parquet` and a cluster writer's
-    * `events.parquet/part-*` directory (the previous
-    * `pathGlobFilter=events.parquet` form silently matched ZERO files in
-    * the directory layout — the 10× scale check caught it as a 0-row
-    * stream). */
-  val EventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Hourly volume per token, computed by a streaming windowed aggregation
     * over the events parquet and drained synchronously. Output matches
-    * [[graft.ops.Metrics.hourlyVolume]] exactly. */
+    * [[graft.ops.Metrics.hourlyVolume]] exactly. The source is
+    * [[graft.Tables.eventsStream]] — the encoding-robust file-stream twin of
+    * the batch loader, so event time here is the SAME `ts_t` every batch
+    * query reads (a previous per-file LongType schema silently read
+    * micros-as-nanos and compressed event time 1000×). */
   def hourlyVolumeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tableName = "graft_stream_hourly_volume"
 
-    val stream = spark.readStream
-      .schema(EventsSchema)
-      .parquet(s"$sfDir/{events}.parquet")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.eventsStream(spark, sfDir)
       .select(col("event_type").as("contract_address"), col("ts_t"), col("value"))
       // Event-time tumbling window — epoch-aligned, so window.start equals
       // the batch engine's integer-division hour bucket.
@@ -81,13 +59,9 @@ object StreamingMetrics {
     * states — drained synchronously in complete mode and verified by the
     * batch double-bucket oracle. */
   def slidingVolumeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tableName = "graft_stream_sliding_volume"
 
-    val stream = spark.readStream
-      .schema(EventsSchema)
-      .parquet(s"$sfDir/{events}.parquet")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.eventsStream(spark, sfDir)
       .groupBy(col("event_type").as("contract_address"),
         window(col("ts_t"), "2 hours", "1 hour"))
       .agg(sum(col("value").cast(DecimalType(25, 2))).as("dvolume"),
@@ -116,13 +90,9 @@ object StreamingMetrics {
     * engine's sessions exactly (the gaps-and-islands oracle of
     * `q_session_volume` verifies the streaming session-merge state). */
   def sessionVolumeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tableName = "graft_stream_session_volume"
 
-    val stream = spark.readStream
-      .schema(EventsSchema)
-      .parquet(s"$sfDir/{events}.parquet")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.eventsStream(spark, sfDir)
       .groupBy(col("event_type").as("contract_address"),
         session_window(col("ts_t"), "30 minutes"))
       .agg(sum(col("value").cast(DecimalType(25, 2))).as("dvolume"),
@@ -158,12 +128,9 @@ object StreamingMetrics {
     * set is bounded by the registry size, so the state stays O(1) per
     * window. */
   def streamDappHourly(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tableName = "graft_stream_dapp_hourly"
-    val ev = spark.readStream
-      .schema(EventsSchema)
-      .parquet(s"$sfDir/{events}.parquet")
-      .withColumn("t_sec", expr("ts div 1000000000"))
+    val ev = graft.Tables.eventsStream(spark, sfDir)
+      .withColumn("t_sec", col("ts_sec"))
     // both transfer legs, same derivation as Tables.transfers
     val legs = ev
       .select(col("t_sec"), col("user_id").cast("string").as("address"))
@@ -239,11 +206,8 @@ object StreamingMetrics {
     * batch q_cdc_apply oracle verifies the streaming state machine
     * end-to-end. */
   def streamingCdcState(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tableName = "graft_stream_cdc"
-    val stream = spark.readStream
-      .schema(EventsSchema)
-      .parquet(s"$sfDir/{events}.parquet")
+    val stream = graft.Tables.eventsStream(spark, sfDir)
       .select(col("event_type").as("contract_address"),
         col("user_id").cast("string").as("wallet"),
         col("event_id").as("version"), col("value"),
@@ -279,13 +243,10 @@ object StreamingMetrics {
     * leaderboards rank at read time for the same reason. Batch
     * equivalence is the oracle: same sums, same window cut. */
   def streamingTopTokens(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tableName = "graft_stream_top_tokens"
-    val stream = spark.readStream
-      .schema(EventsSchema)
-      .parquet(s"$sfDir/{events}.parquet")
+    val stream = graft.Tables.eventsStream(spark, sfDir)
       .select(col("event_type").as("token"), col("value"),
-        expr("ts div 1000000000").as("t_sec"))
+        col("ts_sec").as("t_sec"))
       .groupBy(graft.ops.Num.hourBucket(col("t_sec")).as("t"), col("token"))
       .agg(sum(col("value").cast("decimal(25,2)")).as("dvol"),
         count(lit(1)).as("n"))
