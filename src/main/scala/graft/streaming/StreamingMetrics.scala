@@ -54,6 +54,49 @@ object StreamingMetrics {
       .orderBy("contract_address", "t")
   }
 
+  /** PRODUCTION shape of the hourly-volume stream: bounded state, append
+    * output. The complete-mode/memory-sink drain above is the ORACLE
+    * HARNESS — it holds every window ever seen and materializes results on
+    * the driver, acceptable only for verification at small SF. This is the
+    * deployable plan: a watermark bounds the state store to the windows
+    * still inside the lateness horizon (closed windows are emitted once and
+    * their state EVICTED), and append mode feeds an idempotent file sink —
+    * at 100 TB/day the state size tracks tokens × open hours, not stream
+    * lifetime. Takes the already-normalized events stream
+    * ([[graft.Tables.eventsStream]] or any frame with
+    * `event_type`/`ts_t`/`value`) so tests can drive it from MemoryStream.
+    * StreamingSpec asserts the eviction (state rows drop back to the open
+    * windows after a closed window flushes). */
+  def hourlyVolumeBounded(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .select(col("event_type").as("contract_address"), col("ts_t"), col("value"))
+      .withWatermark("ts_t", lateness)
+      .groupBy(col("contract_address"), window(col("ts_t"), "1 hour"))
+      .agg(sum(col("value").cast(DecimalType(25, 2))).as("dvolume"))
+      .select(col("contract_address"),
+        unix_timestamp(col("window.start")).as("t"),
+        col("dvolume").cast("double").as("volume"))
+
+  /** Run [[hourlyVolumeBounded]] over the static testdata into a PARQUET
+    * sink (AvailableNow trigger) and return the sink's contents. Windows
+    * still open when the source drains stay in state — append emits only
+    * watermark-closed windows, which is the contract (a live deployment
+    * keeps running; the final partial hour is not final data). */
+  def runHourlyVolumeBounded(spark: SparkSession, sfDir: String,
+      outDir: String, checkpointDir: String): DataFrame = {
+    val q = hourlyVolumeBounded(graft.Tables.eventsStream(spark, sfDir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("contract_address", "t")
+  }
+
   /** Streaming sliding-window twin of [[graft.ops.Metrics.slidingVolume]]:
     * overlapping 2h/1h event-time windows — each event lands in two window
     * states — drained synchronously in complete mode and verified by the

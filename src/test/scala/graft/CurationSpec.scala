@@ -79,7 +79,7 @@ class CurationSpec extends AnyFunSuite {
     // round 3 merges the remaining 'aa ab'
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
     Seq((1L, "aaab aaab aaab", "en", "src0"))
-      .toDF("doc_id", "text", "lang", "source")
+      .toDF("doc_id", "text", "lang", "source").selectExpr("doc_id", "text", "lang", "source", "CAST(length(text) AS BIGINT) AS n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = TextAnalysis.bpeMerges(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
@@ -88,7 +88,7 @@ class CurationSpec extends AnyFunSuite {
     // word fully merges and the pair stream runs DRY without throwing
     val dir2 = java.nio.file.Files.createTempDirectory("graft_bpe2").toString
     Seq((1L, "aaaa", "en", "src0"))
-      .toDF("doc_id", "text", "lang", "source")
+      .toDF("doc_id", "text", "lang", "source").selectExpr("doc_id", "text", "lang", "source", "CAST(length(text) AS BIGINT) AS n_chars")
       .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
     val got2 = TextAnalysis.bpeMerges(spark, dir2).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq

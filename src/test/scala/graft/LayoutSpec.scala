@@ -87,7 +87,7 @@ class LayoutSpec extends AnyFunSuite {
         val len = if (i % 2 == 0) 1 else 100
         (i, Seq.fill(len.toInt)("w").mkString(" "), "en", "s0")
       }
-      docs.toDF("doc_id", "text", "lang", "source")
+      docs.toDF("doc_id", "text", "lang", "source").selectExpr("doc_id", "text", "lang", "source", "CAST(length(text) AS BIGINT) AS n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val r = graft.ops.Layout.batchPaddingAudit(spark, dir).collect()
         .map(x => x.getString(1) -> x.getLong(4)).toMap

@@ -151,7 +151,7 @@ class PropertySpec extends AnyFunSuite {
     samples(corpusGen, 4).foreach { texts =>
       val dir = java.nio.file.Files.createTempDirectory("graft_ssjprop").toString
       texts.zipWithIndex.map { case (t, k) => (k.toLong, t, "en", "src0") }
-        .toDF("doc_id", "text", "lang", "source")
+        .toDF("doc_id", "text", "lang", "source").selectExpr("doc_id", "text", "lang", "source", "CAST(length(text) AS BIGINT) AS n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val got = graft.ops.Dedup.setSimJoin(spark, dir)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -290,6 +290,64 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bounded hourly volume: append emits closed windows, state is evicted") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(String, Long, Double)] // (token, sec, value)
+    val agg = StreamingMetrics.hourlyVolumeBounded(
+      input.toDS().toDF("event_type", "sec", "value")
+        .withColumn("ts_t", timestamp_seconds(col("sec"))))
+    val out = java.nio.file.Files.createTempDirectory("graft_hvb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hvb_ck").toString
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // two tokens, both in hour [0, 3600)
+      input.addData(("tokA", 100L, 1.5), ("tokA", 200L, 2.5), ("tokB", 300L, 7.0))
+      q.processAllAvailable()
+      // hour 0 not closed (watermark 300s-10min < 3600): nothing emitted,
+      // two (token, window) state rows held
+      assert(spark.read.schema("contract_address STRING, t LONG, volume DOUBLE")
+        .parquet(out).count() == 0)
+      val held = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(held == 2L, s"expected 2 open state rows, got $held")
+      // an event far past hour 0 closes it for both tokens
+      input.addData(("tokA", 50000L, 9.0))
+      q.processAllAvailable()
+      val emitted = spark.read.parquet(out)
+        .as[(String, Long, Double)].collect().toSeq.sorted
+      assert(emitted == Seq(("tokA", 0L, 4.0), ("tokB", 0L, 7.0)), emitted.toString)
+      // EVICTION: only tokA's open hour-13 window remains in state
+      val left = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(left == 1L, s"expected 1 open state row after eviction, got $left")
+    } finally q.stop()
+  }
+
+  test("bounded hourly volume over testdata: file sink holds exactly the " +
+    "watermark-closed prefix of the batch metric") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_hvb2_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hvb2_ck").toString
+    val streamed = StreamingMetrics
+      .runHourlyVolumeBounded(spark, GraftSpark.Sf, out, ckpt)
+      .as[(String, Long, Double)].collect().toSeq
+    val batch = graft.ops.Metrics.hourlyVolume(spark, GraftSpark.Sf)
+      .as[(String, Long, Double)].collect().toSeq
+    // append emits only windows the final watermark closed: every emitted
+    // row must equal its batch twin, and the only rows missing are the
+    // tail windows still open at drain (watermark = max ts - lateness)
+    val emitted = streamed.toSet
+    assert(emitted.subsetOf(batch.toSet), "streamed row disagrees with batch")
+    val horizon = Tables.events(spark, GraftSpark.Sf)
+      .agg(org.apache.spark.sql.functions.max("ts_sec")).as[Long].head() - 600L
+    val missing = batch.filterNot(emitted)
+    assert(missing.forall(_._2 >= (horizon / 3600L) * 3600L - 3600L),
+      s"non-tail window missing from append output: ${missing.take(3)}")
+    assert(streamed.nonEmpty, "append sink is empty")
+  }
 }
 
 /** Minimal in-memory GroupState for unit-testing fold functions. */
