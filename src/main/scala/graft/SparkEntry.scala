@@ -1455,6 +1455,21 @@ object Catalog {
            |       ${dsum("value")} AS volume
            |FROM transfers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
+    // PRODUCTION-shaped streaming: watermark + append + parquet file sink
+    // (bounded state). The oracle is q_volume_hourly restricted to the
+    // windows the final watermark closed: watermark_ms = max event-time ms
+    // - 10 min lateness; append emits window iff window_end <= watermark.
+    QEntry("q_stream_bounded_hourly",
+      graft.streaming.StreamingMetrics.streamBoundedHourly,
+      Some(withTransfers(
+        s"""SELECT contract_address, ${hourBucket("transact_at")} AS t,
+           |       ${dsum("value")} AS volume
+           |FROM transfers
+           |GROUP BY 1, 2
+           |HAVING (${hourBucket("transact_at")} + 3600) * 1000 <=
+           |       (SELECT max(epoch_ns(ts) // 1000000) - 600000 FROM events)
+           |ORDER BY 1, 2""".stripMargin))),
+
     // Streaming sessionization twin: same gaps-and-islands oracle as
     // q_session_volume verifies streaming session-merge state end-to-end.
     QEntry("q_stream_sessions",

@@ -15,9 +15,15 @@ import org.apache.spark.storage.StorageLevel
   *  - [[LineageCut.Reliable]]: `checkpoint()` to the SparkContext's
   *    checkpoint directory — survives executor loss; the choice for a real
   *    cluster. Requires `setCheckpointDir`.
-  *  - [[LineageCut.Auto]]: Reliable when a checkpoint dir is configured,
-  *    Local otherwise — callers that set a dir (Verify/Bench/tests) get
-  *    executor-loss safety without touching call sites.
+  *  - [[LineageCut.Auto]]: Reliable when a checkpoint dir is configured
+  *    AND the master is non-local; Local otherwise. On a local master the
+  *    executors ARE the driver JVM — a reliable checkpoint survives
+  *    nothing a local block doesn't (JVM death kills the query either
+  *    way), so the per-round checkpoint write+job would be pure overhead:
+  *    measured at sf0.1, the iterative graph queries (MIS, alt-star CC,
+  *    HITS, PageRank) spend most of their wall time on exactly that. A
+  *    real cluster (the 100 TB target) still gets executor-loss safety
+  *    without touching call sites.
   */
 sealed trait LineageCut
 object LineageCut {
@@ -34,7 +40,8 @@ object LineageCut {
       case Reliable => true
       case Local => false
       case Auto =>
-        df.sparkSession.sparkContext.getCheckpointDir.isDefined
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined &&
+          !df.sparkSession.sparkContext.isLocal
     }
     if (!reliable) df.localCheckpoint(true)
     else {
@@ -60,7 +67,8 @@ object LineageCut {
       case Reliable => true
       case Local => false
       case Auto =>
-        df.sparkSession.sparkContext.getCheckpointDir.isDefined
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined &&
+          !df.sparkSession.sparkContext.isLocal
     }
     if (!reliable) {
       val out = df.localCheckpoint(true)
@@ -104,10 +112,10 @@ object Graph {
     * un-checkpointed plan tree grows exponentially with iterations (the
     * standard failure mode of iterative DataFrame algorithms; driver OOMs
     * stringifying the plan long before any data moves). With
-    * [[LineageCut.Auto]] (the default), sessions that configured a
-    * checkpoint dir — Verify, Bench, the test harness, any real cluster —
-    * get reliable `checkpoint()` and survive executor loss; sessions
-    * without one fall back to `localCheckpoint`. */
+    * [[LineageCut.Auto]] (the default), cluster sessions that configured a
+    * checkpoint dir get reliable `checkpoint()` and survive executor loss;
+    * local-master sessions use `localCheckpoint` (identical failure domain,
+    * none of the per-round write cost). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
       cutMode: LineageCut = LineageCut.Auto): DataFrame = {
     // checkpoint the edge list before symmetrizing: the union references it
@@ -540,9 +548,14 @@ object Graph {
       val excl = nbrs.join(mis.select(col("v").as("u")), Seq("u"), "left_semi")
         .select(col("v")).distinct()
         .join(mis, Seq("v"), "left_anti")
+      // persisted, not checkpointed: the live-cut's anti-join materializes
+      // this round's subtree eagerly, and the FINAL `decided` union reads
+      // it again — without the persist every round's ~6-shuffle subtree
+      // runs twice (once per consumer)
       val roundDecided = mis.withColumn("state", lit("mis"))
         .unionByName(excl.withColumn("state", lit("excluded")))
         .withColumn("round", lit(k))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       decided = if (decided == null) roundDecided
         else decided.unionByName(roundDecided)
       // only `live` iterates — it must be cut; `decided` is an append-only

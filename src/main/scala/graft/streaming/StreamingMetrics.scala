@@ -97,6 +97,19 @@ object StreamingMetrics {
     spark.read.parquet(outDir).orderBy("contract_address", "t")
   }
 
+  /** Catalog form of the bounded stream: fresh sink/checkpoint dirs per
+    * invocation, result = whatever the append sink holds after the
+    * AvailableNow drain. DETERMINISTIC: the single source file yields one
+    * data batch, so the final watermark is exactly `max(event time in ms) -
+    * lateness`, and the emitted set is every window whose end ≤ that — a
+    * plain SQL predicate the DuckDB oracle states verbatim (q_volume_hourly
+    * restricted to watermark-closed windows). The tail windows the
+    * deployment would emit later are exactly the rows withheld. */
+  def streamBoundedHourly(spark: SparkSession, sfDir: String): DataFrame =
+    runHourlyVolumeBounded(spark, sfDir,
+      java.nio.file.Files.createTempDirectory("graft_hvb_sink").toString,
+      java.nio.file.Files.createTempDirectory("graft_hvb_ckpt").toString)
+
   /** Streaming sliding-window twin of [[graft.ops.Metrics.slidingVolume]]:
     * overlapping 2h/1h event-time windows — each event lands in two window
     * states — drained synchronously in complete mode and verified by the

@@ -81,9 +81,10 @@ object ScaleGen {
           |       slice(embedding, 1, cast(_r as int)))""".stripMargin))
       .drop("_r"), "embeddings")
 
-    // events.ts is TIMESTAMP(NANOS): read through Tables.events' legacy
-    // flag as epoch-nanos long; queries only consume ts div 1e9 / micros,
-    // both of which read identically from a plain INT64 column
+    // Tables.events normalizes any on-disk ts encoding to canonical
+    // epoch-nanos long; the amplified copy is written as plain INT64
+    // nanos, which exercises the LongType branch of the normalizer (and
+    // the directory `events.parquet/part-*` layout) in ScaleCheck runs
     val ev = graft.Tables.events(spark, src)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val nEv = ev.count()

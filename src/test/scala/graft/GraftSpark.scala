@@ -18,8 +18,8 @@ object GraftSpark {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // reliable checkpoints for the iterative graph algorithms: tests run the
-    // executor-loss-safe LineageCut path, not just localCheckpoint
+    // checkpoint dir so LineageCut.Reliable is runnable; Auto still picks
+    // Local here (local master) — GraphSpec pins the Reliable path explicitly
     s.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     s
