@@ -1497,6 +1497,38 @@ object Catalog {
          |FROM sess GROUP BY contract_address, sid
          |ORDER BY 1, 2""".stripMargin)),
 
+    // Bounded-state sessionization (watermark + append + parquet sink):
+    // q_stream_sessions' oracle restricted to sessions the final watermark
+    // closed — session end (last event + 30-min gap, micros) at or below
+    // watermark = (max event-time ms - 10 min), compared in micros.
+    QEntry("q_stream_bounded_sessions",
+      graft.streaming.StreamingMetrics.streamBoundedSessions,
+      Some(s"""WITH ev AS (
+         |  SELECT event_type AS contract_address, value,
+         |         epoch_ns(ts) // 1000 AS us
+         |  FROM events
+         |),
+         |brk AS (
+         |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+         |                   OR lag(us) OVER w IS NULL
+         |            THEN 1 ELSE 0 END AS is_new
+         |  FROM ev WINDOW w AS (PARTITION BY contract_address ORDER BY us)
+         |),
+         |sess AS (
+         |  SELECT *, SUM(is_new) OVER (PARTITION BY contract_address ORDER BY us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM brk
+         |)
+         |SELECT contract_address,
+         |       min(us) // 1000000 AS s_start,
+         |       (max(us) + 1800000000) // 1000000 AS s_end,
+         |       ${dsum("value")} AS volume, count(*) AS n
+         |FROM sess GROUP BY contract_address, sid
+         |HAVING max(us) + 1800000000 <=
+         |       ((SELECT max(epoch_ns(ts) // 1000000) FROM events)
+         |        - 600000) * 1000
+         |ORDER BY 1, 2""".stripMargin)),
+
     // Streaming exact dedup: the admitted hash set is order-independent,
     // so the batch DISTINCT is its oracle (the engine-level dedup operator
     // StreamDedup.dedupedStream, previously only spec-tested).

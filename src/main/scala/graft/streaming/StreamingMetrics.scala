@@ -110,6 +110,44 @@ object StreamingMetrics {
       java.nio.file.Files.createTempDirectory("graft_hvb_sink").toString,
       java.nio.file.Files.createTempDirectory("graft_hvb_ckpt").toString)
 
+  /** Bounded-state SESSIONIZATION, production shape: `session_window` +
+    * watermark + append mode. Session state merges while events can still
+    * arrive inside the gap; once the watermark passes a session's end
+    * (last event + gap), it is emitted once and its state evicted. Same
+    * determinism argument as [[hourlyVolumeBounded]]: one data batch →
+    * final watermark = max event-time ms − lateness → emitted set =
+    * sessions with end ≤ watermark, stated verbatim by the oracle. */
+  def sessionVolumeBounded(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .select(col("event_type").as("contract_address"), col("ts_t"), col("value"))
+      .withWatermark("ts_t", lateness)
+      .groupBy(col("contract_address"),
+        session_window(col("ts_t"), "30 minutes"))
+      .agg(sum(col("value").cast(DecimalType(25, 2))).as("dvolume"),
+        count(lit(1)).as("n"))
+      .select(col("contract_address"),
+        unix_timestamp(col("session_window.start")).as("s_start"),
+        unix_timestamp(col("session_window.end")).as("s_end"),
+        col("dvolume").cast("double").as("volume"), col("n"))
+
+  /** Catalog form of [[sessionVolumeBounded]] over the events file-stream:
+    * parquet sink, AvailableNow drain, fresh dirs per invocation. */
+  def streamBoundedSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_svb_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_svb_ckpt").toString
+    val q = sessionVolumeBounded(graft.Tables.eventsStream(spark, sfDir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("contract_address", "s_start")
+  }
+
   /** Streaming sliding-window twin of [[graft.ops.Metrics.slidingVolume]]:
     * overlapping 2h/1h event-time windows — each event lands in two window
     * states — drained synchronously in complete mode and verified by the
