@@ -326,6 +326,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded sessions: gap-merge in state, close on watermark, evict") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(String, Long, Double)] // (token, sec, value)
+    val agg = StreamingMetrics.sessionVolumeBounded(
+      input.toDS().toDF("event_type", "sec", "value")
+        .withColumn("ts_t", timestamp_seconds(col("sec"))))
+    val out = java.nio.file.Files.createTempDirectory("graft_svb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_svb_ck").toString
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // two events 10 min apart MERGE into one session [100, 700+1800)
+      input.addData(("tokA", 100L, 1.0), ("tokA", 700L, 2.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1L)
+      // far-future event closes tokA's session and opens its own
+      input.addData(("tokA", 90000L, 5.0))
+      q.processAllAvailable()
+      val emitted = spark.read
+        .schema("contract_address STRING, s_start LONG, s_end LONG, volume DOUBLE, n LONG")
+        .parquet(out).as[(String, Long, Long, Double, Long)].collect().toSeq
+      assert(emitted == Seq(("tokA", 100L, 2500L, 3.0, 2L)), emitted.toString)
+      val left = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(left == 1L, s"expected only the open session in state, got $left")
+    } finally q.stop()
+  }
+
   test("bounded hourly volume over testdata: file sink holds exactly the " +
     "watermark-closed prefix of the batch metric") {
     import spark.implicits._
