@@ -2312,6 +2312,70 @@ object Catalog {
          |  FROM keyed
          |) ORDER BY doc_id""".stripMargin)),
 
+    // END-TO-END corpus-build acceptance report: the full curation funnel
+    // (exact+near-dup dedup -> Gopher quality gate -> cluster-keyed split)
+    // collapsed to per-(source, split) doc/token counts in one query. The
+    // oracle chains the EXACT CTE mirrors of each stage's own oracle, so a
+    // hash match here proves the composition, not just the parts.
+    QEntry("q_corpus_build_report", Corpus.corpusBuildReport, Some(
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         |clusters AS (
+         |  SELECT doc_id, min(r) AS cluster_keeper FROM reach GROUP BY 1
+         |),
+         |survivors AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+         |    AND doc_id NOT IN
+         |      (SELECT doc_id FROM clusters WHERE doc_id != cluster_keeper)
+         |),
+         |gs AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+         |         AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mwl,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS dr,
+         |    CAST(list_max(list_transform(list_distinct(toks),
+         |           t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS tf,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+         |         AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS af
+         |  FROM docs WHERE text IS NOT NULL
+         |),
+         |quality AS (
+         |  SELECT doc_id, n_words FROM gs
+         |  WHERE n_words >= ${TextAnalysis.GopherMinWords}
+         |    AND n_words <= ${TextAnalysis.GopherMaxWords}
+         |    AND mwl >= 3.0 AND mwl <= 10.0 AND dr >= 0.5
+         |    AND tf <= 0.1 AND af >= 0.8
+         |),
+         |keyed AS (
+         |  SELECT d.doc_id, d.source,
+         |         COALESCE(c.cluster_keeper, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+         |),
+         |sp AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN bucket < ${Sampling.TrainUpper} THEN 'train'
+         |              WHEN bucket < ${Sampling.ValUpper} THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT *,
+         |           CAST((strpos('0123456789abcdef',
+         |               substr(md5(CAST(split_key AS VARCHAR)), 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef',
+         |               substr(md5(CAST(split_key AS VARCHAR)), 2, 1)) - 1
+         |             AS BIGINT) AS bucket
+         |    FROM keyed
+         |  )
+         |)
+         |SELECT sp.source, sp.split,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(q.n_words) AS BIGINT) AS n_tokens
+         |FROM sp
+         |JOIN survivors s ON s.doc_id = sp.doc_id
+         |JOIN quality q ON q.doc_id = sp.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Cross-split leakage certificate: near-dup pair counts by split
     // combination under the production cluster-keyed split (zero leaked
     // rows BY CONSTRUCTION) vs a naive doc_id-hash split (the leaked

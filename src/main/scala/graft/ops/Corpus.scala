@@ -469,4 +469,28 @@ object Corpus {
       .select("query_id", "fused_rank", "cand", "borda", "rs", "rd")
       .orderBy("query_id", "fused_rank")
   }
+
+  /** END-TO-END corpus-build report — the whole curation funnel as ONE
+    * query: documents → exact+near-dup survivors ([[Dedup.dedupedCorpus]])
+    * → Gopher quality gate ([[TextAnalysis.gopherRules]] `keep`) →
+    * leakage-safe cluster-keyed split ([[Sampling.corpusSplit]]) → per
+    * (source, split) document and token counts. This is the acceptance
+    * artifact a 100 TB corpus build signs off on, and because every stage
+    * reuses the session-shared frames (MinHash pairs, cluster labels), the
+    * composition adds only the final semi-join + aggregate on top of work
+    * other catalog entries already pay for. Semi-join keeps the document
+    * payload out of the funnel — only doc_ids and per-doc stats shuffle. */
+  def corpusBuildReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val survivors = Dedup.dedupedCorpus(spark, sfDir).select("doc_id")
+    val quality = TextAnalysis.gopherRules(spark, sfDir)
+      .filter(col("keep")).select(col("doc_id"), col("n_words"))
+    val split = Sampling.corpusSplit(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("split"))
+    split
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
+      .orderBy("source", "split")
+  }
 }
