@@ -2131,6 +2131,37 @@ object Catalog {
          |    AND tf <= 0.1 AND af >= 0.8) AS keep
          |FROM s ORDER BY doc_id""".stripMargin))),
 
+    // foreachBatch multi-sink routing: one streaming pass writes accepted
+    // docs and a quarantine to separate parquet sinks; the returned union
+    // must equal the batch Gopher decision per document (null text ->
+    // quarantine via null-coalesced keep).
+    QEntry("q_stream_quality_route",
+      graft.streaming.StreamRouter.qualityRoutedDocs,
+      Some(withDocs(
+        s""", gs AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+           |    CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+           |         AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mwl,
+           |    CAST(len(list_distinct(toks)) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE) AS dr,
+           |    CAST(list_max(list_transform(list_distinct(toks),
+           |           t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE) AS tf,
+           |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+           |         AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS af
+           |  FROM docs WHERE text IS NOT NULL
+           |)
+           |SELECT d.doc_id, gs.n_words,
+           |       CASE WHEN COALESCE(
+           |              gs.n_words >= ${TextAnalysis.GopherMinWords}
+           |                AND gs.n_words <= ${TextAnalysis.GopherMaxWords}
+           |                AND gs.mwl >= 3.0 AND gs.mwl <= 10.0
+           |                AND gs.dr >= 0.5 AND gs.tf <= 0.1
+           |                AND gs.af >= 0.8, FALSE)
+           |            THEN 'keep' ELSE 'quarantine' END AS route
+           |FROM docs d LEFT JOIN gs ON gs.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin))),
+
     QEntry("q_fingerprint", TextAnalysis.fingerprints, Some(withShingles(
       """SELECT doc_id, count(*) AS n_shingles, min(md5(sh)) AS fingerprint
         |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin))),

@@ -125,12 +125,29 @@ object TextAnalysis {
   val GopherMaxWords = 100L
 
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+    gopherSignals(docs(spark, sfDir)
       // NULL-text docs have NULL toks: Spark's size/aggregate and DuckDB's
       // len/list_* disagree on null propagation, so exclude them explicitly
       // (mirrored in the oracle); they carry no text to rule on anyway
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"),
+      .filter(col("text").isNotNull))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("distinct_ratio"), 6).as("distinct_ratio"),
+        round(col("top_tok_frac"), 6).as("top_tok_frac"),
+        round(col("alpha_frac"), 6).as("alpha_frac"),
+        col("r_words"), col("r_word_len"), col("r_distinct"),
+        col("r_top_tok"), col("r_alpha"), col("keep"))
+      .orderBy("doc_id")
+
+  /** The Gopher statistics + rule flags as a reusable TRANSFORM over any
+    * frame carrying (doc_id, toks) — row-local projections only, so it is
+    * streaming-legal (the quality-routing stream applies it per
+    * micro-batch) and never shuffles. `keep` is null for null `toks`;
+    * callers decide whether to pre-filter ([[gopherRules]]) or
+    * null-coalesce (the stream router quarantines them). */
+  def gopherSignals(docsWithToks: DataFrame): DataFrame =
+    docsWithToks
+      .select(col("*"),
         expr("size(toks)").cast("long").as("n_words"),
         expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
           .as("sum_len"),
@@ -158,14 +175,6 @@ object TextAnalysis {
       .withColumn("keep",
         col("r_words") && col("r_word_len") && col("r_distinct") &&
           col("r_top_tok") && col("r_alpha"))
-      .select(col("doc_id"), col("n_words"),
-        round(col("mean_word_len"), 6).as("mean_word_len"),
-        round(col("distinct_ratio"), 6).as("distinct_ratio"),
-        round(col("top_tok_frac"), 6).as("top_tok_frac"),
-        round(col("alpha_frac"), 6).as("alpha_frac"),
-        col("r_words"), col("r_word_len"), col("r_distinct"),
-        col("r_top_tok"), col("r_alpha"), col("keep"))
-      .orderBy("doc_id")
 
   /** Gopher-style repetition signals: per document, the fraction of n-grams
     * that are repeats of an earlier identical n-gram (`dup{2,3}_frac`) and
