@@ -4622,6 +4622,14 @@ object Catalog {
          |) WHERE rnk <= ${Similarity.K} ORDER BY query_id, rnk""".stripMargin)),
 
     // Multiline-JSON registry scan + higher-order cleanup (S5/S6).
+    // Schema'd CSV intake: stage documents as a quoted CSV delivery plus a
+    // deliberately-corrupt file, parse in PERMISSIVE mode with a corrupt-
+    // record column, quarantine the bad rows, return the clean rows — which
+    // must round-trip to the original parquet table exactly.
+    QEntry("q_csv_intake", graft.sources.CsvIntake.docsRoundTrip,
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QEntry("q_json_registry", (s, _) => graft.sources.JsonRegistry.cleaned(s),
       Some(
         """SELECT id, name, address FROM (
