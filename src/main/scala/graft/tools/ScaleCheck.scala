@@ -20,7 +20,9 @@ object ScaleCheck {
     "q_embedding_topk", "q_kmeans_iter3", "q_bucketed_ann",
     "q_pagerank_weighted", "q_triangle_count", "q_bfs_hops",
     "q_wallet360", "q_mixed_packs", "q_densified_balance",
-    "q_token_documents_full")
+    "q_token_documents_full", "q_mis", "q_setsim_join",
+    "q_corpus_build_report", "q_stream_bounded_hourly",
+    "q_stream_quality_route", "q_csv_intake")
 
   def main(args: Array[String]): Unit = {
     val dirA = args(0)
