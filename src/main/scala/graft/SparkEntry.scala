@@ -2316,6 +2316,56 @@ object Catalog {
          |) WHERE bucket < rate ORDER BY doc_id""".stripMargin
     }),
 
+    // Bounded per-source deterministic sample: hash-rank top-k through the
+    // partial-aggregating TopKAggregator; the oracle ranks by the identical
+    // (md5 48-bit prefix, doc_id) key with a window.
+    QEntry("q_reservoir_sample", Sampling.reservoirSample, Some(
+      s"""SELECT source, rnk, doc_id FROM (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+         |                    doc_id) AS rnk
+         |  FROM documents
+         |) WHERE rnk <= ${Sampling.ReservoirK}
+         |ORDER BY source, rnk""".stripMargin)),
+
+    // Temperature-scaled (α=½) source mixture: every float step is one
+    // correctly-rounded IEEE op (divide, sqrt, multiply, floor), so the
+    // doubles are bit-identical in DuckDB; the only sums are integer counts.
+    QEntry("q_temp_mixture", Sampling.temperatureMixture, Some(
+      """WITH counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1
+        |),
+        |mn AS (SELECT min(n_docs) AS n_min FROM counts)
+        |SELECT source, n_docs,
+        |       round(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+        |         AS keep_rate,
+        |       CAST(floor(CAST(n_docs AS DOUBLE)
+        |         * sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+        |         AS BIGINT) AS expected_docs
+        |FROM counts, mn ORDER BY source""".stripMargin)),
+
+    // Common-bigram coverage quality score: per-doc share of bigram
+    // positions hitting the corpus top list, exact per-mille integers.
+    QEntry("q_bigram_coverage", Clean.bigramCoverage, Some(withDocs(
+      s""", bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM docs WHERE len(toks) >= 2
+         |),
+         |top AS (
+         |  SELECT bigram FROM bg GROUP BY bigram
+         |  ORDER BY count(*) DESC, bigram LIMIT ${Clean.VocabK}
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(count(*) FILTER (WHERE bigram IN (SELECT bigram FROM top))
+         |         AS BIGINT) AS hits,
+         |       count(*) FILTER (WHERE bigram IN (SELECT bigram FROM top))
+         |         * 1000 // count(*) AS coverage_pml
+         |FROM bg GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+
     // Leakage-safe train/val/test: the split hash is over the near-dup
     // CLUSTER KEEPER, so duplicates never straddle splits. Oracle rebuilds
     // the clusters (recursive CTE) and applies the same hex arithmetic.

@@ -274,4 +274,28 @@ object Clean {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(VocabK)
+
+  /** Common-bigram coverage: for each document, the share of its adjacent
+    * bigram POSITIONS whose bigram is in the corpus top-[[VocabK]] list —
+    * an LM-free fluency proxy (text whose word transitions never hit the
+    * corpus's common transitions is boilerplate, word salad, or the wrong
+    * language; used as a cheap perplexity stand-in when no LM is at hand).
+    * Reported per-mille as exact integer division, so no float enters the
+    * result. Cost: the top list is [[VocabK]] rows → broadcast; the per-doc
+    * side is one explode + map-side-combinable count — the corpus never
+    * shuffles by bigram twice. */
+  def bigramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = bigramTop(spark, sfDir).select("bigram")
+    docs(spark, sfDir)
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("bigram"))
+      .join(broadcast(top.withColumn("hit", lit(1L))), Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("coverage_pml", expr("hits * 1000 div n_bigrams"))
+      .orderBy("doc_id")
+  }
 }

@@ -107,4 +107,68 @@ object Sampling {
       .withColumn("leaked", col("split_a") =!= col("split_b"))
       .orderBy("scheme", "split_a", "split_b")
   }
+
+  /** Reservoir size per source for [[reservoirSample]]. */
+  val ReservoirK = 20
+
+  /** Deterministic per-source "reservoir": the [[ReservoirK]] documents with
+    * the smallest hash-rank in each source, where the rank is the first 12
+    * hex digits of `md5(doc_id)` (48 bits — exact in a Double) with doc_id
+    * as the tie-break. Hash-rank top-k IS distributed reservoir sampling
+    * done right: the sample is a pure function of the ids (idempotent
+    * re-runs, audit-reproducible), and the bounded [[graft.functions
+    * .TopKAggregator]] partial-aggregates every partition down to ≤k rows
+    * BEFORE the shuffle — a row_number window, the naive spelling, must
+    * shuffle and sort the whole corpus per group. At 100 TB the moved data
+    * is k·partitions rows, not N. */
+  def reservoirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val agg = new TopKAggregator(ReservoirK).toColumn
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        // negated so the aggregator's score-DESC order yields hash-ASC
+        expr("-CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS DOUBLE)")
+          .as("score"))
+      .as[(String, Long, Double)]
+      .map { case (src, id, s) => (src, Scored(id, s)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("sample"))
+      .toDF("source", "sample")
+      .select(col("source"), posexplode(col("sample")).as(Seq("pos", "s")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("s.id").as("doc_id"))
+      .orderBy("source", "rnk")
+  }
+
+  /** Temperature exponent α = 1/2: weights ∝ n^α. Chosen because x^0.5 is
+    * IEEE `sqrt` — the one power that is correctly-rounded and therefore
+    * bit-identical across engines, which keeps this oracle-checkable. */
+  val TempAlpha = 0.5
+
+  /** Temperature-scaled source mixture plan (the standard multilingual /
+    * multi-source rebalancing move: sampling a source proportional to
+    * n^α, α<1, upweights the tail without drowning in the head).
+    *
+    * Per source: `rate = sqrt(n_min / n)` — the keep-probability that turns
+    * the n-distribution into the n^½-distribution, normalized so the
+    * SMALLEST source keeps everything — and `expected_docs = floor(n·rate)`.
+    * Every arithmetic step (double divide, sqrt, multiply, floor) is a
+    * single correctly-rounded IEEE op, so DuckDB reproduces the exact
+    * doubles; no floating sum ever happens (the only aggregates are integer
+    * counts and an integer min). One count-by-source scan + a broadcast
+    * single-row min — no corpus-sized shuffle at any scale. */
+  def temperatureMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("n_min"))
+    counts.join(broadcast(minN))
+      .withColumn("rate",
+        sqrt(col("n_min").cast("double") / col("n_docs").cast("double")))
+      .select(col("source"), col("n_docs"),
+        round(col("rate"), 6).as("keep_rate"),
+        floor(col("n_docs").cast("double") * col("rate")).as("expected_docs"))
+      .orderBy("source")
+  }
 }

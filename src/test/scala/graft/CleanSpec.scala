@@ -299,6 +299,32 @@ class CleanSpec extends AnyFunSuite {
     assert(bg.forall(_.getAs[String]("bigram").split(" ").length == 2))
   }
 
+  test("bigram coverage: exact position counts, pml arithmetic, top inclusion") {
+    val cov = Clean.bigramCoverage(spark, sf).collect()
+    // one row per >=2-token document; n_bigrams = token count - 1
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr(s"size(${graft.ops.TextAnalysis.toksExpr})").as("nt"))
+      .filter(col("nt") >= 2).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("nt") - 1).toLong).toMap
+    assert(cov.map(_.getLong(0)).toSet == expected.keySet)
+    cov.foreach { r =>
+      val (id, n, hits, pml) = (r.getLong(0), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("hits"), r.getAs[Long]("coverage_pml"))
+      assert(n == expected(id))
+      assert(hits >= 0 && hits <= n)
+      assert(pml == hits * 1000 / n)
+    }
+    // a document made ENTIRELY of the corpus's top bigram scores 1000
+    val dir = java.nio.file.Files.createTempDirectory("graft_bgcov").toString
+    Seq((1L, "a b a b a b", "en", "w", 11L), (2L, "a b c d", "en", "w", 7L),
+        (3L, "x y", "en", "w", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tiny = Clean.bigramCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("coverage_pml")).toMap
+    assert(tiny(1L) == 1000) // "a b"/"b a" both in the (tiny) top list
+  }
+
   test("doc chunks: full coverage, stride arithmetic, bounded lengths") {
     import org.apache.spark.sql.functions._
     val chunks = Clean.docChunks(spark, sf)

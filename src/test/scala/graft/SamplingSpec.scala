@@ -54,6 +54,58 @@ class SamplingSpec extends AnyFunSuite {
     assert(perCluster.isEmpty)
   }
 
+  test("reservoir sample: exactly k per source, deterministic, hash-ranked") {
+    val s = Sampling.reservoirSample(spark, GraftSpark.Sf).collect()
+    val bySource = s.groupBy(_.getAs[String]("source"))
+    // every source with >= k docs yields exactly k; ranks are 1..k
+    val counts = spark.read.parquet(s"${GraftSpark.Sf}/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      val expect = math.min(Sampling.ReservoirK.toLong, counts(src))
+      assert(rows.length.toLong == expect, s"source $src")
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+        (1L to expect).toSeq, s"ranks $src")
+    }
+    // membership is a pure function of the ids: re-run identical
+    val again = Sampling.reservoirSample(spark, GraftSpark.Sf).collect()
+    assert(s.sameElements(again))
+    // the sample is the k smallest md5-prefix ranks (spot-check one source)
+    val (src0, got) = bySource.head
+    val all = spark.read.parquet(s"${GraftSpark.Sf}/documents.parquet")
+      .filter(col("source") === src0)
+      .select(col("doc_id"),
+        expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)")
+          .cast("decimal(20,0)").as("h"))
+      .orderBy("h", "doc_id")
+      .limit(Sampling.ReservoirK)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == all)
+  }
+
+  test("temperature mixture: smallest source keeps all, rates follow sqrt") {
+    val m = Sampling.temperatureMixture(spark, GraftSpark.Sf).collect()
+    val byRate = m.map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("n_docs"), r.getAs[Double]("keep_rate"),
+      r.getAs[Long]("expected_docs")))
+    val minN = byRate.map(_._2).min
+    // the smallest source's rate is exactly 1.0 and it keeps everything
+    byRate.filter(_._2 == minN).foreach { case (_, n, rate, exp) =>
+      assert(rate == 1.0); assert(exp == n)
+    }
+    // rates are monotonically non-increasing in n, expected <= n
+    byRate.foreach { case (_, n, rate, exp) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(exp <= n)
+      assert(math.abs(rate - BigDecimal(math.sqrt(minN.toDouble / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) == 0.0)
+    }
+    // expected docs re-derive: floor(n * sqrt(minN / n))
+    byRate.foreach { case (_, n, _, exp) =>
+      assert(exp == math.floor(n * math.sqrt(minN.toDouble / n)).toLong)
+    }
+  }
+
   test("leakage certificate: zero leaked cluster-keyed rows, totals = |pairs|") {
     val m = Sampling.splitLeakage(spark, GraftSpark.Sf)
     assert(m.filter(col("scheme") === "cluster_keyed" && col("leaked")).isEmpty)
