@@ -754,6 +754,70 @@ object Catalog {
        |  JOIN norms nv ON nv.vec_id = d.vec_id
        |) WHERE rnk = 1 ORDER BY query_id""".stripMargin
 
+  /** Product-quantization CTE chain shared by the three q_pq_* oracles:
+    * exploded components → subspace split → seed codebook (first [[Pq.C]]
+    * vectors) → seed assignment (argmin exact-decimal L2², ties to smaller
+    * cid) → one exact-mean refinement → final codes. Mirrors
+    * [[graft.ops.Pq]] step for step. */
+  private val pqCtes: String =
+    s"""$embIdxCte,
+       |sub AS (
+       |  SELECT vec_id, i // ${Pq.SubDim} AS m, i % ${Pq.SubDim} AS j, x
+       |  FROM idx
+       |),
+       |seeds AS (
+       |  SELECT m, vec_id AS cid, j, x FROM sub WHERE vec_id < ${Pq.C}
+       |),
+       |a0d AS (
+       |  SELECT s.vec_id, s.m, sd.cid,
+       |         CAST(SUM(CAST((s.x - sd.x) * (s.x - sd.x) AS DECIMAL(38,18)))
+       |           AS DOUBLE) AS d2
+       |  FROM sub s JOIN seeds sd ON sd.m = s.m AND sd.j = s.j
+       |  GROUP BY 1, 2, 3
+       |),
+       |a0 AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT vec_id, m, cid,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |             ORDER BY d2, cid) AS rn
+       |    FROM a0d
+       |  ) WHERE rn = 1
+       |),
+       |cb AS (
+       |  SELECT a0.m, a0.code AS cid, s.j,
+       |         CAST(SUM(CAST(s.x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS x
+       |  FROM a0 JOIN sub s ON s.vec_id = a0.vec_id AND s.m = a0.m
+       |  GROUP BY 1, 2, 3
+       |),
+       |cd AS (
+       |  SELECT s.vec_id, s.m, cb.cid,
+       |         CAST(SUM(CAST((s.x - cb.x) * (s.x - cb.x) AS DECIMAL(38,18)))
+       |           AS DOUBLE) AS d2
+       |  FROM sub s JOIN cb ON cb.m = s.m AND cb.j = s.j
+       |  GROUP BY 1, 2, 3
+       |),
+       |codes AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT vec_id, m, cid,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |             ORDER BY d2, cid) AS rn
+       |    FROM cd
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  /** ADC distances CTE on top of [[pqCtes]]: the probe LUT is the trained
+    * assign-distance frame `cd` restricted to probe ids; candidate ADC sums
+    * accumulate in exact decimal. */
+  private val pqAdcCte: String =
+    s"""adc AS (
+       |  SELECT l.vec_id AS query_id, c.vec_id,
+       |         CAST(SUM(CAST(l.d2 AS DECIMAL(38,18))) AS DOUBLE) AS adc
+       |  FROM codes c
+       |  JOIN cd l ON l.m = c.m AND l.cid = c.code
+       |  WHERE l.vec_id < ${Similarity.ProbeCount} AND c.vec_id != l.vec_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   private val quantizedAnnSql: String =
     s"""WITH $embIdxCte,
        |norms AS (
@@ -4383,6 +4447,61 @@ object Catalog {
     // ANN recall certificate: recall@K of every approximate method vs the
     // exact top-K, in one deterministic 4-row result.
     QEntry("q_ann_recall", Similarity.annRecall, Some(annRecallSql)),
+
+    // Product quantization: coded corpus against the one-step-refined
+    // codebook. Every distance is the exact-decimal L2² double, argmins
+    // break ties to the smaller id — the oracle replays seed-assign →
+    // exact-mean refine → re-assign bit-for-bit.
+    QEntry("q_pq_codes", Pq.pqCodes, Some(
+      s"""WITH $pqCtes
+         |SELECT vec_id, m, code FROM codes ORDER BY vec_id, m""".stripMargin)),
+
+    // PQ asymmetric-distance top-1: per-probe lookup table to the M×C
+    // codebook entries, summed along each candidate's codes in exact
+    // decimal. The LUT is the trained-assign distance frame restricted to
+    // the probe ids.
+    QEntry("q_pq_ann", Pq.pqTopNeighbor, Some(
+      s"""WITH $pqCtes,
+         |$pqAdcCte
+         |SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc_dist
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc, vec_id) AS rn
+         |  FROM adc
+         |) WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
+    // PQ recall certificate vs the exact L2 top-K on the raw vectors.
+    QEntry("q_pq_recall", Pq.pqRecall, Some(
+      s"""WITH $pqCtes,
+         |$pqAdcCte,
+         |top1 AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, vec_id) AS rn
+         |    FROM adc
+         |  ) WHERE rn = 1
+         |),
+         |exactd AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id,
+         |         CAST(SUM(CAST((q.x - d.x) * (q.x - d.x) AS DECIMAL(38,18)))
+         |           AS DOUBLE) AS d2
+         |  FROM idx q JOIN idx d ON q.i = d.i
+         |  WHERE q.vec_id < ${Similarity.ProbeCount} AND d.vec_id != q.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |exact AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2, vec_id) AS rn
+         |    FROM exactd
+         |  ) WHERE rn <= ${Similarity.K}
+         |)
+         |SELECT n_probes, hits, hits * 1000 // n_probes AS recall_pml FROM (
+         |  SELECT CAST((SELECT count(*) FROM top1) AS BIGINT) AS n_probes,
+         |         CAST((SELECT count(*) FROM top1 t JOIN exact e
+         |                 ON e.query_id = t.query_id
+         |                AND e.neighbor_id = t.neighbor_id) AS BIGINT) AS hits
+         |)""".stripMargin)),
 
     QEntry("q_embedding_neardup",
       (s, d) => Similarity.cosineNearDupPairs(s, d), Some(
