@@ -1534,6 +1534,29 @@ object Catalog {
            |       (SELECT max(epoch_ns(ts) // 1000000) - 600000 FROM events)
            |ORDER BY 1, 2""".stripMargin))),
 
+    // Bounded-state hourly top-K: watermark+append stream aggregate into a
+    // file sink, per-window rank as a batch reporting query over the sink.
+    // Oracle = the q_stream_topk leaderboard restricted to watermark-closed
+    // windows.
+    QEntry("q_stream_bounded_topk",
+      (s, d) => graft.streaming.StreamingMetrics.streamBoundedTopk(s, d),
+      Some(withTransfers(
+        s""", hourly AS (
+           |  SELECT contract_address AS token,
+           |         ${hourBucket("transact_at")} AS t,
+           |         SUM(CAST(value AS DECIMAL(25,2))) AS dvol,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM transfers GROUP BY 1, 2
+           |  HAVING (${hourBucket("transact_at")} + 3600) * 1000 <=
+           |         (SELECT max(epoch_ns(ts) // 1000000) - 600000 FROM events)
+           |)
+           |SELECT t, rnk, token, CAST(dvol AS DOUBLE) AS volume, n FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY t
+           |    ORDER BY dvol DESC, token ASC) AS BIGINT) AS rnk
+           |  FROM hourly
+           |) WHERE rnk <= ${graft.streaming.StreamingMetrics.TopTokensK}
+           |ORDER BY t, rnk""".stripMargin))),
+
     // Streaming sessionization twin: same gaps-and-islands oracle as
     // q_session_volume verifies streaming session-merge state end-to-end.
     QEntry("q_stream_sessions",

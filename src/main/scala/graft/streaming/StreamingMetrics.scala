@@ -110,6 +110,54 @@ object StreamingMetrics {
       java.nio.file.Files.createTempDirectory("graft_hvb_sink").toString,
       java.nio.file.Files.createTempDirectory("graft_hvb_ckpt").toString)
 
+  /** PRODUCTION shape of the hourly top-K leaderboard: the per-(window,
+    * token) volume/count aggregate streams with watermark + append into a
+    * file sink — the [[hourlyVolumeBounded]] bounded-state contract — and
+    * the per-window RANK runs as a batch query over the sink. A global
+    * per-window rank is not an append-mode streaming operator (it would
+    * re-order a window every late row); the deployable pattern is
+    * stream-aggregate → closed-window sink → reporting rank, which is what
+    * this models end to end. */
+  def topTokensBounded(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .select(col("event_type").as("token"), col("ts_t"), col("value"))
+      .withWatermark("ts_t", lateness)
+      .groupBy(window(col("ts_t"), "1 hour"), col("token"))
+      .agg(sum(col("value").cast(DecimalType(25, 2))).as("dvol"),
+        count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("t"), col("token"),
+        col("dvol"), col("n"))
+
+  /** Catalog form: drain [[topTokensBounded]] over the events file-stream
+    * into a parquet sink (AvailableNow), then rank each closed window.
+    * Emitted set = windows with end ≤ final watermark (max event-time ms −
+    * lateness) — the DuckDB oracle states that predicate verbatim on the
+    * batch leaderboard. */
+  def streamBoundedTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_topk_sink").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_topk_ckpt").toString
+    val q = topTokensBounded(graft.Tables.eventsStream(spark, sfDir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
+      .orderBy(col("dvol").desc, col("token").asc)
+    spark.read.parquet(outDir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopTokensK)
+      .select(col("t"), col("rnk"), col("token"),
+        col("dvol").cast("double").as("volume"), col("n"))
+      .orderBy("t", "rnk")
+  }
+
   /** Bounded-state SESSIONIZATION, production shape: `session_window` +
     * watermark + append mode. Session state merges while events can still
     * arrive inside the gap; once the watermark passes a session's end

@@ -378,6 +378,30 @@ class StreamingSpec extends AnyFunSuite {
       s"non-tail window missing from append output: ${missing.take(3)}")
     assert(streamed.nonEmpty, "append sink is empty")
   }
+
+  test("bounded top-k: per-window leaderboard over only closed windows, " +
+    "rank bounded by K with deterministic tie-break") {
+    import spark.implicits._
+    val t = StreamingMetrics.streamBoundedTopk(spark, GraftSpark.Sf)
+      .as[(Long, Long, String, Double, Long)].collect().toSeq
+    assert(t.nonEmpty)
+    // ranks are 1..<=K per window, ordered by volume desc then token asc
+    t.groupBy(_._1).foreach { case (win, rows) =>
+      val ranks = rows.map(_._2).sorted
+      assert(ranks == (1L to ranks.length.toLong).toSeq, s"window $win")
+      assert(ranks.length <= StreamingMetrics.TopTokensK)
+      val ordered = rows.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"window $win")
+        case _ => ()
+      }
+    }
+    // every emitted window is watermark-closed (end <= max ts - lateness)
+    val horizon = Tables.events(spark, GraftSpark.Sf)
+      .agg(org.apache.spark.sql.functions.max("ts_sec")).as[Long].head() - 600L
+    assert(t.forall(_._1 + 3600L <= horizon + 1))
+  }
 }
 
 /** Minimal in-memory GroupState for unit-testing fold functions. */
