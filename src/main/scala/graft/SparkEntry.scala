@@ -2117,6 +2117,20 @@ object Catalog {
          |WHERE r.r_name IN ('ASIA', 'EUROPE')
          |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Bilateral trade flows (TPC-H Q7 over every nation pair + ship year).
+    QEntry("q_trade_flows", Relational.tradeFlows, Some(
+      s"""SELECT s_nat.n_name AS supp_nation, c_nat.n_name AS cust_nation,
+         |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         |       ${dsum("l.l_extendedprice * (1.0 - l.l_discount)", 8)} AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation c_nat ON c.c_nationkey = c_nat.n_nationkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation s_nat ON s.s_nationkey = s_nat.n_nationkey
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     QEntry("q_semi_join", Relational.customersWithOrders, Some(
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -4491,6 +4505,41 @@ object Catalog {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc, vec_id) AS rn
          |  FROM adc
+         |) WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
+    // Two-stage retrieval: ADC shortlist (compressed domain, cheap) →
+    // exact-decimal cosine rerank of only the shortlist — the canonical PQ
+    // serving architecture; rerank cost independent of corpus size.
+    QEntry("q_two_stage_ann", Pq.twoStageTop1, Some(
+      s"""WITH $pqCtes,
+         |$pqAdcCte,
+         |short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, vec_id) AS rn
+         |    FROM adc
+         |  ) WHERE rn <= ${Pq.Shortlist}
+         |),
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |dots AS (
+         |  SELECT s.query_id, s.vec_id,
+         |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM short s
+         |  JOIN idx q ON q.vec_id = s.query_id
+         |  JOIN idx d ON d.vec_id = s.vec_id AND d.i = q.i
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, round(c, 6) AS cosine FROM (
+         |  SELECT d.query_id, d.vec_id,
+         |         d.dot / (sqrt(nq.sq) * sqrt(nd.sq)) AS c,
+         |         row_number() OVER (PARTITION BY d.query_id ORDER BY
+         |           d.dot / (sqrt(nq.sq) * sqrt(nd.sq)) DESC, d.vec_id ASC) AS rn
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = d.query_id
+         |  JOIN norms nd ON nd.vec_id = d.vec_id
          |) WHERE rn = 1 ORDER BY query_id""".stripMargin)),
 
     // PQ recall certificate vs the exact L2 top-K on the raw vectors.

@@ -110,10 +110,11 @@ object Pq {
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
     codes(spark, sfDir).orderBy("vec_id", "m")
 
-  /** ADC top-1 neighbor for each probe query: per-query distance table to
-    * all [[M]]×[[C]] codebook entries (broadcast), summed along each
-    * candidate's codes in exact decimal; ties to the smaller neighbor id. */
-  def pqTopNeighbor(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (query_id, vec_id, adc): asymmetric distance from every probe to every
+    * coded candidate — per-probe distance table to the [[M]]×[[C]] codebook
+    * entries (broadcast), summed along each candidate's codes in exact
+    * decimal. */
+  private def adcDistances(spark: SparkSession, sfDir: String): DataFrame = {
     val lut = subvecs(emb(spark, sfDir)
       .filter(col("vec_id") < Similarity.ProbeCount))
       .select(col("vec_id").as("query_id"), col("m"), col("sv"))
@@ -127,10 +128,57 @@ object Pq {
       .groupBy("query_id", "vec_id")
       .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
         .cast("double").as("adc"))
+  }
+
+  /** ADC top-1 neighbor per probe; ties to the smaller neighbor id. */
+  def pqTopNeighbor(spark: SparkSession, sfDir: String): DataFrame =
+    adcDistances(spark, sfDir)
       .groupBy("query_id")
       .agg(min(struct(col("adc"), col("vec_id"))).as("best"))
       .select(col("query_id"), col("best.vec_id").as("neighbor_id"),
         round(col("best.adc"), 6).as("adc_dist"))
+      .orderBy("query_id")
+
+  /** Shortlist size for the two-stage retrieval rerank. */
+  val Shortlist = 10
+
+  /** Two-stage retrieval — the canonical PQ serving architecture: stage 1
+    * shortlists [[Shortlist]] candidates per probe by compressed-domain ADC
+    * (cheap, approximate), stage 2 reranks ONLY the shortlist with the
+    * exact-decimal cosine on the raw vectors and keeps the best. At scale
+    * the expensive exact kernel touches k·probes rows instead of N·probes —
+    * the rerank cost is independent of corpus size — and the shortlist is
+    * built with the bounded [[graft.functions.TopKAggregator]]
+    * (≤k rows per partition pre-shuffle, no global sort). */
+  def twoStageTop1(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val agg = new TopKAggregator(Shortlist).toColumn
+    val shortlist = adcDistances(spark, sfDir)
+      // negated so score-DESC = adc-ASC; aggregator ties break to smaller id
+      .select(col("query_id"), col("vec_id"), (-col("adc")).as("score"))
+      .as[(Long, Long, Double)]
+      .map { case (q, id, s) => (q, Scored(id, s)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("sl"))
+      .toDF("query_id", "sl")
+      .select(col("query_id"), explode(col("sl")).as("s"))
+      .select(col("query_id"), col("s.id").as("vec_id"))
+    val base = emb(spark, sfDir)
+      .withColumn("sq", expr(s"${graft.functions.DecimalDot.Name}(v, v)"))
+    val probes = base.filter(col("vec_id") < Similarity.ProbeCount)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("sq").as("qsq"))
+    shortlist
+      .join(base, Seq("vec_id"))
+      .join(broadcast(probes), Seq("query_id"))
+      .withColumn("dot", expr(s"${graft.functions.DecimalDot.Name}(qv, v)"))
+      .withColumn("cos", col("dot") / (sqrt(col("qsq")) * sqrt(col("sq"))))
+      .groupBy("query_id")
+      .agg(max(struct(col("cos"), (-col("vec_id")).as("nid"))).as("best"))
+      .select(col("query_id"), (-col("best.nid")).as("neighbor_id"),
+        round(col("best.cos"), 6).as("cosine"))
       .orderBy("query_id")
   }
 

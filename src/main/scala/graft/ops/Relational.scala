@@ -107,6 +107,37 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Bilateral trade-flow matrix — TPC-H Q7 generalized to every nation
+    * pair: revenue between supplier nation and customer nation by ship
+    * year. The lineitem⋈orders key join is the single big shuffle
+    * (bucket-co-locatable at scale, see BucketingSpec); customer→nation and
+    * supplier→nation are broadcast dimension maps stitched onto the fact
+    * scan, so the 25×25×years result never shuffles the fact twice. */
+  def tradeFlows(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val custN = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val suppN = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Top-3 orders per customer by total price — ranking window (extension
     * beyond the reference, which has only sum/lag windows; SURVEY.md §2.7).
     * Tie-break on o_orderkey keeps the result deterministic. */

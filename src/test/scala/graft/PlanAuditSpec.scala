@@ -36,6 +36,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("trade flows: both nation dimension maps broadcast; only the " +
+      "lineitem-orders key join shuffles") {
+    val p = plan("q_trade_flows")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the fact never sort-merge-joins a dimension
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 1, s"expected at most the key join as SMJ, got $smj\n$p")
+  }
+
   test("groupBy and window share one exchange in balance history") {
     val p = plan("q_balance_history")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -45,6 +45,37 @@ class PqSpec extends AnyFunSuite {
     assert(t > 0.0 && t.isFinite)
   }
 
+  test("two-stage rerank: exact-cosine winner of the ADC shortlist, " +
+      "never worse than naked PQ top-1") {
+    val two = Pq.twoStageTop1(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(two.size == Similarity.ProbeCount)
+    // reranking a shortlist can only improve on scoring the single ADC
+    // winner: cos(two_stage) >= cos(pq top-1) for every probe
+    val pq1 = Pq.pqTopNeighbor(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cosOf = {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      graft.functions.DecimalDot.register(spark)
+      val base = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val a = base.select(col("vec_id").as("qa"), col("v").as("va"))
+      val b = base.select(col("vec_id").as("qb"), col("v").as("vb"))
+      val need = (two.map { case (q, (n, _)) => (q, n) }.toSeq ++
+        pq1.toSeq).distinct.toDF("qa", "qb")
+      need.join(a, Seq("qa")).join(b, Seq("qb"))
+        .withColumn("c", expr(
+          "graft_dot(va, vb) / (sqrt(graft_dot(va, va)) * sqrt(graft_dot(vb, vb)))"))
+        .collect().map(r => (r.getAs[Long]("qa"), r.getAs[Long]("qb")) ->
+          r.getAs[Double]("c")).toMap
+    }
+    two.foreach { case (q, (n, _)) =>
+      assert(cosOf((q, n)) >= cosOf((q, pq1(q))) - 1e-12, s"probe $q")
+    }
+  }
+
   test("pq recall certificate: consistent counters, nontrivial recall") {
     val r = Pq.pqRecall(spark, sf).collect().head
     val (n, hits, pml) = (r.getAs[Long]("n_probes"), r.getAs[Long]("hits"),
