@@ -4485,6 +4485,49 @@ object Catalog {
     // exact top-K, in one deterministic 4-row result.
     QEntry("q_ann_recall", Similarity.annRecall, Some(annRecallSql)),
 
+    // Mean reciprocal rank of the first same-label neighbor in the exact
+    // top-K — retrieval eval in exact integer ppm (bit-reproducible).
+    QEntry("q_retrieval_mrr", Similarity.retrievalMrr, Some(
+      s"""WITH $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |         CAST(SUM(CAST(q.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM idx q JOIN idx d ON q.i = d.i
+         |  WHERE q.vec_id < ${Similarity.ProbeCount}
+         |    AND d.vec_id != q.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY
+         |             dot / (sqrt(nq.sq) * sqrt(nd.sq)) DESC,
+         |             neighbor_id ASC) AS rnk
+         |    FROM dots
+         |    JOIN norms nq ON nq.vec_id = query_id
+         |    JOIN norms nd ON nd.vec_id = neighbor_id
+         |  ) WHERE rnk <= ${Similarity.K}
+         |),
+         |hit AS (
+         |  SELECT r.query_id, min(r.rnk) AS first_rel
+         |  FROM ranked r
+         |  JOIN embeddings q ON q.vec_id = r.query_id
+         |  JOIN embeddings n ON n.vec_id = r.neighbor_id
+         |  WHERE q.label = n.label
+         |  GROUP BY 1
+         |)
+         |SELECT n_queries, n_hit, srr // n_queries AS mrr_ppm FROM (
+         |  SELECT CAST((SELECT count(DISTINCT query_id) FROM ranked) AS BIGINT)
+         |           AS n_queries,
+         |         CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |         CAST((SELECT COALESCE(SUM(1000000 // first_rel), 0) FROM hit)
+         |           AS BIGINT) AS srr
+         |)""".stripMargin)),
+
     // Product quantization: coded corpus against the one-step-refined
     // codebook. Every distance is the exact-decimal L2² double, argmins
     // break ties to the smaller id — the oracle replays seed-assign →
@@ -4505,6 +4548,49 @@ object Catalog {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc, vec_id) AS rn
          |  FROM adc
+         |) WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
+    // IVF-PQ: coarse-cell routing (the q_ivf_ann assignment) + ADC scoring
+    // restricted to the probe's own cell — the two-level production index.
+    QEntry("q_ivf_pq_ann", Pq.ivfPqTop1, Some(
+      s"""WITH $pqCtes,
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS ccid,
+         |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM idx v JOIN idx c ON v.i = c.i
+         |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
+         |    AND c.vec_id < ${Similarity.CentroidStride * Similarity.MaxCells}
+         |  GROUP BY 1, 2
+         |),
+         |cells AS (
+         |  SELECT vec_id, ccid AS cell FROM (
+         |    SELECT d.vec_id, d.ccid,
+         |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |             d.dot / (sqrt(nv.sq) * sqrt(nc.sq)) DESC, d.ccid ASC) AS rnk
+         |    FROM cdots d
+         |    JOIN norms nv ON nv.vec_id = d.vec_id
+         |    JOIN norms nc ON nc.vec_id = d.ccid
+         |  ) WHERE rnk = 1
+         |),
+         |adcp AS (
+         |  SELECT l.vec_id AS query_id, c.vec_id,
+         |         CAST(SUM(CAST(l.d2 AS DECIMAL(38,18))) AS DOUBLE) AS adc
+         |  FROM codes c
+         |  JOIN cells ac ON ac.vec_id = c.vec_id
+         |  JOIN cells aq ON aq.cell = ac.cell
+         |  JOIN cd l ON l.m = c.m AND l.cid = c.code AND l.vec_id = aq.vec_id
+         |  WHERE aq.vec_id < ${Similarity.ProbeCount} AND c.vec_id != aq.vec_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc_dist
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc, vec_id) AS rn
+         |  FROM adcp
          |) WHERE rn = 1 ORDER BY query_id""".stripMargin)),
 
     // Two-stage retrieval: ADC shortlist (compressed domain, cheap) →

@@ -114,13 +114,19 @@ object Pq {
     * coded candidate — per-probe distance table to the [[M]]×[[C]] codebook
     * entries (broadcast), summed along each candidate's codes in exact
     * decimal. */
-  private def adcDistances(spark: SparkSession, sfDir: String): DataFrame = {
-    val lut = subvecs(emb(spark, sfDir)
+  /** Per-probe ADC lookup table: distance from each probe's subvectors to
+    * every codebook entry — [[Similarity.ProbeCount]]·[[M]]·[[C]] rows,
+    * broadcast wherever candidates are scored. */
+  private def adcLut(spark: SparkSession, sfDir: String): DataFrame =
+    subvecs(emb(spark, sfDir)
       .filter(col("vec_id") < Similarity.ProbeCount))
       .select(col("vec_id").as("query_id"), col("m"), col("sv"))
       .join(broadcast(trainedCodebook(spark, sfDir)), Seq("m"))
       .withColumn("qd2", expr(l2sq("sv", "cv")))
       .select("query_id", "m", "cid", "qd2")
+
+  private def adcDistances(spark: SparkSession, sfDir: String): DataFrame = {
+    val lut = adcLut(spark, sfDir)
     codes(spark, sfDir)
       .join(broadcast(lut),
         codes(spark, sfDir)("m") === lut("m") && col("code") === col("cid"))
@@ -179,6 +185,39 @@ object Pq {
       .agg(max(struct(col("cos"), (-col("vec_id")).as("nid"))).as("best"))
       .select(col("query_id"), (-col("best.nid")).as("neighbor_id"),
         round(col("best.cos"), 6).as("cosine"))
+      .orderBy("query_id")
+  }
+
+  /** IVF-PQ — the full production vector index: coarse IVF routing assigns
+    * every vector (and every probe) to its nearest coarse centroid, then
+    * the compressed-domain ADC scores ONLY the probe's own cell. At scale
+    * this is the two-level pruning every serving system runs: candidate
+    * count drops from N to N/cells before a single distance is computed,
+    * and the cell id is just one more partition column for the coded
+    * corpus. Reuses [[Similarity.ivfAssignments]] (deterministic seed
+    * centroids) for routing and this module's codebook for scoring; ties
+    * to the smaller neighbor id. Probes whose cell holds no other vector
+    * return no row — same contract as the IVF query. */
+  def ivfPqTop1(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Similarity.ivfAssignments(spark, sfDir)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probeCells = cells.filter(col("vec_id") < Similarity.ProbeCount)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val lut = adcLut(spark, sfDir)
+      .join(broadcast(probeCells), Seq("query_id"))
+    val coded = codes(spark, sfDir).join(cells, Seq("vec_id"))
+    coded
+      .join(broadcast(lut),
+        coded("m") === lut("m") && col("code") === col("cid") &&
+          coded("cell") === lut("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double").as("adc"))
+      .groupBy("query_id")
+      .agg(min(struct(col("adc"), col("vec_id"))).as("best"))
+      .select(col("query_id"), col("best.vec_id").as("neighbor_id"),
+        round(col("best.adc"), 6).as("adc_dist"))
       .orderBy("query_id")
   }
 

@@ -589,4 +589,32 @@ object Similarity {
             6).as("recall"))
     }.reduce(_ unionByName _).orderBy("prefix_dims")
   }
+
+  /** Retrieval-quality readout over the exact cosine top-[[K]]: mean
+    * reciprocal rank of the first SAME-LABEL neighbor per probe (labels as
+    * the relevance ground truth — the standard eval when no click data
+    * exists). All arithmetic is exact integer parts-per-million
+    * (`1e6 div rank`, summed, `div n`), so no float ordering ever enters
+    * the result: MRR/recall eval harnesses must be bit-reproducible or
+    * every index change "moves" the metric. One row:
+    * (n_queries, n_hit, mrr_ppm). Labels are a 2-column broadcast; the
+    * ranked frame is the existing bounded-probe top-K. */
+  def retrievalMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+    val firstRel = bruteForceTopK(spark, sfDir)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("ql"))), Seq("query_id"))
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl"))), Seq("neighbor_id"))
+      .filter(col("ql") === col("nl"))
+      .groupBy("query_id").agg(min(col("rnk")).as("first_rel"))
+    firstRel
+      .agg(count(lit(1)).as("n_hit"),
+        coalesce(sum(expr("1000000 div first_rel")), lit(0L)).as("srr"))
+      .crossJoin(broadcast(bruteForceTopK(spark, sfDir)
+        .select("query_id").distinct()
+        .agg(count(lit(1)).as("n_queries"))))
+      .select(col("n_queries"), col("n_hit"),
+        expr("srr div n_queries").as("mrr_ppm"))
+  }
 }

@@ -148,4 +148,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("retrieval mrr: ppm arithmetic re-derives from the ranked lists") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.Similarity.retrievalMrr(spark, GraftSpark.Sf)
+      .collect().head
+    val (n, hit, ppm) = (r.getAs[Long]("n_queries"), r.getAs[Long]("n_hit"),
+      r.getAs[Long]("mrr_ppm"))
+    assert(n == graft.ops.Similarity.ProbeCount.toLong)
+    assert(hit >= 0 && hit <= n)
+    // recompute first-relevant ranks driver-side from the exact top-K
+    val labels = Tables.embeddings(spark, GraftSpark.Sf)
+      .select("vec_id", "label").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val firsts = graft.ops.Similarity.bruteForceTopK(spark, GraftSpark.Sf)
+      .select("query_id", "rnk", "neighbor_id").collect()
+      .filter(x => labels(x.getLong(0)) == labels(x.getLong(2)))
+      .groupBy(_.getLong(0)).map { case (_, g) => g.map(_.getLong(1)).min }
+    assert(firsts.size.toLong == hit)
+    assert(ppm == firsts.map(1000000L / _).sum / n)
+  }
 }

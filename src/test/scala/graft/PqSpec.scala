@@ -76,6 +76,28 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq: neighbor always shares the probe's coarse cell, adc " +
+      "matches the unrestricted pq answer when that neighbor is in-cell") {
+    val cells = graft.ops.Similarity.ivfAssignments(spark, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    val ivfpq = Pq.ivfPqTop1(spark, sf).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(cells(q) == cells(n), s"probe $q routed outside its cell")
+      assert(n != q)
+    }
+    // where the global PQ top-1 happens to live in the probe's cell, the
+    // cell-restricted search must return exactly it
+    val global = Pq.pqTopNeighbor(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val byQ = ivfpq.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    global.foreach { case (q, (n, d)) =>
+      if (cells.get(q) == cells.get(n) && byQ.contains(q))
+        assert(byQ(q) == ((n, d)), s"probe $q")
+    }
+  }
+
   test("pq recall certificate: consistent counters, nontrivial recall") {
     val r = Pq.pqRecall(spark, sf).collect().head
     val (n, hits, pml) = (r.getAs[Long]("n_probes"), r.getAs[Long]("hits"),
