@@ -2447,6 +2447,28 @@ object Catalog {
         |         AS BIGINT) AS expected_docs
         |FROM counts, mn ORDER BY source""".stripMargin)),
 
+    // Vocabulary coverage curve: corpus share covered by the top-V tokens
+    // for each candidate vocab size — the tokenizer budget artifact.
+    QEntry("q_vocab_coverage", Clean.vocabCoverage, Some(withDocs {
+      val sizes = Clean.CoverageSizes.map(v => s"($v)").mkString(", ")
+      s""", tc AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY 1
+         |),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM tc),
+         |rk AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+         |  FROM tc
+         |)
+         |SELECT CAST(v.v AS BIGINT) AS vocab_size,
+         |       CAST(COALESCE((SELECT SUM(c) FROM rk WHERE rn <= v.v), 0)
+         |         AS BIGINT) AS covered,
+         |       total_tokens,
+         |       CAST(COALESCE((SELECT SUM(c) FROM rk WHERE rn <= v.v), 0)
+         |         AS BIGINT) * 1000 // total_tokens AS coverage_pml
+         |FROM (VALUES $sizes) v(v), tot ORDER BY 1""".stripMargin
+    })),
+
     // Common-bigram coverage quality score: per-doc share of bigram
     // positions hitting the corpus top list, exact per-mille integers.
     QEntry("q_bigram_coverage", Clean.bigramCoverage, Some(withDocs(

@@ -284,6 +284,33 @@ object Clean {
     * result. Cost: the top list is [[VocabK]] rows → broadcast; the per-doc
     * side is one explode + map-side-combinable count — the corpus never
     * shuffles by bigram twice. */
+  /** Vocabulary sizes at which [[vocabCoverage]] reports corpus coverage. */
+  val CoverageSizes = Seq(10, 50, 100, 500, 1000)
+
+  /** Vocabulary coverage curve — the tokenizer-sizing artifact: for each
+    * candidate vocab size V, the share of corpus token POSITIONS covered by
+    * the top-V tokens (by frequency, ties lexicographic). The elbow of this
+    * curve is how a vocab budget is chosen; the complement is the OOV rate
+    * a V-sized vocab would pay. Exact per-mille integers. Cost: one token
+    * count (map-side combinable) + [[CoverageSizes]] TakeOrdered top-V
+    * probes over the cached count frame — the corpus is scanned once and
+    * nothing vocab-sized ever globally sorts. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docs(spark, sfDir)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("c")).as("total_tokens"))
+    CoverageSizes.map { v =>
+      counts.orderBy(col("c").desc, col("tok").asc).limit(v)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("covered"))
+        .crossJoin(broadcast(total))
+        .select(lit(v.toLong).as("vocab_size"), col("covered"),
+          col("total_tokens"),
+          expr("covered * 1000 div total_tokens").as("coverage_pml"))
+    }.reduce(_ unionByName _).orderBy("vocab_size")
+  }
+
   def bigramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     val top = bigramTop(spark, sfDir).select("bigram")
     docs(spark, sfDir)

@@ -83,19 +83,20 @@ object Pq {
     * assignment (the PQ training loop's structure; further iterations reuse
     * this shape unchanged). Mirrors the [[Similarity]] Lloyd-step contract:
     * per-dimension decimal sums / exact counts → bit-stable doubles. */
-  private def trainedCodebook(spark: SparkSession, sfDir: String): DataFrame = {
-    val sub = subvecs(emb(spark, sfDir))
-    assign(sub, seeds(spark, sfDir)).select("vec_id", "m", "code")
-      .join(sub, Seq("vec_id", "m"))
-      .select(col("m"), col("code").as("cid"),
-        posexplode(col("sv")).as(Seq("j", "x")))
-      .groupBy("m", "cid", "j")
-      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
-        .cast("double") / count(lit(1))).as("mx"))
-      .groupBy("m", "cid")
-      .agg(expr("transform(array_sort(collect_list(struct(j, mx))), s -> s.mx)")
-        .as("cv"))
-  }
+  private def trainedCodebook(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.frame(spark, sfDir, "pq_codebook") {
+      val sub = subvecs(emb(spark, sfDir))
+      assign(sub, seeds(spark, sfDir)).select("vec_id", "m", "code")
+        .join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("code").as("cid"),
+          posexplode(col("sv")).as(Seq("j", "x")))
+        .groupBy("m", "cid", "j")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double") / count(lit(1))).as("mx"))
+        .groupBy("m", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(j, mx))), s -> s.mx)")
+          .as("cv"))
+    }
 
   /** Session-shared coded corpus: every vector's [[M]] codebook ids against
     * the trained codebook. The shared-frame cache means the encode subtree
@@ -118,23 +119,26 @@ object Pq {
     * every codebook entry — [[Similarity.ProbeCount]]·[[M]]·[[C]] rows,
     * broadcast wherever candidates are scored. */
   private def adcLut(spark: SparkSession, sfDir: String): DataFrame =
-    subvecs(emb(spark, sfDir)
-      .filter(col("vec_id") < Similarity.ProbeCount))
-      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
-      .join(broadcast(trainedCodebook(spark, sfDir)), Seq("m"))
-      .withColumn("qd2", expr(l2sq("sv", "cv")))
-      .select("query_id", "m", "cid", "qd2")
+    Shared.frame(spark, sfDir, "pq_adclut") {
+      subvecs(emb(spark, sfDir)
+        .filter(col("vec_id") < Similarity.ProbeCount))
+        .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+        .join(broadcast(trainedCodebook(spark, sfDir)), Seq("m"))
+        .withColumn("qd2", expr(l2sq("sv", "cv")))
+        .select("query_id", "m", "cid", "qd2")
+    }
 
-  private def adcDistances(spark: SparkSession, sfDir: String): DataFrame = {
-    val lut = adcLut(spark, sfDir)
-    codes(spark, sfDir)
-      .join(broadcast(lut),
-        codes(spark, sfDir)("m") === lut("m") && col("code") === col("cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
-        .cast("double").as("adc"))
-  }
+  private def adcDistances(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.frame(spark, sfDir, "pq_adc") {
+      val lut = adcLut(spark, sfDir)
+      codes(spark, sfDir)
+        .join(broadcast(lut),
+          codes(spark, sfDir)("m") === lut("m") && col("code") === col("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double").as("adc"))
+    }
 
   /** ADC top-1 neighbor per probe; ties to the smaller neighbor id. */
   def pqTopNeighbor(spark: SparkSession, sfDir: String): DataFrame =

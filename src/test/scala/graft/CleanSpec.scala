@@ -299,6 +299,31 @@ class CleanSpec extends AnyFunSuite {
     assert(bg.forall(_.getAs[String]("bigram").split(" ").length == 2))
   }
 
+  test("vocab coverage curve: monotone in V, caps at total, exact recount") {
+    val rows = Clean.vocabCoverage(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("vocab_size")).toSeq ==
+      Clean.CoverageSizes.map(_.toLong))
+    val total = rows.head.getAs[Long]("total_tokens")
+    // total = corpus token positions
+    val positions = Tables.documents(spark, sf)
+      .select(explode(expr(graft.ops.TextAnalysis.toksExpr)).as("t")).count()
+    assert(total == positions)
+    // coverage is non-decreasing in V and never exceeds the total
+    val covs = rows.map(_.getAs[Long]("covered")).toSeq
+    assert(covs == covs.sorted)
+    rows.foreach { r =>
+      val (cov, pml) = (r.getAs[Long]("covered"), r.getAs[Long]("coverage_pml"))
+      assert(cov <= total)
+      assert(pml == cov * 1000 / total)
+    }
+    // V=10 coverage equals the sum of the 10 largest token counts
+    val top10 = Tables.documents(spark, sf)
+      .select(explode(expr(graft.ops.TextAnalysis.toksExpr)).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t").asc)
+      .limit(10).agg(sum("count")).collect().head.getLong(0)
+    assert(covs.head == top10)
+  }
+
   test("bigram coverage: exact position counts, pml arithmetic, top inclusion") {
     val cov = Clean.bigramCoverage(spark, sf).collect()
     // one row per >=2-token document; n_bigrams = token count - 1
