@@ -2386,6 +2386,28 @@ object Catalog {
          |SELECT doc_id, min(r) AS cluster_keeper
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Dedup savings report: cluster-size histogram with docs/dupes per
+    // size; docs outside every cluster are the size-1 row.
+    QEntry("q_dedup_histogram", Dedup.dedupHistogram, Some(
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         |clusters AS (
+         |  SELECT doc_id, min(r) AS keeper FROM reach GROUP BY 1
+         |),
+         |sz AS (
+         |  SELECT keeper, CAST(count(*) AS BIGINT) AS csize
+         |  FROM clusters GROUP BY 1
+         |)
+         |SELECT cluster_size, n_clusters, n_docs, n_dupes FROM (
+         |  SELECT csize AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |         csize * CAST(count(*) AS BIGINT) AS n_docs,
+         |         (csize - 1) * CAST(count(*) AS BIGINT) AS n_dupes
+         |  FROM sz GROUP BY csize
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), t.n - c.n, t.n - c.n, CAST(0 AS BIGINT)
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) t,
+         |       (SELECT CAST(count(*) AS BIGINT) AS n FROM clusters) c
+         |) ORDER BY cluster_size""".stripMargin)),
+
     // The applied result: documents surviving BOTH exact dedup (min doc_id
     // per content hash) and near-dup clustering (component keepers only).
     QEntry("q_dedup_corpus", Dedup.dedupedCorpus, Some(
@@ -3012,6 +3034,55 @@ object Catalog {
          |         floor(c_acctbal / 1000.0) * 1000.0 AS band
          |  FROM customer
          |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // t-closeness: ordered-EMD of each group's sensitive distribution vs
+    // the global one, in exact integer ppm — |C/n − D/N| = |N·C − n·D|/(nN)
+    // keeps the whole audit rational.
+    QEntry("q_t_closeness", Privacy.tClosenessAudit, Some(
+      s"""WITH rows_ AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |         c_mktsegment AS segment,
+         |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+         |  FROM customer
+         |),
+         |gl AS (SELECT band, CAST(count(*) AS BIGINT) AS gc
+         |        FROM rows_ GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS nn,
+         |               CAST(count(*) AS BIGINT) AS m FROM gl),
+         |gcum AS (
+         |  SELECT band, CAST(SUM(gc) OVER (ORDER BY band
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS dd
+         |  FROM gl
+         |),
+         |grp AS (SELECT nation, segment, CAST(count(*) AS BIGINT) AS n_rows
+         |        FROM rows_ GROUP BY 1, 2),
+         |cells AS (SELECT nation, segment, band,
+         |                 CAST(count(*) AS BIGINT) AS c
+         |          FROM rows_ GROUP BY 1, 2, 3),
+         |filled AS (
+         |  SELECT g.nation, g.segment, g.n_rows, gb.band,
+         |         CAST(SUM(COALESCE(c.c, 0)) OVER (
+         |           PARTITION BY g.nation, g.segment ORDER BY gb.band
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cc,
+         |         gcum.dd
+         |  FROM grp g
+         |  CROSS JOIN (SELECT band FROM gl) gb
+         |  LEFT JOIN cells c ON c.nation = g.nation
+         |    AND c.segment = g.segment AND c.band = gb.band
+         |  JOIN gcum ON gcum.band = gb.band
+         |)
+         |SELECT nation, segment, n_rows, emd_ppm,
+         |       (emd_ppm <= ${Privacy.TClosenessPpm}
+         |        AND n_rows >= ${Privacy.KAnon}) AS publishable
+         |FROM (
+         |  SELECT nation, segment, n_rows,
+         |         CASE WHEN min(m) > 1
+         |         THEN CAST(SUM(abs(nn * cc - n_rows * dd)) AS BIGINT)
+         |              * 1000000 // (n_rows * min(nn) * (min(m) - 1))
+         |         ELSE 0 END AS emd_ppm
+         |  FROM filled, tot GROUP BY 1, 2, 3
+         |) ORDER BY nation, segment""".stripMargin)),
 
     QEntry("q_source_cap", Clean.sourceCap, Some(
       s"""SELECT doc_id, source, rn FROM (
@@ -4031,6 +4102,47 @@ object Catalog {
            |  FROM hourly
            |) WHERE rnk <= ${graft.streaming.StreamingMetrics.TopTokensK}
            |ORDER BY t, rnk""".stripMargin))),
+
+    // Degree assortativity: Pearson r of endpoint degrees over edge stubs;
+    // numerator/denominator exact integers in decimal, one final division.
+    QEntry("q_assortativity",
+      (s, d) => Graph.assortativity(
+        graft.Tables.transfers(s, d)
+          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
+            org.apache.spark.sql.functions.col("to_address").as("dst"))),
+      Some(withTransfers(
+        """, e AS (
+          |  SELECT DISTINCT least(from_address, to_address) AS a,
+          |         greatest(from_address, to_address) AS b
+          |  FROM transfers WHERE from_address <> to_address
+          |),
+          |deg AS (
+          |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+          |    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+          |  ) GROUP BY 1
+          |),
+          |mom AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+          |         SUM(CAST(2 AS DECIMAL(38,0)) * CAST(da.d AS DECIMAL(38,0))
+          |             * CAST(db.d AS DECIMAL(38,0))) AS sxy,
+          |         SUM(CAST(da.d AS DECIMAL(38,0))
+          |             + CAST(db.d AS DECIMAL(38,0))) AS sx,
+          |         SUM(CAST(da.d AS DECIMAL(38,0)) * CAST(da.d AS DECIMAL(38,0))
+          |             + CAST(db.d AS DECIMAL(38,0)) * CAST(db.d AS DECIMAL(38,0)))
+          |           AS sx2
+          |  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+          |)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+          |       n_edges,
+          |       CASE WHEN CAST(2 AS DECIMAL(38,0)) * n_edges * sx2 - sx * sx = 0
+          |       THEN NULL
+          |       ELSE round(
+          |         CAST(CAST(2 AS DECIMAL(38,0)) * n_edges * sxy - sx * sx
+          |              AS DOUBLE)
+          |         / CAST(CAST(2 AS DECIMAL(38,0)) * n_edges * sx2 - sx * sx
+          |                AS DOUBLE), 6)
+          |       END AS r
+          |FROM mom""".stripMargin))),
 
     // Wave 14 — GraphSAGE-style 2-layer mean aggregation over degrees
     QEntry("q_graph_agg",

@@ -506,4 +506,32 @@ object Dedup {
           .as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Dedup savings report: the near-dup cluster SIZE DISTRIBUTION — for
+    * each cluster size k, how many clusters, how many member documents,
+    * and how many duplicates a keep-one policy removes (k−1 per cluster);
+    * documents outside every cluster join as the size-1 row. This is the
+    * histogram a curation run publishes to justify its dedup pass (total
+    * removed = Σ n_dupes; corpus shrink factor falls out directly). Cost:
+    * one count over the session-shared cluster labels + the corpus count —
+    * nothing rescans the pair graph. */
+  def dedupHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = clusterLabels(spark, sfDir)
+    val sizes = labels.groupBy("cluster_keeper")
+      .agg(count(lit(1)).as("csize"))
+    val clustered = labels.agg(count(lit(1)).as("n_clustered"))
+    val total = graft.Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_total"))
+    val multi = sizes.groupBy("csize")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("csize").as("cluster_size"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"),
+        ((col("csize") - 1) * col("n_clusters")).as("n_dupes"))
+    val singles = total.crossJoin(clustered)
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"),
+        lit(0L).as("n_dupes"))
+    singles.unionByName(multi).orderBy("cluster_size")
+  }
 }

@@ -869,4 +869,43 @@ object Graph {
       verts.join(labeled, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("label")))
   }
+
+  /** Degree assortativity (Newman's r): the Pearson correlation of endpoint
+    * degrees over the undirected edge stubs — positive when hubs attach to
+    * hubs (social nets), negative when hubs attach to leaves (the typical
+    * token-transfer / internet shape). With integer degrees the Pearson
+    * numerator and denominator are EXACT integers over the 2|E| stubs
+    *   num = M·Σxy − (Σx)²,  den = M·Σx² − (Σx)²,  M = 2|E|
+    * accumulated in DECIMAL(38,0) (M·Σx² overflows a long well below
+    * cluster scale), so the only float op is the final division — the
+    * result is bit-reproducible at any partitioning. Cost: degrees are one
+    * grouped count; moments are one join pass over edges keyed by vertex.
+    * Returns one row: (n_vertices, n_edges, r). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mom = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(lit(2).cast(dec) * col("da").cast(dec) * col("db").cast(dec))
+          .as("sxy"),
+        sum(col("da").cast(dec) + col("db").cast(dec)).as("sx"),
+        sum(col("da").cast(dec) * col("da").cast(dec)
+          + col("db").cast(dec) * col("db").cast(dec)).as("sx2"))
+    mom.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_vertices"))))
+      .withColumn("m", lit(2).cast(dec) * col("n_edges").cast(dec))
+      .withColumn("num", col("m") * col("sxy") - col("sx") * col("sx"))
+      .withColumn("den", col("m") * col("sx2") - col("sx") * col("sx"))
+      .select(col("n_vertices"), col("n_edges"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") / col("den").cast("double"), 6))
+          .as("r"))
+  }
 }

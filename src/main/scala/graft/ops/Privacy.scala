@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy operators for training-data release: column-level PII redaction,
@@ -81,4 +82,59 @@ object Privacy {
       .withColumn("publishable",
         col("n_rows") >= KAnon && col("n_bands") >= LDiversity)
       .orderBy("nation", "segment")
+
+  /** t-closeness threshold, in ppm of the [0,1] ordered-EMD scale. */
+  val TClosenessPpm = 250000L
+
+  /** t-closeness audit — the third rung of the privacy ladder (k-anonymity
+    * → l-diversity → t-closeness): even a large, diverse group leaks when
+    * its sensitive-value DISTRIBUTION skews far from the global one
+    * (everyone in the cell is rich ⇒ membership reveals wealth). For an
+    * ORDERED sensitive attribute (the published 1000-wide balance band)
+    * the distance is the ordered Earth-Mover's Distance
+    * `EMD = Σᵢ|P_cdf(i) − Q_cdf(i)| / (m−1)`, and with counts that is
+    * exact rational arithmetic: `|Cᵢ/n − Dᵢ/N| = |N·Cᵢ − n·Dᵢ|/(n·N)`, so
+    * `emd_ppm = 10⁶·Σ|N·Cᵢ − n·Dᵢ| div (n·N·(m−1))` — pure integers, no
+    * float ever enters the audit. Cost: the global band histogram is m
+    * rows (broadcast); groups zero-fill against it through a small
+    * dimension cross join; cumulative sums are per-group windows over m
+    * rows. Nothing customer-sized shuffles twice. */
+  def tClosenessAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+    val global = rows.groupBy("band").agg(count(lit(1)).as("gc"))
+    val totals = global.agg(sum(col("gc")).as("nn"),
+      count(lit(1)).as("m"))
+    val gcum = global
+      .withColumn("dd", sum(col("gc")).over(
+        Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)))
+      .select("band", "dd")
+    val groups = rows.groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n_rows"))
+    val cells = rows.groupBy("nation", "segment", "band")
+      .agg(count(lit(1)).as("c"))
+    val filled = groups.crossJoin(broadcast(gcum.select("band")))
+      .join(cells, Seq("nation", "segment", "band"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cc", sum(col("c")).over(
+        Window.partitionBy("nation", "segment").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(gcum), Seq("band"))
+    filled.crossJoin(broadcast(totals))
+      .groupBy("nation", "segment")
+      .agg(first(col("n_rows")).as("n_rows"),
+        sum(abs(col("nn") * col("cc") - col("n_rows") * col("dd")))
+          .as("emd_num"),
+        first(col("nn")).as("nn"), first(col("m")).as("m"))
+      .withColumn("emd_ppm",
+        when(col("m") > 1,
+          expr("emd_num * 1000000 div (n_rows * nn * (m - 1))"))
+          .otherwise(lit(0L)))
+      .select(col("nation"), col("segment"), col("n_rows"), col("emd_ppm"),
+        (col("emd_ppm") <= TClosenessPpm && col("n_rows") >= KAnon)
+          .as("publishable"))
+      .orderBy("nation", "segment")
+  }
 }

@@ -149,6 +149,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup histogram: doc totals conserved, dupes re-derive, sizes >= 1") {
+    val h = graft.ops.Dedup.dedupHistogram(spark, GraftSpark.Sf).collect()
+    val nTotal = Tables.documents(spark, GraftSpark.Sf).count()
+    val nClustered = graft.ops.Dedup.clusterLabels(spark, GraftSpark.Sf).count()
+    assert(h.map(_.getAs[Long]("n_docs")).sum == nTotal)
+    h.foreach { r =>
+      val (k, nc, nd, dup) = (r.getAs[Long]("cluster_size"),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dupes"))
+      assert(k >= 1)
+      assert(nd == k * nc)
+      assert(dup == (k - 1) * nc)
+    }
+    // clustered docs = everything above size 1; sizes above 1 are real clusters
+    assert(h.filter(_.getAs[Long]("cluster_size") > 1)
+      .map(_.getAs[Long]("n_docs")).sum == nClustered)
+    assert(h.filter(_.getAs[Long]("cluster_size") == 1).length == 1)
+  }
+
   test("retrieval mrr: ppm arithmetic re-derives from the ranked lists") {
     import org.apache.spark.sql.functions._
     val r = graft.ops.Similarity.retrievalMrr(spark, GraftSpark.Sf)

@@ -24,6 +24,24 @@ class GraphSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("assortativity: star is -1, cycle degenerates to null, " +
+      "triangle+pendant matches the hand value") {
+    def r(edges: Seq[(Long, Long)]): Option[Double] = {
+      val row = Graph.assortativity(edges.toDF("src", "dst")).collect().head
+      Option(row.get(row.fieldIndex("r"))).map(_.asInstanceOf[Double])
+    }
+    // star K1,3: hubs only attach to leaves — perfectly disassortative
+    assert(r(Seq((0L, 1L), (0L, 2L), (0L, 3L))).contains(-1.0))
+    // 4-cycle: every degree equal — zero variance, r undefined (null)
+    assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))).isEmpty)
+    // triangle abc + pendant d on a: num=-20, den=28 → -5/7
+    val hand = BigDecimal(-20.0 / 28.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))).contains(hand))
+    // orientation/duplication invariance: reversed + duplicated edges
+    assert(r(Seq((1L, 0L), (0L, 1L), (2L, 0L), (0L, 3L))).contains(-1.0))
+  }
+
   test("reliable checkpoint path: explicit Reliable mode (dir is configured)") {
     // GraftSpark sets a checkpoint dir, so Auto (every test above) already
     // runs Reliable; this pins the explicit mode in case the default moves
