@@ -4409,6 +4409,48 @@ object Catalog {
          |ORDER BY token, burst_start""".stripMargin))),
 
     // Wave 17 — hourly share-of-total (one-window OLAP classic)
+    // Wallet concentration per token: Gini + HHI with exact integer
+    // moments (cents in DECIMAL(38,0)); top-10 share in integer per-mille.
+    QEntry("q_concentration", Metrics.walletConcentration, Some(withTransfers(
+      """, wv AS (
+        |  SELECT contract_address, from_address AS wallet,
+        |         CAST(SUM(CAST(value AS DECIMAL(25,2))) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM transfers GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY contract_address
+        |             ORDER BY cents ASC, wallet ASC) AS BIGINT) AS i,
+        |         CAST(count(*) OVER (PARTITION BY contract_address)
+        |           AS BIGINT) AS cnt
+        |  FROM wv
+        |),
+        |agg AS (
+        |  SELECT contract_address,
+        |         CAST(count(*) AS BIGINT) AS n_wallets,
+        |         CAST(SUM(cents) AS BIGINT) AS s,
+        |         SUM(CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+        |           AS si,
+        |         SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+        |           AS sq,
+        |         CAST(SUM(CASE WHEN i > cnt - 10 THEN cents ELSE 0 END)
+        |           AS BIGINT) AS t10
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT contract_address, n_wallets,
+        |       CASE WHEN s = 0 THEN NULL ELSE
+        |         round(CAST(CAST(2 AS DECIMAL(38,0)) * si
+        |                 - CAST(n_wallets + 1 AS DECIMAL(38,0))
+        |                   * CAST(s AS DECIMAL(38,0)) AS DOUBLE)
+        |               / (CAST(n_wallets AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+        |       END AS gini,
+        |       CASE WHEN s = 0 THEN NULL ELSE
+        |         round(CAST(sq AS DOUBLE)
+        |               / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+        |       END AS hhi,
+        |       CASE WHEN s = 0 THEN NULL ELSE t10 * 1000 // s END AS top10_pml
+        |FROM agg ORDER BY contract_address""".stripMargin))),
+
     QEntry("q_market_share", Metrics.hourlyMarketShare, Some(withTransfers(
       s""", hourly AS (
          |  SELECT contract_address AS token, ${hourBucket("transact_at")} AS t,

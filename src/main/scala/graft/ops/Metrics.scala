@@ -479,4 +479,46 @@ object Metrics {
           .as("residual"))
       .orderBy("token", "t")
   }
+
+  /** Per-token wallet-volume concentration: Gini coefficient, Herfindahl
+    * index, and the top-10-wallet share — the whale-concentration readout
+    * a token analytics product publishes. Sender volumes become exact
+    * integer CENTS (decimal sum × 100), so the Gini/HHI moments
+    * `Σi·xᵢ, Σxᵢ², Σxᵢ` are exact integers in DECIMAL(38,0) and the only
+    * floats are the two final divisions; the top-10 share is pure integer
+    * per-mille. The rank window PARTITIONS BY TOKEN — per-token sorts run
+    * in parallel, no global single-partition sort at any scale. */
+  def walletConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("contract_address")
+    val cents = Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"), col("from_address").as("wallet"))
+      .agg((dsumDec(col("value")) * 100).cast("long").as("cents"))
+    val ranked = cents
+      .withColumn("i", row_number().over(
+        w.orderBy(col("cents").asc, col("wallet").asc)).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(w))
+    ranked.groupBy("contract_address")
+      .agg(count(lit(1)).as("n_wallets"),
+        sum(col("cents")).as("s"),
+        sum(col("i").cast(dec) * col("cents").cast(dec)).as("si"),
+        sum(col("cents").cast(dec) * col("cents").cast(dec)).as("sq"),
+        sum(when(col("i") > col("cnt") - 10, col("cents"))
+          .otherwise(lit(0L))).as("t10"))
+      .select(col("contract_address"), col("n_wallets"),
+        when(col("s") === 0, lit(null).cast("double")).otherwise(
+          round((lit(2).cast(dec) * col("si")
+            - (col("n_wallets") + 1).cast(dec) * col("s").cast(dec))
+            .cast("double")
+            / (col("n_wallets").cast("double") * col("s").cast("double")), 6))
+          .as("gini"),
+        when(col("s") === 0, lit(null).cast("double")).otherwise(
+          round(col("sq").cast("double")
+            / (col("s").cast("double") * col("s").cast("double")), 6))
+          .as("hhi"),
+        when(col("s") === 0, lit(null).cast("long"))
+          .otherwise(expr("t10 * 1000 div s")).as("top10_pml"))
+      .orderBy("contract_address")
+  }
 }

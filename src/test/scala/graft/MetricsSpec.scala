@@ -6,6 +6,40 @@ import org.scalatest.funsuite.AnyFunSuite
 class MetricsSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
 
+  test("wallet concentration: gini/hhi/top10 re-derive exactly in BigInt") {
+    val got = graft.ops.Metrics.walletConcentration(spark, GraftSpark.Sf)
+      .collect()
+    assert(got.nonEmpty)
+    val cents = Tables.transfers(spark, GraftSpark.Sf)
+      .groupBy(col("contract_address"), col("from_address").as("w"))
+      .agg((graft.ops.Num.dsumDec(col("value")) * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getLong(2)))).toMap
+    got.foreach { row =>
+      val tok = row.getString(0)
+      val xs = cents(tok).sortBy(x => (x._2, x._1)).map(x => BigInt(x._2))
+      val n = BigInt(xs.length)
+      val s = xs.sum
+      assert(row.getAs[Long]("n_wallets") == xs.length)
+      val si = xs.zipWithIndex.map { case (x, i0) => x * (i0 + 1) }.sum
+      val giniExpect = (BigDecimal(2 * si - (n + 1) * s) /
+        (BigDecimal(n) * BigDecimal(s)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(row.getAs[Double]("gini") - giniExpect) < 2e-6, tok)
+      val hhiExpect = (BigDecimal(xs.map(x => x * x).sum) /
+        (BigDecimal(s) * BigDecimal(s)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(row.getAs[Double]("hhi") - hhiExpect) < 2e-6, tok)
+      val t10 = xs.takeRight(10).sum
+      assert(BigInt(row.getAs[Long]("top10_pml")) == t10 * 1000 / s, tok)
+      // bounds: gini in [0,1), hhi in (0,1], top10 share <= 1000
+      assert(row.getAs[Double]("gini") >= 0.0 && row.getAs[Double]("gini") < 1.0)
+      assert(row.getAs[Double]("hhi") > 0.0 && row.getAs[Double]("hhi") <= 1.0)
+      assert(row.getAs[Long]("top10_pml") <= 1000L)
+    }
+  }
+
   test("incremental base-plus-delta merge equals the full recompute") {
     import graft.ops.Num
     val inc = graft.ops.Metrics.incrementalHourlyVolume(spark, GraftSpark.Sf)
