@@ -22,7 +22,10 @@ object ScaleCheck {
     "q_wallet360", "q_mixed_packs", "q_densified_balance",
     "q_token_documents_full", "q_mis", "q_setsim_join",
     "q_corpus_build_report", "q_stream_bounded_hourly",
-    "q_stream_quality_route", "q_csv_intake")
+    "q_stream_quality_route", "q_csv_intake",
+    "q_pq_recall", "q_two_stage_ann", "q_ivf_pq_ann",
+    "q_concentration", "q_reservoir_sample", "q_bigram_coverage",
+    "q_assortativity", "q_stream_bounded_topk")
 
   def main(args: Array[String]): Unit = {
     val dirA = args(0)
