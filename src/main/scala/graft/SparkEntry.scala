@@ -868,6 +868,43 @@ object Catalog {
        |  FROM dots
        |) WHERE rnk = 1 ORDER BY query_id""".stripMargin
 
+  /** Nearest-class-mean assignment CTE chain (ends at `assign`), shared by
+    * the confusion-matrix and classifier-eval oracles. */
+  private val labelAssignCtes: String =
+    s"""$embIdxCte,
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+       |  FROM idx GROUP BY 1
+       |),
+       |lmeans AS (
+       |  SELECT e.label AS cid, i.i,
+       |         CAST(SUM(CAST(i.x AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+       |           AS m
+       |  FROM embeddings e JOIN idx i ON i.vec_id = e.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |cnorms AS (
+       |  SELECT cid, CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS csq
+       |  FROM lmeans GROUP BY 1
+       |),
+       |tdots AS (
+       |  SELECT v.vec_id, mm.cid,
+       |         CAST(SUM(CAST(v.x * mm.m AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM idx v JOIN lmeans mm ON mm.i = v.i
+       |  GROUP BY 1, 2
+       |),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT t.vec_id, t.cid,
+       |           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |             t.dot / (sqrt(nv.sq) * sqrt(cn.csq)) DESC, t.cid ASC)
+       |             AS rnk
+       |    FROM tdots t
+       |    JOIN norms nv ON nv.vec_id = t.vec_id
+       |    JOIN cnorms cn ON cn.cid = t.cid
+       |  ) WHERE rnk = 1
+       |)""".stripMargin
+
   private val ivfAnnSql: String =
     s"""WITH $embIdxCte,
        |norms AS (
@@ -4945,43 +4982,41 @@ object Catalog {
     // Nearest-class-mean confusion matrix: cosine arg-max against the
     // label centroids (row_number spelling ≡ the Spark max(struct)).
     QEntry("q_label_classify", Similarity.labelClassify, Some(
-      s"""WITH $embIdxCte,
-         |norms AS (
-         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
-         |  FROM idx GROUP BY 1
-         |),
-         |lmeans AS (
-         |  SELECT e.label AS cid, i.i,
-         |         CAST(SUM(CAST(i.x AS DECIMAL(38,18))) AS DOUBLE) / count(*)
-         |           AS m
-         |  FROM embeddings e JOIN idx i ON i.vec_id = e.vec_id
-         |  GROUP BY 1, 2
-         |),
-         |cnorms AS (
-         |  SELECT cid, CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS csq
-         |  FROM lmeans GROUP BY 1
-         |),
-         |tdots AS (
-         |  SELECT v.vec_id, mm.cid,
-         |         CAST(SUM(CAST(v.x * mm.m AS DECIMAL(38,18))) AS DOUBLE) AS dot
-         |  FROM idx v JOIN lmeans mm ON mm.i = v.i
-         |  GROUP BY 1, 2
-         |),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT t.vec_id, t.cid,
-         |           row_number() OVER (PARTITION BY t.vec_id ORDER BY
-         |             t.dot / (sqrt(nv.sq) * sqrt(cn.csq)) DESC, t.cid ASC)
-         |             AS rnk
-         |    FROM tdots t
-         |    JOIN norms nv ON nv.vec_id = t.vec_id
-         |    JOIN cnorms cn ON cn.cid = t.cid
-         |  ) WHERE rnk = 1
-         |)
+      s"""WITH $labelAssignCtes
          |SELECT e.label AS true_label, a.cid AS pred_label,
          |       CAST(count(*) AS BIGINT) AS n
          |FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Per-class precision/recall/F1 from the nearest-class-mean confusion
+    // matrix, in exact integer ppm (eval metrics stay rational end to end).
+    QEntry("q_classifier_eval", Similarity.classifierEval, Some(
+      s"""WITH $labelAssignCtes,
+         |cm AS (
+         |  SELECT e.label AS t, a.cid AS p, CAST(count(*) AS BIGINT) AS n
+         |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |classes AS (SELECT DISTINCT CAST(label AS BIGINT) AS label
+         |            FROM embeddings),
+         |stats AS (
+         |  SELECT c.label,
+         |         CAST(COALESCE((SELECT SUM(n) FROM cm
+         |           WHERE t = c.label AND p = c.label), 0) AS BIGINT) AS tp,
+         |         CAST(COALESCE((SELECT SUM(n) FROM cm
+         |           WHERE p = c.label AND t != c.label), 0) AS BIGINT) AS fp,
+         |         CAST(COALESCE((SELECT SUM(n) FROM cm
+         |           WHERE t = c.label AND p != c.label), 0) AS BIGINT) AS fn
+         |  FROM classes c
+         |)
+         |SELECT label, tp, fp, fn,
+         |       CASE WHEN tp + fp = 0 THEN NULL
+         |            ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+         |       CASE WHEN tp + fn = 0 THEN NULL
+         |            ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
+         |       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |            ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+         |FROM stats ORDER BY label""".stripMargin)),
 
     // SemDeDup: connected components over the embedding near-dup pair
     // graph (the q_embedding_neardup CTEs feed the same recursive

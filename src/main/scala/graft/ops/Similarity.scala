@@ -246,6 +246,45 @@ object Similarity {
       .orderBy("true_label", "pred_label")
   }
 
+  /** Per-class precision / recall / F1 from the [[labelClassify]]
+    * confusion matrix, in exact integer parts-per-million — with counts,
+    * every one of these metrics is rational (`F1 = 2tp/(2tp+fp+fn)`), so
+    * the eval never touches a float. Classes the classifier starves
+    * (tp+fp = 0) report NULL precision instead of a fake 0. The matrix is
+    * classes² rows — driver-scale arithmetic on an already-reduced frame. */
+  def classifierEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val cm = labelClassify(spark, sfDir)
+    val classes = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("label")).distinct()
+    val tp = cm.filter(col("true_label") === col("pred_label"))
+      .select(col("true_label").cast("long").as("label"), col("n").as("tp"))
+    val fp = cm.filter(col("true_label") =!= col("pred_label"))
+      .groupBy(col("pred_label").cast("long").as("label"))
+      .agg(sum("n").as("fp"))
+    val fn = cm.filter(col("true_label") =!= col("pred_label"))
+      .groupBy(col("true_label").cast("long").as("label"))
+      .agg(sum("n").as("fn"))
+    classes
+      .join(tp, Seq("label"), "left")
+      .join(fp, Seq("label"), "left")
+      .join(fn, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") === 0, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") === 0, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr("2 * tp * 1000000 div (2 * tp + fp + fn)")))
+      .orderBy("label")
+  }
+
   /** IVF ANN: nearest neighbor among vectors sharing the probe's cell —
     * search cost |cell| instead of |table| (queries whose cell holds no
     * other vector produce no row). */

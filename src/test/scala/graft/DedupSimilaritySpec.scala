@@ -149,6 +149,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("classifier eval: counts re-derive from the confusion matrix, " +
+      "ppm arithmetic exact") {
+    val cm = graft.ops.Similarity.labelClassify(spark, GraftSpark.Sf)
+      .collect().map(r => (r.getAs[Int]("true_label").toLong,
+        r.getAs[Int]("pred_label").toLong, r.getAs[Long]("n")))
+    val ev = graft.ops.Similarity.classifierEval(spark, GraftSpark.Sf)
+      .collect()
+    // every class present exactly once; totals conserve the matrix mass
+    assert(ev.map(_.getAs[Long]("label")).distinct.length == ev.length)
+    assert(ev.map(_.getAs[Long]("tp")).sum == cm.filter(x => x._1 == x._2)
+      .map(_._3).sum)
+    ev.foreach { r =>
+      val c = r.getAs[Long]("label")
+      val tp = cm.filter(x => x._1 == c && x._2 == c).map(_._3).sum
+      val fp = cm.filter(x => x._2 == c && x._1 != c).map(_._3).sum
+      val fn = cm.filter(x => x._1 == c && x._2 != c).map(_._3).sum
+      assert(r.getAs[Long]("tp") == tp && r.getAs[Long]("fp") == fp &&
+        r.getAs[Long]("fn") == fn, s"class $c")
+      if (tp + fp > 0)
+        assert(r.getAs[Long]("precision_ppm") == tp * 1000000 / (tp + fp))
+      if (tp + fn > 0)
+        assert(r.getAs[Long]("recall_ppm") == tp * 1000000 / (tp + fn))
+      if (2 * tp + fp + fn > 0)
+        assert(r.getAs[Long]("f1_ppm") == 2 * tp * 1000000 / (2 * tp + fp + fn))
+    }
+  }
+
   test("dedup histogram: doc totals conserved, dupes re-derive, sizes >= 1") {
     val h = graft.ops.Dedup.dedupHistogram(spark, GraftSpark.Sf).collect()
     val nTotal = Tables.documents(spark, GraftSpark.Sf).count()
