@@ -5699,6 +5699,81 @@ object Catalog {
     QEntry("q_hard_negatives", Similarity.hardNegatives,
       Some(hardNegativesSql)),
 
+    // Wash-trading screen: A→B answered by a later B→A within the window;
+    // the join shuffles on the (token, counterparty-pair) key, never on a
+    // single hot wallet.
+    QEntry("q_wash_trading", Forensics.washTrading, Some(withTransfers(
+      s""", fwd AS (
+         |  SELECT contract_address, from_address AS a, to_address AS b,
+         |         block_number AS b1, value AS v1, transact_at AS t1
+         |  FROM transfers
+         |),
+         |rev AS (
+         |  SELECT contract_address, to_address AS a, from_address AS b,
+         |         block_number AS b2, value AS v2, transact_at AS t2
+         |  FROM transfers
+         |),
+         |rt AS (
+         |  SELECT f.contract_address, f.a, f.b, f.v1, r.v2
+         |  FROM fwd f
+         |  JOIN rev r ON f.contract_address = r.contract_address
+         |            AND f.a = r.a AND f.b = r.b
+         |  WHERE r.b2 > f.b1 AND r.t2 >= f.t1
+         |    AND r.t2 <= f.t1 + ${Forensics.WashWindowSec}
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_roundtrips,
+         |       CAST(count(DISTINCT contract_address || '|'
+         |         || least(a, b) || '|' || greatest(a, b))
+         |         AS BIGINT) AS n_pairs,
+         |       COALESCE(CAST(SUM(CAST(least(v1, v2) AS DECIMAL(25,2)))
+         |         AS DOUBLE), 0.0) AS washed_volume
+         |FROM rt""".stripMargin))),
+
+    // Airdrop/spray fan-out: senders reaching >= N distinct receivers in
+    // one day; per-edge pre-distinct keeps the receiver count combinable.
+    QEntry("q_airdrop_fanout", Forensics.airdropFanout, Some(withTransfers(
+      s"""SELECT from_address, d,
+         |       CAST(count(*) AS BIGINT) AS n_recipients,
+         |       CAST(SUM(n_tx) AS BIGINT) AS n_tx,
+         |       CAST(SUM(vol) AS DOUBLE) AS volume
+         |FROM (
+         |  SELECT from_address, ${dayBucket("transact_at")} AS d, to_address,
+         |         count(*) AS n_tx,
+         |         SUM(CAST(value AS DECIMAL(25,2))) AS vol
+         |  FROM transfers GROUP BY 1, 2, 3
+         |)
+         |GROUP BY 1, 2
+         |HAVING count(*) >= ${Forensics.FanoutMinRecipients}
+         |ORDER BY 1, 2""".stripMargin))),
+
+    // Growth accounting: per token-hour active wallets split into
+    // first-ever-active (new) vs returning.
+    QEntry("q_new_returning", Forensics.newVsReturning, Some(withTransfers(
+      s""", act AS (
+         |  SELECT DISTINCT contract_address, wallet, t FROM (
+         |    SELECT contract_address, from_address AS wallet,
+         |           ${hourBucket("transact_at")} AS t
+         |    FROM transfers
+         |    UNION ALL
+         |    SELECT contract_address, to_address,
+         |           ${hourBucket("transact_at")}
+         |    FROM transfers
+         |  ) u
+         |),
+         |fs AS (
+         |  SELECT contract_address, wallet, min(t) AS first_t
+         |  FROM act GROUP BY 1, 2
+         |)
+         |SELECT a.contract_address, a.t,
+         |       CAST(SUM(CASE WHEN a.t = f.first_t THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_new,
+         |       CAST(SUM(CASE WHEN a.t <> f.first_t THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_returning
+         |FROM act a
+         |JOIN fs f ON a.contract_address = f.contract_address
+         |         AND a.wallet = f.wallet
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
     // Stream-STATIC dimension enrichment (streaming twin of q_dapp_hourly,
     // same oracle): per micro-batch broadcast join against the batch dapp
     // registry — zero join state — then hourly complete-mode aggregation.

@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transfer-forensics operators: trading-pattern detectors over the token
+  * transfer fact table — the fraud/quality screens a token-analytics
+  * deployment runs beside the reference's volume/holder metrics
+  * (reference computes per-token aggregates only,
+  * src/main/scala/etl/BaseEnricher.scala:85-124; these detectors extend the
+  * same fact table to pairwise and cohort patterns).
+  *
+  * Scale design: every detector is a key-partitioned join or aggregate —
+  * wash-trade pairing joins on the full (token, a, b) counterparty-pair
+  * key (never a per-wallet key, whose hot wallets would skew), fan-out and
+  * cohort screens are single map-side-combinable aggregates. Nothing here
+  * collects, windows-without-partition, or crossJoins.
+  */
+object Forensics {
+
+  /** Round-trips A→B→A must close within this many seconds to count as a
+    * wash pair (7 days — token round-trips are slow on-chain). */
+  val WashWindowSec = 604800L
+
+  /** A sender spraying at least this many distinct receivers inside one
+    * day trips the fan-out screen. */
+  val FanoutMinRecipients = 5L
+
+  /** Wash-trading screen: one summary row — how many A→B transfers are
+    * answered by a strictly-later same-token B→A transfer within
+    * [[WashWindowSec]], over how many distinct counterparty pairs, and the
+    * volume "washed" (the smaller leg of each round trip — the amount that
+    * actually cycled).
+    *
+    * Each outbound leg pairs with EVERY qualifying return leg (the honest
+    * pairwise definition — a 3-cycle A→B,B→A,B→A is two round trips); the
+    * time window bounds the per-pair fan-out. The join key is the
+    * counterparty pair + token, so the shuffle partitions by pair, not by
+    * wallet — a hot exchange wallet spreads over its many counterparties
+    * instead of landing on one reducer. Strict block-order (`b2 > b1`)
+    * orients each round trip once. The global rollup stays one row even
+    * when the screen finds nothing (sum→0 via coalesce), so the output
+    * shape is SF-independent. */
+  def washTrading(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir).select(
+      col("contract_address"), col("from_address"), col("to_address"),
+      col("block_number"), col("value"), col("transact_at"))
+    val fwd = t.select(
+      col("contract_address"), col("from_address").as("a"),
+      col("to_address").as("b"), col("block_number").as("b1"),
+      col("value").as("v1"), col("transact_at").as("t1"))
+    val rev = t.select(
+      col("contract_address"), col("to_address").as("a"),
+      col("from_address").as("b"), col("block_number").as("b2"),
+      col("value").as("v2"), col("transact_at").as("t2"))
+    fwd.join(rev, Seq("contract_address", "a", "b"))
+      .filter(col("b2") > col("b1") &&
+        col("t2") >= col("t1") && col("t2") <= col("t1") + WashWindowSec)
+      .agg(
+        count(lit(1)).as("n_roundtrips"),
+        countDistinct(col("contract_address"),
+          least(col("a"), col("b")), greatest(col("a"), col("b")))
+          .as("n_pairs"),
+        coalesce(Num.dsum(least(col("v1"), col("v2"))), lit(0.0))
+          .as("washed_volume"))
+  }
+
+  /** Airdrop/spray fan-out screen: senders that reach at least
+    * [[FanoutMinRecipients]] distinct receivers within a single day
+    * (across tokens — spray campaigns mix tokens). One aggregate over
+    * (sender, day); distinct receivers via a per-edge pre-distinct so the
+    * final count stays map-side combinable. */
+  def airdropFanout(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+      .select(col("from_address"), col("to_address"), col("value"),
+        Num.dayBucket(col("transact_at")).cast("long").as("d"))
+    val perEdge = t
+      .groupBy("from_address", "d", "to_address")
+      .agg(count(lit(1)).as("n_tx"), Num.dsumDec(col("value")).as("vol"))
+    perEdge
+      .groupBy("from_address", "d")
+      .agg(count(lit(1)).as("n_recipients"),
+        sum(col("n_tx")).as("n_tx"),
+        sum(col("vol")).cast("double").as("volume"))
+      .filter(col("n_recipients") >= FanoutMinRecipients)
+      .orderBy("from_address", "d")
+  }
+
+  /** New-vs-returning wallet mix: per (token, hour), how many of the hour's
+    * active wallets (either transfer side) are active for the FIRST time
+    * for that token. The classic growth-accounting split, computed with one
+    * min-aggregate per (token, wallet) joined back to the hourly activity
+    * set — no global window. */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+    val active = t.select(col("contract_address"),
+        col("from_address").as("wallet"),
+        Num.hourBucket(col("transact_at")).cast("long").as("t"))
+      .unionByName(t.select(col("contract_address"),
+        col("to_address").as("wallet"),
+        Num.hourBucket(col("transact_at")).cast("long").as("t")))
+      .distinct()
+    val firstSeen = active.groupBy("contract_address", "wallet")
+      .agg(min(col("t")).as("first_t"))
+    active.join(firstSeen, Seq("contract_address", "wallet"))
+      .groupBy(col("contract_address"), col("t"))
+      .agg(
+        sum(when(col("t") === col("first_t"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("t") =!= col("first_t"), 1L).otherwise(0L))
+          .as("n_returning"))
+      .orderBy("contract_address", "t")
+  }
+}

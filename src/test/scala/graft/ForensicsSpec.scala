@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Re-derives the [[graft.ops.Forensics]] screens in plain Scala on the
+  * sf0.001 transfers (1k rows) — the DuckDB oracle verifies the same
+  * queries at catalog level; here the semantics are checked structurally. */
+class ForensicsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private lazy val transfers: Seq[(String, String, String, Long, Double, Long)] =
+    Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "from_address", "to_address",
+        "block_number", "value", "transact_at")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+
+  test("wash trading: one summary row matching the pairwise re-derivation") {
+    val rows = graft.ops.Forensics.washTrading(spark, GraftSpark.Sf).collect()
+    assert(rows.length == 1)
+    val w = graft.ops.Forensics.WashWindowSec
+    val rts = for {
+      f <- transfers
+      r <- transfers
+      if f._1 == r._1 && f._2 == r._3 && f._3 == r._2
+      if r._4 > f._4 && r._6 >= f._6 && r._6 <= f._6 + w
+    } yield (f._1, Ordering[String].min(f._2, f._3),
+      Ordering[String].max(f._2, f._3), f._5 min r._5)
+    assert(rows(0).getAs[Long]("n_roundtrips") == rts.length)
+    assert(rows(0).getAs[Long]("n_pairs") ==
+      rts.map(x => (x._1, x._2, x._3)).distinct.length)
+    val vol = rts.map(x => BigDecimal(x._4).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(math.abs(rows(0).getAs[Double]("washed_volume") - vol.toDouble) < 1e-9)
+  }
+
+  test("airdrop fanout: every flagged sender-day has >= threshold distinct " +
+    "receivers, and the flags match the re-derivation") {
+    val got = graft.ops.Forensics.airdropFanout(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getAs[Long]("n_recipients"), r.getAs[Long]("n_tx")))).toMap
+    val expect = transfers
+      .groupBy(t => (t._2, t._6 / 86400 * 86400))
+      .view.mapValues(ts =>
+        (ts.map(_._3).distinct.length.toLong, ts.length.toLong))
+      .filter(_._2._1 >= graft.ops.Forensics.FanoutMinRecipients)
+      .toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("new vs returning: per-token news sum to the distinct wallet count; " +
+    "new + returning covers every active wallet-hour") {
+    val got = graft.ops.Forensics.newVsReturning(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_returning")))
+    val active = transfers.flatMap(t => Seq(
+      (t._1, t._2, t._6 / 3600 * 3600), (t._1, t._3, t._6 / 3600 * 3600)))
+      .distinct
+    // total new per token == distinct wallets ever active for that token
+    val newByTok = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val walletsByTok = active.map(a => (a._1, a._2)).distinct
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(newByTok == walletsByTok)
+    // every (token, hour) bucket's new+returning == active wallets that hour
+    val activeByBucket = active.groupBy(a => (a._1, a._3))
+      .view.mapValues(_.length.toLong).toMap
+    got.foreach { case (tok, t, nNew, nRet) =>
+      assert(nNew + nRet == activeByBucket((tok, t)), s"$tok/$t")
+    }
+    assert(got.map(g => (g._1, g._2)).toSet == activeByBucket.keySet)
+  }
+}
