@@ -5746,6 +5746,124 @@ object Catalog {
          |HAVING count(*) >= ${Forensics.FanoutMinRecipients}
          |ORDER BY 1, 2""".stripMargin))),
 
+    // Edge reciprocity of the transfer digraph (cheap circular-flow
+    // statistic; integer per-mille).
+    QEntry("q_reciprocity",
+      (s, d) => Graph.reciprocity(
+        graft.Tables.transfers(s, d)
+          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
+            org.apache.spark.sql.functions.col("to_address").as("dst"))),
+      Some(withTransfers(
+      s""", e AS (
+         |  SELECT DISTINCT from_address AS src, to_address AS dst
+         |  FROM transfers WHERE from_address <> to_address
+         |)
+         |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+         |       CAST((SELECT count(*) FROM e x
+         |             JOIN e y ON x.src = y.dst AND x.dst = y.src)
+         |         AS BIGINT) AS n_reciprocated,
+         |       CAST((SELECT count(*) FROM e x
+         |             JOIN e y ON x.src = y.dst AND x.dst = y.src) * 1000
+         |         // (SELECT count(*) FROM e) AS BIGINT)
+         |         AS reciprocity_pml""".stripMargin))),
+
+    // Autocorrelation of the densified hourly volume series, lags 1..3 —
+    // exact integer moments in DECIMAL(38,0)/HUGEINT, one final division.
+    QEntry("q_volume_acf", Metrics.volumeAcf, Some(withTransfers(
+      s""", hourly AS (
+         |  SELECT contract_address,
+         |         ${hourBucket("transact_at")} AS t,
+         |         CAST(SUM(CAST(value AS DECIMAL(25,2))) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |span AS (
+         |  SELECT contract_address, min(t) AS t0, max(t) AS t1
+         |  FROM hourly GROUP BY 1
+         |),
+         |gridk AS (
+         |  SELECT s.contract_address, gs.t
+         |  FROM span s, unnest(generate_series(s.t0, s.t1, 3600)) AS gs(t)
+         |),
+         |grid AS (
+         |  SELECT gk.contract_address, gk.t, COALESCE(h.cents, 0) AS x
+         |  FROM gridk gk
+         |  LEFT JOIN hourly h
+         |    ON h.contract_address = gk.contract_address AND h.t = gk.t
+         |),
+         |st AS (
+         |  SELECT contract_address, CAST(count(*) AS BIGINT) AS n,
+         |         SUM(x) AS s
+         |  FROM grid GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT g.contract_address, g.t, st.n,
+         |         CAST(st.n AS HUGEINT) * CAST(g.x AS HUGEINT)
+         |           - CAST(st.s AS HUGEINT) AS c
+         |  FROM grid g JOIN st USING (contract_address)
+         |),
+         |l AS (
+         |  SELECT contract_address, n, c,
+         |         lead(c, 1) OVER (PARTITION BY contract_address ORDER BY t)
+         |           AS c1,
+         |         lead(c, 2) OVER (PARTITION BY contract_address ORDER BY t)
+         |           AS c2,
+         |         lead(c, 3) OVER (PARTITION BY contract_address ORDER BY t)
+         |           AS c3
+         |  FROM c
+         |),
+         |m AS (
+         |  SELECT contract_address, min(n) AS n, SUM(c * c) AS den,
+         |         SUM(c * c1) AS num1, SUM(c * c2) AS num2,
+         |         SUM(c * c3) AS num3
+         |  FROM l GROUP BY 1
+         |)
+         |SELECT contract_address, lag, n, acf FROM (
+         |  SELECT contract_address, CAST(1 AS BIGINT) AS lag, n,
+         |         CASE WHEN den = 0 THEN NULL
+         |         ELSE round(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         |         END AS acf
+         |  FROM m
+         |  UNION ALL
+         |  SELECT contract_address, CAST(2 AS BIGINT), n,
+         |         CASE WHEN den = 0 THEN NULL
+         |         ELSE round(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         |         END FROM m
+         |  UNION ALL
+         |  SELECT contract_address, CAST(3 AS BIGINT), n,
+         |         CASE WHEN den = 0 THEN NULL
+         |         ELSE round(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         |         END FROM m
+         |) ORDER BY 1, 2""".stripMargin))),
+
+    // Wallet dormancy: consecutive-activity gaps per (token, wallet);
+    // reactivations are gaps beyond the dormancy horizon.
+    QEntry("q_dormancy", Forensics.dormancy, Some(withTransfers(
+      s""", acts AS (
+         |  SELECT DISTINCT contract_address, wallet, at FROM (
+         |    SELECT contract_address, from_address AS wallet,
+         |           transact_at AS at
+         |    FROM transfers
+         |    UNION ALL
+         |    SELECT contract_address, to_address, transact_at FROM transfers
+         |  ) u
+         |),
+         |g AS (
+         |  SELECT contract_address,
+         |         at - lag(at, 1) OVER (PARTITION BY contract_address, wallet
+         |           ORDER BY at) AS gap
+         |  FROM acts
+         |)
+         |SELECT contract_address,
+         |       CAST(count(*) AS BIGINT) AS n_gaps,
+         |       CAST(SUM(CASE WHEN gap > ${Forensics.DormantSec} THEN 1
+         |                ELSE 0 END) AS BIGINT) AS n_reactivations,
+         |       CAST(max(gap) AS BIGINT) AS max_gap_sec,
+         |       round(CAST(SUM(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |         AS avg_gap_sec
+         |FROM g WHERE gap IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
     // Growth accounting: per token-hour active wallets split into
     // first-ever-active (new) vs returning.
     QEntry("q_new_returning", Forensics.newVsReturning, Some(withTransfers(

@@ -87,6 +87,40 @@ object Forensics {
       .orderBy("from_address", "d")
   }
 
+  /** A wallet inactive for longer than this many seconds counts as
+    * dormant; its next activity is a reactivation. */
+  val DormantSec = 604800L
+
+  /** Dormancy / reactivation summary: per token, the distribution of gaps
+    * between consecutive activities of the same wallet — total gap pairs,
+    * reactivations (gap > [[DormantSec]]), the longest sleep, and the mean
+    * gap (exact integer sum, one final division).
+    *
+    * The lag window partitions by (token, wallet) — per-wallet history is
+    * small and the key space is huge, so the sort never concentrates. */
+  def dormancy(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.transfers(spark, sfDir)
+    val acts = t.select(col("contract_address"),
+        col("from_address").as("wallet"), col("transact_at").as("at"))
+      .unionByName(t.select(col("contract_address"),
+        col("to_address").as("wallet"), col("transact_at").as("at")))
+      .distinct()
+    val w = Window.partitionBy("contract_address", "wallet").orderBy("at")
+    acts
+      .withColumn("prev", lag(col("at"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", col("at") - col("prev"))
+      .groupBy("contract_address")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(when(col("gap") > DormantSec, 1L).otherwise(0L))
+          .as("n_reactivations"),
+        max(col("gap")).as("max_gap_sec"),
+        round(sum(col("gap")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_gap_sec"))
+      .orderBy("contract_address")
+  }
+
   /** New-vs-returning wallet mix: per (token, hour), how many of the hour's
     * active wallets (either transfer side) are active for the FIRST time
     * for that token. The classic growth-accounting split, computed with one

@@ -881,6 +881,27 @@ object Graph {
     * result is bit-reproducible at any partitioning. Cost: degrees are one
     * grouped count; moments are one join pass over edges keyed by vertex.
     * Returns one row: (n_vertices, n_edges, r). */
+  /** Edge reciprocity of the directed graph: how many distinct ordered
+    * edges u→v are answered by v→u. A one-row summary — classic digraph
+    * statistic (and the cheap precursor to the wash-trading screen: high
+    * reciprocity flags circular flow). The reverse-existence test is a
+    * LEFT SEMI self-join on the swapped key — no fan-out, map-side
+    * combinable counts, exact integer per-mille. */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    // the distinct edge set is read twice (count + semi-join); its two
+    // shuffles share one exchange via Spark's ReuseExchange, so no
+    // explicit persist is needed
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocated")))
+      .select(col("n_edges"), col("n_reciprocated"),
+        expr("n_reciprocated * 1000 div n_edges").as("reciprocity_pml"))
+  }
+
   def assortativity(edges: DataFrame): DataFrame = {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),

@@ -521,4 +521,62 @@ object Metrics {
           .otherwise(expr("t10 * 1000 div s")).as("top10_pml"))
       .orderBy("contract_address")
   }
+
+  /** Autocorrelation lags computed by [[volumeAcf]]. */
+  val AcfMaxLag = 3
+
+  /** Per-token autocorrelation of the DENSIFIED hourly volume series at
+    * lags 1..[[AcfMaxLag]] — the seasonality detector feeding forecast
+    * model choice (a strong lag-24 ACF says "daily cycle"; here small lags
+    * on the hourly grid).
+    *
+    * Missing hours are true zeros (per-token `sequence()` grid explode — the
+    * same scale-safe densification as the balance grid, no crossJoin).
+    * ACF is ρ(k) = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², computed in exact
+    * integer cents scaled by n (ρ = Σ(n·x_t−S)(n·x_{t+k}−S) /
+    * Σ(n·x_t−S)² — multiplying both sides by n² clears the rational mean)
+    * in DECIMAL(38,0); the single final division is the only float. The
+    * lag pairing is a `lead` window per token over the dense grid — one
+    * hash exchange shared by all lags. */
+  def volumeAcf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hourly = Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"),
+        Num.hourBucket(col("transact_at")).cast("long").as("t"))
+      .agg((Num.dsumDec(col("value")) * 100).cast("long").as("cents"))
+    val span = hourly.groupBy("contract_address")
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val grid = span
+      .select(col("contract_address"),
+        explode(expr("sequence(t0, t1, 3600)")).as("t"))
+      .join(hourly, Seq("contract_address", "t"), "left")
+      .select(col("contract_address"), col("t"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+    val stats = grid.groupBy("contract_address")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val w = Window.partitionBy("contract_address").orderBy("t")
+    val centered = grid.join(broadcast(stats), Seq("contract_address"))
+      .withColumn("c", col("n").cast(dec) * col("x").cast(dec)
+        - col("s").cast(dec))
+    val leads = (1 to AcfMaxLag).foldLeft(centered) { (df, k) =>
+      df.withColumn(s"c$k", lead(col("c"), k).over(w))
+    }
+    val aggCols = Seq(min(col("n")).as("n"),
+      sum(col("c") * col("c")).as("den")) ++
+      (1 to AcfMaxLag).map(k =>
+        sum(col("c") * col(s"c$k")).as(s"num$k"))
+    val mom = leads.groupBy("contract_address")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val lagCols = (1 to AcfMaxLag).map(k =>
+      struct(lit(k.toLong).as("lag"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(col(s"num$k").cast("double")
+            / col("den").cast("double"), 6)).as("acf")))
+    mom.select(col("contract_address"), col("n"),
+        explode(array(lagCols: _*)).as("a"))
+      .select(col("contract_address"), col("a.lag").as("lag"), col("n"),
+        col("a.acf").as("acf"))
+      .orderBy("contract_address", "lag")
+  }
 }
