@@ -5746,6 +5746,38 @@ object Catalog {
          |HAVING count(*) >= ${Forensics.FanoutMinRecipients}
          |ORDER BY 1, 2""".stripMargin))),
 
+    // Strongly connected components of the transfer digraph (trim +
+    // forward-coloring + backward sweep); canonical min-vertex labels, so
+    // the closure oracle re-derives them algorithm-independently.
+    QEntry("q_scc",
+      (s, d) => Graph.stronglyConnectedComponents(
+        graft.Tables.transfers(s, d)
+          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
+            org.apache.spark.sql.functions.col("to_address").as("dst")))
+        .orderBy("v"),
+      Some(
+      s"""WITH RECURSIVE $transfersCte,
+         |e AS (
+         |  SELECT DISTINCT from_address AS src, to_address AS dst
+         |  FROM transfers WHERE from_address <> to_address
+         |),
+         |r(a, b) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+         |),
+         |mut AS (
+         |  SELECT r1.a AS v, r1.b AS u
+         |  FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+         |),
+         |verts AS (
+         |  SELECT from_address AS v FROM transfers
+         |  UNION SELECT to_address FROM transfers
+         |)
+         |SELECT v.v, COALESCE(least(v.v, min(m.u)), v.v) AS scc_id
+         |FROM verts v LEFT JOIN mut m ON m.v = v.v
+         |GROUP BY v.v ORDER BY v.v""".stripMargin)),
+
     // Edge reciprocity of the transfer digraph (cheap circular-flow
     // statistic; integer per-mille).
     QEntry("q_reciprocity",

@@ -881,6 +881,127 @@ object Graph {
     * result is bit-reproducible at any partitioning. Cost: degrees are one
     * grouped count; moments are one join pass over edges keyed by vertex.
     * Returns one row: (n_vertices, n_edges, r). */
+  /** Strongly connected components by trim + forward-coloring + backward
+    * sweep (Orzan's coloring scheme — the standard distributed-SCC
+    * algorithm family; no Spark builtin exists). Returns `(v, scc_id)`
+    * with `scc_id` = the component's minimum vertex — a canonical labeling
+    * independent of the algorithm, which is exactly what the transitive-
+    * closure oracle recomputes.
+    *
+    * Per outer round:
+    *  1. TRIM: vertices missing an in- or out-edge among live edges are
+    *     singleton SCCs — peeled to fixpoint (dissolves all pure-DAG
+    *     regions, the classic FW-BW accelerant).
+    *  2. COLOR: forward min-label propagation to fixpoint;
+    *     color(v) = min vertex that reaches v (incl. v). For a root r
+    *     (color(r) = r), every v of color r that reaches r is mutually
+    *     reachable with r, and every vertex on such a return path also has
+    *     color r — so the class-restricted backward sweep is sound.
+    *  3. SWEEP: backward reachability from the roots along intra-color
+    *     edges; the reached set per root IS the root's SCC. Finalize,
+    *     remove, repeat.
+    *
+    * Every frame is [[LineageCut]]-bounded per round; convergence tests
+    * ride on [[LineageCut.cutCounted]] counts (no extra jobs, nothing
+    * collects). At cluster scale each round is a handful of key-partitioned
+    * semi-joins/aggregates over the live edge set — O(|E|) per round, and
+    * the live set only shrinks. Unconverged results throw loudly (a
+    * silent partial SCC labeling would mislabel merged components). */
+  def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 12,
+      maxProp: Int = 40, cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"))
+    var (live, nLive) = LineageCut.cutCounted(
+      raw.filter(col("src") =!= col("dst")).distinct(), cutMode)
+    // vertex universe keeps self-loop-only vertices: their SCC is themselves
+    var (verts, nVerts) = LineageCut.cutCounted(
+      raw.select(col("src").as("v"))
+        .unionByName(raw.select(col("dst").as("v"))).distinct(), cutMode)
+    val done = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var outer = 0
+    def restrictLive(): Unit = {
+      val (l, n) = LineageCut.cutCounted(
+        live.join(verts.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+          .join(verts.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst"), cutMode)
+      live = l; nLive = n
+    }
+    while (nVerts > 0 && outer < maxOuter) {
+      // ---- 1. trim to fixpoint
+      var trimming = true
+      while (trimming && nVerts > 0) {
+        val (keep, nKeep) = LineageCut.cutCounted(verts
+          .join(live.select(col("src").as("v")).distinct(), Seq("v"), "left_semi")
+          .join(live.select(col("dst").as("v")).distinct(), Seq("v"), "left_semi"),
+          cutMode)
+        if (nKeep == nVerts) trimming = false
+        else {
+          done += LineageCut.cut(verts.join(keep, Seq("v"), "left_anti")
+            .select(col("v"), col("v").as("scc_id")), cutMode)
+          verts = keep; nVerts = nKeep
+          restrictLive()
+        }
+      }
+      if (nVerts > 0) {
+        // ---- 2. forward min-label colors to fixpoint
+        var colors = LineageCut.cut(verts.withColumn("c", col("v")), cutMode)
+        var converged = false
+        var i = 0
+        while (!converged && i < maxProp) {
+          val nbrMin = live
+            .join(colors.select(col("v").as("src"), col("c")), Seq("src"))
+            .groupBy(col("dst").as("v")).agg(min(col("c")).as("nc"))
+          val upd = LineageCut.cut(colors.join(nbrMin, Seq("v"), "left")
+            .select(col("v"),
+              least(col("c"), coalesce(col("nc"), col("c"))).as("c"),
+              coalesce(col("nc") < col("c"), lit(false)).as("chg")), cutMode)
+          colors = upd.select("v", "c")
+          converged = upd.filter(col("chg")).isEmpty
+          i += 1
+        }
+        if (!converged) throw new IllegalStateException(
+          s"scc: forward coloring not converged after $maxProp rounds — " +
+            "reachability diameter exceeds maxProp; raise it")
+        // ---- 3. backward sweep from roots along intra-color edges
+        val intra = LineageCut.cut(live
+          .join(colors.select(col("v").as("src"), col("c").as("cs")), Seq("src"))
+          .join(colors.select(col("v").as("dst"), col("c").as("cd")), Seq("dst"))
+          .filter(col("cs") === col("cd"))
+          .select(col("src"), col("dst")), cutMode)
+        var (reached, nReached) = LineageCut.cutCounted(
+          colors.filter(col("c") === col("v")).select(col("v")), cutMode)
+        var growing = true
+        var j = 0
+        while (growing && j < maxProp) {
+          val preds = intra
+            .join(reached.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+            .select(col("src").as("v")).distinct()
+            .join(reached, Seq("v"), "left_anti")
+          val (r2, n2) = LineageCut.cutCounted(
+            reached.unionByName(preds), cutMode)
+          growing = n2 > nReached
+          reached = r2; nReached = n2
+          j += 1
+        }
+        if (growing) throw new IllegalStateException(
+          s"scc: backward sweep not converged after $maxProp rounds — " +
+            "an SCC's internal diameter exceeds maxProp; raise it")
+        done += LineageCut.cut(colors.join(reached, Seq("v"), "left_semi")
+          .select(col("v"), col("c").as("scc_id")), cutMode)
+        val (v2, n2) = LineageCut.cutCounted(
+          verts.join(reached, Seq("v"), "left_anti"), cutMode)
+        verts = v2; nVerts = n2
+        restrictLive()
+      }
+      outer += 1
+    }
+    if (nVerts > 0) throw new IllegalStateException(
+      s"scc: not converged after $maxOuter outer rounds — condensation " +
+        "chain deeper than maxOuter; raise it")
+    if (done.isEmpty)
+      verts.select(col("v"), col("v").as("scc_id")) // empty input, empty out
+    else done.reduceLeft(_ unionByName _)
+  }
+
   /** Edge reciprocity of the directed graph: how many distinct ordered
     * edges u→v are answered by v→u. A one-row summary — classic digraph
     * statistic (and the cheap precursor to the wash-trading screen: high

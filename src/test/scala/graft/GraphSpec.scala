@@ -395,4 +395,71 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(sq == Set((1L, 3L, 1L << 20, 2L), (2L, 4L, 1L << 20, 2L)))
   }
+
+  private def sccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.stronglyConnectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  /** Brute-force SCC labels via Floyd-Warshall-ish closure. */
+  private def sccBrute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val e = edges.filter(x => x._1 != x._2).toSet
+    var reach = e
+    var grew = true
+    while (grew) {
+      val next = reach ++ (for { (a, b) <- reach; (c, d) <- reach
+        if b == c } yield (a, d))
+      grew = next.size > reach.size
+      reach = next
+    }
+    vs.map(v => v -> (v +: vs.filter(u =>
+      reach((v, u)) && reach((u, v)))).min).toMap
+  }
+
+  test("scc: DAG chain is all singletons (trim alone resolves it)") {
+    val got = sccOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("scc: cycle is one component labeled by its min vertex") {
+    val got = sccOf(Seq((3L, 5L), (5L, 9L), (9L, 3L)))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+  }
+
+  test("scc: two cycles bridged by a DAG edge stay separate components") {
+    // cycle {1,2} → bridge 2→7 → cycle {7,8,9}; plus a self-loop-only
+    // vertex 42 (its own SCC) and a dangling sink 99
+    val got = sccOf(Seq((1L, 2L), (2L, 1L), (2L, 7L),
+      (7L, 8L), (8L, 9L), (9L, 7L), (42L, 42L), (9L, 99L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L,
+      42L -> 42L, 99L -> 99L))
+  }
+
+  test("scc: nested structure where coloring needs multiple outer rounds") {
+    // condensation chain of three 2-cycles: {1,2} → {3,4} → {5,6};
+    // trimming can't peel any of them, and vertex 1's color floods all six
+    // — rounds must re-color after each removal
+    val got = sccOf(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L),
+      (4L, 5L), (5L, 6L), (6L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("scc: random digraphs agree with the brute-force closure, at any " +
+    "partitioning") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val n = 14
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(sccOf(edges) == sccBrute(edges), s"trial $trial: $edges")
+    }
+    import spark.implicits._
+    val edges = Seq.fill(40)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+    val repart = Graph.stronglyConnectedComponents(
+      edges.toDF("src", "dst").repartition(7))
+      .as[(Long, Long)].collect().toMap
+    assert(repart == sccBrute(edges))
+  }
 }
