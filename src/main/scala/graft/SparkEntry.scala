@@ -5746,6 +5746,61 @@ object Catalog {
          |HAVING count(*) >= ${Forensics.FanoutMinRecipients}
          |ORDER BY 1, 2""".stripMargin))),
 
+    // Interpolated Kneser-Ney bigram LM table: absolute discount 3/4 to
+    // the continuation distribution, exact integer numerators (denominators
+    // cleared), one final division.
+    QEntry("q_kn_bigram", Clean.knBigrams, Some(withDocs(
+      s""", bgp AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM docs WHERE len(toks) >= 2
+         |),
+         |bg AS (
+         |  SELECT split_part(bigram, ' ', 1) AS w1,
+         |         split_part(bigram, ' ', 2) AS w2,
+         |         CAST(count(*) AS BIGINT) AS c12
+         |  FROM bgp GROUP BY 1, 2
+         |),
+         |lft AS (
+         |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |         CAST(count(*) AS BIGINT) AS n1fw
+         |  FROM bg GROUP BY 1
+         |),
+         |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1pr FROM bg GROUP BY 1),
+         |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bg)
+         |SELECT w1, w2, c12, c1, n1fw, n1pr, n_types,
+         |       round(CAST(greatest(4 * c12 - 3, 0) * CAST(n_types AS HUGEINT)
+         |               + 3 * CAST(n1fw AS HUGEINT) * n1pr AS DOUBLE)
+         |         / CAST(4 * CAST(c1 AS HUGEINT) * n_types AS DOUBLE), 6)
+         |         AS p_kn
+         |FROM bg JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN ty
+         |ORDER BY c12 DESC, w1, w2 LIMIT ${Clean.KnTopK}""".stripMargin))),
+
+    // STREAM-STREAM interval join (ticks within the preceding hour of each
+    // transfer), appended to a file sink; inner matches all emit under
+    // AvailableNow, so the oracle is the plain batch interval join.
+    QEntry("q_stream_interval_join",
+      graft.streaming.StreamingMetrics.streamIntervalJoin,
+      Some(
+      s"""WITH tk AS (
+         |  SELECT event_type AS c, value AS price, epoch_us(ts) AS us
+         |  FROM events WHERE event_id % 5 = 0
+         |),
+         |tx AS (
+         |  SELECT event_type AS c, value, epoch_us(ts) AS us
+         |  FROM events WHERE event_id % 5 <> 0
+         |)
+         |SELECT t.c AS contract_address,
+         |       (t.us // 3600000000) * 3600 AS t,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CAST(p.price AS DECIMAL(25,2))) AS DOUBLE)
+         |         AS tick_volume,
+         |       CAST(SUM(CAST(t.value AS DECIMAL(25,2))) AS DOUBLE)
+         |         AS tx_volume
+         |FROM tx t JOIN tk p ON p.c = t.c
+         |  AND p.us >= t.us - 3600000000 AND p.us <= t.us
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Strongly connected components of the transfer digraph (trim +
     // forward-coloring + backward sweep); canonical min-vertex labels, so
     // the closure oracle re-derives them algorithm-independently.

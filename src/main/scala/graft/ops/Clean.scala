@@ -311,6 +311,52 @@ object Clean {
     }.reduce(_ unionByName _).orderBy("vocab_size")
   }
 
+  /** Interpolated Kneser-Ney bigram table size. */
+  val KnTopK = 50
+
+  /** Interpolated Kneser-Ney smoothed bigram probabilities for the corpus's
+    * top-[[KnTopK]] bigrams — the textbook LM smoothing (absolute discount
+    * d = 3/4 to the continuation distribution), kept EXACT by clearing
+    * denominators: with integer counts c12, c1 (left-context count), n1fw
+    * (distinct followers of w1), n1pr (distinct predecessors of w2) and N
+    * (bigram types),
+    *   p_KN = max(c12−3/4, 0)/c1 + (3/4)·(n1fw/c1)·(n1pr/N)
+    *        = (max(4·c12−3, 0)·N + 3·n1fw·n1pr) / (4·c1·N)
+    * — one float division at the end of all-integer numerators. Cost: one
+    * bigram count (map-side combinable), two marginal aggregates over the
+    * bigram-type frame (tiny vs the corpus), one scalar N broadcast. */
+  def knBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = docs(spark, sfDir)
+      .filter(expr("size(toks) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = bg.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val right = bg.groupBy("w2").agg(count(lit(1)).as("n1pr"))
+    val types = bg.agg(count(lit(1)).as("n_types"))
+    bg.join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1fw"), col("n1pr"), col("n_types"),
+        // DECIMAL(38,0) intermediates: 4·c12·N overflows long at corpus
+        // scale (c12,N ~ 1e10+ on 100 TB)
+        round((greatest(lit(4L) * col("c12") - 3L, lit(0L))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("n_types")
+          + lit(3L).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("n1fw") * col("n1pr")).cast("double")
+          / (lit(4L).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("c1") * col("n_types")).cast("double"), 6)
+          .as("p_kn"))
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(KnTopK)
+  }
+
   def bigramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     val top = bigramTop(spark, sfDir).select("bigram")
     docs(spark, sfDir)

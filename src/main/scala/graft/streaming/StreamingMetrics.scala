@@ -408,4 +408,50 @@ object StreamingMetrics {
         col("dvol").cast("double").as("volume"), col("n"))
       .orderBy("t", "rnk")
   }
+
+  /** STREAM-STREAM interval join, catalog form: price ticks (every 5th
+    * event) joined to transfers (the rest) on token + "tick within the
+    * preceding hour of the transfer" via
+    * [[StreamJoins.transfersWithRecentPrices]] — both sides watermarked,
+    * state bounded by the interval horizon. The matched pairs stream
+    * append-mode into a parquet sink (AvailableNow); the per-(token, hour)
+    * pair rollup runs as a batch reporting query over the sink.
+    *
+    * Oracle contract: an INNER interval join emits every pair whose two
+    * sides coexist in a micro-batch (the watermark only EVICTS state, it
+    * never holds back inner matches), and AvailableNow over the static
+    * testdata delivers one batch — so the emitted set is exactly the batch
+    * interval join, which the DuckDB mirror states directly on epoch
+    * microseconds. */
+  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_ssj_sink").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
+    val ticks = graft.Tables.eventsStream(spark, sfDir)
+      .filter(col("event_id") % 5 === 0)
+      .select(col("event_type").as("p_contract"),
+        col("value").as("price"), col("ts_t").as("p_ts"))
+    val txs = graft.Tables.eventsStream(spark, sfDir)
+      .filter(col("event_id") % 5 =!= 0)
+      .select(col("event_type").as("contract_address"),
+        col("value"), col("ts_t").as("t_ts"))
+    val q = StreamJoins.transfersWithRecentPrices(txs, ticks, 3600L)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .groupBy(col("contract_address"),
+        (expr("unix_micros(t_ts) div 3600000000") * 3600)
+          .cast("long").as("t"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.ops.Num.dsum(col("price")).as("tick_volume"),
+        graft.ops.Num.dsum(col("value")).as("tx_volume"))
+      .orderBy("contract_address", "t")
+  }
 }

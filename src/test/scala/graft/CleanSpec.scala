@@ -373,4 +373,39 @@ class CleanSpec extends AnyFunSuite {
       .count()
     assert(mism === 0L)
   }
+
+  test("Kneser-Ney bigrams: counts re-derive, probabilities match the " +
+    "exact rational formula, and per-context mass never exceeds 1") {
+    val got = Clean.knBigrams(spark, sf).collect()
+    assert(got.length == Clean.KnTopK)
+    // re-derive all corpus bigram counts in plain Scala
+    val toks = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+      .filter(_ != null).map(_.trim.split("\\s+").toSeq).filter(_.size >= 2)
+    val bg = toks.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bg.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val n1pr = bg.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = bg.size.toLong
+    got.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("c12") == bg((w1, w2)))
+      assert(r.getAs[Long]("c1") == c1(w1)._1)
+      assert(r.getAs[Long]("n1fw") == c1(w1)._2)
+      assert(r.getAs[Long]("n1pr") == n1pr(w2))
+      assert(r.getAs[Long]("n_types") == nTypes)
+      val num = BigDecimal((4 * bg((w1, w2)) - 3).max(0)) * BigDecimal(nTypes) +
+        BigDecimal(3) * BigDecimal(c1(w1)._2) * BigDecimal(n1pr(w2))
+      val expect = (num / (BigDecimal(4) * BigDecimal(c1(w1)._1) *
+        BigDecimal(nTypes))).toDouble
+      assert(math.abs(r.getAs[Double]("p_kn") - expect) < 2e-6, s"$w1 $w2")
+      assert(r.getAs[Double]("p_kn") > 0.0 && r.getAs[Double]("p_kn") <= 1.0)
+    }
+    // smoothed mass of the LISTED bigrams for one context stays <= 1
+    val byCtx = got.groupBy(_.getString(0))
+    byCtx.foreach { case (w1, rows) =>
+      assert(rows.map(_.getAs[Double]("p_kn")).sum <= 1.0 + 1e-6, w1)
+    }
+  }
 }

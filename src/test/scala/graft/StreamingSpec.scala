@@ -402,6 +402,29 @@ class StreamingSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("ts_sec")).as[Long].head() - 600L
     assert(t.forall(_._1 + 3600L <= horizon + 1))
   }
+
+  test("stream-stream interval join catalog form equals its batch twin") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.StreamingMetrics
+      .streamIntervalJoin(spark, GraftSpark.Sf)
+    val ev = Tables.events(spark, GraftSpark.Sf)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts div 1000").as("us"))
+    val tk = ev.filter(col("event_id") % 5 === 0)
+      .select(col("event_type").as("c"), col("value").as("price"), col("us").as("pus"))
+    val tx = ev.filter(col("event_id") % 5 =!= 0)
+      .select(col("event_type").as("c"), col("value"), col("us").as("tus"))
+    val batch = tx.join(tk,
+        tk("c") === tx("c") && col("pus") >= col("tus") - 3600000000L &&
+          col("pus") <= col("tus"))
+      .groupBy(tx("c").as("contract_address"),
+        (expr("tus div 3600000000") * 3600).cast("long").as("t"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.ops.Num.dsum(col("price")).as("tick_volume"),
+        graft.ops.Num.dsum(col("value")).as("tx_volume"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
 }
 
 /** Minimal in-memory GroupState for unit-testing fold functions. */
