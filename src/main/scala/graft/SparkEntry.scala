@@ -5746,6 +5746,76 @@ object Catalog {
          |HAVING count(*) >= ${Forensics.FanoutMinRecipients}
          |ORDER BY 1, 2""".stripMargin))),
 
+    // Seeded-noise count release (DP pipeline shape, deterministic
+    // stand-in noise — see Privacy.noiseRelease's caveat).
+    QEntry("q_noise_release", Privacy.noiseRelease, Some(withTransfers(
+      s""", cells AS (
+         |  SELECT contract_address, ${dayBucket("transact_at")} AS d,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM transfers GROUP BY 1, 2
+         |)
+         |SELECT contract_address, d, n,
+         |       ${hexBucketDuck(
+              "md5(contract_address || '|' || CAST(d AS VARCHAR) || '|rel')")}
+         |         % 7 - 3 AS noise,
+         |       greatest(n + ${hexBucketDuck(
+              "md5(contract_address || '|' || CAST(d AS VARCHAR) || '|rel')")}
+         |         % 7 - 3, 0) AS released
+         |FROM cells ORDER BY 1, 2""".stripMargin))),
+
+    // Per-source χ² drift terms vs the corpus length distribution —
+    // exact integer numerators, per-bucket rows (no float sum).
+    QEntry("q_source_chi2", Profile.sourceChi2, Some(
+      s"""WITH d AS (
+         |  SELECT source,
+         |         least(n_chars // ${Profile.Chi2BucketChars},
+         |               ${Profile.Chi2Buckets - 1}) AS bucket
+         |  FROM documents
+         |),
+         |cell AS (
+         |  SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
+         |  FROM d GROUP BY 1, 2
+         |),
+         |marg AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS nb FROM d GROUP BY 1
+         |),
+         |srcn AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS ns FROM d GROUP BY 1
+         |),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM d)
+         |SELECT s.source, m.bucket, COALESCE(c.o, 0) AS o, s.ns, m.nb, t.nt,
+         |       round(CAST(
+         |           (COALESCE(c.o, 0) * CAST(t.nt AS HUGEINT) - s.ns * CAST(m.nb AS HUGEINT))
+         |         * (COALESCE(c.o, 0) * CAST(t.nt AS HUGEINT) - s.ns * CAST(m.nb AS HUGEINT))
+         |         AS DOUBLE)
+         |         / CAST(s.ns * CAST(m.nb AS HUGEINT) * t.nt AS DOUBLE), 6)
+         |         AS chi2_term
+         |FROM srcn s CROSS JOIN marg m
+         |LEFT JOIN cell c ON c.source = s.source AND c.bucket = m.bucket
+         |CROSS JOIN tot t
+         |ORDER BY 1, 2""".stripMargin)),
+
+    // UNPIVOT / melt (inverse of the pivot family): per-token metric
+    // summary in long form.
+    QEntry("q_unpivot", Relational.tokenMetricsLong, Some(withTransfers(
+      s""", wide AS (
+         |  SELECT contract_address,
+         |         CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE)
+         |           AS volume,
+         |         CAST(count(*) AS DOUBLE) AS n_tx,
+         |         CAST(count(DISTINCT from_address) AS DOUBLE) AS n_senders
+         |  FROM transfers GROUP BY 1
+         |)
+         |SELECT contract_address, metric, value FROM (
+         |  SELECT contract_address, 'volume' AS metric, volume AS value
+         |  FROM wide
+         |  UNION ALL
+         |  SELECT contract_address, 'n_tx', n_tx FROM wide
+         |  UNION ALL
+         |  SELECT contract_address, 'n_senders', n_senders FROM wide
+         |)
+         |ORDER BY 1, 2""".stripMargin))),
+
     // Interpolated Kneser-Ney bigram LM table: absolute discount 3/4 to
     // the continuation distribution, exact integer numerators (denominators
     // cleared), one final division.

@@ -137,4 +137,33 @@ object Privacy {
           .as("publishable"))
       .orderBy("nation", "segment")
   }
+
+  /** Noise bound of [[noiseRelease]]: additive integer noise in [-3, 3]. */
+  val NoiseHalfWidth = 3L
+
+  /** Seeded-noise count release — the differential-privacy release
+    * pipeline SHAPE (per-cell histogram, additive integer noise, clamp at
+    * zero) with DETERMINISTIC stand-in noise derived from the md5 of the
+    * cell key. This is NOT differential privacy (DP requires calibrated
+    * random noise; a keyed PRF of the cell name is obfuscation at best) —
+    * it exists so the distributed mechanics are real and testable: one
+    * map-side-combinable aggregate over (token, day), noise applied inside
+    * the same projection, no second pass, nothing driver-side. Swapping
+    * the hash for a Laplace sampler is a one-expression change.
+    *
+    * Released cells keep the true count beside the noisy one because the
+    * oracle gate needs both; a production release would drop `n`. */
+  def noiseRelease(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = 2 * NoiseHalfWidth + 1
+    Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"),
+        Num.dayBucket(col("transact_at")).cast("long").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise",
+        expr("CAST(conv(substr(md5(concat(contract_address, '|', " +
+          s"CAST(d AS STRING), '|rel')), 1, 2), 16, 10) AS BIGINT) % $w") -
+          NoiseHalfWidth)
+      .withColumn("released", greatest(col("n") + col("noise"), lit(0L)))
+      .orderBy("contract_address", "d")
+  }
 }

@@ -300,4 +300,44 @@ object Profile {
       .withColumn("delta", col("mean_without") - col("mean_all"))
       .orderBy("source")
   }
+
+  /** Length-bucket width / count for [[sourceChi2]]. */
+  val Chi2BucketChars = 500L
+  val Chi2Buckets = 10L
+
+  /** Per-source χ² drift contributions against the corpus length
+    * distribution: documents bucket by ⌊n_chars/500⌋ (capped at 10
+    * buckets), expected counts are the corpus marginal scaled to the
+    * source size, and each (source, bucket) row carries its χ² term
+    *   (O·N − n_s·N_b)² / (n_s·N_b·N)
+    * — exact integer numerator/denominator, one division, rounded 6. Rows
+    * stay per-bucket instead of summing (a float sum would be
+    * order-dependent, and the per-bucket view is the actionable one: it
+    * names WHICH length band drifted). Buckets a source never hits still
+    * appear (O = 0 ⇒ term n_s·N_b/N), via a source × corpus-bucket grid —
+    * 5×10 rows, broadcast-joined, nothing quadratic in documents. */
+  def sourceChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        expr(s"least(n_chars div $Chi2BucketChars, ${Chi2Buckets - 1})")
+          .cast("long").as("bucket"))
+    val cell = d.groupBy("source", "bucket").agg(count(lit(1)).as("o"))
+    val marg = d.groupBy("bucket").agg(count(lit(1)).as("nb"))
+    val srcN = d.groupBy("source").agg(count(lit(1)).as("ns"))
+    val total = d.agg(count(lit(1)).as("nt"))
+    srcN.crossJoin(broadcast(marg))
+      .join(cell, Seq("source", "bucket"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("bucket"),
+        coalesce(col("o"), lit(0L)).as("o"), col("ns"), col("nb"), col("nt"),
+        round((
+          (coalesce(col("o"), lit(0L)).cast(dec) * col("nt").cast(dec)
+            - col("ns").cast(dec) * col("nb").cast(dec))
+          * (coalesce(col("o"), lit(0L)).cast(dec) * col("nt").cast(dec)
+            - col("ns").cast(dec) * col("nb").cast(dec))).cast("double")
+          / (col("ns").cast(dec) * col("nb").cast(dec)
+            * col("nt").cast(dec)).cast("double"), 6).as("chi2_term"))
+      .orderBy("source", "bucket")
+  }
 }

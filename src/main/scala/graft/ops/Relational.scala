@@ -394,4 +394,23 @@ object Relational {
         max(col("tot")).as("total_weight"))
       .orderBy("l_returnflag")
   }
+
+  /** UNPIVOT (wide→long melt — `Dataset.unpivot`, the inverse of the A6
+    * pivot family): the per-token metric summary turned into
+    * (token, metric, value) rows, the shape metric stores and plotting
+    * layers ingest. Unpivot is a zero-shuffle projection (each input row
+    * explodes to its measure count locally); the only shuffle is the
+    * upstream aggregate's. */
+  def tokenMetricsLong(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.transfers(spark, sfDir)
+      .groupBy("contract_address")
+      .agg(Num.dsum(col("value")).as("volume"),
+        count(lit(1)).cast("double").as("n_tx"),
+        countDistinct(col("from_address")).cast("double").as("n_senders"))
+    wide.unpivot(
+        Array(col("contract_address")),
+        Array(col("volume"), col("n_tx"), col("n_senders")),
+        "metric", "value")
+      .orderBy("contract_address", "metric")
+  }
 }

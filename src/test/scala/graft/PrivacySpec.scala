@@ -77,4 +77,39 @@ class PrivacySpec extends AnyFunSuite {
     val resSum = residual.headOption.map(_.getAs[Long]("n_rows")).getOrElse(0L)
     assert(resSum == smallSum)
   }
+
+  test("noise release: bounded noise, non-negative clamp, exact counts") {
+    val rows = Privacy.noiseRelease(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, noise, rel) = (r.getAs[Long]("n"), r.getAs[Long]("noise"),
+        r.getAs[Long]("released"))
+      assert(noise >= -Privacy.NoiseHalfWidth && noise <= Privacy.NoiseHalfWidth)
+      assert(rel == math.max(n + noise, 0L))
+    }
+    // underlying histogram is the true per-(token, day) count
+    val expect = Tables.transfers(spark, sf)
+      .groupBy(col("contract_address"),
+        graft.ops.Num.dayBucket(col("transact_at")).cast("long").as("d"))
+      .count().collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.map(r => ((r.getString(0), r.getLong(1)),
+      r.getAs[Long]("n"))).toMap == expect)
+  }
+
+  test("source chi2: marginals conserve, terms non-negative, grid complete") {
+    val rows = graft.ops.Profile.sourceChi2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nt = rows.head.getAs[Long]("nt")
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0.0))
+    // per-source observed counts sum to the source size
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("o")).sum == rs.head.getAs[Long]("ns"), src)
+      // every source covers the full corpus bucket grid
+      assert(rs.map(_.getAs[Long]("bucket")).distinct.length == rs.length, src)
+    }
+    // bucket marginals sum to the corpus total (once per source)
+    val oneSrc = rows.filter(_.getString(0) == rows.head.getString(0))
+    assert(oneSrc.map(_.getAs[Long]("nb")).sum == nt)
+  }
 }
