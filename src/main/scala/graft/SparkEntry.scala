@@ -3299,8 +3299,11 @@ object Catalog {
       (s, d) => Wallet.transferKCore(s, d),
       Some {
         val k = 3
+        // MATERIALIZED rounds: each references its predecessor twice, so
+        // inlined evaluation doubles per round (2^8 base-CTE scans — fd
+        // pressure and exponential work in DuckDB)
         val rounds = (1 to 8).map { i =>
-          s"""a$i AS (
+          s"""a$i AS MATERIALIZED (
              |  SELECT e.src AS v FROM e0 e
              |  JOIN a${i - 1} s ON e.src = s.v
              |  JOIN a${i - 1} d ON e.dst = d.v
@@ -3308,14 +3311,14 @@ object Catalog {
              |)""".stripMargin
         }.mkString(",\n")
         withTransfers(
-          s""", e0 AS (
+          s""", e0 AS MATERIALIZED (
              |  SELECT DISTINCT src, dst FROM (
              |    SELECT from_address AS src, to_address AS dst FROM transfers
              |    UNION ALL
              |    SELECT to_address, from_address FROM transfers
              |  ) u WHERE src != dst
              |),
-             |a0 AS (SELECT DISTINCT src AS v FROM e0),
+             |a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e0),
              |$rounds
              |SELECT e.src AS v, CAST(count(*) AS BIGINT) AS core_degree
              |FROM e0 e
@@ -5745,6 +5748,77 @@ object Catalog {
          |GROUP BY 1, 2
          |HAVING count(*) >= ${Forensics.FanoutMinRecipients}
          |ORDER BY 1, 2""".stripMargin))),
+
+    // Temporal 2-path motif: A→B then B→C within the hour, grouped by the
+    // relay wallet (layering/pass-through screen).
+    QEntry("q_relay_chains", Forensics.relayChains, Some(withTransfers(
+      s""", inn AS (
+         |  SELECT from_address AS a, to_address AS b, block_number AS b1,
+         |         value AS v1, transact_at AS t1
+         |  FROM transfers
+         |),
+         |outt AS (
+         |  SELECT from_address AS b, to_address AS c, block_number AS b2,
+         |         value AS v2, transact_at AS t2
+         |  FROM transfers
+         |)
+         |SELECT i.b AS relay_wallet,
+         |       CAST(count(*) AS BIGINT) AS n_chains,
+         |       CAST(count(DISTINCT i.a || '|' || o.c) AS BIGINT)
+         |         AS n_endpoint_pairs,
+         |       CAST(SUM(CAST(least(i.v1, o.v2) AS DECIMAL(25,2)))
+         |         AS DOUBLE) AS relayed_value
+         |FROM inn i JOIN outt o ON i.b = o.b
+         |WHERE o.b2 > i.b1 AND o.t2 >= i.t1
+         |  AND o.t2 <= i.t1 + ${Forensics.RelayWindowSec}
+         |  AND i.a <> o.c
+         |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Per-vertex core numbers (tiers 1..4): nested k-core peeling; the
+    // oracle unrolls each tier's 8 peel rounds.
+    QEntry("q_coreness",
+      (s, d) => Graph.coreness(
+        graft.Tables.transfers(s, d)
+          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
+            org.apache.spark.sql.functions.col("to_address").as("dst"))),
+      Some {
+        // every round CTE is MATERIALIZED: each round references its
+        // predecessor twice, so inlined evaluation would double per round
+        // (2^24 scans — fd exhaustion and exponential time in DuckDB)
+        def chain(pfx: String, k: Int): String = {
+          val rounds = (1 to Graph.CorenessPeelRounds).map { i =>
+            s"""$pfx$i AS MATERIALIZED (
+               |  SELECT e.src AS v FROM e0 e
+               |  JOIN $pfx${i - 1} s ON e.src = s.v
+               |  JOIN $pfx${i - 1} d ON e.dst = d.v
+               |  GROUP BY 1 HAVING count(*) >= $k
+               |)""".stripMargin
+          }.mkString(",\n")
+          s"${pfx}0 AS MATERIALIZED (SELECT v FROM a0),\n$rounds"
+        }
+        withTransfers(
+          s""", e0 AS MATERIALIZED (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT from_address AS src, to_address AS dst FROM transfers
+             |    UNION ALL
+             |    SELECT to_address, from_address FROM transfers
+             |  ) u WHERE src != dst
+             |),
+             |a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e0),
+             |${chain("b", 2)},
+             |${chain("c", 3)},
+             |${chain("d", 4)}
+             |SELECT a0.v,
+             |       CAST(1 + (CASE WHEN bf.v IS NOT NULL THEN 1 ELSE 0 END)
+             |              + (CASE WHEN cf.v IS NOT NULL THEN 1 ELSE 0 END)
+             |              + (CASE WHEN df.v IS NOT NULL THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS coreness
+             |FROM a0
+             |LEFT JOIN b${Graph.CorenessPeelRounds} bf ON bf.v = a0.v
+             |LEFT JOIN c${Graph.CorenessPeelRounds} cf ON cf.v = a0.v
+             |LEFT JOIN d${Graph.CorenessPeelRounds} df ON df.v = a0.v
+             |ORDER BY a0.v""".stripMargin)
+      }),
 
     // Seeded-noise count release (DP pipeline shape, deterministic
     // stand-in noise — see Privacy.noiseRelease's caveat).

@@ -91,6 +91,40 @@ object Forensics {
     * dormant; its next activity is a reactivation. */
   val DormantSec = 604800L
 
+  /** Second hop of a relay chain must land within this window. */
+  val RelayWindowSec = 3600L
+
+  /** Relay-chain screen (the temporal 2-path motif): A→B followed within
+    * [[RelayWindowSec]] by B→C with A≠C — the layering pattern
+    * pass-through mixers and peel chains leave. Grouped by the RELAY
+    * wallet B: chains through it, distinct (A, C) endpoint pairs, and the
+    * relayed value (the smaller hop — what provably moved through).
+    *
+    * The self-join keys on the relay wallet (in-leg `to` = out-leg
+    * `from`); the time window bounds per-wallet fan-out, and strict
+    * block order orients each chain once. Tokens may differ across hops
+    * (mixers swap tokens mid-chain). */
+  def relayChains(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir).select(
+      col("from_address"), col("to_address"), col("block_number"),
+      col("value"), col("transact_at"))
+    val in = t.select(col("from_address").as("a"), col("to_address").as("b"),
+      col("block_number").as("b1"), col("value").as("v1"),
+      col("transact_at").as("t1"))
+    val out = t.select(col("from_address").as("b"), col("to_address").as("c"),
+      col("block_number").as("b2"), col("value").as("v2"),
+      col("transact_at").as("t2"))
+    in.join(out, Seq("b"))
+      .filter(col("b2") > col("b1") &&
+        col("t2") >= col("t1") && col("t2") <= col("t1") + RelayWindowSec &&
+        col("a") =!= col("c"))
+      .groupBy(col("b").as("relay_wallet"))
+      .agg(count(lit(1)).as("n_chains"),
+        countDistinct(col("a"), col("c")).as("n_endpoint_pairs"),
+        Num.dsum(least(col("v1"), col("v2"))).as("relayed_value"))
+      .orderBy("relay_wallet")
+  }
+
   /** Dormancy / reactivation summary: per token, the distribution of gaps
     * between consecutive activities of the same wallet — total gap pairs,
     * reactivations (gap > [[DormantSec]]), the longest sleep, and the mean

@@ -218,6 +218,43 @@ object Graph {
     } finally sym.unpersist()
   }
 
+  /** Highest core tier [[coreness]] resolves exactly. */
+  val CorenessMax = 4
+
+  /** Peel-round bound per tier in [[coreness]] (and its oracle's unroll
+    * count). Low tiers cascade long chains — k=2 peeling removes a path
+    * one END per round — so this is deliberately higher than [[kCore]]'s
+    * default. */
+  val CorenessPeelRounds = 24
+
+  /** Per-vertex core numbers up to [[CorenessMax]]: coreness(v) = the
+    * largest k for which v survives k-core peeling (1 for any vertex with
+    * a non-loop edge). Computed as nested [[kCore]] runs for k =
+    * 2..[[CorenessMax]] — cores are nested (the (k+1)-core lives inside
+    * the k-core), so the max surviving tier is a sum of membership flags.
+    * Vertices at tier [[CorenessMax]] may have higher true coreness; the
+    * cap is the oracle contract (the DuckDB mirror unrolls the same
+    * tiers). Three bounded peeling loops over a shrinking edge set — at
+    * cluster scale the same O(|E|)-per-round profile as one k-core. */
+  def coreness(edges: DataFrame,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val base = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val verts = base.select(col("src").as("v"))
+      .unionByName(base.select(col("dst").as("v"))).distinct()
+    val tiers = (2 to CorenessMax).map(k =>
+      kCore(edges, k, maxIter = CorenessPeelRounds, cutMode = cutMode)
+        .select(col("v")).withColumn(s"in$k", lit(1L)))
+    tiers.foldLeft(verts.withColumn("coreness", lit(1L))) { (acc, t) =>
+        val kcol = t.columns.last
+        acc.join(t, Seq("v"), "left")
+          .withColumn("coreness",
+            col("coreness") + coalesce(col(kcol), lit(0L)))
+          .drop(kcol)
+      }
+      .orderBy("v")
+  }
+
   /** Per-vertex triangle counts by the ordered-join formulation: orient
     * every undirected edge small→large, join wedges (a<b, b<c) with closing
     * edges (a<c), credit each triangle to its three corners. Ordering makes

@@ -51,6 +51,25 @@ class ForensicsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("relay chains: per-relay counts match the pairwise re-derivation") {
+    val got = graft.ops.Forensics.relayChains(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getAs[Long]("n_chains"),
+        r.getAs[Long]("n_endpoint_pairs")))).toMap
+    val w = graft.ops.Forensics.RelayWindowSec
+    val chains = for {
+      i <- transfers
+      o <- transfers
+      if i._3 == o._2 // relay: in-leg to == out-leg from
+      if o._4 > i._4 && o._6 >= i._6 && o._6 <= i._6 + w && i._2 != o._3
+    } yield (i._3, i._2, o._3)
+    val expect = chains.groupBy(_._1).view.mapValues(cs =>
+      (cs.length.toLong, cs.map(c => (c._2, c._3)).distinct.length.toLong))
+      .toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("new vs returning: per-token news sum to the distinct wallet count; " +
     "new + returning covers every active wallet-hour") {
     val got = graft.ops.Forensics.newVsReturning(spark, GraftSpark.Sf)

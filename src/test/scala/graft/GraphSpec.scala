@@ -418,6 +418,16 @@ class GraphSpec extends AnyFunSuite {
       reach((v, u)) && reach((u, v)))).min).toMap
   }
 
+  test("coreness: K4 is 3, attached cycle is 2, tail is 1") {
+    import spark.implicits._
+    // K4 on 1-4; cycle 4-5-6-4 shares vertex 4; tail 6-7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L), (6L, 7L)).toDF("src", "dst")
+    val got = Graph.coreness(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 7L -> 1L))
+  }
+
   test("scc: DAG chain is all singletons (trim alone resolves it)") {
     val got = sccOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
