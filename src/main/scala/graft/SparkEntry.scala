@@ -4924,6 +4924,67 @@ object Catalog {
          |  JOIN norms nb ON nb.vec_id = d.vec_b
          |) WHERE c >= 0.05 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // k-NN graph build over LSH-bucket collisions, per-vector top-3 via
+    // the bounded TopK aggregator (same candidate generation as
+    // q_embedding_neardup, rank instead of threshold).
+    QEntry("q_knn_graph", (s, d) => Similarity.knnGraph(s, d), Some(
+      s"""WITH $embIdxCte,
+         |norms AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM idx GROUP BY 1
+         |),
+         |planes AS (
+         |  SELECT p.p, i.i,
+         |         CAST(strpos('0123456789abcdef',
+         |           substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)),
+         |                  1, 1)) - 1 AS DOUBLE) - 7.5 AS c
+         |  FROM (SELECT unnest(range(${Similarity.NumPlanes})) AS p) p,
+         |       (SELECT unnest(range(64)) AS i) i
+         |),
+         |buckets AS (
+         |  SELECT vec_id,
+         |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+         |           AS bucket
+         |  FROM (
+         |    SELECT idx.vec_id, planes.p,
+         |           SUM(CAST(idx.x * planes.c AS DECIMAL(38,18))) AS s
+         |    FROM idx JOIN planes ON planes.i = idx.i
+         |    GROUP BY 1, 2
+         |  ) GROUP BY vec_id
+         |),
+         |cands AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM buckets a JOIN buckets b
+         |    ON substr(a.bucket, 1, ${Similarity.MultiProbeBits})
+         |       = substr(b.bucket, 1, ${Similarity.MultiProbeBits})
+         |   AND a.vec_id <> b.vec_id
+         |),
+         |dots AS (
+         |  SELECT c.vec_a, c.vec_b,
+         |         CAST(SUM(CAST(qa.x * qb.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM cands c
+         |  JOIN idx qa ON qa.vec_id = c.vec_a
+         |  JOIN idx qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
+         |  GROUP BY 1, 2
+         |),
+         |sc AS (
+         |  SELECT d.vec_a, d.vec_b,
+         |         d.dot / (sqrt(na.sq) * sqrt(nb.sq)) AS c
+         |  FROM dots d
+         |  JOIN norms na ON na.vec_id = d.vec_a
+         |  JOIN norms nb ON nb.vec_id = d.vec_b
+         |)
+         |SELECT vec_a AS vec_id, CAST(rnk AS BIGINT) AS rnk,
+         |       vec_b AS neighbor_id, round(c, 6) AS cosine
+         |FROM (
+         |  SELECT vec_a, vec_b, c,
+         |         row_number() OVER (PARTITION BY vec_a
+         |           ORDER BY c DESC, vec_b ASC) AS rnk
+         |  FROM sc
+         |)
+         |WHERE rnk <= ${Similarity.KnnK}
+         |ORDER BY vec_id, rnk""".stripMargin)),
+
     // Per-dimension z-score standardization from exact decimal moments.
     // Catalog form explodes the z array to (vec_id, i, z) rows: rounded
     // doubles are comparator-safe, a double array is not, and printf-style

@@ -369,6 +369,50 @@ object Similarity {
       .join(cachedBase(spark, sfDir), Seq("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Neighbors per vector in [[knnGraph]]. */
+  val KnnK = 3
+
+  /** k-NN GRAPH over the whole corpus (the index build feeding HNSW-style
+    * search layers, graph-based SemDeDup, and manifold methods): each
+    * vector's top-[[KnnK]] cosine neighbors among its collisions under
+    * the [[MultiProbeBits]]-bit LSH code (the OCCUPIED-bucket code length
+    * — the full 16-bit table is near-singleton at test density, which is
+    * the same observation that motivated multi-probe), BOTH directions of
+    * every collision pair. The per-vector rank runs through the bounded
+    * [[graft.functions.TopKAggregator]] — ≤K rows per vector leave each
+    * partition before the shuffle, so the candidate set never globally
+    * sorts (the row_number formulation would shuffle every collision).
+    * Vectors whose code-bucket is a singleton emit nothing — the
+    * approximation contract, measured by q_ann_recall's certificate
+    * machinery. */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val agg = new TopKAggregator(KnnK).toColumn
+    val wv = bucketedVectors(spark, sfDir)
+      .withColumn("code", substring(col("bucket"), 1, MultiProbeBits))
+    val l = wv.select(col("code"), col("vec_id").as("vec_a"),
+      col("v").as("qv"), col("sq").as("qsq"))
+    val r = wv.select(col("code"), col("vec_id").as("vec_b"),
+      col("v"), col("sq"))
+    l.join(r, Seq("code"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cosine",
+        col("dot") / (sqrt(col("qsq")) * sqrt(col("sq"))))
+      .select(col("vec_a"), col("vec_b").as("id"), col("cosine").as("score"))
+      .as[(Long, Long, Double)]
+      .map { case (a, id, s) => (a, Scored(id, s)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .toDF("vec_id", "topk")
+      .select(col("vec_id"), posexplode(col("topk")).as(Seq("pos", "n")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("cosine"))
+      .orderBy("vec_id", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from shared LSH
     * buckets (equi-join — work ∝ collisions), exact cosine refine at the
     * threshold. The dedup-flavored counterpart of [[bucketedTopK]]. */

@@ -214,4 +214,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(firsts.size.toLong == hit)
     assert(ppm == firsts.map(1000000L / _).sum / n)
   }
+
+  test("knn graph: ranked per vector, no self edges, cosine monotone, " +
+    "neighbors share the 8-bit LSH code") {
+    import org.apache.spark.sql.functions._
+    val g = graft.ops.Similarity.knnGraph(spark, GraftSpark.Sf).collect()
+    assert(g.nonEmpty)
+    val byV = g.groupBy(_.getLong(0))
+    byV.foreach { case (v, rows) =>
+      val ranked = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(ranked.length <= graft.ops.Similarity.KnnK)
+      assert(ranked.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to ranked.length).toSeq, v)
+      assert(ranked.forall(_.getAs[Long]("neighbor_id") != v))
+      val cs = ranked.map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b }, v)
+    }
+    val codes = graft.ops.Similarity.hyperplaneBuckets(spark, GraftSpark.Sf)
+      .select(col("vec_id"),
+        substring(col("bucket"), 1, graft.ops.Similarity.MultiProbeBits)
+          .as("code"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    g.foreach(r => assert(
+      codes(r.getLong(0)) == codes(r.getAs[Long]("neighbor_id"))))
+  }
 }
