@@ -5810,6 +5810,86 @@ object Catalog {
          |HAVING count(*) >= ${Forensics.FanoutMinRecipients}
          |ORDER BY 1, 2""".stripMargin))),
 
+    // Modularity certificate of the LPA communities: exact integer
+    // (4·m·e_c − d_c²)/(4·m²) per community, one division each.
+    QEntry("q_modularity",
+      (s, d) => Wallet.communityModularity(s, d),
+      Some(withTransfers(
+      s""", ${lpaCtes(3)},
+         |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+         |        FROM lpe),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+         |deg AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+         |  ) u GROUP BY 1
+         |),
+         |lab AS (SELECT id, label FROM lp3),
+         |dc AS (
+         |  SELECT l.label, CAST(count(*) AS BIGINT) AS n_vertices,
+         |         CAST(SUM(d.d) AS BIGINT) AS d_c
+         |  FROM lab l JOIN deg d ON d.v = l.id GROUP BY 1
+         |),
+         |ec AS (
+         |  SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM und u
+         |  JOIN lab la ON la.id = u.a
+         |  JOIN lab lb ON lb.id = u.b AND lb.label = la.label
+         |  GROUP BY 1
+         |)
+         |SELECT d.label AS community, d.n_vertices,
+         |       COALESCE(e.e_in, 0) AS e_in, d.d_c, mm.m,
+         |       round(CAST(4 * CAST(mm.m AS HUGEINT) * COALESCE(e.e_in, 0)
+         |               - CAST(d.d_c AS HUGEINT) * d.d_c AS DOUBLE)
+         |         / CAST(4 * CAST(mm.m AS HUGEINT) * mm.m AS DOUBLE), 6)
+         |         AS q_term
+         |FROM dc d LEFT JOIN ec e USING (label) CROSS JOIN mm
+         |ORDER BY 1""".stripMargin))),
+
+    // Robust outlier summary: lower-median / MAD in exact integer cents
+    // (order statistics, no interpolation), outliers beyond 3·MAD.
+    QEntry("q_mad_outliers", Metrics.madOutliers, Some(withTransfers(
+      s""", hourly AS (
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |         CAST(SUM(CAST(value AS DECIMAL(25,2))) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |rk AS (
+         |  SELECT contract_address, t, cents,
+         |         row_number() OVER (PARTITION BY contract_address
+         |           ORDER BY cents, t) AS rn,
+         |         count(*) OVER (PARTITION BY contract_address) AS n
+         |  FROM hourly
+         |),
+         |med AS (
+         |  SELECT contract_address, cents AS med
+         |  FROM rk WHERE rn = (n + 1) // 2
+         |),
+         |dev AS (
+         |  SELECT h.contract_address, h.t, h.cents, m.med,
+         |         abs(h.cents - m.med) AS dev
+         |  FROM hourly h JOIN med m USING (contract_address)
+         |),
+         |rk2 AS (
+         |  SELECT contract_address, dev,
+         |         row_number() OVER (PARTITION BY contract_address
+         |           ORDER BY dev, t) AS rn,
+         |         count(*) OVER (PARTITION BY contract_address) AS n
+         |  FROM dev
+         |),
+         |mad AS (
+         |  SELECT contract_address, dev AS mad
+         |  FROM rk2 WHERE rn = (n + 1) // 2
+         |)
+         |SELECT d.contract_address, CAST(count(*) AS BIGINT) AS n_hours,
+         |       CAST(min(d.med) AS BIGINT) AS median_cents,
+         |       CAST(min(md.mad) AS BIGINT) AS mad_cents,
+         |       CAST(SUM(CASE WHEN d.dev > ${Metrics.MadK} * md.mad
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dev d JOIN mad md USING (contract_address)
+         |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
     // Temporal 2-path motif: A→B then B→C within the hour, grouped by the
     // relay wallet (layering/pass-through screen).
     QEntry("q_relay_chains", Forensics.relayChains, Some(withTransfers(

@@ -522,6 +522,46 @@ object Metrics {
       .orderBy("contract_address")
   }
 
+  /** MAD outlier multiplier in [[madOutliers]]. */
+  val MadK = 3L
+
+  /** Robust outlier summary per token: the median / MAD twin of
+    * q_volume_anomalies' z-scores (median-based stats ignore the outliers
+    * they hunt — the robust-statistics doctrine). Hourly volume in exact
+    * integer cents; "median" is the LOWER median (the ⌈n/2⌉-th smallest
+    * counting duplicates — an order statistic both engines state
+    * identically, no interpolation), MAD the lower median of |x − med|,
+    * outliers the hours with |x − med| > [[MadK]]·MAD. The rank windows
+    * partition by token over HOURLY rows (≤ hours-per-month each), never
+    * over transfers. */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"),
+        Num.hourBucket(col("transact_at")).cast("long").as("t"))
+      .agg((Num.dsumDec(col("value")) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("contract_address")
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame =
+      df.withColumn("rn",
+          row_number().over(w.orderBy(col(valueCol).asc, col("t").asc)))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("contract_address"), col(valueCol).as(out), col("n"))
+    val med = lowerMedian(hourly, "cents", "med")
+    val dev = hourly.join(med.select("contract_address", "med"),
+        Seq("contract_address"))
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad").select("contract_address", "mad")
+    dev.join(mad, Seq("contract_address"))
+      .groupBy("contract_address")
+      .agg(count(lit(1)).as("n_hours"),
+        min(col("med")).as("median_cents"),
+        min(col("mad")).as("mad_cents"),
+        sum(when(col("dev") > lit(MadK) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("contract_address")
+  }
+
   /** Autocorrelation lags computed by [[volumeAcf]]. */
   val AcfMaxLag = 3
 

@@ -35,6 +35,49 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("reciprocity_pml") == 4000L / 5L)
   }
 
+  test("modularity: degree/edge conservation and Q bounds") {
+    val rows = graft.ops.Wallet.communityModularity(spark, GraftSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val m = rows.head.getAs[Long]("m")
+    // internal edges can't exceed the total; degree sums count every edge
+    // end exactly once across communities
+    assert(rows.map(_.getAs[Long]("e_in")).sum <= m)
+    assert(rows.map(_.getAs[Long]("d_c")).sum == 2 * m)
+    val q = rows.map(_.getAs[Double]("q_term")).sum
+    assert(q >= -0.5 - 1e-6 && q <= 1.0 + 1e-6, s"Q=$q")
+    rows.foreach { r =>
+      // recompute the exact rational term
+      val expect = (BigDecimal(4L * m * r.getAs[Long]("e_in")) -
+        BigDecimal(r.getAs[Long]("d_c")) * BigDecimal(r.getAs[Long]("d_c"))) /
+        (BigDecimal(4) * BigDecimal(m) * BigDecimal(m))
+      assert(math.abs(r.getAs[Double]("q_term") - expect.toDouble) < 2e-6)
+    }
+  }
+
+  test("mad outliers: medians re-derive as order statistics") {
+    val rows = graft.ops.Metrics.madOutliers(spark, GraftSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val hourly = Tables.transfers(spark, GraftSpark.Sf)
+      .groupBy(col("contract_address"),
+        graft.ops.Num.hourBucket(col("transact_at")).cast("long").as("t"))
+      .agg((graft.ops.Num.dsumDec(col("value")) * 100).cast("long").as("c"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    rows.foreach { r =>
+      val tok = r.getString(0)
+      val cents = hourly(tok).map(_._2)
+      assert(r.getAs[Long]("n_hours") == cents.length)
+      val med = lowerMedian(cents)
+      assert(r.getAs[Long]("median_cents") == med, tok)
+      val mad = lowerMedian(cents.map(c => math.abs(c - med)))
+      assert(r.getAs[Long]("mad_cents") == mad, tok)
+      assert(r.getAs[Long]("n_outliers") ==
+        cents.count(c => math.abs(c - med) > graft.ops.Metrics.MadK * mad))
+    }
+  }
+
   test("dormancy: gap accounting on a hand-built history") {
     // one token; wallet w1 active at 0, 100, 700000 (one dormant gap);
     // wallet w2 active once (no gap)
