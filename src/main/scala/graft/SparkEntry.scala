@@ -5810,6 +5810,46 @@ object Catalog {
          |HAVING count(*) >= ${Forensics.FanoutMinRecipients}
          |ORDER BY 1, 2""".stripMargin))),
 
+    // Count-Min sketch estimates vs exact heavy hitters (deterministic
+    // md5 buckets → the whole sketch is oracle-checkable; overest >= 0 by
+    // construction).
+    QEntry("q_countmin_est", Profile.countMinEstimates, Some {
+      def bucketDuck(d: Int): String =
+        s"""((strpos('0123456789abcdef',
+           |      substr(md5('${d}_' || key), 1, 1)) - 1) * 16
+           |    + strpos('0123456789abcdef',
+           |      substr(md5('${d}_' || key), 2, 1)) - 1)
+           |   % ${Profile.CmsWidth}""".stripMargin
+      withTransfers(
+      s""", counts AS (
+         |  SELECT to_address AS key, CAST(count(*) AS BIGINT) AS n
+         |  FROM transfers GROUP BY 1
+         |),
+         |bucketed AS (
+         |  ${(0 until Profile.CmsDepth).map(d =>
+              s"""SELECT key, n, CAST($d AS BIGINT) AS d,
+                 |         CAST(${bucketDuck(d)} AS BIGINT) AS b
+                 |  FROM counts""".stripMargin).mkString("\n  UNION ALL\n  ")}
+         |),
+         |sketch AS (
+         |  SELECT d, b, CAST(SUM(n) AS BIGINT) AS cell
+         |  FROM bucketed GROUP BY 1, 2
+         |),
+         |est AS (
+         |  SELECT bk.key, min(s.cell) AS n_est, min(bk.n) AS n
+         |  FROM bucketed bk JOIN sketch s ON s.d = bk.d AND s.b = bk.b
+         |  GROUP BY 1
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS BIGINT)
+         |         AS rnk,
+         |       key, n, n_est, n_est - n AS overest
+         |FROM (
+         |  SELECT * FROM est ORDER BY n DESC, key ASC
+         |  LIMIT ${Profile.HeavyHitterK}
+         |)
+         |ORDER BY rnk""".stripMargin)
+    }),
+
     // Modularity certificate of the LPA communities: exact integer
     // (4·m·e_c − d_c²)/(4·m²) per community, one division each.
     QEntry("q_modularity",

@@ -301,6 +301,50 @@ object Profile {
       .orderBy("source")
   }
 
+  /** Count-Min sketch geometry: [[CmsDepth]] hash rows × [[CmsWidth]]
+    * buckets. */
+  val CmsDepth = 3
+  val CmsWidth = 64
+
+  /** Count-Min sketch estimation, verified against exact counts: the
+    * third sketch family beside the HLL and theta twins. The sketch is
+    * materialized EXACTLY as a distributed CMS would be — per-(row,
+    * bucket) sums over md5-derived bucket assignments ([[CmsDepth]] ×
+    * [[CmsWidth]] cells, mergeable across partitions/batches by addition
+    * — the reason CMS exists) — and the estimate for a key is the min
+    * over its [[CmsDepth]] cells. Deterministic hashes make the whole
+    * sketch oracle-checkable: the output carries est − exact (≥ 0 by
+    * construction — CMS only ever overestimates) for the top exact heavy
+    * hitters, i.e. the certified-bound pattern the HLL/theta twins use. */
+  def countMinEstimates(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.transfers(spark, sfDir)
+      .groupBy(col("to_address").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bucketExpr(d: Int): String =
+      s"""CAST((instr('0123456789abcdef', substr(md5(concat('$d', '_', key)), 1, 1)) - 1) * 16
+         | + instr('0123456789abcdef', substr(md5(concat('$d', '_', key)), 2, 1)) - 1
+         | AS BIGINT) % $CmsWidth""".stripMargin.replace("\n", "")
+    val bucketed = (0 until CmsDepth).map(d =>
+        counts.select(col("key"), col("n"), lit(d.toLong).as("d"),
+          expr(bucketExpr(d)).as("b")))
+      .reduce(_ unionByName _)
+    val sketch = bucketed.groupBy("d", "b").agg(sum(col("n")).as("cell"))
+    val est = bucketed
+      .join(sketch, Seq("d", "b"))
+      .groupBy("key")
+      .agg(min(col("cell")).as("n_est"), min(col("n")).as("n"))
+    est
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(HeavyHitterK)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key").asc)).cast("long"))
+      .select(col("rnk"), col("key"), col("n"), col("n_est"),
+        (col("n_est") - col("n")).as("overest"))
+      .orderBy("rnk")
+  }
+
   /** Length-bucket width / count for [[sourceChi2]]. */
   val Chi2BucketChars = 500L
   val Chi2Buckets = 10L

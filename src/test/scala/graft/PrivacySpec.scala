@@ -97,6 +97,24 @@ class PrivacySpec extends AnyFunSuite {
       r.getAs[Long]("n"))).toMap == expect)
   }
 
+  test("count-min sketch: never underestimates, exact counts re-derive, " +
+    "estimate within the depth-row sum bound") {
+    val rows = graft.ops.Profile.countMinEstimates(spark, sf).collect()
+    assert(rows.length == graft.ops.Profile.HeavyHitterK)
+    val exact = Tables.transfers(spark, sf)
+      .groupBy("to_address").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    rows.foreach { r =>
+      val key = r.getString(1)
+      assert(r.getAs[Long]("n") == exact(key))
+      assert(r.getAs[Long]("overest") >= 0L)
+      assert(r.getAs[Long]("n_est") == r.getAs[Long]("n") + r.getAs[Long]("overest"))
+      // a cell can never exceed the total stream count
+      assert(r.getAs[Long]("n_est") <= total)
+    }
+  }
+
   test("source chi2: marginals conserve, terms non-negative, grid complete") {
     val rows = graft.ops.Profile.sourceChi2(spark, sf).collect()
     assert(rows.nonEmpty)
