@@ -5810,6 +5810,70 @@ object Catalog {
          |HAVING count(*) >= ${Forensics.FanoutMinRecipients}
          |ORDER BY 1, 2""".stripMargin))),
 
+    // Linear multi-touch attribution: last-5 touches share each
+    // conversion's credit in exact integer ppm (largest-remainder, so
+    // every conversion conserves exactly 1,000,000).
+    QEntry("q_attribution_linear", Behavior.attributionLinear, Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS t
+         |  FROM events
+         |),
+         |conv AS (
+         |  SELECT user_id, event_id AS conv_id, t AS conv_t
+         |  FROM ev WHERE event_type = '${Behavior.ConversionType}'
+         |),
+         |touch AS (
+         |  SELECT user_id, event_id AS touch_id, event_type AS channel,
+         |         t AS touch_t
+         |  FROM ev WHERE event_type <> '${Behavior.ConversionType}'
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY conv_id
+         |           ORDER BY touch_t DESC, touch_id DESC) AS rdesc
+         |  FROM conv JOIN touch USING (user_id)
+         |  WHERE touch_t < conv_t
+         |     OR (touch_t = conv_t AND touch_id < conv_id)
+         |),
+         |kept AS (
+         |  SELECT conv_id, channel, touch_t, touch_id,
+         |         count(*) OVER (PARTITION BY conv_id) AS n,
+         |         row_number() OVER (PARTITION BY conv_id
+         |           ORDER BY touch_t ASC, touch_id ASC) AS rasc
+         |  FROM ranked WHERE rdesc <= ${Behavior.LinearTouchK}
+         |)
+         |SELECT channel,
+         |       CAST(count(*) AS BIGINT) AS n_touches,
+         |       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+         |       CAST(SUM(1000000 // n
+         |         + CASE WHEN rasc <= 1000000 % n THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS credit_ppm
+         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cumulative-distinct adoption curve: per-day first-seen wallets and
+    // the running total (first-seen trick, no per-day re-scan).
+    QEntry("q_wallet_adoption", Metrics.walletAdoption, Some(withTransfers(
+      s""", acts AS (
+         |  SELECT contract_address, from_address AS wallet,
+         |         ${dayBucket("transact_at")} AS d
+         |  FROM transfers
+         |  UNION ALL
+         |  SELECT contract_address, to_address, ${dayBucket("transact_at")}
+         |  FROM transfers
+         |),
+         |fs AS (
+         |  SELECT contract_address, wallet, min(d) AS d
+         |  FROM acts GROUP BY 1, 2
+         |),
+         |daily AS (
+         |  SELECT contract_address, d, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM fs GROUP BY 1, 2
+         |)
+         |SELECT contract_address, d, n_new,
+         |       CAST(SUM(n_new) OVER (PARTITION BY contract_address
+         |         ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+         |         ROW) AS BIGINT) AS cum_wallets
+         |FROM daily ORDER BY 1, 2""".stripMargin))),
+
     // Count-Min sketch estimates vs exact heavy hitters (deterministic
     // md5 buckets → the whole sketch is oracle-checkable; overest >= 0 by
     // construction).

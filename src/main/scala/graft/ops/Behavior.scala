@@ -175,6 +175,48 @@ object Behavior {
       .orderBy("user_id", "event_id")
   }
 
+  /** Touches credited per conversion in [[attributionLinear]]. */
+  val LinearTouchK = 5
+
+  /** Linear (multi-touch) attribution over the last [[LinearTouchK]]
+    * touches before each conversion — the fair-share sibling of
+    * [[attribution]]'s last-touch. Credit is EXACT integer ppm with
+    * largest-remainder distribution (base = 1000000 div n per touch, the
+    * first `1000000 mod n` touches in time order get +1), so every
+    * conversion's credit sums to exactly 1,000,000 — conservation a float
+    * 1/n split can't give. The conversion×touch join keys on user_id and
+    * the rank filter caps credited touches at K; fan-out is bounded by
+    * per-user activity, the usual clickstream contract. */
+  def attributionLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("t"))
+    val conv = ev.filter(col("event_type") === ConversionType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("t").as("conv_t"))
+    val touch = ev.filter(col("event_type") =!= ConversionType)
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("t").as("touch_t"))
+    val w = Window.partitionBy("conv_id")
+    val ranked = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_t") < col("conv_t") ||
+        (col("touch_t") === col("conv_t") && col("touch_id") < col("conv_id")))
+      .withColumn("rdesc", row_number().over(
+        w.orderBy(col("touch_t").desc, col("touch_id").desc)))
+      .filter(col("rdesc") <= LinearTouchK)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rasc", row_number().over(
+        w.orderBy(col("touch_t").asc, col("touch_id").asc)))
+      .withColumn("credit_ppm",
+        expr("1000000 div n") +
+          when(col("rasc") <= expr("1000000 % n"), 1L).otherwise(0L))
+    ranked.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum(col("credit_ppm")).as("credit_ppm"))
+      .orderBy("channel")
+  }
+
   /** Weekly cohort retention: users grouped by the epoch-week of their
     * first event; n_users counts distinct cohort members active in each
     * subsequent week (offset 0 = the cohort week itself). The classic

@@ -522,6 +522,32 @@ object Metrics {
       .orderBy("contract_address")
   }
 
+  /** Cumulative-distinct adoption curve: per (token, day), wallets seen
+    * for the FIRST time that day and the running total — the
+    * cumulative-distinct-count problem solved the scalable way (distinct
+    * first-seen dates once, then a cumulative sum over per-day NEW
+    * counts; a naive `count(distinct) over (order by day)` re-scans the
+    * whole history per day). The cumsum window runs over per-token DAY
+    * rows (≤ days-of-history each), never over transfers. */
+  def walletAdoption(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.transfers(spark, sfDir)
+    val acts = t.select(col("contract_address"),
+        col("from_address").as("wallet"),
+        Num.dayBucket(col("transact_at")).cast("long").as("d"))
+      .unionByName(t.select(col("contract_address"),
+        col("to_address").as("wallet"),
+        Num.dayBucket(col("transact_at")).cast("long").as("d")))
+    val firstSeen = acts.groupBy("contract_address", "wallet")
+      .agg(min(col("d")).as("d"))
+    val daily = firstSeen.groupBy("contract_address", "d")
+      .agg(count(lit(1)).as("n_new"))
+    daily.withColumn("cum_wallets",
+        sum(col("n_new")).over(Window.partitionBy("contract_address")
+          .orderBy("d").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("contract_address", "d")
+  }
+
   /** MAD outlier multiplier in [[madOutliers]]. */
   val MadK = 3L
 

@@ -206,4 +206,53 @@ class BehaviorSpec extends AnyFunSuite {
     val sorted = rows.sortBy { case (p, n) => (-n, p) }
     assert(rows.toSeq == sorted.toSeq)
   }
+
+  test("linear attribution: ppm credit conserves exactly per conversion") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Behavior.attributionLinear(spark, GraftSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // total credit = 1,000,000 × conversions that have >= 1 touch
+    val ev = Tables.events(spark, GraftSpark.Sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val touchedConvs = ev.filter(_._3 == graft.ops.Behavior.ConversionType)
+      .count { c =>
+        ev.exists(t => t._1 == c._1 &&
+          t._3 != graft.ops.Behavior.ConversionType &&
+          (t._4 < c._4 || (t._4 == c._4 && t._2 < c._2)))
+      }
+    assert(rows.map(_.getAs[Long]("credit_ppm")).sum ==
+      1000000L * touchedConvs)
+    // channel totals never negative, touch counts bounded by K per conv
+    rows.foreach { r =>
+      assert(r.getAs[Long]("credit_ppm") > 0)
+      assert(r.getAs[Long]("n_touches") <=
+        graft.ops.Behavior.LinearTouchK * r.getAs[Long]("n_conversions"))
+    }
+  }
+
+  test("wallet adoption: cumulative totals end at the distinct wallet " +
+    "count and news are disjoint by construction") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Metrics.walletAdoption(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("n_new"),
+        r.getAs[Long]("cum_wallets")))
+    assert(rows.nonEmpty)
+    val byTok = rows.groupBy(_._1)
+    val wallets = Tables.transfers(spark, GraftSpark.Sf)
+      .select(col("contract_address"),
+        explode(array(col("from_address"), col("to_address"))).as("w"))
+      .distinct().groupBy("contract_address").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byTok.foreach { case (tok, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.last._4 == wallets(tok), tok)
+      assert(ordered.map(_._3).sum == ordered.last._4, tok)
+      ordered.foldLeft(0L) { (acc, r) =>
+        assert(r._4 == acc + r._3, s"$tok ${r._2}"); r._4
+      }
+    }
+  }
 }
