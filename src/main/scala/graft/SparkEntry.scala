@@ -585,6 +585,14 @@ object Catalog {
        |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.t = reach.doc_id
        |)""".stripMargin
 
+  /** 48-bit integer from the first 12 hex digits of an md5 expression —
+    * DuckDB mirror of Spark's `conv(substr(md5(x), 1, 12), 16, 10)`. */
+  private def hex12Duck(c: String): String =
+    (1 to 12).map { i =>
+      val p = 1L << (4 * (12 - i))
+      s"(strpos('0123456789abcdef', substr($c, $i, 1)) - 1) * $p"
+    }.mkString("CAST(", "\n           + ", " AS BIGINT)")
+
   /** 0..255 from the first two hex digits of an md5 expression — DuckDB
     * mirror of Corpus.hexBucketSql / Sampling.bucketSql. */
   private def hexBucketDuck(c: String): String =
@@ -6383,5 +6391,163 @@ object Catalog {
          |) l
          |JOIN (SELECT dapp_id, unnest(addresses) AS address FROM dapps) da
          |  ON l.address = da.address
-         |GROUP BY t ORDER BY t""".stripMargin))))
+         |GROUP BY t ORDER BY t""".stripMargin))),
+
+    // Benford first-digit screen: the digit comes from an exact integer
+    // cents rendering; shares/deviations are integer per-mille against
+    // literal expected values (log10 is libm territory — not bit-portable).
+    QEntry("q_benford", Forensics.benford, Some(withTransfers(
+      s""", cents AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents
+         |  FROM transfers
+         |),
+         |dg AS (
+         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+         |           AS digit
+         |  FROM cents WHERE cents > 0
+         |),
+         |counts AS (
+         |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1
+         |),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+         |expd AS (
+         |  SELECT CAST(d AS BIGINT) AS digit, CAST(p AS BIGINT) AS benford_pml
+         |  FROM (VALUES ${Forensics.BenfordPml
+                  .map { case (d, p) => s"($d, $p)" }.mkString(", ")})
+         |    AS t(d, p)
+         |)
+         |SELECT e.digit, COALESCE(c.n, 0) AS n,
+         |       COALESCE(c.n, 0) * 1000 // total AS share_pml,
+         |       e.benford_pml,
+         |       abs(COALESCE(c.n, 0) * 1000 // total - e.benford_pml)
+         |         AS dev_pml
+         |FROM expd e LEFT JOIN counts c USING (digit), tot
+         |ORDER BY e.digit""".stripMargin))),
+
+    // Temporal 3-cycle motif (circular trading): strictly increasing block
+    // order, all hops within the window of the first, 3 distinct wallets.
+    QEntry("q_circular_triples", Forensics.circularTriples,
+      Some(withTransfers(
+      s""", e AS (
+         |  SELECT contract_address AS tok, from_address AS a,
+         |         to_address AS b, block_number AS k, transact_at AS t
+         |  FROM transfers
+         |)
+         |SELECT x.tok AS contract_address,
+         |       CAST(count(*) AS BIGINT) AS n_cycles,
+         |       CAST(count(DISTINCT x.a) AS BIGINT) AS n_initiators,
+         |       CAST(count(DISTINCT x.b) AS BIGINT) AS n_relays
+         |FROM e x
+         |JOIN e y ON y.tok = x.tok AND y.a = x.b
+         |        AND y.k > x.k AND y.t >= x.t
+         |        AND y.t <= x.t + ${Forensics.CycleWindowSec}
+         |JOIN e z ON z.tok = x.tok AND z.a = y.b AND z.b = x.a
+         |        AND z.k > y.k AND z.t >= y.t
+         |        AND z.t <= x.t + ${Forensics.CycleWindowSec}
+         |WHERE x.a <> x.b AND x.b <> y.b AND x.a <> y.b
+         |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Token co-holder matrix: wallet-keyed pair expansion (per-wallet
+    // fan-out bounded by the tiny token universe), Jaccard in per-mille.
+    QEntry("q_coholders", Wallet.coHolders, Some(withTransfers(
+      s""", held AS (
+         |  SELECT DISTINCT tok, wallet FROM (
+         |    SELECT contract_address AS tok, from_address AS wallet
+         |    FROM transfers
+         |    UNION ALL
+         |    SELECT contract_address, to_address FROM transfers
+         |  ) u
+         |),
+         |aud AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM held GROUP BY 1
+         |),
+         |pairs AS (
+         |  SELECT x.tok AS tok_a, y.tok AS tok_b,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |  FROM held x JOIN held y
+         |    ON x.wallet = y.wallet AND x.tok < y.tok
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.tok_b, p.tok_a, p.n_common, a.n AS n_a, b.n AS n_b,
+         |       p.n_common * 1000 // (a.n + b.n - p.n_common) AS jaccard_pml
+         |FROM pairs p
+         |JOIN aud a ON a.tok = p.tok_a
+         |JOIN aud b ON b.tok = p.tok_b
+         |ORDER BY p.tok_a, p.tok_b""".stripMargin))),
+
+    // Top supplier by quarterly revenue (TPC-H Q15 shape): argmax by EXACT
+    // decimal equality, double rendering only on output.
+    QEntry("q_top_supplier", Relational.topSupplier, Some(
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |         SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         |           AS DECIMAL(25,8))) AS r
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY 1
+         |)
+         |SELECT s.s_suppkey, s.s_name, CAST(r.r AS DOUBLE) AS total_revenue
+         |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         |WHERE r.r = (SELECT max(r) FROM rev)
+         |ORDER BY s.s_suppkey""".stripMargin)),
+
+    // Weighted priority sample: k-smallest integer hash-div-weight priority
+    // per source through the bounded TopK aggregator; the oracle ranks by
+    // the identical 48-bit-hash // n_chars key with a window.
+    QEntry("q_weighted_sample", Sampling.weightedPrioritySample, Some(
+      s"""SELECT source, rnk, doc_id FROM (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY ${hex12Duck("md5(CAST(doc_id AS VARCHAR))")}
+         |             // greatest(n_chars, 1), doc_id) AS rnk
+         |  FROM documents
+         |) WHERE rnk <= ${Sampling.WeightedK}
+         |ORDER BY source, rnk""".stripMargin)),
+
+    // Pairwise Pearson cross-correlation of hourly volume series over the
+    // intersection grid; exact HUGEINT moments, IEEE-single-op rendering.
+    QEntry("q_volume_xcorr", Metrics.volumeCrossCorr, Some(withTransfers(
+      s""", hourly AS (
+         |  SELECT contract_address,
+         |         ${hourBucket("transact_at")} AS t,
+         |         CAST(SUM(CAST(value AS DECIMAL(25,2))) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |span AS (
+         |  SELECT contract_address, min(t) AS t0, max(t) AS t1
+         |  FROM hourly GROUP BY 1
+         |),
+         |gridk AS (
+         |  SELECT s.contract_address, gs.t
+         |  FROM span s, unnest(generate_series(s.t0, s.t1, 3600)) AS gs(t)
+         |),
+         |grid AS (
+         |  SELECT gk.contract_address, gk.t, COALESCE(h.cents, 0) AS x
+         |  FROM gridk gk
+         |  LEFT JOIN hourly h
+         |    ON h.contract_address = gk.contract_address AND h.t = gk.t
+         |),
+         |m AS (
+         |  SELECT ga.contract_address AS tok_a, gb.contract_address AS tok_b,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         SUM(CAST(ga.x AS HUGEINT)) AS sx,
+         |         SUM(CAST(gb.x AS HUGEINT)) AS sy,
+         |         SUM(CAST(ga.x AS HUGEINT) * CAST(ga.x AS HUGEINT)) AS sxx,
+         |         SUM(CAST(gb.x AS HUGEINT) * CAST(gb.x AS HUGEINT)) AS syy,
+         |         SUM(CAST(ga.x AS HUGEINT) * CAST(gb.x AS HUGEINT)) AS sxy
+         |  FROM grid ga JOIN grid gb
+         |    ON ga.t = gb.t AND ga.contract_address < gb.contract_address
+         |  GROUP BY 1, 2
+         |)
+         |SELECT tok_a, tok_b, n,
+         |       CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) = 0
+         |              OR (CAST(n AS HUGEINT) * syy - sy * sy) = 0 THEN NULL
+         |       ELSE round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         |         / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+         |              * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+         |           6)
+         |       END AS corr
+         |FROM m ORDER BY 1, 2""".stripMargin))))
 }

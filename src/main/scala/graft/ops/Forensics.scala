@@ -179,4 +179,93 @@ object Forensics {
           .as("n_returning"))
       .orderBy("contract_address", "t")
   }
+
+  /** Benford expected first-digit shares, in integer per-mille:
+    * ⌊log10(1 + 1/d) · 1000⌋ for d = 1..9, spelled as literals so both
+    * engines compare against the identical constant (log10 is libm
+    * territory — not bit-portable). */
+  val BenfordPml: Seq[(Int, Long)] = Seq(
+    1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L, 5 -> 79L,
+    6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L)
+
+  /** Benford first-digit screen over transfer amounts: observed share of
+    * each leading significant digit vs the Benford expectation, deviation
+    * in per-mille. Fabricated/mirrored volume tends to flatten the digit
+    * distribution — the classic forensic-accounting test applied to
+    * on-chain flows.
+    *
+    * Exactness: amounts go through DECIMAL(25,2) cents so the digit is
+    * taken from an exact integer's decimal rendering (identical in both
+    * engines); shares are integer-division per-mille. One map-side
+    * combinable 9-group aggregate — nothing here scales with anything but
+    * the scan. */
+  def benford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.transfers(spark, sfDir)
+      .select((col("value").cast(org.apache.spark.sql.types.DecimalType(25, 2))
+        * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+    val counts = cents.groupBy("digit").agg(count(lit(1)).as("n"))
+    val expected = BenfordPml.toDF("d", "benford_pml")
+      .select(col("d").cast("long").as("digit"), col("benford_pml"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    expected.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000 div total").as("share_pml"),
+        col("benford_pml"),
+        abs(expr("n * 1000 div total") - col("benford_pml")).as("dev_pml"))
+      .orderBy("digit")
+  }
+
+  /** Circular transfers A→B→C→A must close within this many seconds of the
+    * first hop to count as one 3-cycle (30 days — ring structures cycle
+    * even slower than the 7-day [[WashWindowSec]] round trips, and the
+    * window is what bounds the join fan-out at scale, not a correctness
+    * knob). */
+  val CycleWindowSec = 2592000L
+
+  /** Temporal 3-cycle screen (circular-trading motif): same-token transfer
+    * chains A→B, B→C, C→A with strictly increasing block numbers,
+    * non-decreasing timestamps, all three hops inside [[CycleWindowSec]] of
+    * the first, and three distinct wallets. Extends the 2-node
+    * [[washTrading]] round-trip and the open 2-path [[relayChains]] to the
+    * closed triangle — the structure wash-trading rings use to avoid the
+    * obvious A↔B pattern.
+    *
+    * Both joins are full equi-joins — hop 2 on (token, middle wallet), hop
+    * 3 on (token, last wallet, FIRST wallet), so closure is part of the
+    * shuffle key, never a post-filter over a wider join; the time window
+    * bounds per-key fan-out. Partitioning is by wallet pair, not by single
+    * hot wallet. */
+  def circularTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir).select(
+      col("contract_address").as("tok"), col("from_address"),
+      col("to_address"), col("block_number"), col("transact_at"))
+    val hop1 = t.select(col("tok"), col("from_address").as("a"),
+      col("to_address").as("b"), col("block_number").as("k1"),
+      col("transact_at").as("t1"))
+    val hop2 = t.select(col("tok"), col("from_address").as("b"),
+      col("to_address").as("c"), col("block_number").as("k2"),
+      col("transact_at").as("t2"))
+    val hop3 = t.select(col("tok"), col("from_address").as("c"),
+      col("to_address").as("a"), col("block_number").as("k3"),
+      col("transact_at").as("t3"))
+    hop1.join(hop2, Seq("tok", "b"))
+      .filter(col("k2") > col("k1") && col("t2") >= col("t1") &&
+        col("t2") <= col("t1") + CycleWindowSec &&
+        col("a") =!= col("b") && col("b") =!= col("c") &&
+        col("a") =!= col("c"))
+      .join(hop3, Seq("tok", "c", "a"))
+      .filter(col("k3") > col("k2") && col("t3") >= col("t2") &&
+        col("t3") <= col("t1") + CycleWindowSec)
+      .groupBy(col("tok").as("contract_address"))
+      .agg(count(lit(1)).as("n_cycles"),
+        countDistinct(col("a")).as("n_initiators"),
+        countDistinct(col("b")).as("n_relays"))
+      .orderBy("contract_address")
+  }
 }

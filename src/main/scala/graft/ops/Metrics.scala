@@ -645,4 +645,59 @@ object Metrics {
         col("a.acf").as("acf"))
       .orderBy("contract_address", "lag")
   }
+
+  /** Pairwise Pearson cross-correlation of token hourly-volume series over
+    * the pair's overlapping hours (each token's series densified to its own
+    * span with zero fill, then inner-joined on the hour — the intersection
+    * grid). The co-movement screen behind correlated-token risk and
+    * lead-lag dashboards.
+    *
+    * Exactness: volumes become integer cents; all five moments are exact
+    * DECIMAL(38,0) sums (magnitudes ≤ ~1e22 — far inside 38 digits); the
+    * only floats are the final cast, one multiply, one `sqrt`, one divide,
+    * one `round` — each a single correctly-rounded IEEE op DuckDB
+    * reproduces. Token count is tiny, so the pair expansion is a
+    * hour-keyed equi-join of small aggregated frames — the fact table is
+    * touched once. */
+  def volumeCrossCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hourly = Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"),
+        Num.hourBucket(col("transact_at")).cast("long").as("t"))
+      .agg((Num.dsumDec(col("value")) * 100).cast("long").as("cents"))
+    val span = hourly.groupBy("contract_address")
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val grid = span
+      .select(col("contract_address"),
+        explode(expr("sequence(t0, t1, 3600)")).as("t"))
+      .join(hourly, Seq("contract_address", "t"), "left")
+      .select(col("contract_address"), col("t"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+    val a = grid.select(col("contract_address").as("tok_a"), col("t"),
+      col("x"))
+    val b = grid.select(col("contract_address").as("tok_b"), col("t"),
+      col("x").as("y"))
+    val mom = a.join(b, Seq("t"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+    mom
+      .withColumn("num", col("n").cast(dec) * col("sxy")
+        - col("sx") * col("sy"))
+      .withColumn("d1", col("n").cast(dec) * col("sxx")
+        - col("sx") * col("sx"))
+      .withColumn("d2", col("n").cast(dec) * col("syy")
+        - col("sy") * col("sy"))
+      .select(col("tok_a"), col("tok_b"), col("n"),
+        when(col("d1") === 0 || col("d2") === 0, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double")
+            / sqrt(col("d1").cast("double") * col("d2").cast("double")), 6))
+          .as("corr"))
+      .orderBy("tok_a", "tok_b")
+  }
 }

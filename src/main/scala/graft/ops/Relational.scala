@@ -413,4 +413,29 @@ object Relational {
         "metric", "value")
       .orderBy("contract_address", "metric")
   }
+
+  /** Top supplier by quarterly revenue (TPC-H Q15 shape): revenue per
+    * supplier over one ship-date quarter, then the supplier(s) achieving
+    * the maximum. The max is selected by EXACT decimal equality — revenue
+    * stays a decimal through the argmax compare and is rendered to double
+    * only on output, so "ties" are true ties, not float-rounding accidents.
+    *
+    * One fact aggregate (map-side combinable), a 1-row broadcast max, and a
+    * broadcast supplier dimension join — the fact table never shuffles for
+    * a join. */
+  def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(25, 8))).as("rev"))
+    val mx = rev.agg(max(col("rev")).as("mx"))
+    rev.join(broadcast(mx), col("rev") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
 }

@@ -171,4 +171,40 @@ object Sampling {
         floor(col("n_docs").cast("double") * col("rate")).as("expected_docs"))
       .orderBy("source")
   }
+
+  /** Per-source sample size of the weighted sample. */
+  val WeightedK = 20
+
+  /** Deterministic weighted sampling without replacement: per source, the
+    * [[WeightedK]] documents with the smallest `hash48(doc_id) div n_chars`
+    * priority — an integer-exact priority-sampling scheme where a document's
+    * selection odds grow with its length weight (the A-ES exponential-key
+    * method needs `u^(1/w)`, a libm `pow`; integer floor-division keeps the
+    * same weight-biased ranking oracle-checkable to the bit).
+    *
+    * Same 100 TB shape as [[reservoirSample]]: the bounded
+    * [[graft.functions.TopKAggregator]] partial-aggregates every partition
+    * to ≤k rows BEFORE the shuffle (k·partitions rows move, not N); the
+    * 48-bit priority is exact in the aggregator's Double score. Ties break
+    * by doc_id, identically on both engines. */
+  def weightedPrioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val agg = new TopKAggregator(WeightedK).toColumn
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        // negated so the aggregator's score-DESC order yields priority-ASC
+        expr("-CAST(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)" +
+          " div greatest(n_chars, 1L) AS DOUBLE)").as("score"))
+      .as[(String, Long, Double)]
+      .map { case (src, id, s) => (src, Scored(id, s)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("sample"))
+      .toDF("source", "sample")
+      .select(col("source"), posexplode(col("sample")).as(Seq("pos", "s")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("s.id").as("doc_id"))
+      .orderBy("source", "rnk")
+  }
 }

@@ -189,4 +189,38 @@ object Wallet {
           .as("rfm"))
       .orderBy("address")
   }
+
+  /** Token co-holder matrix: for every token pair, how many wallets have
+    * touched both (either transfer side), with the Jaccard overlap of the
+    * two audiences in integer per-mille. The audience-similarity signal
+    * behind "holders of X also hold Y" recommendations and correlated-token
+    * risk screens.
+    *
+    * The pair expansion self-joins the distinct (wallet, token) incidence
+    * on WALLET — per-wallet fan-out is bounded by the token universe a
+    * wallet can touch (tiny vs the wallet count), so the shuffle key is the
+    * huge dimension and the blow-up factor the small one. The `<`
+    * orientation emits each unordered pair once. */
+  def coHolders(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+    val held = t.select(col("contract_address").as("tok"),
+        col("from_address").as("wallet"))
+      .unionByName(t.select(col("contract_address").as("tok"),
+        col("to_address").as("wallet")))
+      .distinct()
+    val audience = held.groupBy("tok").agg(count(lit(1)).as("n"))
+    held.select(col("tok").as("tok_a"), col("wallet"))
+      .join(held.select(col("tok").as("tok_b"), col("wallet")), Seq("wallet"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(audience.select(col("tok").as("tok_a"),
+        col("n").as("n_a"))), Seq("tok_a"))
+      .join(broadcast(audience.select(col("tok").as("tok_b"),
+        col("n").as("n_b"))), Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        expr("n_common * 1000 div (n_a + n_b - n_common)").as("jaccard_pml"))
+      .orderBy("tok_a", "tok_b")
+  }
 }

@@ -92,4 +92,69 @@ class ForensicsSpec extends AnyFunSuite {
     }
     assert(got.map(g => (g._1, g._2)).toSet == activeByBucket.keySet)
   }
+
+  test("benford: digit counts match the exact-cents recount, shares are " +
+    "floor per-mille of the total") {
+    val rows = graft.ops.Forensics.benford(spark, GraftSpark.Sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val digits = transfers
+      .map(t => (BigDecimal(t._5).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        * 100).toLongExact)
+      .filter(_ > 0)
+      .map(_.toString.head.asDigit.toLong)
+    val counts = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = digits.length.toLong
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      val n = counts.getOrElse(d, 0L)
+      assert(r.getAs[Long]("n") == n, s"digit $d")
+      assert(r.getAs[Long]("share_pml") == n * 1000 / total, s"digit $d")
+      assert(r.getAs[Long]("dev_pml") ==
+        math.abs(n * 1000 / total - r.getAs[Long]("benford_pml")))
+    }
+    assert(total > 0)
+  }
+
+  test("circular triples: per-token cycle counts match the chained " +
+    "re-derivation") {
+    val got = graft.ops.Forensics.circularTriples(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getAs[Long]("n_cycles"),
+        r.getAs[Long]("n_initiators"), r.getAs[Long]("n_relays")))).toMap
+    val w = graft.ops.Forensics.CycleWindowSec
+    // out-edge index on (token, sender) keeps the re-derivation near-linear
+    val bySender = transfers.groupBy(t => (t._1, t._2)).withDefaultValue(Nil)
+    val cycles = for {
+      x <- transfers
+      if x._2 != x._3
+      y <- bySender((x._1, x._3))
+      if y._4 > x._4 && y._6 >= x._6 && y._6 <= x._6 + w
+      if y._3 != x._3 && y._3 != x._2 // c distinct from b and a
+      z <- bySender((x._1, y._3))
+      if z._3 == x._2 // closes back to a
+      if z._4 > y._4 && z._6 >= y._6 && z._6 <= x._6 + w
+    } yield (x._1, x._2, x._3)
+    val expect = cycles.groupBy(_._1).view.mapValues(cs =>
+      (cs.length.toLong, cs.map(_._2).distinct.length.toLong,
+        cs.map(_._3).distinct.length.toLong)).toMap
+    assert(got == expect)
+  }
+
+  test("co-holders: pair intersections and jaccard match the set recount") {
+    val got = graft.ops.Wallet.coHolders(spark, GraftSpark.Sf).collect()
+      .map(r => ((r.getAs[String]("tok_a"), r.getAs[String]("tok_b")),
+        (r.getAs[Long]("n_common"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("jaccard_pml")))).toMap
+    val held = transfers.flatMap(t => Seq((t._1, t._2), (t._1, t._3))).toSet
+    val toks = held.map(_._1).toSeq.sorted
+    val aud = toks.map(t => t -> held.collect {
+      case (tok, w) if tok == t => w }).toMap
+    val expect = (for {
+      a <- toks; b <- toks if a < b
+      common = (aud(a) & aud(b)).size.toLong if common > 0
+    } yield ((a, b), (common, aud(a).size.toLong, aud(b).size.toLong,
+      common * 1000 / (aud(a).size + aud(b).size - common)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }

@@ -348,4 +348,30 @@ class MetricsSpec extends AnyFunSuite {
         s"seasonal mismatch for ($tok, $hod)")
     }
   }
+
+  test("top supplier: exactly the argmax suppliers of the exact-decimal " +
+    "quarterly revenue recount") {
+    val rows = graft.ops.Relational.topSupplier(spark, GraftSpark.Sf)
+      .collect()
+    val t0 = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+    val t1 = java.time.LocalDateTime.parse("1996-04-01T00:00:00")
+    val rev = Tables.lineitem(spark, GraftSpark.Sf)
+      .select("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime]("l_shipdate")
+        !d.isBefore(t0) && d.isBefore(t1)
+      }
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => BigDecimal(
+        r.getDouble(1) * (1.0 - r.getDouble(2)))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum)
+      .toMap
+    assert(rev.nonEmpty)
+    val mx = rev.values.max
+    val expectKeys = rev.filter(_._2 == mx).keySet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == expectKeys)
+    rows.foreach(r => assert(
+      math.abs(r.getAs[Double]("total_revenue") - mx.toDouble) < 1e-6))
+  }
 }

@@ -115,4 +115,32 @@ class SamplingSpec extends AnyFunSuite {
       .select("n").collect().map(_.getLong(0)).toSeq
     assert(totals == Seq(nPairs, nPairs))
   }
+
+  test("weighted priority sample: ranks match the hash-div-weight recount " +
+    "and the sample is deterministic") {
+    import java.security.MessageDigest
+    def prio(id: Long, w: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) / math.max(w, 1L)
+    }
+    val docs = Tables.documents(spark, GraftSpark.Sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.groupBy(_._1).view.mapValues(ds =>
+      ds.map(d => (prio(d._2, d._3), d._2)).sorted
+        .take(graft.ops.Sampling.WeightedK).map(_._2).toSeq).toMap
+    val got = graft.ops.Sampling.weightedPrioritySample(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id")))
+    val gotBySource = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(gotBySource == expect)
+    val again = graft.ops.Sampling.weightedPrioritySample(spark,
+      GraftSpark.Sf).collect().map(r => (r.getString(0),
+      r.getAs[Long]("rnk"), r.getAs[Long]("doc_id")))
+    assert(got.toSeq == again.toSeq)
+  }
 }

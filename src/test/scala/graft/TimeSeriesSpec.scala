@@ -107,4 +107,53 @@ class TimeSeriesSpec extends AnyFunSuite {
       acts.count(_ > graft.ops.Forensics.DormantSec))
     assert(rows.head.getAs[Long]("max_gap_sec") == acts.max)
   }
+
+  test("volume cross-correlation: every token pair present, corr in [-1,1], " +
+    "and one pair matches the BigInt moment recount") {
+    val rows = graft.ops.Metrics.volumeCrossCorr(spark, GraftSpark.Sf)
+      .collect()
+    val toks = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(rows.length == toks.length * (toks.length - 1) / 2)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("corr"))) {
+        val c = r.getAs[Double]("corr")
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      }
+    }
+    // full recount of the first pair from raw transfers
+    val (ta, tb) = (rows.head.getString(0), rows.head.getString(1))
+    val raw = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "transact_at", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600 * 3600,
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    def grid(tok: String): Map[Long, BigInt] = {
+      val hourly = raw.filter(_._1 == tok).groupBy(_._2)
+        .view.mapValues(v => (v.map(_._3).sum * 100).toBigIntExact.get).toMap
+      val (t0, t1) = (hourly.keys.min, hourly.keys.max)
+      (t0 to t1 by 3600).map(t => t -> hourly.getOrElse(t, BigInt(0))).toMap
+    }
+    val (ga, gb) = (grid(ta), grid(tb))
+    val ts = ga.keySet & gb.keySet
+    val n = BigInt(ts.size)
+    val sx = ts.toSeq.map(ga).sum; val sy = ts.toSeq.map(gb).sum
+    val sxx = ts.toSeq.map(t => ga(t) * ga(t)).sum
+    val syy = ts.toSeq.map(t => gb(t) * gb(t)).sum
+    val sxy = ts.toSeq.map(t => ga(t) * gb(t)).sum
+    val (num, d1, d2) = (n * sxy - sx * sy, n * sxx - sx * sx,
+      n * syy - sy * sy)
+    val expect =
+      if (d1 == 0 || d2 == 0) None
+      else Some(BigDecimal(num.toDouble
+        / math.sqrt(d1.toDouble * d2.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val gotN = rows.head.getAs[Long]("n")
+    assert(gotN == n.toLong)
+    val gotCorr = if (rows.head.isNullAt(rows.head.fieldIndex("corr"))) None
+      else Some(rows.head.getAs[Double]("corr"))
+    assert(gotCorr.isDefined == expect.isDefined)
+    for (g <- gotCorr; e <- expect) assert(math.abs(g - e) < 2e-6)
+  }
 }
