@@ -6549,5 +6549,95 @@ object Catalog {
          |              * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
          |           6)
          |       END AS corr
-         |FROM m ORDER BY 1, 2""".stripMargin))))
+         |FROM m ORDER BY 1, 2""".stripMargin))),
+
+    // Seed-based harmonic centrality: 8 md5-chosen seeds, 4-round labeled
+    // BFS, integer 1e6/d contributions; oracle unrolls the rounds.
+    QEntry("q_harmonic",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, expr}
+        val e = graft.Tables.transfers(s, d)
+          .filter(col("from_address") =!= col("to_address"))
+          .select(col("from_address").as("src"), col("to_address").as("dst"))
+          .distinct()
+        val verts = e.select(col("src").as("v"))
+          .unionByName(e.select(col("dst").as("v"))).distinct()
+        val seeds = verts.orderBy(expr("md5(v)"), col("v")).limit(8)
+        Graph.harmonicCentrality(e, seeds)
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""nbr$i AS (
+             |  SELECT e.dst AS v, b.seed, CAST(min(b.d) + 1 AS INTEGER) AS d
+             |  FROM e JOIN b${i - 1} b ON b.v = e.src GROUP BY 1, 2
+             |),
+             |b$i AS (
+             |  SELECT v, seed, CAST(min(d) AS INTEGER) AS d FROM (
+             |    SELECT * FROM b${i - 1} UNION ALL SELECT * FROM nbr$i) u
+             |  GROUP BY 1, 2
+             |)""".stripMargin
+        }.mkString(",\n")
+        withTransfers(
+          s""", e AS (
+             |  SELECT DISTINCT from_address AS src, to_address AS dst
+             |  FROM transfers WHERE from_address <> to_address
+             |),
+             |vv AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             |seeds AS (SELECT v FROM vv ORDER BY md5(v), v LIMIT 8),
+             |b0 AS (SELECT v, v AS seed, 0 AS d FROM seeds),
+             |$rounds
+             |SELECT v AS address, CAST(count(*) AS BIGINT) AS n_reached,
+             |       CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_ppm
+             |FROM b4 WHERE v <> seed GROUP BY 1 ORDER BY 1""".stripMargin)
+      }),
+
+    // Embedded-JSON field extraction (events.props payload): codegen'd
+    // get_json_object + per-type rollup; malformed payloads -> NULL.
+    QEntry("q_props_extract", graft.sources.JsonRegistry.propsExtract, Some(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(k) AS BIGINT) AS k_sum,
+         |       CAST(min(k) AS BIGINT) AS k_min,
+         |       CAST(max(k) AS BIGINT) AS k_max,
+         |       round(CAST(SUM(k) AS DOUBLE) / count(*), 6) AS k_avg
+         |FROM (SELECT event_type,
+         |             CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |      FROM events) t
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Late-shipment priority mix (TPC-H Q4 shape): EXISTS as a left-semi
+    // join keyed on the order key; day-interval arithmetic exact.
+    QEntry("q_late_orders", Relational.lateOrders, Some(
+      s"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+         |FROM orders o
+         |WHERE EXISTS (
+         |  SELECT 1 FROM lineitem l
+         |  WHERE l.l_orderkey = o.o_orderkey
+         |    AND l.l_shipdate > o.o_orderdate
+         |      + INTERVAL ${Relational.LateShipDays} DAY)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Feature-hashing bag-of-words: signed 16-bucket token sketch per doc,
+    // rendered as the JSON string of the dense vector.
+    QEntry("q_feature_hash", Features.featureHash, Some(withDocs(
+      s""", tk AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+         |cells AS (
+         |  SELECT doc_id,
+         |         instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1
+         |           AS bucket,
+         |         SUM(CASE WHEN (instr('0123456789abcdef',
+         |               substr(md5(tok), 2, 1)) - 1) % 2 = 0
+         |             THEN 1 ELSE -1 END) AS s
+         |  FROM tk WHERE len(tok) > 0 GROUP BY 1, 2
+         |),
+         |dims AS (SELECT unnest(range(0, ${Features.HashDim})) AS bucket),
+         |dense AS (
+         |  SELECT d.doc_id, dm.bucket, COALESCE(c.s, 0) AS s
+         |  FROM (SELECT doc_id FROM documents) d
+         |  CROSS JOIN dims dm
+         |  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.bucket = dm.bucket
+         |)
+         |SELECT doc_id,
+         |       '[' || string_agg(CAST(s AS VARCHAR), ','
+         |         ORDER BY bucket) || ']' AS vec
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin))))
 }

@@ -198,4 +198,45 @@ object Features {
       .select(col("vec_id") +: cols: _*)
       .orderBy("vec_id")
   }
+
+  /** Feature-hashing dimensionality. 16 keeps the dense render small; the
+    * scheme is dimension-agnostic. */
+  val HashDim = 16
+
+  /** Hashing-trick (feature-hashing) bag-of-words: each token lands in one
+    * of [[HashDim]] buckets by its first md5 hex digit, with a ±1 sign from
+    * the second digit's parity (the signed variant that keeps collisions
+    * unbiased — Weinberger et al.'s formulation), summed per document into
+    * a dense integer vector. The fixed-width, vocabulary-free featurizer
+    * used when a learned vocab (BPE, TF-IDF) is too heavy: no global state,
+    * no second pass, O(tokens) — embarrassingly parallel at any scale.
+    *
+    * Rendered as the JSON string of the 16-vector (comparator-safe array
+    * rendering, same convention as the other array-valued queries);
+    * documents with no tokens emit the zero vector. */
+  def featureHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cells = docs
+      .select(col("doc_id"),
+        explode(expr(TextAnalysis.toksExpr)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), expr("md5(tok)").as("h"))
+      .select(col("doc_id"),
+        expr("instr('0123456789abcdef', substr(h, 1, 1)) - 1").as("bucket"),
+        expr("CASE WHEN (instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 2 = 0" +
+          " THEN 1L ELSE -1L END").as("sgn"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sgn")).as("s"))
+    val vecs = cells.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("s"))))
+        .as("m"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${HashDim - 1}), i -> coalesce(m[i], 0L))")
+          .as("vec"))
+    docs.select(col("doc_id")).join(vecs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        to_json(coalesce(col("vec"),
+          expr(s"transform(sequence(0, ${HashDim - 1}), i -> 0L)"))).as("vec"))
+      .orderBy("doc_id")
+  }
 }

@@ -409,6 +409,45 @@ object Graph {
       .select(col("v"), col("dist").as("cost"))
   }
 
+  /** Seed-based harmonic centrality: per vertex, Σ_seeds ⌊10⁶/d(seed, v)⌋
+    * over the seeds that reach it within `rounds` directed hops (self
+    * excluded). Harmonic — not closeness — because unreached seeds
+    * contribute 0 instead of forcing an ∞/undefined sum, which is exactly
+    * what makes the SAMPLED estimator well-defined; with md5-chosen seeds
+    * it is the standard linear-time stand-in for exact closeness (O(V·E),
+    * hopeless at scale). Per-seed contributions are integer `div` — exact
+    * everywhere.
+    *
+    * The per-seed labeled BFS carries (v, seed) keyed state — |seeds|× the
+    * [[bfsHops]] state, each round one equi-join + grouped min, rounds
+    * lineage-cut. Seed count is the precision/cost knob. */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 4, cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val e = LineageCut.cut(
+      edges.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct(), cutMode)
+    var dist = LineageCut.cut(
+      seeds.select(col("v"), col("v").as("seed"), lit(0).cast("int").as("d")),
+      cutMode)
+    for (_ <- 1 to rounds) {
+      val nbr = e
+        .join(dist.select(col("v").as("src"), col("seed"), col("d")),
+          Seq("src"))
+        .groupBy(col("dst").as("v"), col("seed"))
+        .agg((min(col("d")) + 1).cast("int").as("d"))
+      dist = LineageCut.cut(
+        dist.unionByName(nbr)
+          .groupBy("v", "seed").agg(min(col("d")).cast("int").as("d"))
+          .select("v", "seed", "d"),
+        cutMode)
+    }
+    dist.filter(col("v") =!= col("seed"))
+      .groupBy(col("v").as("address"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div d")).as("harmonic_ppm"))
+      .orderBy("address")
+  }
+
   /** Degree distribution of the directed edge set: how many vertices have
     * each (out_degree, in_degree)-summed total degree — the first
     * diagnostic of any graph workload (a heavy tail says "salt your joins

@@ -438,4 +438,25 @@ object Relational {
         col("rev").cast("double").as("total_revenue"))
       .orderBy("s_suppkey")
   }
+
+  /** Late-shipment priority mix (TPC-H Q4 shape): orders with at least one
+    * line item shipped more than [[LateShipDays]] days after the order
+    * date, counted per order priority. The EXISTS is a left-semi join —
+    * each qualifying order counted once no matter how many late lines —
+    * keyed on the order key, so it shuffles both sides by a uniform key
+    * and partial-counts map-side. Timestamp + day-interval arithmetic is
+    * exact in both engines. */
+  val LateShipDays = 100
+
+  def lateOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate")
+          + expr(s"INTERVAL $LateShipDays DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
 }

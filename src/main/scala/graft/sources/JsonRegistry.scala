@@ -29,4 +29,26 @@ object JsonRegistry {
         explode(col("contract_addresses")).as("address"))
       .filter(col("address").startsWith("1"))
       .orderBy("id", "address")
+
+  /** Embedded-JSON field extraction over the event stream: `events.props`
+    * is a per-row JSON payload (the semi-structured column every event
+    * pipeline drags along); `get_json_object` pulls the numeric field and
+    * the rollup summarizes it per event type. The path-extraction runs
+    * inside whole-stage codegen on the scan — no UDF, no intermediate
+    * parse tree materialized — and malformed payloads degrade to NULL
+    * (skipped by the aggregates), never to a crash.
+    *
+    * Exactness: integer field, integer sum/min/max; the mean is one
+    * double division + round. */
+  def propsExtract(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        round(sum(col("k")).cast("double") / count(lit(1)), 6).as("k_avg"))
+      .orderBy("event_type")
 }

@@ -148,4 +148,28 @@ class FeaturesSpec extends AnyFunSuite {
     } yield (a, b, inter, sets(a).size.toLong, sets(b).size.toLong)).toSet
     assert(got.toSet == expected)
   }
+
+  test("feature hash: every doc emits a 16-dim JSON vector matching the " +
+    "md5 recount") {
+    import java.security.MessageDigest
+    val hexDigits = "0123456789abcdef"
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = graft.ops.Features.featureHash(spark, GraftSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables.documents(spark, GraftSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val vec = Array.fill(graft.ops.Features.HashDim)(0L)
+      text.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val h = md5hex(tok)
+        val b = hexDigits.indexOf(h(0))
+        val sgn = if (hexDigits.indexOf(h(1)) % 2 == 0) 1L else -1L
+        vec(b) += sgn
+      }
+      assert(got(id) == vec.mkString("[", ",", "]"), s"doc $id")
+    }
+  }
 }

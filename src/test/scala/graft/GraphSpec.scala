@@ -166,6 +166,28 @@ class GraphSpec extends AnyFunSuite {
     assert(hops == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("harmonic centrality: path hand-values, multi-seed sums, self and " +
+    "out-of-bound excluded") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("x", "y")).toDF("src", "dst")
+    val one = Graph.harmonicCentrality(edges, Seq(Tuple1("a")).toDF("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_ppm"))).toMap
+    // d(a,b)=1, d(a,c)=2, d(a,d)=3, d(a,e)=4; f is beyond 4 rounds, the
+    // x->y component unreachable, and the seed itself excluded
+    assert(one == Map("b" -> (1L, 1000000L), "c" -> (1L, 500000L),
+      "d" -> (1L, 333333L), "e" -> (1L, 250000L)))
+    val two = Graph.harmonicCentrality(edges,
+      Seq(Tuple1("a"), Tuple1("c")).toDF("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_ppm"))).toMap
+    // d now reached from a (3 hops) AND c (1 hop); c only from a; the
+    // directed chain never reaches back to a
+    assert(two("d") == (2L, 1333333L))
+    assert(two("c") == (1L, 500000L))
+    assert(!two.contains("a"))
+  }
+
   test("weighted shortest paths: detours beat heavy direct edges within bound") {
     // 1->4 direct costs 10; 1->2->3->4 costs 3. With 3+ rounds the detour
     // wins; with 1 round only the direct edge is reachable. Weight-1 edges

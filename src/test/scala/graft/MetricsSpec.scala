@@ -374,4 +374,43 @@ class MetricsSpec extends AnyFunSuite {
     rows.foreach(r => assert(
       math.abs(r.getAs[Double]("total_revenue") - mx.toDouble) < 1e-6))
   }
+
+  test("props extract: per-type stats match the regex-parsed recount") {
+    val rows = graft.sources.JsonRegistry.propsExtract(spark, GraftSpark.Sf)
+      .collect()
+    val K = """"k":\s*(-?\d+)""".r
+    val raw = Tables.events(spark, GraftSpark.Sf)
+      .select("event_type", "props").collect()
+      .map(r => (r.getString(0),
+        K.findFirstMatchIn(r.getString(1)).map(_.group(1).toLong)))
+    val byType = raw.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet == byType.keySet)
+    rows.foreach { r =>
+      val (n, ks) = (byType(r.getString(0)).length,
+        byType(r.getString(0)).flatMap(_._2))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("k_sum") == ks.sum)
+      assert(r.getAs[Long]("k_min") == ks.min)
+      assert(r.getAs[Long]("k_max") == ks.max)
+    }
+  }
+
+  test("late orders: priority counts match the exists re-derivation") {
+    val got = graft.ops.Relational.lateOrders(spark, GraftSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_orders")).toMap
+    val ship = Tables.lineitem(spark, GraftSpark.Sf)
+      .select("l_orderkey", "l_shipdate").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[java.time.LocalDateTime](1)).max).toMap
+    val expect = Tables.orders(spark, GraftSpark.Sf)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority").collect()
+      .filter { r =>
+        ship.get(r.getLong(0)).exists(_.isAfter(
+          r.getAs[java.time.LocalDateTime](1)
+            .plusDays(graft.ops.Relational.LateShipDays)))
+      }
+      .groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }
