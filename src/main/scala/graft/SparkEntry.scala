@@ -6639,5 +6639,94 @@ object Catalog {
          |SELECT doc_id,
          |       '[' || string_agg(CAST(s AS VARCHAR), ','
          |         ORDER BY bucket) || ']' AS vec
-         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin))))
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Per-document KN-LM fluency score: integer-ppm quantized bigram
+    // probabilities averaged per doc — the oracle-checkable stand-in for
+    // perplexity filtering (log/underflow-free, same ranking).
+    QEntry("q_doc_lm_score", Clean.docLmScore, Some(withDocs(
+      s""", bgd AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM docs WHERE len(toks) >= 2
+         |),
+         |bg AS (
+         |  SELECT split_part(bigram, ' ', 1) AS w1,
+         |         split_part(bigram, ' ', 2) AS w2,
+         |         CAST(count(*) AS BIGINT) AS c12
+         |  FROM bgd GROUP BY 1, 2
+         |),
+         |lft AS (
+         |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |         CAST(count(*) AS BIGINT) AS n1fw
+         |  FROM bg GROUP BY 1
+         |),
+         |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1pr
+         |        FROM bg GROUP BY 1),
+         |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bg),
+         |pp AS (
+         |  SELECT w1, w2,
+         |         CAST((greatest(4 * c12 - 3, 0) * CAST(n_types AS HUGEINT)
+         |              + 3 * CAST(n1fw AS HUGEINT) * n1pr) * 1000000
+         |           // (4 * CAST(c1 AS HUGEINT) * n_types) AS BIGINT) AS ppm
+         |  FROM bg JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN ty
+         |)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(p.ppm) // count(*) AS BIGINT) AS lm_score_ppm
+         |FROM (SELECT doc_id, split_part(bigram, ' ', 1) AS w1,
+         |             split_part(bigram, ' ', 2) AS w2 FROM bgd) d
+         |JOIN pp p USING (w1, w2)
+         |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Word-level blocklist safety screen: per-source flagged share.
+    QEntry("q_blocklist", Clean.blocklistScreen, Some(withDocs(
+      s"""SELECT source, n_docs, n_flagged,
+         |       n_flagged * 1000 // n_docs AS flagged_pml
+         |FROM (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN len(list_filter(toks,
+         |             t -> t IN (${Clean.Blocklist.map(w => s"'$w'")
+                        .mkString(", ")}))) > 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |  FROM docs GROUP BY 1
+         |) ORDER BY source""".stripMargin))),
+
+    // Event-time disorder profile (the watermark-sizing measurement):
+    // running high-water-mark lateness, exact p95 order statistic.
+    QEntry("q_lateness_profile", Metrics.latenessProfile, Some(withTransfers(
+      s""", l AS (
+         |  SELECT contract_address, block_number,
+         |         max(transact_at) OVER (PARTITION BY contract_address
+         |           ORDER BY block_number
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - transact_at AS late
+         |  FROM transfers
+         |),
+         |r AS (
+         |  SELECT contract_address, late,
+         |         row_number() OVER (PARTITION BY contract_address
+         |           ORDER BY late, block_number) AS rnk,
+         |         count(*) OVER (PARTITION BY contract_address) AS n_tok
+         |  FROM l
+         |)
+         |SELECT contract_address, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_out_of_order,
+         |       CAST(max(late) AS BIGINT) AS max_lateness_sec,
+         |       CAST(max(CASE WHEN rnk = (19 * n_tok + 19) // 20
+         |         THEN late END) AS BIGINT) AS p95_lateness_sec
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Grouped top-k largest transfers through the bounded TopK aggregator
+    // (<= k rows per partition move; the window spelling sorts the fact
+    // table). Oracle ranks with the identical (value DESC, block) window.
+    QEntry("q_largest_transfers", Metrics.largestTransfers, Some(
+      withTransfers(
+      s"""SELECT contract_address, rnk, block_number, value FROM (
+         |  SELECT contract_address, block_number, value,
+         |         row_number() OVER (PARTITION BY contract_address
+         |           ORDER BY value DESC, block_number) AS rnk
+         |  FROM transfers
+         |) WHERE rnk <= ${Metrics.LargestK}
+         |ORDER BY contract_address, rnk""".stripMargin))))
 }

@@ -371,4 +371,70 @@ object Clean {
       .withColumn("coverage_pml", expr("hits * 1000 div n_bigrams"))
       .orderBy("doc_id")
   }
+
+  /** Per-document LM fluency score from the corpus-trained Kneser-Ney
+    * bigram model ([[knBigrams]]): the mean interpolated-KN probability of
+    * the document's bigrams, quantized to integer ppm PER BIGRAM before
+    * averaging. That quantization is what keeps perplexity-style filtering
+    * oracle-checkable — true perplexity needs `log` (libm, not
+    * bit-portable) and a float product that underflows at document length;
+    * an integer mean of integer per-bigram scores is exact at any scale
+    * and induces the same quality ranking.
+    *
+    * Every bigram in every doc is in the trained table by construction, so
+    * the probability join is total. Magnitudes: numerators reach ~4·c12·V·
+    * 1e6 — DECIMAL(38,0) on the Spark side, HUGEINT in the oracle. */
+  def docLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val bgd = docs(spark, sfDir)
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = bgd.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = bg.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val right = bg.groupBy("w2").agg(count(lit(1)).as("n1pr"))
+    val types = bg.agg(count(lit(1)).as("n_types"))
+    val p = bg.join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"),
+        ((greatest(lit(4L) * col("c12") - 3L, lit(0L)).cast(dec)
+            * col("n_types")
+          + lit(3L).cast(dec) * col("n1fw") * col("n1pr")) * 1000000)
+          .as("num"),
+        (lit(4L).cast(dec) * col("c1") * col("n_types")).as("den"))
+      .select(col("w1"), col("w2"), expr("CAST(num div den AS BIGINT)").as("ppm"))
+    bgd.join(p, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").as("lm_score_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Blocklist terms for the safety screen — literal so the oracle repeats
+    * them; stand-in for the word-level unsafe-content lists (LDNOOBW-style)
+    * every corpus pipeline applies before training. */
+  val Blocklist: Seq[String] = Seq("slow", "crash", "vector")
+
+  /** Word-level blocklist screen: per source, how many documents contain at
+    * least one [[Blocklist]] term and the flagged share in per-mille —
+    * the cheap lexical safety gate that runs before any model-based
+    * filter. `exists` over the token array short-circuits per row inside
+    * codegen; the rollup is one map-side-combinable aggregate. */
+  def blocklistScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val list = Blocklist.map(w => s"'$w'").mkString(", ")
+    docs(spark, sfDir)
+      .select(col("source"),
+        expr(s"CASE WHEN exists(toks, t -> t IN ($list)) THEN 1L ELSE 0L END")
+          .as("hit"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("hit")).as("n_flagged"))
+      .withColumn("flagged_pml", expr("n_flagged * 1000 div n_docs"))
+      .orderBy("source")
+  }
 }

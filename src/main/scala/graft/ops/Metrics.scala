@@ -700,4 +700,67 @@ object Metrics {
           .as("corr"))
       .orderBy("tok_a", "tok_b")
   }
+
+  /** Event-time disorder profile: per token, how late events arrive
+    * relative to the running event-time high-water mark in ingest
+    * (block-number) order — out-of-order count, max lateness, and the
+    * EXACT p95 lateness as the ⌈19n/20⌉-th order statistic. This is the
+    * measurement that sizes `withWatermark` for the streaming twins: a
+    * watermark below the observed p95 drops real data, far above it holds
+    * state for nothing.
+    *
+    * Two windows, both partitioned by token (running max in ingest order,
+    * rank in lateness order) — each sorts one token's rows, never the
+    * global stream; integer seconds end to end. */
+  def latenessProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byIngest = Window.partitionBy("contract_address")
+      .orderBy("block_number")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = Tables.transfers(spark, sfDir)
+      .select(col("contract_address"), col("block_number"),
+        col("transact_at"))
+      .withColumn("late",
+        max(col("transact_at")).over(byIngest) - col("transact_at"))
+    val byLate = Window.partitionBy("contract_address")
+      .orderBy(col("late"), col("block_number"))
+    late
+      .withColumn("rnk", row_number().over(byLate))
+      .withColumn("n_tok",
+        count(lit(1)).over(Window.partitionBy("contract_address")))
+      .groupBy("contract_address")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late") > 0, 1L).otherwise(0L)).as("n_out_of_order"),
+        max(col("late")).as("max_lateness_sec"),
+        max(when(col("rnk") === expr("(19 * n_tok + 19) div 20"),
+          col("late"))).as("p95_lateness_sec"))
+      .orderBy("contract_address")
+  }
+
+  /** Per-token top largest transfers kept by the bench. */
+  val LargestK = 5
+
+  /** The [[LargestK]] largest transfers per token through the bounded
+    * [[graft.functions.TopKAggregator]] — the grouped-top-k spelling that
+    * partial-aggregates every partition to ≤k rows BEFORE the shuffle
+    * (k·partitions rows move; the row_number window would sort the whole
+    * fact table per token). Ties break by block number, identically in the
+    * oracle's window. */
+  def largestTransfers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val agg = new TopKAggregator(LargestK).toColumn
+    Tables.transfers(spark, sfDir)
+      .select(col("contract_address"), col("block_number"), col("value"))
+      .as[(String, Long, Double)]
+      .map { case (tok, blk, v) => (tok, Scored(blk, v)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("top"))
+      .toDF("contract_address", "top")
+      .select(col("contract_address"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("contract_address"), (col("pos") + 1).cast("long").as("rnk"),
+        col("s.id").as("block_number"), col("s.score").as("value"))
+      .orderBy("contract_address", "rnk")
+  }
 }

@@ -17,13 +17,31 @@ object StreamJoins {
     * event-time range predicate. Expected columns:
     * `transfers(contract_address, value, t_ts)`,
     * `prices(p_contract, price, p_ts)` — distinct names keep the join
-    * condition unambiguous without aliases. */
+    * condition unambiguous without aliases.
+    *
+    * The time BUCKET is folded into the equi-key: each tick is exploded
+    * into the two window-width buckets it can serve (its own and the
+    * next), and transfers join on (token, bucket) plus the exact range
+    * predicate. Without this, the join state is keyed by token alone and
+    * every arriving row scans the token's ENTIRE buffered history (the
+    * state store is a per-key multimap with no range index) — measured
+    * 52 s at sf0.1 where the bucketed key runs in ~3 s, and quadratic in
+    * stream length at scale. A pair within the window spans at most
+    * adjacent buckets and the transfer's own bucket is unique, so each
+    * qualifying pair is emitted exactly once — the range predicate's
+    * semantics are unchanged (the batch-twin equality spec and the DuckDB
+    * oracle state the join without buckets). */
   def transfersWithRecentPrices(transfers: DataFrame, prices: DataFrame,
       windowSeconds: Long = 3600L): DataFrame = {
+    val us = windowSeconds * 1000000L
     val t = transfers.withWatermark("t_ts", s"$windowSeconds seconds")
+      .withColumn("t_b", expr(s"unix_micros(t_ts) div $us"))
     val p = prices.withWatermark("p_ts", s"${2 * windowSeconds} seconds")
+      .withColumn("p_b", explode(expr(
+        s"array(unix_micros(p_ts) div $us, unix_micros(p_ts) div $us + 1)")))
     t.join(p,
       col("contract_address") === col("p_contract") &&
+        col("t_b") === col("p_b") &&
         col("p_ts") >= col("t_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
         col("p_ts") <= col("t_ts"))
       .select(col("contract_address"), col("value"), col("t_ts"),

@@ -408,4 +408,50 @@ class CleanSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[Double]("p_kn")).sum <= 1.0 + 1e-6, w1)
     }
   }
+
+  test("doc LM score: per-doc means match the exact-rational recount") {
+    val got = graft.ops.Clean.docLmScore(spark, GraftSpark.Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("lm_score_ppm"))).toMap
+    val docs = Tables.documents(spark, GraftSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq))
+      .filter(_._2.length >= 2)
+    val bgs = docs.map { case (id, ts) => id -> ts.zip(ts.tail) }
+    val all = bgs.flatMap(_._2)
+    val c12 = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = all.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1fw = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1pr = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val v = BigInt(c12.size)
+    def ppm(b: (String, String)): BigInt =
+      ((BigInt(0).max(BigInt(4) * c12(b) - 3)) * v
+        + BigInt(3) * n1fw(b._1) * n1pr(b._2)) * 1000000 /
+        (BigInt(4) * c1(b._1) * v)
+    bgs.foreach { case (id, bs) =>
+      val s = bs.map(ppm).sum
+      assert(got(id) == (bs.length.toLong, (s / bs.length).toLong), s"doc $id")
+    }
+    assert(got.keySet == bgs.map(_._1).toSet)
+    // every score is a probability in ppm
+    got.values.foreach { case (_, p) => assert(p >= 0 && p <= 1000000) }
+  }
+
+  test("blocklist screen: flagged counts match the token-set recount") {
+    val got = graft.ops.Clean.blocklistScreen(spark, GraftSpark.Sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_flagged"), r.getAs[Long]("flagged_pml"))).toMap
+    val block = graft.ops.Clean.Blocklist.toSet
+    val expect = Tables.documents(spark, GraftSpark.Sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.split("\\s+").exists(block)))
+      .groupBy(_._1).view.mapValues { xs =>
+        val n = xs.length.toLong; val f = xs.count(_._2).toLong
+        (n, f, f * 1000 / n)
+      }.toMap
+    assert(got == expect)
+    assert(got.values.exists(_._2 > 0))
+  }
 }

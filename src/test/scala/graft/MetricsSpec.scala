@@ -413,4 +413,41 @@ class MetricsSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  test("lateness profile: running high-water-mark recount and exact p95 " +
+    "order statistic") {
+    val got = graft.ops.Metrics.latenessProfile(spark, GraftSpark.Sf)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_out_of_order"), r.getAs[Long]("max_lateness_sec"),
+        r.getAs[Long]("p95_lateness_sec"))).toMap
+    val byTok = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "block_number", "transact_at").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = byTok.view.mapValues { rows =>
+      val seq = rows.sortBy(_._2)
+      val lates = seq.scanLeft(Long.MinValue) { (hi, r) => hi max r._3 }
+        .tail.zip(seq).map { case (hi, r) => hi - r._3 }
+      val sorted = lates.sorted
+      val p95 = sorted((19 * seq.length + 19) / 20 - 1)
+      (seq.length.toLong, lates.count(_ > 0).toLong, lates.max, p95)
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("largest transfers: per-token top-k matches the sort recount") {
+    val got = graft.ops.Metrics.largestTransfers(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rnk"),
+        r.getAs[Long]("block_number"), r.getAs[Double]("value")))
+    val expect = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "block_number", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (tok, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(graft.ops.Metrics.LargestK)
+          .zipWithIndex.map { case (r, i) => (tok, i + 1L, r._2, r._3) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == expect)
+  }
 }
