@@ -6433,19 +6433,26 @@ object Catalog {
          |         to_address AS b, block_number AS k, transact_at AS t
          |  FROM transfers
          |)
-         |SELECT x.tok AS contract_address,
-         |       CAST(count(*) AS BIGINT) AS n_cycles,
-         |       CAST(count(DISTINCT x.a) AS BIGINT) AS n_initiators,
-         |       CAST(count(DISTINCT x.b) AS BIGINT) AS n_relays
-         |FROM e x
-         |JOIN e y ON y.tok = x.tok AND y.a = x.b
-         |        AND y.k > x.k AND y.t >= x.t
-         |        AND y.t <= x.t + ${Forensics.CycleWindowSec}
-         |JOIN e z ON z.tok = x.tok AND z.a = y.b AND z.b = x.a
-         |        AND z.k > y.k AND z.t >= y.t
-         |        AND z.t <= x.t + ${Forensics.CycleWindowSec}
-         |WHERE x.a <> x.b AND x.b <> y.b AND x.a <> y.b
-         |GROUP BY 1 ORDER BY 1""".stripMargin))),
+         |, cyc AS (
+         |  SELECT x.tok, CAST(count(*) AS BIGINT) AS n_cycles,
+         |         CAST(count(DISTINCT x.a) AS BIGINT) AS n_initiators,
+         |         CAST(count(DISTINCT x.b) AS BIGINT) AS n_relays
+         |  FROM e x
+         |  JOIN e y ON y.tok = x.tok AND y.a = x.b
+         |          AND y.k > x.k AND y.t >= x.t
+         |          AND y.t <= x.t + ${Forensics.CycleWindowSec}
+         |  JOIN e z ON z.tok = x.tok AND z.a = y.b AND z.b = x.a
+         |          AND z.k > y.k AND z.t >= y.t
+         |          AND z.t <= x.t + ${Forensics.CycleWindowSec}
+         |  WHERE x.a <> x.b AND x.b <> y.b AND x.a <> y.b
+         |  GROUP BY 1
+         |)
+         |SELECT tk.tok AS contract_address,
+         |       COALESCE(c.n_cycles, 0) AS n_cycles,
+         |       COALESCE(c.n_initiators, 0) AS n_initiators,
+         |       COALESCE(c.n_relays, 0) AS n_relays
+         |FROM (SELECT DISTINCT tok FROM e) tk
+         |LEFT JOIN cyc c USING (tok) ORDER BY 1""".stripMargin))),
 
     // Token co-holder matrix: wallet-keyed pair expansion (per-wallet
     // fan-out bounded by the tiny token universe), Jaccard in per-mille.
@@ -6560,9 +6567,11 @@ object Catalog {
           .filter(col("from_address") =!= col("to_address"))
           .select(col("from_address").as("src"), col("to_address").as("dst"))
           .distinct()
-        val verts = e.select(col("src").as("v"))
-          .unionByName(e.select(col("dst").as("v"))).distinct()
-        val seeds = verts.orderBy(expr("md5(v)"), col("v")).limit(8)
+        // seeds drawn from SENDERS: every seed has at least one out-edge,
+        // so the sampled estimator is non-degenerate at any SF (a sink
+        // wallet seeds a BFS that reaches nobody)
+        val seeds = e.select(col("src").as("v")).distinct()
+          .orderBy(expr("md5(v)"), col("v")).limit(8)
         Graph.harmonicCentrality(e, seeds)
       },
       Some {
@@ -6582,8 +6591,8 @@ object Catalog {
              |  SELECT DISTINCT from_address AS src, to_address AS dst
              |  FROM transfers WHERE from_address <> to_address
              |),
-             |vv AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
-             |seeds AS (SELECT v FROM vv ORDER BY md5(v), v LIMIT 8),
+             |seeds AS (SELECT src AS v FROM (SELECT DISTINCT src FROM e)
+             |          ORDER BY md5(src), src LIMIT 8),
              |b0 AS (SELECT v, v AS seed, 0 AS d FROM seeds),
              |$rounds
              |SELECT v AS address, CAST(count(*) AS BIGINT) AS n_reached,
@@ -6728,5 +6737,114 @@ object Catalog {
          |           ORDER BY value DESC, block_number) AS rnk
          |  FROM transfers
          |) WHERE rnk <= ${Metrics.LargestK}
-         |ORDER BY contract_address, rnk""".stripMargin))))
+         |ORDER BY contract_address, rnk""".stripMargin))),
+
+    // Incremental JOIN-view maintenance: the three delta terms
+    // (dA|xB_old, A_old|xdB, dA|xdB) merged into the old view; oracle is
+    // the direct full join — base (+) delta == recompute, by hash.
+    QEntry("q_incremental_join", Relational.incrementalJoinView,
+      Some(withTransfers(
+      s""", a AS (
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t, value
+         |  FROM transfers WHERE block_number % 5 <> 0
+         |),
+         |b AS (
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |         value AS price
+         |  FROM transfers WHERE block_number % 5 = 0
+         |)
+         |SELECT a.contract_address, a.t,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CAST(a.value AS DECIMAL(25,2))) AS DOUBLE)
+         |         AS tx_volume,
+         |       CAST(SUM(CAST(b.price AS DECIMAL(25,2))) AS DOUBLE)
+         |         AS tick_volume
+         |FROM a JOIN b ON a.contract_address = b.contract_address
+         |            AND a.t = b.t
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // Market-basket association rules over wallet token-audiences:
+    // support/confidence/lift in exact integer ppm, directed pairs.
+    QEntry("q_assoc_rules", Wallet.assocRules, Some(withTransfers(
+      s""", held AS (
+         |  SELECT DISTINCT tok, wallet FROM (
+         |    SELECT contract_address AS tok, from_address AS wallet
+         |    FROM transfers
+         |    UNION ALL
+         |    SELECT contract_address, to_address FROM transfers
+         |  ) u
+         |),
+         |aud AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM held GROUP BY 1
+         |),
+         |tot AS (
+         |  SELECT CAST(count(DISTINCT wallet) AS BIGINT) AS n_wallets
+         |  FROM held
+         |),
+         |pairs AS (
+         |  SELECT x.tok AS tok_x, y.tok AS tok_y,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |  FROM held x JOIN held y
+         |    ON x.wallet = y.wallet AND x.tok <> y.tok
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.tok_x, p.tok_y, p.n_common,
+         |       p.n_common * 1000000 // n_wallets AS support_ppm,
+         |       p.n_common * 1000000 // a.n AS confidence_ppm,
+         |       p.n_common * n_wallets * 1000000 // (a.n * b.n) AS lift_ppm
+         |FROM pairs p
+         |JOIN aud a ON a.tok = p.tok_x
+         |JOIN aud b ON b.tok = p.tok_y, tot
+         |ORDER BY 1, 2""".stripMargin))),
+
+    // Mergeable equi-width quantile sketch with certified error bound:
+    // estimate, exact order statistic, and the bound check in one query.
+    QEntry("q_quantile_sketch", Profile.quantileSketch, Some(
+      s"""WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
+         |bounds AS (
+         |  SELECT min(x) AS mn, max(x) AS mx,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM li
+         |),
+         |hist AS (
+         |  SELECT least(CAST(floor((x - mn) * ${Profile.SketchBuckets}
+         |           / (mx - mn)) AS BIGINT),
+         |           ${Profile.SketchBuckets - 1}) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM li, bounds GROUP BY 1
+         |),
+         |cum AS (
+         |  SELECT bucket, SUM(c) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM hist
+         |),
+         |distx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM li
+         |          GROUP BY 1),
+         |cumx AS (
+         |  SELECT x, SUM(c) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM distx
+         |),
+         |ps AS (SELECT unnest([50, 95, 99]) AS p),
+         |est AS (
+         |  SELECT p.p, min(cum.bucket) AS bucket
+         |  FROM ps p, cum, bounds WHERE cum.cum >= (p.p * n + 99) // 100
+         |  GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT p.p, min(cumx.x) AS exact
+         |  FROM ps p, cumx, bounds WHERE cumx.cum >= (p.p * n + 99) // 100
+         |  GROUP BY 1
+         |)
+         |SELECT CAST(e.p AS BIGINT) AS p,
+         |       mn + (e.bucket + 1) * ((mx - mn) / ${Profile.SketchBuckets})
+         |         AS estimate,
+         |       x2.exact,
+         |       (mx - mn) / ${Profile.SketchBuckets} AS max_error,
+         |       abs(mn + (e.bucket + 1)
+         |             * ((mx - mn) / ${Profile.SketchBuckets}) - x2.exact)
+         |         <= (mx - mn) / ${Profile.SketchBuckets} + 0.000001
+         |         AS within_bound
+         |FROM est e JOIN ex x2 USING (p), bounds
+         |ORDER BY 1""".stripMargin)))
 }

@@ -254,7 +254,7 @@ object Forensics {
     val hop3 = t.select(col("tok"), col("from_address").as("c"),
       col("to_address").as("a"), col("block_number").as("k3"),
       col("transact_at").as("t3"))
-    hop1.join(hop2, Seq("tok", "b"))
+    val cycles = hop1.join(hop2, Seq("tok", "b"))
       .filter(col("k2") > col("k1") && col("t2") >= col("t1") &&
         col("t2") <= col("t1") + CycleWindowSec &&
         col("a") =!= col("b") && col("b") =!= col("c") &&
@@ -262,10 +262,18 @@ object Forensics {
       .join(hop3, Seq("tok", "c", "a"))
       .filter(col("k3") > col("k2") && col("t3") >= col("t2") &&
         col("t3") <= col("t1") + CycleWindowSec)
-      .groupBy(col("tok").as("contract_address"))
+      .groupBy("tok")
       .agg(count(lit(1)).as("n_cycles"),
         countDistinct(col("a")).as("n_initiators"),
         countDistinct(col("b")).as("n_relays"))
+    // densified to every observed token — a clean screen reports 0, not
+    // an absent row (and the report shape is SF-stable)
+    t.select(col("tok")).distinct()
+      .join(cycles, Seq("tok"), "left")
+      .select(col("tok").as("contract_address"),
+        coalesce(col("n_cycles"), lit(0L)).as("n_cycles"),
+        coalesce(col("n_initiators"), lit(0L)).as("n_initiators"),
+        coalesce(col("n_relays"), lit(0L)).as("n_relays"))
       .orderBy("contract_address")
   }
 }

@@ -384,4 +384,68 @@ object Profile {
             * col("nt").cast(dec)).cast("double"), 6).as("chi2_term"))
       .orderBy("source", "bucket")
   }
+
+  /** Quantile-sketch bucket count. */
+  val SketchBuckets = 64
+
+  /** Mergeable equi-width quantile sketch with a CERTIFIED error bound —
+    * the quantile member of the sketch family next to the HLL twin
+    * (`q_unique_wallets_hll`) and the Count-Min estimates
+    * (`q_countmin_est`). A [[SketchBuckets]]-bucket histogram of
+    * `l_extendedprice` (bucket counts are plain sums — mergeable across
+    * partitions, shards, or days exactly like production quantile
+    * sketches), read out at p50/p95/p99 as the upper edge of the bucket
+    * where the cumulative count crosses ⌈p·n⌉. The certificate: the
+    * estimate can miss the true quantile by at most one bucket width, and
+    * the query emits the EXACT order statistic beside it plus the bound
+    * check — so the sketch's contract is itself hash-verified.
+    *
+    * Float-portability: bucket index and edges are each a chain of single
+    * correctly-rounded IEEE ops (subtract, multiply-by-2^k, divide, floor)
+    * — bit-identical in DuckDB; counts and crossings are integers. */
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = SketchBuckets
+    val li = Tables.lineitem(spark, sfDir).select(col("l_extendedprice").as("x"))
+    val bounds = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"))
+    val hist = li.crossJoin(broadcast(bounds))
+      .select(least(floor((col("x") - col("mn")) * b / (col("mx") - col("mn"))),
+        lit(b - 1)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    // exact side: certificate-only, via the value DISTRIBUTION (map-side
+    // collapse to distinct prices before the one rank-selection window —
+    // the same move as sourceDeciles/weightedMedian, never a row sort)
+    val distx = li.groupBy("x").agg(count(lit(1)).as("c"))
+    val cumx = distx
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .crossJoin(broadcast(bounds.select(col("n"))))
+    val ps = Seq(50, 95, 99)
+    val est = ps.map { p =>
+      cum.crossJoin(broadcast(bounds))
+        .filter(col("cum") >= expr(s"($p * n + 99) div 100"))
+        .agg(min(col("bucket")).as("bucket"))
+        .crossJoin(broadcast(bounds))
+        .select(lit(p.toLong).as("p"),
+          (col("mn") + (col("bucket") + 1) * ((col("mx") - col("mn")) / b))
+            .as("estimate"),
+          ((col("mx") - col("mn")) / b).as("max_error"))
+    }.reduce(_ unionByName _)
+    val exacts = ps.map { p =>
+      cumx.filter(col("cum") >= expr(s"($p * n + 99) div 100"))
+        .agg(min(col("x")).as("exact"))
+        .select(lit(p.toLong).as("p"), col("exact"))
+    }.reduce(_ unionByName _)
+    est.join(exacts, Seq("p"))
+      .select(col("p"), col("estimate"), col("exact"), col("max_error"),
+        (abs(col("estimate") - col("exact")) <= col("max_error") + lit(1e-6))
+          .as("within_bound"))
+      .orderBy("p")
+  }
 }

@@ -223,4 +223,42 @@ object Wallet {
         expr("n_common * 1000 div (n_a + n_b - n_common)").as("jaccard_pml"))
       .orderBy("tok_a", "tok_b")
   }
+
+  /** Single-item association rules X→Y over wallet token-audiences
+    * (market-basket over the [[coHolders]] incidence): support, confidence
+    * and lift in exact integer ppm — `support = |X∩Y|/N`,
+    * `confidence = |X∩Y|/|X|`, `lift = |X∩Y|·N / (|X|·|Y|)` (ppm of 1.0).
+    * Directed (both orders emitted): confidence is asymmetric — the
+    * "holders of X also hold Y" recommendation score.
+    *
+    * Same wallet-keyed pair expansion as [[coHolders]] (fan-out bounded by
+    * the token universe per wallet); everything after is per-mille/ppm
+    * integer division on broadcast-sized frames. */
+  def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+    val held = t.select(col("contract_address").as("tok"),
+        col("from_address").as("wallet"))
+      .unionByName(t.select(col("contract_address").as("tok"),
+        col("to_address").as("wallet")))
+      .distinct()
+    val audience = held.groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = held.select("wallet").distinct()
+      .agg(count(lit(1)).as("n_wallets"))
+    held.select(col("tok").as("tok_x"), col("wallet"))
+      .join(held.select(col("tok").as("tok_y"), col("wallet")), Seq("wallet"))
+      .filter(col("tok_x") =!= col("tok_y"))
+      .groupBy("tok_x", "tok_y")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(audience.select(col("tok").as("tok_x"),
+        col("n").as("n_x"))), Seq("tok_x"))
+      .join(broadcast(audience.select(col("tok").as("tok_y"),
+        col("n").as("n_y"))), Seq("tok_y"))
+      .crossJoin(broadcast(total))
+      .select(col("tok_x"), col("tok_y"), col("n_common"),
+        expr("n_common * 1000000 div n_wallets").as("support_ppm"),
+        expr("n_common * 1000000 div n_x").as("confidence_ppm"),
+        expr("n_common * n_wallets * 1000000 div (n_x * n_y)")
+          .as("lift_ppm"))
+      .orderBy("tok_x", "tok_y")
+  }
 }

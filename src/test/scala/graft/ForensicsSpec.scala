@@ -134,10 +134,15 @@ class ForensicsSpec extends AnyFunSuite {
       if z._3 == x._2 // closes back to a
       if z._4 > y._4 && z._6 >= y._6 && z._6 <= x._6 + w
     } yield (x._1, x._2, x._3)
-    val expect = cycles.groupBy(_._1).view.mapValues(cs =>
-      (cs.length.toLong, cs.map(_._2).distinct.length.toLong,
-        cs.map(_._3).distinct.length.toLong)).toMap
+    val byTok = cycles.groupBy(_._1)
+    // densified: every observed token reports, clean ones as zeros
+    val expect = transfers.map(_._1).distinct.map { tok =>
+      val cs = byTok.getOrElse(tok, Nil)
+      tok -> (cs.length.toLong, cs.map(_._2).distinct.length.toLong,
+        cs.map(_._3).distinct.length.toLong)
+    }.toMap
     assert(got == expect)
+    assert(got.nonEmpty)
   }
 
   test("co-holders: pair intersections and jaccard match the set recount") {
@@ -154,6 +159,28 @@ class ForensicsSpec extends AnyFunSuite {
       common = (aud(a) & aud(b)).size.toLong if common > 0
     } yield ((a, b), (common, aud(a).size.toLong, aud(b).size.toLong,
       common * 1000 / (aud(a).size + aud(b).size - common)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("association rules: support/confidence/lift match the set recount " +
+    "in exact ppm") {
+    val got = graft.ops.Wallet.assocRules(spark, GraftSpark.Sf).collect()
+      .map(r => ((r.getAs[String]("tok_x"), r.getAs[String]("tok_y")),
+        (r.getAs[Long]("n_common"), r.getAs[Long]("support_ppm"),
+          r.getAs[Long]("confidence_ppm"), r.getAs[Long]("lift_ppm")))).toMap
+    val held = transfers.flatMap(t => Seq((t._1, t._2), (t._1, t._3))).toSet
+    val toks = held.map(_._1).toSeq.sorted
+    val aud = toks.map(t => t -> held.collect {
+      case (tok, w) if tok == t => w }).toMap
+    val nWallets = held.map(_._2).size.toLong
+    val expect = (for {
+      x <- toks; y <- toks if x != y
+      common = (aud(x) & aud(y)).size.toLong if common > 0
+    } yield ((x, y), (common, common * 1000000 / nWallets,
+      common * 1000000 / aud(x).size,
+      common * nWallets * 1000000 / (aud(x).size.toLong * aud(y).size))))
+      .toMap
     assert(got == expect)
     assert(got.nonEmpty)
   }

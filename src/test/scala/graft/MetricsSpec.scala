@@ -450,4 +450,33 @@ class MetricsSpec extends AnyFunSuite {
       }.sortBy(r => (r._1, r._2))
     assert(got.toSeq == expect)
   }
+
+  test("incremental join view: merged delta terms equal the direct full " +
+    "join recompute") {
+    val got = graft.ops.Relational.incrementalJoinView(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("tx_volume"), r.getAs[Double]("tick_volume")))).toMap
+    val t = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "block_number", "transact_at", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2) / 3600 * 3600,
+        BigDecimal(r.getDouble(3)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val aG = t.filter(_._2 % 5 != 0).groupBy(x => (x._1, x._3))
+    val bG = t.filter(_._2 % 5 == 0).groupBy(x => (x._1, x._3))
+    val expect = (aG.keySet & bG.keySet).map { k =>
+      val (as, bs) = (aG(k), bG(k))
+      k -> (as.length.toLong * bs.length,
+        (as.map(_._4).sum * bs.length).toDouble,
+        (bs.map(_._4).sum * as.length).toDouble)
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (n, tx, tk)) =>
+      val (en, etx, etk) = expect(k)
+      assert(n == en, s"$k")
+      assert(math.abs(tx - etx) < 1e-9, s"$k")
+      assert(math.abs(tk - etk) < 1e-9, s"$k")
+    }
+  }
 }

@@ -130,4 +130,22 @@ class PrivacySpec extends AnyFunSuite {
     val oneSrc = rows.filter(_.getString(0) == rows.head.getString(0))
     assert(oneSrc.map(_.getAs[Long]("nb")).sum == nt)
   }
+
+  test("quantile sketch: exact side is the true order statistic and the " +
+    "certified bound holds") {
+    val rows = graft.ops.Profile.quantileSketch(spark, GraftSpark.Sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("p")).toSeq == Seq(50L, 95L, 99L))
+    val xs = Tables.lineitem(spark, GraftSpark.Sf)
+      .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    val n = xs.length
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p").toInt
+      val exact = xs(((p * n + 99) / 100 - 1).toInt)
+      assert(r.getAs[Double]("exact") == exact, s"p$p")
+      assert(r.getAs[Boolean]("within_bound"), s"p$p")
+      assert(math.abs(r.getAs[Double]("estimate") - exact)
+        <= r.getAs[Double]("max_error") + 1e-6, s"p$p")
+    }
+  }
 }
