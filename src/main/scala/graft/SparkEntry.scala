@@ -6846,5 +6846,91 @@ object Catalog {
          |         <= (mx - mn) / ${Profile.SketchBuckets} + 0.000001
          |         AS within_bound
          |FROM est e JOIN ex x2 USING (p), bounds
-         |ORDER BY 1""".stripMargin)))
+         |ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q3 shipping priority: unshipped BUILDING-segment revenue,
+    // top 10 by exact decimal revenue (ties by order key).
+    QEntry("q_tpch_q3", Relational.shippingPriority, Some(
+      s"""SELECT l.l_orderkey,
+         |       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+         |         AS DECIMAL(25,8))) AS DOUBLE) AS revenue,
+         |       o.o_orderdate
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '${Relational.Q3Cutoff}'
+         |  AND l.l_shipdate > TIMESTAMP '${Relational.Q3Cutoff}'
+         |GROUP BY 1, 3
+         |ORDER BY SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+         |  AS DECIMAL(25,8))) DESC, l.l_orderkey
+         |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q18 large-volume customers: order-grained HAVING before any
+    // dimension join touches the stream.
+    QEntry("q_big_orders", Relational.bigOrders, Some(
+      s"""WITH heavy AS (
+         |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(25,2))) AS qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING SUM(CAST(l_quantity AS DECIMAL(25,2)))
+         |    > ${Relational.BigOrderQty}
+         |)
+         |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+         |       o.o_totalprice, CAST(h.qty AS DOUBLE) AS total_qty
+         |FROM heavy h
+         |JOIN orders o ON h.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |ORDER BY o.o_totalprice DESC, o.o_orderkey""".stripMargin)),
+
+    // Leading-edge debounce audit: gaps-and-islands bursts per (token,
+    // sender); how much a per-sender rate limit would drop.
+    QEntry("q_debounce", Behavior.debounce, Some(withTransfers(
+      s""", g AS (
+         |  SELECT contract_address, from_address, transact_at, block_number,
+         |         lag(transact_at, 1) OVER (
+         |           PARTITION BY contract_address, from_address
+         |           ORDER BY transact_at, block_number) AS prev
+         |  FROM transfers
+         |),
+         |f AS (
+         |  SELECT contract_address, from_address, transact_at, block_number,
+         |         CASE WHEN prev IS NULL
+         |                OR transact_at - prev >= ${Behavior.ThrottleSec}
+         |           THEN 1 ELSE 0 END AS lead_flag
+         |  FROM g
+         |),
+         |bid AS (
+         |  SELECT contract_address, from_address,
+         |         SUM(lead_flag) OVER (
+         |           PARTITION BY contract_address, from_address
+         |           ORDER BY transact_at, block_number
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS burst
+         |  FROM f
+         |),
+         |bl AS (
+         |  SELECT contract_address, from_address, burst,
+         |         CAST(count(*) AS BIGINT) AS blen
+         |  FROM bid GROUP BY 1, 2, 3
+         |)
+         |SELECT contract_address, CAST(SUM(blen) AS BIGINT) AS n_events,
+         |       CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(SUM(blen) - count(*) AS BIGINT) AS n_dropped,
+         |       CAST(max(blen) AS BIGINT) AS max_burst_len
+         |FROM bl GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // N-gram novelty: share of a doc's shingles with corpus df = 1 —
+    // boilerplate screen, inverse of the dedup family.
+    QEntry("q_ngram_novelty", TextAnalysis.ngramNovelty, Some(withShingles(
+      s""", dfreq AS (
+         |  SELECT sh, CAST(count(*) AS BIGINT) AS df
+         |  FROM shingles GROUP BY 1
+         |)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_unique,
+         |       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000
+         |         // count(*) AS BIGINT) AS novelty_pml
+         |FROM shingles s JOIN dfreq d USING (sh)
+         |GROUP BY 1 ORDER BY 1""".stripMargin))))
 }

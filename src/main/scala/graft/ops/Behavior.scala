@@ -326,4 +326,41 @@ object Behavior {
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path").asc)
   }
+
+  /** Minimum gap between kept events of one sender — bursts tighter than
+    * this collapse to their leading event. */
+  val ThrottleSec = 86400L
+
+  /** Leading-edge debounce / rate-limit audit: per (token, sender), events
+    * closer than [[ThrottleSec]] to their predecessor form one burst and
+    * only the burst leader would be kept; the rollup reports how much a
+    * per-sender rate limit would drop. The dedup-adjacent stream hygiene
+    * op (alert throttling, notification collapsing, bot-burst discount).
+    *
+    * Burst = gaps-and-islands over the (token, sender) key: one lag +
+    * one running flag-sum on a single per-sender exchange, then two
+    * map-side aggregates — the window key space is the huge dimension, so
+    * no sort concentrates. */
+  def debounce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("contract_address", "from_address")
+      .orderBy("transact_at", "block_number")
+    val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bursts = Tables.transfers(spark, sfDir)
+      .select(col("contract_address"), col("from_address"),
+        col("transact_at"), col("block_number"))
+      .withColumn("prev", lag(col("transact_at"), 1).over(byKey))
+      .withColumn("lead",
+        col("prev").isNull || col("transact_at") - col("prev") >= ThrottleSec)
+      .withColumn("burst",
+        sum(when(col("lead"), 1L).otherwise(0L)).over(run))
+      .groupBy("contract_address", "from_address", "burst")
+      .agg(count(lit(1)).as("blen"))
+    bursts.groupBy("contract_address")
+      .agg(sum(col("blen")).as("n_events"),
+        count(lit(1)).as("n_kept"),
+        (sum(col("blen")) - count(lit(1))).as("n_dropped"),
+        max(col("blen")).as("max_burst_len"))
+      .orderBy("contract_address")
+  }
 }

@@ -503,4 +503,56 @@ object Relational {
         sum(col("vb") * col("na")).cast("double").as("tick_volume"))
       .orderBy("contract_address", "t")
   }
+
+  /** Shipping-priority query (TPC-H Q3 shape): revenue of unshipped
+    * BUILDING-segment orders as of a cutoff date, top 10 by revenue.
+    * Exact decimal revenue; the rank ties break by order key, and the top
+    * slice is a TakeOrdered over the aggregated (order-grained) frame —
+    * the sort never sees line items. Dimension filter joins broadcast. */
+  val Q3Cutoff = "1995-03-15 00:00:00"
+
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = to_timestamp(lit(Q3Cutoff))
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(25, 8))).as("rev"))
+      .select(col("l_orderkey"), col("rev").cast("double").as("revenue"),
+        col("o_orderdate"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Large-volume customers (TPC-H Q18 shape): orders whose total line
+    * quantity exceeds the threshold, with the ordering customer. The
+    * HAVING runs on the order-grained aggregate (map-side combinable);
+    * customer attaches by broadcast after the filter has shrunk the
+    * stream to the rare heavy orders. */
+  val BigOrderQty = 300.0
+
+  def bigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val heavy = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")
+        .cast(org.apache.spark.sql.types.DecimalType(25, 2))).as("qty"))
+      .filter(col("qty") > BigOrderQty)
+    heavy
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
 }

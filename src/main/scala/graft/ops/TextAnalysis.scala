@@ -500,4 +500,25 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), min(md5(col("sh"))).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** N-gram novelty screen: per document, the share of its distinct
+    * 3-shingles that occur in NO other document (corpus df = 1), in
+    * integer per-mille. High novelty marks original content worth
+    * upweighting; near-zero novelty marks boilerplate/templated text — the
+    * memorization-risk complement to the dedup family (a doc can evade
+    * near-dup joins while still being assembled from corpus-common
+    * n-grams).
+    *
+    * One inverted-index df aggregation + one join back on the shingle key
+    * — the same shuffle shape as the Jaccard index build, O(shingles). */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_pml", expr("n_unique * 1000 div n_shingles"))
+      .orderBy("doc_id")
+  }
 }

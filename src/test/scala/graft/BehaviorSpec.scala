@@ -255,4 +255,36 @@ class BehaviorSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("debounce: burst accounting matches the per-sender gap recount") {
+    val got = graft.ops.Behavior.debounce(spark, GraftSpark.Sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("max_burst_len"))).toMap
+    val w = graft.ops.Behavior.ThrottleSec
+    val byKey = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "from_address", "transact_at",
+        "block_number").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2))
+    // burst lengths per sender: a new burst starts when the gap >= throttle
+    val burstsByTok = byKey.toSeq.flatMap { case ((tok, _), es) =>
+      val ts = es.sortBy(e => (e._3, e._4)).map(_._3)
+      val lens = scala.collection.mutable.ArrayBuffer[Long]()
+      var cur = 0L; var prev = Long.MinValue
+      ts.foreach { t =>
+        if (cur == 0L || t - prev >= w) { if (cur > 0) lens += cur; cur = 1 }
+        else cur += 1
+        prev = t
+      }
+      if (cur > 0) lens += cur
+      lens.map(tok -> _)
+    }.groupBy(_._1)
+    val expect = burstsByTok.view.mapValues { ls =>
+      val lens = ls.map(_._2)
+      (lens.sum, lens.length.toLong, lens.sum - lens.length, lens.max)
+    }.toMap
+    assert(got == expect)
+    assert(got.values.exists(_._3 > 0)) // the throttle actually drops some
+  }
 }

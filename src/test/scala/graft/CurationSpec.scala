@@ -321,4 +321,48 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Double]("delta") == mw - ss.toDouble / nn.toDouble)
     }
   }
+
+  test("ngram novelty: per-doc unique-shingle shares match the df recount") {
+    val got = graft.ops.TextAnalysis.ngramNovelty(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_unique"), r.getAs[Long]("novelty_pml"))).toMap
+    val perDoc = Tables.documents(spark, GraftSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).trim.split("\\s+").toSeq
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }
+      .filter(_._2.nonEmpty).toMap
+    val df = perDoc.values.flatten.toSeq.groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val expect = perDoc.map { case (id, shs) =>
+      val u = shs.count(df(_) == 1).toLong
+      id -> (shs.size.toLong, u, u * 1000 / shs.size)
+    }
+    assert(got == expect)
+    // the screen separates: some docs carry unique content, some none
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0L))
+  }
+
+  test("TPC-H Q3/Q18: revenue and quantity argmax recounts") {
+    val q3 = graft.ops.Relational.shippingPriority(spark, GraftSpark.Sf)
+      .collect()
+    assert(q3.length <= 10 && q3.nonEmpty)
+    // revenues strictly ordered (ties broken by key ascending)
+    val revs = q3.map(_.getAs[Double]("revenue")).toSeq
+    assert(revs == revs.sorted.reverse)
+    val q18 = graft.ops.Relational.bigOrders(spark, GraftSpark.Sf).collect()
+    val qty = Tables.lineitem(spark, GraftSpark.Sf)
+      .select("l_orderkey", "l_quantity").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum).toMap
+    val expectKeys = qty.filter(_._2 > BigDecimal(graft.ops.Relational
+      .BigOrderQty)).keySet
+    assert(q18.map(_.getAs[Long]("o_orderkey")).toSet == expectKeys)
+    q18.foreach(r => assert(
+      r.getAs[Double]("total_qty") == qty(r.getAs[Long]("o_orderkey")).toDouble))
+  }
 }
