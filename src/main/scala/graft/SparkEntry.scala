@@ -6932,5 +6932,79 @@ object Catalog {
          |       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000
          |         // count(*) AS BIGINT) AS novelty_pml
          |FROM shingles s JOIN dfreq d USING (sh)
-         |GROUP BY 1 ORDER BY 1""".stripMargin))))
+         |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Seed-sampled bounded-depth Brandes betweenness: 4 md5-chosen sender
+    // seeds, 4 forward sigma rounds + 3 backward credit levels, integer-
+    // ppm quantized ratios. MATERIALIZED rounds (each references its
+    // predecessor 3x — inlining would copy the scan 3^4 times).
+    QEntry("q_betweenness",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, expr}
+        val e = graft.Tables.transfers(s, d)
+          .filter(col("from_address") =!= col("to_address"))
+          .select(col("from_address").as("src"), col("to_address").as("dst"))
+          .distinct()
+        val seeds = e.select(col("src").as("v")).distinct()
+          .orderBy(expr("md5(v)"), col("v")).limit(4)
+        Graph.betweenness(e, seeds)
+      },
+      Some {
+        val fwd = (1 to 4).map { i =>
+          s"""c$i AS MATERIALIZED (
+             |  SELECT e.dst AS v, f.seed, SUM(f.sigma) AS sig
+             |  FROM e JOIN d${i - 1} f ON f.v = e.src AND f.d = ${i - 1}
+             |  GROUP BY 1, 2
+             |),
+             |d$i AS MATERIALIZED (
+             |  SELECT * FROM d${i - 1}
+             |  UNION ALL
+             |  SELECT c.v, c.seed, $i AS d, c.sig AS sigma FROM c$i c
+             |  WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} p
+             |                    WHERE p.v = c.v AND p.seed = c.seed)
+             |)""".stripMargin
+        }.mkString(",\n")
+        val bwd = (3 to 1 by -1).map { l =>
+          s"""q$l AS MATERIALIZED (
+             |  SELECT lv.v, lv.seed, COALESCE(s.qd, CAST(0 AS HUGEINT)) AS qd
+             |  FROM (SELECT v, seed FROM d4 WHERE d = $l) lv
+             |  LEFT JOIN (
+             |    SELECT u.v, u.seed,
+             |           SUM(u.sigma * (${Graph.BetweennessScale}
+             |             + COALESCE(q.qd, 0)) // w.sigma) AS qd
+             |    FROM d4 u
+             |    JOIN e ON e.src = u.v
+             |    JOIN d4 w ON w.v = e.dst AND w.seed = u.seed
+             |             AND w.d = ${l + 1}
+             |    LEFT JOIN q${l + 1} q ON q.v = w.v AND q.seed = w.seed
+             |    WHERE u.d = $l
+             |    GROUP BY 1, 2
+             |  ) s ON s.v = lv.v AND s.seed = lv.seed
+             |)""".stripMargin
+        }.mkString(",\n")
+        withTransfers(
+          s""", e AS MATERIALIZED (
+             |  SELECT DISTINCT from_address AS src, to_address AS dst
+             |  FROM transfers WHERE from_address <> to_address
+             |),
+             |seeds AS (SELECT src AS v FROM (SELECT DISTINCT src FROM e)
+             |          ORDER BY md5(src), src LIMIT 4),
+             |d0 AS MATERIALIZED (
+             |  SELECT v, v AS seed, 0 AS d, CAST(1 AS HUGEINT) AS sigma
+             |  FROM seeds
+             |),
+             |$fwd,
+             |q4 AS (SELECT v, seed, CAST(0 AS HUGEINT) AS qd
+             |       FROM d4 WHERE d = 4),
+             |$bwd
+             |SELECT dd.v AS address,
+             |       CAST(SUM(COALESCE(qq.qd, 0)) AS BIGINT)
+             |         AS betweenness_ppm
+             |FROM (SELECT v, seed FROM d4 WHERE d >= 1) dd
+             |LEFT JOIN (SELECT * FROM q1 UNION ALL SELECT * FROM q2
+             |           UNION ALL SELECT * FROM q3
+             |           UNION ALL SELECT * FROM q4) qq
+             |  ON qq.v = dd.v AND qq.seed = dd.seed
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+      }))
 }

@@ -448,6 +448,77 @@ object Graph {
       .orderBy("address")
   }
 
+  /** Fixed-point scale for [[betweenness]] credits (ppm). */
+  val BetweennessScale = 1000000L
+
+  /** Seed-sampled, bounded-depth betweenness centrality — Brandes'
+    * dependency accumulation restricted to shortest paths of ≤ `rounds`
+    * hops from the seed set, with path-credit ratios QUANTIZED to integer
+    * [[BetweennessScale]]-ppm at every accumulation step. Three standard
+    * concessions make the O(V·E) exact algorithm scale-shaped and
+    * oracle-checkable: sampled sources (the Brandes–Pich estimator),
+    * bounded depth (like [[bfsHops]]), and fixed-point credits (float
+    * `σᵤ/σ_w` sums are order-dependent; integer `div` at each step defines
+    * a deterministic recursion both engines reproduce bit-exactly).
+    *
+    * Forward pass: per round, one equi-join + grouped σ-sum + an anti-join
+    * (first-reached level wins, σ sums over all shortest parents).
+    * Backward pass: per level, one DAG-edge join + grouped credit sum.
+    * All joins keyed on (vertex, seed); rounds lineage-cut. */
+  def betweenness(edges: DataFrame, seeds: DataFrame, rounds: Int = 4,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = LineageCut.cut(
+      edges.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct(), cutMode)
+    var dist = LineageCut.cut(
+      seeds.select(col("v"), col("v").as("seed"), lit(0).cast("int").as("d"),
+        lit(1L).cast(dec).as("sigma")), cutMode)
+    for (i <- 1 to rounds) {
+      val cand = e
+        .join(dist.filter(col("d") === i - 1)
+          .select(col("v").as("src"), col("seed"), col("sigma")), Seq("src"))
+        .groupBy(col("dst").as("v"), col("seed"))
+        .agg(sum(col("sigma")).cast(dec).as("sig"))
+      val fresh = cand
+        .join(dist.select("v", "seed"), Seq("v", "seed"), "left_anti")
+        .select(col("v"), col("seed"), lit(i).cast("int").as("d"),
+          col("sig").as("sigma"))
+      dist = LineageCut.cut(dist.unionByName(fresh), cutMode)
+    }
+    var prevQd = dist.filter(col("d") === rounds)
+      .select(col("v"), col("seed"), lit(0L).cast(dec).as("qd"))
+    var acc = prevQd
+    for (l <- rounds - 1 to 1 by -1) {
+      val u = dist.filter(col("d") === l)
+        .select(col("v").as("src"), col("seed"), col("sigma").as("sig_u"))
+      val wlev = dist.filter(col("d") === l + 1)
+        .select(col("v").as("dst"), col("seed"), col("sigma").as("sig_w"))
+      val qdw = prevQd.select(col("v").as("dst"), col("seed"),
+        col("qd").as("qd_w"))
+      val contrib = e
+        .join(u, Seq("src"))
+        .join(wlev, Seq("dst", "seed"))
+        .join(qdw, Seq("dst", "seed"), "left")
+        .select(col("src").as("v"), col("seed"),
+          expr(s"CAST(sig_u * ($BetweennessScale + coalesce(qd_w, 0))" +
+            " div sig_w AS DECIMAL(38,0))").as("term"))
+      val lvl = dist.filter(col("d") === l).select("v", "seed")
+        .join(contrib.groupBy("v", "seed").agg(sum(col("term")).as("s")),
+          Seq("v", "seed"), "left")
+        .select(col("v"), col("seed"),
+          coalesce(col("s"), lit(0L)).cast(dec).as("qd"))
+      prevQd = LineageCut.cut(lvl, cutMode)
+      acc = acc.unionByName(prevQd)
+    }
+    dist.filter(col("d") >= 1).select("v", "seed")
+      .join(acc, Seq("v", "seed"), "left")
+      .groupBy(col("v").as("address"))
+      .agg(sum(coalesce(col("qd"), lit(0L).cast(dec))).cast("long")
+        .as("betweenness_ppm"))
+      .orderBy("address")
+  }
+
   /** Degree distribution of the directed edge set: how many vertices have
     * each (out_degree, in_degree)-summed total degree — the first
     * diagnostic of any graph workload (a heavy tail says "salt your joins

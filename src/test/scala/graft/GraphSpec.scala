@@ -188,6 +188,27 @@ class GraphSpec extends AnyFunSuite {
     assert(!two.contains("a"))
   }
 
+  test("betweenness: chain and diamond hand values with quantized credits") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = Graph.betweenness(chain, Seq(Tuple1("a")).toDF("v")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("betweenness_ppm")).toMap
+    // qd(c) = 1e6 (credit for d), qd(b) = 1e6 + qd(c); endpoint d gets 0
+    assert(got == Map("b" -> 2000000L, "c" -> 1000000L, "d" -> 0L))
+    val diamond = Seq(("a", "b1"), ("a", "b2"), ("b1", "c"), ("b2", "c"))
+      .toDF("src", "dst")
+    val got2 = Graph.betweenness(diamond, Seq(Tuple1("a")).toDF("v"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("betweenness_ppm")).toMap
+    // sigma(c) = 2: each middle vertex carries half of c's unit credit
+    assert(got2 == Map("b1" -> 500000L, "b2" -> 500000L, "c" -> 0L))
+    // two seeds on the chain sum their accumulations
+    val got3 = Graph.betweenness(chain,
+      Seq(Tuple1("a"), Tuple1("b")).toDF("v")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("betweenness_ppm")).toMap
+    // from a: b=2e6, c=1e6; from b: c=1e6; d endpoint both times
+    assert(got3 == Map("b" -> 2000000L, "c" -> 2000000L, "d" -> 0L))
+  }
+
   test("weighted shortest paths: detours beat heavy direct edges within bound") {
     // 1->4 direct costs 10; 1->2->3->4 costs 3. With 3+ rounds the detour
     // wins; with 1 round only the direct edge is reachable. Weight-1 edges
