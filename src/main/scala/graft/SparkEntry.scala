@@ -7006,5 +7006,114 @@ object Catalog {
              |           UNION ALL SELECT * FROM q4) qq
              |  ON qq.v = dd.v AND qq.seed = dd.seed
              |GROUP BY 1 ORDER BY 1""".stripMargin)
-      }))
+      }),
+
+    // Classifier calibration bins (reliability diagram): confidence =
+    // 6-digit-rounded cosine to the winning centroid, per-bin accuracy.
+    QEntry("q_calibration", Similarity.calibrationBins, Some(
+      s"""WITH $labelAssignCtes,
+         |assign2 AS (
+         |  SELECT vec_id, cid, round(cos, 6) AS cos FROM (
+         |    SELECT t.vec_id, t.cid,
+         |           t.dot / (sqrt(nv.sq) * sqrt(cn.csq)) AS cos,
+         |           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |             t.dot / (sqrt(nv.sq) * sqrt(cn.csq)) DESC, t.cid ASC)
+         |             AS rnk
+         |    FROM tdots t
+         |    JOIN norms nv ON nv.vec_id = t.vec_id
+         |    JOIN cnorms cn ON cn.cid = t.cid
+         |  ) WHERE rnk = 1
+         |)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(CASE WHEN cid = label THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_correct,
+         |       CAST(SUM(CASE WHEN cid = label THEN 1 ELSE 0 END) * 1000000
+         |         // count(*) AS BIGINT) AS acc_ppm
+         |FROM (
+         |  SELECT e.label, a.cid,
+         |         least(CAST(floor((a.cos + 1)
+         |           * ${Similarity.CalibrationBins / 2}) AS BIGINT),
+         |           ${Similarity.CalibrationBins - 1}) AS bin
+         |  FROM embeddings e JOIN assign2 a ON a.vec_id = e.vec_id
+         |) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Neyman optimal stratified allocation: N_h*S_h = sqrt of an exact
+    // integer moment; largest-remainder apportionment conserves budget.
+    QEntry("q_neyman_alloc", Sampling.neymanAllocation, Some(
+      s"""WITH st AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(SUM(n_chars) AS BIGINT) AS s,
+         |         SUM(CAST(n_chars AS HUGEINT) * n_chars) AS ss
+         |  FROM documents GROUP BY 1
+         |),
+         |wts AS (
+         |  SELECT source, n,
+         |         CAST(floor(sqrt(CAST(CAST(n AS HUGEINT) * ss
+         |           - CAST(s AS HUGEINT) * s AS DOUBLE))) AS BIGINT) AS w
+         |  FROM st
+         |),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts),
+         |qt AS (
+         |  SELECT source, n, w,
+         |         ${Sampling.NeymanBudget} * w // tw AS base,
+         |         (${Sampling.NeymanBudget} * w) % tw AS rem
+         |  FROM wts, tot
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         |         SUM(base) OVER () AS sb
+         |  FROM qt
+         |)
+         |SELECT source, n AS n_docs, w AS sd_weight,
+         |       CAST(base + CASE WHEN rk <= ${Sampling.NeymanBudget} - sb
+         |         THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM ranked ORDER BY source""".stripMargin)),
+
+    // Count-Min inner-product join-cardinality estimate with certified
+    // never-underestimate; the O(1)-state join-size probe.
+    QEntry("q_join_cardinality", Profile.joinCardinality, Some {
+      def bucketDuck(d: Int): String =
+        s"""((strpos('0123456789abcdef',
+           |      substr(md5('${d}_' || key), 1, 1)) - 1) * 16
+           |    + strpos('0123456789abcdef',
+           |      substr(md5('${d}_' || key), 2, 1)) - 1)
+           |   % ${Profile.CmsWidth}""".stripMargin
+      def sk(src: String, cnt: String, name: String): String =
+        s"""${name}_b AS (
+           |  ${(0 until Profile.CmsDepth).map(d =>
+                s"""SELECT key, $cnt AS n, CAST($d AS BIGINT) AS d,
+                   |         CAST(${bucketDuck(d)} AS BIGINT) AS b
+                   |  FROM $src""".stripMargin).mkString("\n  UNION ALL\n  ")}
+           |),
+           |$name AS (
+           |  SELECT d, b, SUM(CAST(n AS HUGEINT)) AS cell
+           |  FROM ${name}_b GROUP BY 1, 2
+           |)""".stripMargin
+      withTransfers(
+      s""", outs AS (
+         |  SELECT from_address AS key, CAST(count(*) AS BIGINT) AS na
+         |  FROM transfers GROUP BY 1
+         |),
+         |ins AS (
+         |  SELECT to_address AS key, CAST(count(*) AS BIGINT) AS nb
+         |  FROM transfers GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT SUM(CAST(o.na AS HUGEINT) * i.nb) AS exact
+         |  FROM outs o JOIN ins i ON o.key = i.key
+         |),
+         |${sk("outs", "na", "ska")},
+         |${sk("ins", "nb", "skb")},
+         |dots AS (
+         |  SELECT a.d, SUM(a.cell * b.cell) AS dot
+         |  FROM ska a JOIN skb b ON a.d = b.d AND a.b = b.b
+         |  GROUP BY 1
+         |),
+         |es AS (SELECT min(dot) AS est FROM dots)
+         |SELECT CAST(ex.exact AS BIGINT) AS exact_pairs,
+         |       CAST(es.est AS BIGINT) AS est_pairs,
+         |       CAST(es.est - ex.exact AS BIGINT) AS overest,
+         |       es.est >= ex.exact AS never_under
+         |FROM ex, es""".stripMargin)
+    }))
 }

@@ -316,15 +316,20 @@ object Profile {
     * sketch oracle-checkable: the output carries est − exact (≥ 0 by
     * construction — CMS only ever overestimates) for the top exact heavy
     * hitters, i.e. the certified-bound pattern the HLL/theta twins use. */
+  /** CMS bucket of the `key` column for hash row `d` — first two md5 hex
+    * digits mod [[CmsWidth]]; shared by the point estimates and the join-
+    * cardinality inner product. */
+  private[ops] def cmsBucketExpr(d: Int): String =
+    s"""CAST((instr('0123456789abcdef', substr(md5(concat('$d', '_', key)), 1, 1)) - 1) * 16
+       | + instr('0123456789abcdef', substr(md5(concat('$d', '_', key)), 2, 1)) - 1
+       | AS BIGINT) % $CmsWidth""".stripMargin.replace("\n", "")
+
   def countMinEstimates(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = Tables.transfers(spark, sfDir)
       .groupBy(col("to_address").as("key"))
       .agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bucketExpr(d: Int): String =
-      s"""CAST((instr('0123456789abcdef', substr(md5(concat('$d', '_', key)), 1, 1)) - 1) * 16
-         | + instr('0123456789abcdef', substr(md5(concat('$d', '_', key)), 2, 1)) - 1
-         | AS BIGINT) % $CmsWidth""".stripMargin.replace("\n", "")
+    def bucketExpr(d: Int): String = cmsBucketExpr(d)
     val bucketed = (0 until CmsDepth).map(d =>
         counts.select(col("key"), col("n"), lit(d.toLong).as("d"),
           expr(bucketExpr(d)).as("b")))
@@ -447,5 +452,44 @@ object Profile {
         (abs(col("estimate") - col("exact")) <= col("max_error") + lit(1e-6))
           .as("within_bound"))
       .orderBy("p")
+  }
+
+  /** Sketch-based equi-join cardinality estimate: |A ⋈ B on key| =
+    * Σ_k a(k)·b(k) estimated by the Count-Min INNER PRODUCT — per hash
+    * row, the dot product of the two sides' sketch rows; the min over
+    * rows is the classic upper-bound estimator (same-hash collisions only
+    * ADD mass, so est ≥ exact always — certified in-query). This is the
+    * join-size probe a planner consults before choosing broadcast vs
+    * shuffle vs salting when one side's key histogram is too big to
+    * materialize: two 3×256-cell sketches answer it in O(1) state.
+    *
+    * The exact side (for the certificate) is the real key-join — bounded
+    * here, certificate-only at scale. All arithmetic integer/decimal. */
+  def joinCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = Tables.transfers(spark, sfDir)
+    val outs = t.groupBy(col("from_address").as("key"))
+      .agg(count(lit(1)).as("na"))
+    val ins = t.groupBy(col("to_address").as("key"))
+      .agg(count(lit(1)).as("nb"))
+    val exact = outs.join(ins, Seq("key"))
+      .agg(sum(col("na").cast(dec) * col("nb")).as("exact"))
+    def sketch(side: DataFrame, cnt: String) =
+      (0 until CmsDepth).map(d =>
+          side.select(col("key"), col(cnt).as("n"), lit(d.toLong).as("d"),
+            expr(cmsBucketExpr(d)).as("b")))
+        .reduce(_ unionByName _)
+        .groupBy("d", "b").agg(sum(col("n")).as("cell"))
+    val est = sketch(outs, "na")
+      .join(sketch(ins, "nb").select(col("d"), col("b"),
+        col("cell").as("cell_b")), Seq("d", "b"))
+      .groupBy("d")
+      .agg(sum(col("cell").cast(dec) * col("cell_b")).as("dot"))
+      .agg(min(col("dot")).as("est"))
+    exact.crossJoin(est)
+      .select(col("exact").cast("long").as("exact_pairs"),
+        col("est").cast("long").as("est_pairs"),
+        (col("est") - col("exact")).cast("long").as("overest"),
+        (col("est") >= col("exact")).as("never_under"))
   }
 }

@@ -207,4 +207,46 @@ object Sampling {
         col("s.id").as("doc_id"))
       .orderBy("source", "rnk")
   }
+
+  /** Total sample budget the Neyman allocation apportions. */
+  val NeymanBudget = 1000L
+
+  /** Neyman (optimal) stratified-sampling allocation: per-source sample
+    * sizes ∝ N_h·S_h — the allocation that minimizes estimator variance
+    * for a fixed budget, vs the proportional allocation
+    * [[stratifiedSample]] uses. The arithmetic gift: with population
+    * std, `N_h·S_h = sqrt(N_h·Σx² − (Σx)²)` — ONE sqrt of an exact
+    * integer moment per stratum, floored back to an integer weight, so
+    * the whole apportionment (largest-remainder, like
+    * [[graft.ops.Behavior.attributionLinear]]) is exact integer
+    * arithmetic end to end; budget conservation is structural.
+    *
+    * One map-side-combinable moment scan + driver-scale apportionment
+    * windows over the (tiny) strata frame. */
+  def neymanAllocation(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val k = NeymanBudget
+    val stats = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+        sum(col("n_chars").cast(dec) * col("n_chars")).as("ss"))
+      .withColumn("w",
+        floor(sqrt((col("n").cast(dec) * col("ss")
+          - col("s").cast(dec) * col("s")).cast("double"))).cast("long"))
+    val tot = stats.agg(sum(col("w")).as("tw"))
+    val qt = stats.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$k * w div tw"))
+      .withColumn("rem", expr(s"($k * w) % tw"))
+    qt
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .withColumn("sb", sum(col("base")).over(
+        Window.partitionBy(lit(1))))
+      .select(col("source"), col("n").as("n_docs"),
+        col("w").as("sd_weight"),
+        (col("base") + when(col("rk") <= lit(k) - col("sb"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
 }

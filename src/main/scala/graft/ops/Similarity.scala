@@ -700,4 +700,34 @@ object Similarity {
       .select(col("n_queries"), col("n_hit"),
         expr("srr div n_queries").as("mrr_ppm"))
   }
+
+  /** Calibration bins for the reliability diagram. */
+  val CalibrationBins = 10
+
+  /** Classifier calibration (reliability diagram): the centroid
+    * classifier's confidence — cosine to the winning label centroid —
+    * binned into [[CalibrationBins]] equal-width bins over [-1, 1], with
+    * per-bin accuracy in exact ppm. A well-calibrated confidence has
+    * accuracy rising with the bin; the table is what temperature-scaling
+    * would be fit on. Completes the eval family (confusion →
+    * precision/recall/F1 → MRR → calibration).
+    *
+    * Binning runs on the 6-digit-rounded cosine the assignment already
+    * emits (bit-identical in both engines); counts and ppm are integers. */
+  def calibrationBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = assignCore(cachedBase(spark, sfDir),
+      labelMeans(spark, sfDir))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("true_label"))
+      .join(assigned, Seq("vec_id"))
+      .withColumn("bin",
+        least(floor((col("centroid_cos") + 1) * (CalibrationBins / 2)),
+          lit(CalibrationBins - 1)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cid") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n"))
+      .orderBy("bin")
+  }
 }

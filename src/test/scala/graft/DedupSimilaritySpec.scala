@@ -238,4 +238,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     g.foreach(r => assert(
       codes(r.getLong(0)) == codes(r.getAs[Long]("neighbor_id"))))
   }
+
+  test("calibration bins: partition all vectors, correct counts reconcile " +
+    "with the confusion matrix, ppm arithmetic exact") {
+    val bins = graft.ops.Similarity.calibrationBins(spark, GraftSpark.Sf)
+      .collect()
+    val total = Tables.embeddings(spark, GraftSpark.Sf).count()
+    assert(bins.map(_.getAs[Long]("n")).sum == total)
+    val diag = graft.ops.Similarity.labelClassify(spark, GraftSpark.Sf)
+      .collect()
+      .filter(r => r.getAs[Number]("true_label").longValue ==
+        r.getAs[Number]("pred_label").longValue)
+      .map(_.getAs[Long]("n")).sum
+    assert(bins.map(_.getAs[Long]("n_correct")).sum == diag)
+    bins.foreach { r =>
+      assert(r.getAs[Long]("acc_ppm") ==
+        r.getAs[Long]("n_correct") * 1000000 / r.getAs[Long]("n"))
+      val b = r.getAs[Long]("bin")
+      assert(b >= 0 && b < graft.ops.Similarity.CalibrationBins)
+    }
+  }
 }

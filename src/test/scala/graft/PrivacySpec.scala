@@ -148,4 +148,21 @@ class PrivacySpec extends AnyFunSuite {
         <= r.getAs[Double]("max_error") + 1e-6, s"p$p")
     }
   }
+
+  test("join cardinality: exact side recounts, sketch never underestimates") {
+    val row = graft.ops.Profile.joinCardinality(spark, GraftSpark.Sf)
+      .collect().head
+    val t = Tables.transfers(spark, GraftSpark.Sf)
+      .select("from_address", "to_address").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val outs = t.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ins = t.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val exact = outs.keySet.intersect(ins.keySet)
+      .map(k => outs(k) * ins(k)).sum
+    assert(row.getAs[Long]("exact_pairs") == exact)
+    assert(row.getAs[Boolean]("never_under"))
+    assert(row.getAs[Long]("overest") ==
+      row.getAs[Long]("est_pairs") - exact)
+    assert(row.getAs[Long]("overest") >= 0)
+  }
 }

@@ -143,4 +143,28 @@ class SamplingSpec extends AnyFunSuite {
       r.getAs[Long]("rnk"), r.getAs[Long]("doc_id")))
     assert(got.toSeq == again.toSeq)
   }
+
+  test("neyman allocation: weights recount from exact moments, budget " +
+    "conserved by largest remainder") {
+    val rows = graft.ops.Sampling.neymanAllocation(spark, GraftSpark.Sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum ==
+      graft.ops.Sampling.NeymanBudget)
+    val docs = Tables.documents(spark, GraftSpark.Sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), BigInt(r.getLong(1))))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = docs(r.getString(0)).map(_._2)
+      val varNum =
+        BigInt(xs.length) * xs.map(x => x * x).sum - xs.sum * xs.sum
+      val w = math.floor(math.sqrt(varNum.toDouble)).toLong
+      assert(r.getAs[Long]("sd_weight") == w, r.getString(0))
+      assert(r.getAs[Long]("n_docs") == xs.length)
+    }
+    // allocation follows the weights: zero-variance strata get ~nothing
+    // beyond remainder crumbs; the heaviest stratum gets the most
+    val byW = rows.sortBy(_.getAs[Long]("sd_weight"))
+    assert(byW.last.getAs[Long]("alloc") >= byW.head.getAs[Long]("alloc"))
+  }
 }
