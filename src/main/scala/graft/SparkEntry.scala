@@ -7115,5 +7115,91 @@ object Catalog {
          |       CAST(es.est - ex.exact AS BIGINT) AS overest,
          |       es.est >= ex.exact AS never_under
          |FROM ex, es""".stripMargin)
-    }))
+    }),
+
+    // Week-over-week volume growth in exact ppm; truncation-toward-zero
+    // spelled via sign+abs so Spark's `div` and DuckDB's `//` agree on
+    // negative growth.
+    QEntry("q_wow_growth", Metrics.wowGrowth, Some(withTransfers(
+      s""", weekly AS (
+         |  SELECT contract_address,
+         |         CAST(floor(transact_at / 604800) AS BIGINT) * 604800
+         |           AS week,
+         |         CAST(SUM(CAST(value AS DECIMAL(25,2))) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |lagged AS (
+         |  SELECT contract_address, week, cents,
+         |         lag(cents, 1) OVER (PARTITION BY contract_address
+         |           ORDER BY week) AS prev_cents
+         |  FROM weekly
+         |)
+         |SELECT contract_address, week, cents, prev_cents,
+         |       CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+         |            WHEN cents >= prev_cents
+         |              THEN (cents - prev_cents) * 1000000 // prev_cents
+         |            ELSE -((prev_cents - cents) * 1000000 // prev_cents)
+         |       END AS growth_ppm
+         |FROM lagged ORDER BY 1, 2""".stripMargin))),
+
+    // Funnel latency: exact lower-median and p90 of first-view ->
+    // first-purchase gaps, rank-selected from the gap distribution.
+    QEntry("q_time_to_convert", Behavior.timeToConvert, Some(withTransfers(
+      s""", fv AS (
+         |  SELECT from_address AS wallet, min(transact_at) AS tv
+         |  FROM transfers WHERE contract_address = 'view' GROUP BY 1
+         |),
+         |conv AS (
+         |  SELECT f.wallet, f.tv, min(p.transact_at) AS tp
+         |  FROM fv f JOIN transfers p ON p.from_address = f.wallet
+         |   AND p.contract_address = 'purchase' AND p.transact_at >= f.tv
+         |  GROUP BY 1, 2
+         |),
+         |gaps AS (SELECT tp - tv AS gap FROM conv),
+         |cumg AS (
+         |  SELECT gap, SUM(c) OVER (ORDER BY gap
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT gap, CAST(count(*) AS BIGINT) AS c FROM gaps
+         |        GROUP BY 1)
+         |),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gaps),
+         |med AS (SELECT min(gap) AS median_gap_sec FROM cumg, nn
+         |        WHERE cum * 2 >= n),
+         |p90 AS (SELECT min(gap) AS p90_gap_sec FROM cumg, nn
+         |        WHERE cum * 10 >= n * 9)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM fv) AS n_viewers,
+         |       nn.n AS n_converted, med.median_gap_sec, p90.p90_gap_sec
+         |FROM nn, med, p90""".stripMargin))),
+
+    // Max drawdown per wallet on the focus token's balance history: two
+    // windows on one per-wallet exchange, bounded top-K leaderboard.
+    QEntry("q_drawdown",
+      (s, d) => graft.ops.Balances.maxDrawdown(s, d),
+      Some(withBalances(graft.Tables.FocusToken,
+      s""", pk AS (
+         |  SELECT address, balance,
+         |         max(balance) OVER (PARTITION BY address ORDER BY t
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS peak
+         |  FROM bal
+         |),
+         |dd AS (
+         |  SELECT address, max(peak - balance) AS max_drawdown,
+         |         max(peak) AS peak
+         |  FROM pk GROUP BY 1
+         |)
+         |SELECT address, max_drawdown, peak FROM dd
+         |ORDER BY max_drawdown DESC, address
+         |LIMIT ${graft.ops.Balances.DrawdownTopK}""".stripMargin))),
+
+    // Exact dedup over the binary media column (content-hash groups,
+    // keeper election) — the multimodal twin of q_dedup_exact.
+    QEntry("q_media_dedup", graft.ops.Multimodal.mediaDedup, Some(
+      s"""SELECT md5(text) AS content_hash,
+         |       CAST(count(*) AS BIGINT) AS n_copies,
+         |       CAST(min(doc_id) AS BIGINT) AS keeper
+         |FROM documents GROUP BY 1
+         |ORDER BY n_copies DESC, keeper
+         |LIMIT ${graft.ops.Multimodal.MediaDedupTopK}""".stripMargin)))
 }

@@ -193,4 +193,29 @@ object Balances {
         col("address"), col("balance_change_logs"))
       .orderBy("_key")
   }
+
+  /** Wallets the drawdown leaderboard reports. */
+  val DrawdownTopK = 20
+
+  /** Maximum drawdown per wallet over the focus token's balance history —
+    * the largest peak-to-trough drop `max_t(runmax(balance) − balance)`,
+    * the risk metric that separates "accumulated then held" from "round-
+    * tripped to zero". Two windows on ONE per-wallet exchange (cumulative
+    * balance and its running max compose over the same sort), then a
+    * map-side max per wallet and a bounded TakeOrdered top-K — the
+    * leaderboard never sorts the full wallet dimension.
+    *
+    * Each step (cumsum rendered from exact decimal, running max, one
+    * subtraction) is deterministic IEEE; no float accumulation. */
+  def maxDrawdown(spark: SparkSession, sfDir: String,
+      token: String = Tables.FocusToken): DataFrame = {
+    val dd = hourlyDeltas(spark, sfDir, token)
+      .select(col("address"), col("t"),
+        sum(col("ddelta")).over(byAddrTime).cast("double").as("balance"))
+      .withColumn("peak", max(col("balance")).over(byAddrTime))
+      .withColumn("dd", col("peak") - col("balance"))
+      .groupBy("address")
+      .agg(max(col("dd")).as("max_drawdown"), max(col("peak")).as("peak"))
+    dd.orderBy(col("max_drawdown").desc, col("address")).limit(DrawdownTopK)
+  }
 }

@@ -363,4 +363,36 @@ object Behavior {
         max(col("blen")).as("max_burst_len"))
       .orderBy("contract_address")
   }
+
+  /** Time-to-convert: from each wallet's FIRST view to its first purchase
+    * at-or-after it — conversion count plus the exact lower-median and p90
+    * of the gap distribution (order statistics by rank selection over the
+    * distinct-gap frame, never a row sort; the funnel family's latency
+    * complement). */
+  def timeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.transfers(spark, sfDir)
+    val firstView = t.filter(col("contract_address") === "view")
+      .groupBy(col("from_address").as("wallet"))
+      .agg(min(col("transact_at")).as("tv"))
+    val purchases = t.filter(col("contract_address") === "purchase")
+      .select(col("from_address").as("wallet"), col("transact_at").as("tp"))
+    val gaps = firstView.join(purchases, Seq("wallet"))
+      .filter(col("tp") >= col("tv"))
+      .groupBy("wallet", "tv").agg(min(col("tp")).as("tp"))
+      .select((col("tp") - col("tv")).as("gap"))
+    val cum = gaps.groupBy("gap").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("gap").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .crossJoin(broadcast(gaps.agg(count(lit(1)).as("n"))))
+    val med = cum.filter(col("cum") * 2 >= col("n"))
+      .agg(min(col("gap")).as("median_gap_sec"))
+    val p90 = cum.filter(col("cum") * 10 >= col("n") * 9)
+      .agg(min(col("gap")).as("p90_gap_sec"))
+    firstView.agg(count(lit(1)).as("n_viewers"))
+      .crossJoin(broadcast(gaps.agg(count(lit(1)).as("n_converted"))))
+      .crossJoin(broadcast(med))
+      .crossJoin(broadcast(p90))
+  }
 }

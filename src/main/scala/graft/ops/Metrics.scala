@@ -737,6 +737,32 @@ object Metrics {
       .orderBy("contract_address")
   }
 
+  /** Week-over-week volume growth per token: weekly cents totals and the
+    * relative change vs the previous ISO-agnostic 7-day bucket, in exact
+    * integer ppm (first week reports NULL — no fake 0%). The standard
+    * growth-accounting rollup; one aggregate + one lag window over weekly
+    * rows only. */
+  def wowGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"),
+        (floor(col("transact_at") / 604800) * 604800).cast("long").as("week"))
+      .agg((Num.dsumDec(col("value")) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("contract_address").orderBy("week")
+    weekly
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      // sign+abs spelling: Spark's `div` truncates toward zero, DuckDB's
+      // `//` floors — keeping the dividend non-negative makes them agree
+      .withColumn("growth_ppm", expr(
+        """CASE WHEN prev_cents IS NULL OR prev_cents = 0
+          |       THEN CAST(NULL AS BIGINT)
+          |     WHEN cents >= prev_cents
+          |       THEN (cents - prev_cents) * 1000000 div prev_cents
+          |     ELSE -((prev_cents - cents) * 1000000 div prev_cents)
+          |END""".stripMargin))
+      .orderBy("contract_address", "week")
+  }
+
   /** Per-token top largest transfers kept by the bench. */
   val LargestK = 5
 

@@ -101,4 +101,23 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"),
         explode(sequence(lit(0L), col("n_bytes") - 1, lit(1024L))).as("frame_offset"))
       .orderBy("doc_id", "frame_offset")
+
+  /** How many content groups [[mediaDedup]] reports. */
+  val MediaDedupTopK = 20
+
+  /** Exact dedup over the binary media column: byte-identical payloads
+    * group by content hash (the perceptual-hash slot is the stubbed decode
+    * step; the Spark-side plumbing — hash, group, keeper election — is the
+    * real pipeline). Reports the [[MediaDedupTopK]] largest content
+    * groups (keeper = smallest doc id, same convention as the text-side
+    * `q_dedup_exact`); a clean corpus reports singleton groups rather
+    * than an empty table. */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(encode(col("text"), "UTF-8")).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("n_copies").desc, col("keeper"))
+      .limit(MediaDedupTopK)
 }

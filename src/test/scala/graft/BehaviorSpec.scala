@@ -287,4 +287,28 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.values.exists(_._3 > 0)) // the throttle actually drops some
   }
+
+  test("time to convert: gap order statistics match the driver recount") {
+    val row = graft.ops.Behavior.timeToConvert(spark, GraftSpark.Sf)
+      .collect().head
+    val t = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "from_address", "transact_at").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val firstView = t.filter(_._1 == "view").groupBy(_._2)
+      .view.mapValues(_.map(_._3).min).toMap
+    val gaps = firstView.toSeq.flatMap { case (w, tv) =>
+      val ps = t.filter(x => x._1 == "purchase" && x._2 == w && x._3 >= tv)
+      if (ps.isEmpty) None else Some(ps.map(_._3).min - tv)
+    }.sorted
+    assert(row.getAs[Long]("n_viewers") == firstView.size)
+    assert(row.getAs[Long]("n_converted") == gaps.length)
+    assert(gaps.nonEmpty)
+    def rankStat(mul: Long, num: Long): Long = {
+      // smallest gap g with mul*|{<=g}| >= num*n
+      val n = gaps.length
+      gaps.find(g => mul * gaps.count(_ <= g) >= num * n).get
+    }
+    assert(row.getAs[Long]("median_gap_sec") == rankStat(2, 1))
+    assert(row.getAs[Long]("p90_gap_sec") == rankStat(10, 9))
+  }
 }

@@ -454,4 +454,20 @@ class CleanSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.values.exists(_._2 > 0))
   }
+
+  test("media dedup: duplicated binary payload groups match the exact " +
+    "text-dup recount") {
+    val got = graft.ops.Multimodal.mediaDedup(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => (r.getAs[Long]("n_copies"), r.getAs[Long]("keeper")))
+    val expect = Tables.documents(spark, GraftSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values
+      .map(g => (g.length.toLong, g.map(_._1).min)).toSeq
+      .sortBy { case (n, k) => (-n, k) }
+      .take(graft.ops.Multimodal.MediaDedupTopK)
+    assert(got.toSeq == expect)
+    assert(got.nonEmpty)
+  }
 }

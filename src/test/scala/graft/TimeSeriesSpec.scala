@@ -156,4 +156,57 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(gotCorr.isDefined == expect.isDefined)
     for (g <- gotCorr; e <- expect) assert(math.abs(g - e) < 2e-6)
   }
+
+  test("wow growth: weekly cents and signed truncated ppm recount") {
+    val rows = graft.ops.Metrics.wowGrowth(spark, GraftSpark.Sf).collect()
+    val weekly = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "transact_at", "value").collect()
+      .map(r => ((r.getString(0), r.getLong(1) / 604800 * 604800),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).sum * 100).toLongExact).toMap
+    val byTok = rows.groupBy(_.getString(0))
+    byTok.foreach { case (tok, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("week"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val c = r.getAs[Long]("cents")
+        assert(c == weekly((tok, r.getAs[Long]("week"))))
+        if (i == 0) assert(r.isNullAt(r.fieldIndex("prev_cents")))
+        else {
+          val prev = sorted(i - 1).getAs[Long]("cents")
+          assert(r.getAs[Long]("prev_cents") == prev)
+          val diff = c - prev
+          val exp = if (prev == 0) None
+            else Some(if (diff >= 0) diff * 1000000 / prev
+              else -((-diff) * 1000000 / prev))
+          val g = if (r.isNullAt(r.fieldIndex("growth_ppm"))) None
+            else Some(r.getAs[Long]("growth_ppm"))
+          assert(g == exp, s"$tok week ${r.getAs[Long]("week")}")
+        }
+      }
+    }
+    // negative growth exists somewhere — the sign path is exercised
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("growth_ppm")) &&
+      r.getAs[Long]("growth_ppm") < 0))
+  }
+
+  test("max drawdown: top-k matches the per-wallet running recount") {
+    val rows = graft.ops.Balances.maxDrawdown(spark, GraftSpark.Sf).collect()
+    assert(rows.length <= graft.ops.Balances.DrawdownTopK && rows.nonEmpty)
+    val hist = graft.ops.Balances.balanceHistory(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Double]("balance")))
+      .groupBy(_._1)
+    val dd = hist.view.mapValues { rs =>
+      val bs = rs.sortBy(_._2).map(_._3)
+      val peaks = bs.scanLeft(Double.MinValue)(_ max _).tail
+      (peaks.zip(bs).map { case (p, b) => p - b }.max, peaks.max)
+    }.toMap
+    val expectTop = dd.toSeq.sortBy { case (a, (d, _)) => (-d, a) }
+      .take(graft.ops.Balances.DrawdownTopK)
+    assert(rows.map(r => (r.getString(0), r.getAs[Double]("max_drawdown"),
+      r.getAs[Double]("peak"))).toSeq ==
+      expectTop.map { case (a, (d, p)) => (a, d, p) })
+  }
 }
