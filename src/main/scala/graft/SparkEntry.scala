@@ -7201,5 +7201,91 @@ object Catalog {
          |       CAST(min(doc_id) AS BIGINT) AS keeper
          |FROM documents GROUP BY 1
          |ORDER BY n_copies DESC, keeper
-         |LIMIT ${graft.ops.Multimodal.MediaDedupTopK}""".stripMargin)))
+         |LIMIT ${graft.ops.Multimodal.MediaDedupTopK}""".stripMargin)),
+
+    // Language-ID confusion vs ground truth: per (actual, predicted) cell
+    // with exact-ppm share of the actual language's docs.
+    QEntry("q_langid_eval", TextAnalysis.langIdEval, Some {
+      val arms = TextAnalysis.LangMarkers.map { case (l, _) =>
+        s"WHEN s_$l = best_score THEN '$l'" }.mkString("\n         |       ")
+      val scores = TextAnalysis.LangMarkers.map { case (l, _) =>
+        s"${markerCount(l)} AS s_$l" }.mkString(",\n         |             ")
+      withDocs(
+      s""", pred AS (
+         |  SELECT actual_lang,
+         |       CASE $arms
+         |       ELSE 'und' END AS predicted_lang
+         |  FROM (
+         |    SELECT *, greatest(${TextAnalysis.LangMarkers
+                .map(m => s"s_${m._1}").mkString(", ")}) AS best_score
+         |    FROM (
+         |      SELECT doc_id, lang AS actual_lang,
+         |             $scores
+         |      FROM docs
+         |    )
+         |  )
+         |),
+         |cm AS (
+         |  SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2
+         |),
+         |tot AS (
+         |  SELECT actual_lang, CAST(SUM(n) AS BIGINT) AS n_actual
+         |  FROM cm GROUP BY 1
+         |)
+         |SELECT cm.actual_lang, cm.predicted_lang, cm.n, t.n_actual,
+         |       cm.n * 1000000 // t.n_actual AS share_ppm
+         |FROM cm JOIN tot t USING (actual_lang)
+         |ORDER BY 1, 2""".stripMargin)
+    }),
+
+    // DAU/WAU stickiness: trailing-7-day distinct actives via a broadcast
+    // day-frame range join over the collapsed (day, wallet) incidence.
+    QEntry("q_stickiness", Wallet.stickiness, Some(withTransfers(
+      s""", dw AS (
+         |  SELECT DISTINCT day, wallet FROM (
+         |    SELECT ${dayBucket("transact_at")} AS day,
+         |           from_address AS wallet
+         |    FROM transfers
+         |    UNION ALL
+         |    SELECT ${dayBucket("transact_at")}, to_address FROM transfers
+         |  ) u
+         |),
+         |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+         |        FROM dw GROUP BY 1),
+         |days AS (SELECT DISTINCT day FROM dw),
+         |wau AS (
+         |  SELECT d.day, CAST(count(DISTINCT w.wallet) AS BIGINT) AS wau
+         |  FROM days d JOIN dw w
+         |    ON w.day >= d.day - 6 * 86400 AND w.day <= d.day
+         |  GROUP BY 1
+         |)
+         |SELECT dau.day, dau.dau, wau.wau,
+         |       dau.dau * 1000000 // wau.wau AS stickiness_ppm
+         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin))),
+
+    // Embedding outlier screen: own-label centroid cosine at or below the
+    // label's exact p10 order statistic.
+    QEntry("q_embedding_outliers", Similarity.embeddingOutliers, Some(
+      s"""WITH $labelAssignCtes,
+         |own AS (
+         |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         |         round(t.dot / (sqrt(nv.sq) * sqrt(cn.csq)), 6) AS cos
+         |  FROM embeddings e
+         |  JOIN tdots t ON t.vec_id = e.vec_id AND t.cid = e.label
+         |  JOIN norms nv ON nv.vec_id = e.vec_id
+         |  JOIN cnorms cn ON cn.cid = e.label
+         |),
+         |cumo AS (
+         |  SELECT label, cos, SUM(c) OVER (PARTITION BY label ORDER BY cos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER (PARTITION BY label) AS n
+         |  FROM (SELECT label, cos, CAST(count(*) AS BIGINT) AS c
+         |        FROM own GROUP BY 1, 2)
+         |),
+         |thr AS (SELECT label, min(cos) AS p10 FROM cumo
+         |        WHERE cum * 10 >= n GROUP BY 1)
+         |SELECT o.vec_id, o.label, o.cos, t.p10
+         |FROM own o JOIN thr t USING (label)
+         |WHERE o.cos <= t.p10 ORDER BY o.vec_id""".stripMargin)))
 }

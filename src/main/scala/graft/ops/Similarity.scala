@@ -730,4 +730,37 @@ object Similarity {
       .withColumn("acc_ppm", expr("n_correct * 1000000 div n"))
       .orderBy("bin")
   }
+
+  /** Embedding outlier screen: vectors whose cosine to their OWN label's
+    * centroid falls at or below the label's exact p10 (rank-selected from
+    * the per-label cosine distribution) — the cheap mislabeled-/noisy-
+    * vector sweep run before contrastive training. Unlike [[labelNoise]]
+    * (neighbor voting) this is centroid-relative, so it also catches
+    * vectors far from EVERYTHING.
+    *
+    * One broadcast centroid join (codegen'd decimal dot), one per-label
+    * distribution window over distinct cosines. */
+  def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val own = cachedBase(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label").cast("long").as("cid")),
+        Seq("vec_id"))
+      .join(broadcast(labelMeans(spark, sfDir)), Seq("cid"))
+      .withColumn("dot", expr(dotOf("cv", "v")))
+      .select(col("vec_id"), col("cid").as("label"),
+        round(col("dot") / (sqrt(col("sq")) * sqrt(col("csq"))), 6)
+          .as("cos"))
+    val cum = own.groupBy("label", "cos").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("label").orderBy("cos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("label")))
+    val thr = cum.filter(col("cum") * 10 >= col("n"))
+      .groupBy("label").agg(min(col("cos")).as("p10"))
+    own.join(broadcast(thr), Seq("label"))
+      .filter(col("cos") <= col("p10"))
+      .select(col("vec_id"), col("label"), col("cos"), col("p10"))
+      .orderBy("vec_id")
+  }
 }

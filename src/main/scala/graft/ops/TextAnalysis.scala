@@ -521,4 +521,21 @@ object TextAnalysis {
       .withColumn("novelty_pml", expr("n_unique * 1000 div n_shingles"))
       .orderBy("doc_id")
   }
+
+  /** Language-ID confusion rollup: the n-gram classifier's predictions
+    * against the corpus's ground-truth `lang` labels — per (actual,
+    * predicted) cell count and its share of the actual language's docs in
+    * exact ppm. The lang-ID counterpart of the centroid classifier's
+    * confusion matrix; what a corpus builder checks before trusting the
+    * detector to route languages. */
+  def langIdEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(spark, sfDir)
+      .groupBy("actual_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_actual",
+        sum(col("n")).over(Window.partitionBy("actual_lang")))
+      .withColumn("share_ppm", expr("n * 1000000 div n_actual"))
+      .orderBy("actual_lang", "predicted_lang")
+  }
 }

@@ -261,4 +261,30 @@ object Wallet {
           .as("lift_ppm"))
       .orderBy("tok_x", "tok_y")
   }
+
+  /** DAU/WAU stickiness: per day, distinct active wallets that day vs the
+    * trailing 7-day window, ratio in exact ppm — the standard engagement-
+    * depth metric. The trailing-distinct is the honest scalable shape: a
+    * ~|days|-row day frame broadcast against the distinct (day, wallet)
+    * incidence with a range predicate (×7 amplification of an
+    * already-collapsed frame), re-distinct, count — never a sliding
+    * window over raw events. */
+  def stickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+    val dw = t.select(Num.dayBucket(col("transact_at")).cast("long")
+        .as("day"), col("from_address").as("wallet"))
+      .unionByName(t.select(Num.dayBucket(col("transact_at")).cast("long")
+        .as("day"), col("to_address").as("wallet")))
+      .distinct()
+    val dau = dw.groupBy("day").agg(count(lit(1)).as("dau"))
+    val days = dw.select("day").distinct()
+    val wau = broadcast(days)
+      .join(dw.select(col("day").as("d2"), col("wallet")),
+        col("d2") >= col("day") - 6L * 86400 && col("d2") <= col("day"))
+      .select(col("day"), col("wallet")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness_ppm", expr("dau * 1000000 div wau"))
+      .orderBy("day")
+  }
 }

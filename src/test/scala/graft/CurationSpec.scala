@@ -365,4 +365,42 @@ class CurationSpec extends AnyFunSuite {
     q18.foreach(r => assert(
       r.getAs[Double]("total_qty") == qty(r.getAs[Long]("o_orderkey")).toDouble))
   }
+
+  test("langid eval: confusion reconciles with the per-doc predictions") {
+    val cm = graft.ops.TextAnalysis.langIdEval(spark, GraftSpark.Sf)
+      .collect()
+    val perDoc = graft.ops.TextAnalysis.langId(spark, GraftSpark.Sf)
+      .select("actual_lang", "predicted_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = perDoc.groupBy(identity).view.mapValues(_.length.toLong)
+    cm.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n") == expect(k), k)
+      val na = perDoc.count(_._1 == r.getString(0)).toLong
+      assert(r.getAs[Long]("n_actual") == na)
+      assert(r.getAs[Long]("share_ppm") == r.getAs[Long]("n") * 1000000 / na)
+    }
+    assert(cm.map(_.getAs[Long]("n")).sum == perDoc.length)
+  }
+
+  test("stickiness: DAU/WAU recount over the day-wallet incidence") {
+    val rows = graft.ops.Wallet.stickiness(spark, GraftSpark.Sf).collect()
+    val t = Tables.transfers(spark, GraftSpark.Sf)
+      .select("from_address", "to_address", "transact_at").collect()
+    val dw = t.flatMap(r => Seq(
+      (r.getLong(2) / 86400 * 86400, r.getString(0)),
+      (r.getLong(2) / 86400 * 86400, r.getString(1)))).toSet
+    val days = dw.map(_._1)
+    assert(rows.map(_.getAs[Long]("day")).toSet == days)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val dau = dw.count(_._1 == d).toLong
+      val wau = dw.filter(x => x._1 >= d - 6 * 86400 && x._1 <= d)
+        .map(_._2).size.toLong
+      assert(r.getAs[Long]("dau") == dau, s"day $d")
+      assert(r.getAs[Long]("wau") == wau, s"day $d")
+      assert(r.getAs[Long]("stickiness_ppm") == dau * 1000000 / wau)
+      assert(dau <= wau)
+    }
+  }
 }

@@ -258,4 +258,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(b >= 0 && b < graft.ops.Similarity.CalibrationBins)
     }
   }
+
+  test("embedding outliers: every label flags at least its p10 tail and " +
+    "all flags respect the threshold") {
+    val rows = graft.ops.Similarity.embeddingOutliers(spark, GraftSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nByLabel = Tables.embeddings(spark, GraftSpark.Sf)
+      .groupBy(col("label").cast("long").as("l"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byLabel = rows.groupBy(_.getAs[Long]("label"))
+    assert(byLabel.keySet == nByLabel.keySet) // every label screens
+    byLabel.foreach { case (l, rs) =>
+      val p10 = rs.head.getAs[Double]("p10")
+      rs.foreach { r =>
+        assert(r.getAs[Double]("cos") <= p10)
+        assert(r.getAs[Double]("p10") == p10)
+      }
+      // the p10 rank selection flags at least a tenth of the label
+      assert(rs.length * 10 >= nByLabel(l), s"label $l")
+    }
+  }
 }
