@@ -7287,5 +7287,66 @@ object Catalog {
          |        WHERE cum * 10 >= n GROUP BY 1)
          |SELECT o.vec_id, o.label, o.cos, t.p10
          |FROM own o JOIN thr t USING (label)
-         |WHERE o.cos <= t.p10 ORDER BY o.vec_id""".stripMargin)))
+         |WHERE o.cos <= t.p10 ORDER BY o.vec_id""".stripMargin)),
+
+    // Cross-source duplicate-flow matrix over the shared near-dup
+    // clusters: which feeds re-publish each other.
+    QEntry("q_cross_source_dups", Dedup.crossSourceDups, Some(
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         |clusters AS (
+         |  SELECT doc_id, min(r) AS keeper FROM reach GROUP BY 1
+         |),
+         |cs AS (
+         |  SELECT DISTINCT c.keeper, d.source
+         |  FROM clusters c JOIN documents d USING (doc_id)
+         |)
+         |SELECT x.source AS src_a, y.source AS src_b,
+         |       CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM cs x JOIN cs y ON x.keeper = y.keeper
+         |                   AND x.source <= y.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Heaps'-law vocabulary growth: cumulative distinct tokens vs token
+    // positions at ten corpus deciles (doc-id accumulation order).
+    QEntry("q_heaps_curve", Clean.heapsCurve, Some(withDocs(
+      s""", ddh AS (
+         |  SELECT doc_id, len(toks) AS n_toks,
+         |         row_number() OVER (ORDER BY doc_id) AS rank,
+         |         count(*) OVER () AS n_tot
+         |  FROM docs
+         |),
+         |dech AS (
+         |  SELECT doc_id, n_toks, (rank - 1) * 10 // n_tot + 1 AS decile
+         |  FROM ddh
+         |),
+         |mdh AS (
+         |  SELECT decile, max(doc_id) AS max_doc,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_toks) AS BIGINT) AS n_positions
+         |  FROM dech GROUP BY 1
+         |),
+         |tkh AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+         |fsth AS (
+         |  SELECT tok, min(doc_id) AS first_doc
+         |  FROM tkh WHERE len(tok) > 0 GROUP BY 1
+         |),
+         |fdh AS (
+         |  SELECT f.tok, min(m.decile) AS decile
+         |  FROM fsth f JOIN mdh m ON f.first_doc <= m.max_doc
+         |  GROUP BY 1
+         |),
+         |nth AS (
+         |  SELECT decile, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM fdh GROUP BY 1
+         |)
+         |SELECT CAST(m.decile AS BIGINT) AS decile,
+         |       CAST(SUM(m.n_docs) OVER w AS BIGINT) AS n_docs_cum,
+         |       CAST(SUM(m.n_positions) OVER w AS BIGINT)
+         |         AS n_positions_cum,
+         |       CAST(SUM(COALESCE(nth.n_new, 0)) OVER w AS BIGINT)
+         |         AS n_distinct_cum
+         |FROM mdh m LEFT JOIN nth USING (decile)
+         |WINDOW w AS (ORDER BY decile
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY 1""".stripMargin))))
 }

@@ -437,4 +437,46 @@ object Clean {
       .withColumn("flagged_pml", expr("n_flagged * 1000 div n_docs"))
       .orderBy("source")
   }
+
+  /** Heaps'-law vocabulary growth curve: cumulative distinct tokens vs
+    * cumulative token positions as the corpus accumulates in doc-id order,
+    * sampled at ten corpus deciles — the empirical curve that predicts
+    * vocab size at 10×/100× the data (fit V = K·nᵝ offline on these
+    * points). Exact by construction: a token's first appearance is a
+    * per-token min (map-side combinable over the full token stream);
+    * everything after runs on decile-grained rows.
+    *
+    * Windows touch only the ~|docs|-row rank frame and the 10-row decile
+    * rollup — the token stream itself is never sorted. */
+  def heapsCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), expr("size(toks)").cast("long").as("n_toks"))
+    val ranked = d
+      .withColumn("rank", row_number().over(Window.orderBy("doc_id")))
+      .withColumn("n_tot",
+        count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("decile", expr("(rank - 1) * 10 div n_tot + 1"))
+    val maxDoc = ranked.groupBy("decile")
+      .agg(max(col("doc_id")).as("max_doc"),
+        count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_positions"))
+    val first = docs(spark, sfDir)
+      .select(col("doc_id"), explode(expr(TextAnalysis.toksExpr)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+    val firstDecile = first
+      .join(broadcast(maxDoc.select("decile", "max_doc")),
+        col("first_doc") <= col("max_doc"))
+      .groupBy("tok").agg(min(col("decile")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_new_tokens"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    maxDoc.join(firstDecile, Seq("decile"), "left")
+      .select(col("decile").cast("long").as("decile"),
+        sum(col("n_docs")).over(w).as("n_docs_cum"),
+        sum(col("n_positions")).over(w).as("n_positions_cum"),
+        sum(coalesce(col("n_new_tokens"), lit(0L))).over(w)
+          .as("n_distinct_cum"))
+      .orderBy("decile")
+  }
 }

@@ -118,6 +118,27 @@ object Dedup {
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     cachedPairs(spark, sfDir).orderBy("doc_a", "doc_b")
 
+  /** Cross-source duplicate-flow matrix: for every source pair (diagonal
+    * included), how many near-dup clusters contain documents from BOTH —
+    * the provenance screen that tells a corpus builder which feeds are
+    * re-publishing each other (off-diagonal mass) vs self-duplicating
+    * (diagonal). Runs over the session-shared cluster labels; the pair
+    * expansion is keyed by cluster keeper with fan-out bounded by the
+    * sources-per-cluster count. */
+  def crossSourceDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = clusterLabels(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("cluster_keeper"), col("source")).distinct()
+    cs.select(col("cluster_keeper"), col("source").as("src_a"))
+      .join(cs.select(col("cluster_keeper"), col("source").as("src_b")),
+        Seq("cluster_keeper"))
+      .filter(col("src_a") <= col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Jaccard thresholds the banding certificate reports recall at. The
     * 4-band × 2-row scheme's S-curve has its midpoint at (1/4)^(1/2) = 0.5,
     * so expected catch rates are ~0.68 / ~0.93 / ~0.999 at 0.5 / 0.7 /

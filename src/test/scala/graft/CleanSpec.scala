@@ -470,4 +470,29 @@ class CleanSpec extends AnyFunSuite {
     assert(got.toSeq == expect)
     assert(got.nonEmpty)
   }
+
+  test("heaps curve: cumulative counts match the accumulation recount") {
+    val rows = graft.ops.Clean.heapsCurve(spark, GraftSpark.Sf).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val docs = Tables.documents(spark, GraftSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split("\\s+").toSeq))
+      .sortBy(_._1)
+    val n = docs.length
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile").toInt
+      // docs in deciles 1..d: ranks with (rank-1)*10/n + 1 <= d
+      val upto = docs.zipWithIndex.filter { case (_, i) =>
+        i * 10 / n + 1 <= d }.map(_._1)
+      assert(r.getAs[Long]("n_docs_cum") == upto.length)
+      assert(r.getAs[Long]("n_positions_cum") ==
+        upto.map(_._2.length.toLong).sum)
+      assert(r.getAs[Long]("n_distinct_cum") ==
+        upto.flatMap(_._2).filter(_.nonEmpty).distinct.length)
+    }
+    // the curve is concave-ish: monotone increasing, new-vocab rate falls
+    val dist = rows.map(_.getAs[Long]("n_distinct_cum"))
+    assert(dist.zip(dist.tail).forall { case (a, b) => b >= a })
+  }
 }

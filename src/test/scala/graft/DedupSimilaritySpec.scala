@@ -280,4 +280,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(rs.length * 10 >= nByLabel(l), s"label $l")
     }
   }
+
+  test("cross-source dups: matrix matches the cluster-label recount") {
+    val got = graft.ops.Dedup.crossSourceDups(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("n_clusters"))).toMap
+    val labels = graft.ops.Dedup.dedupClusters(spark, GraftSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val srcs = Tables.documents(spark, GraftSpark.Sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byCluster = labels.groupBy(_._2)
+      .view.mapValues(_.map(d => srcs(d._1)).toSet).toMap
+    val expect = byCluster.values.toSeq
+      .flatMap(ss => for { a <- ss.toSeq; b <- ss.toSeq if a <= b }
+        yield (a, b))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }
