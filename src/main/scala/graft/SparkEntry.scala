@@ -7348,5 +7348,67 @@ object Catalog {
          |FROM mdh m LEFT JOIN nth USING (decile)
          |WINDOW w AS (ORDER BY decile
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |ORDER BY 1""".stripMargin))))
+         |ORDER BY 1""".stripMargin))),
+
+    // Ego-network density for md5-chosen seed wallets: edges among the
+    // seed's out-neighborhood in exact ppm of n(n-1).
+    QEntry("q_ego_density",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, expr}
+        val e = graft.Tables.transfers(s, d)
+          .filter(col("from_address") =!= col("to_address"))
+          .select(col("from_address").as("src"), col("to_address").as("dst"))
+          .distinct()
+        val seeds = e.select(col("src").as("v")).distinct()
+          .orderBy(expr("md5(v)"), col("v")).limit(8)
+        Graph.egoDensity(e, seeds)
+      },
+      Some(withTransfers(
+      s""", e AS (
+         |  SELECT DISTINCT from_address AS src, to_address AS dst
+         |  FROM transfers WHERE from_address <> to_address
+         |),
+         |seeds AS (SELECT src AS v FROM (SELECT DISTINCT src FROM e)
+         |          ORDER BY md5(src), src LIMIT 8),
+         |nb AS (
+         |  SELECT s.v AS seed, e.dst AS m FROM seeds s JOIN e ON e.src = s.v
+         |  UNION
+         |  SELECT v, v FROM seeds
+         |),
+         |sz AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_nodes
+         |       FROM nb GROUP BY 1),
+         |wi AS (
+         |  SELECT a.seed, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM e JOIN nb a ON a.m = e.src
+         |        JOIN nb b ON b.seed = a.seed AND b.m = e.dst
+         |  GROUP BY 1
+         |)
+         |SELECT sz.seed AS address, sz.n_nodes,
+         |       COALESCE(wi.n_edges, 0) AS n_edges,
+         |       CASE WHEN sz.n_nodes <= 1 THEN NULL
+         |       ELSE COALESCE(wi.n_edges, 0) * 1000000
+         |            // (sz.n_nodes * (sz.n_nodes - 1))
+         |       END AS density_ppm
+         |FROM sz LEFT JOIN wi USING (seed) ORDER BY 1""".stripMargin))),
+
+    // transformWithState balance engine, hash-verified end to end: final
+    // per-account snapshots equal the batch double-entry net sums.
+    QEntry("q_stream_balances",
+      graft.streaming.StatefulBalances.streamTokenBalances,
+      Some(withTransfers(
+      s""", legs AS (
+         |  SELECT contract_address || '|' || from_address AS account,
+         |         transact_at AS ts,
+         |         -CAST(CAST(value AS DECIMAL(25,2)) * 1000000 AS BIGINT)
+         |           AS dm
+         |  FROM transfers
+         |  UNION ALL
+         |  SELECT contract_address || '|' || to_address, transact_at,
+         |         CAST(CAST(value AS DECIMAL(25,2)) * 1000000 AS BIGINT)
+         |  FROM transfers
+         |)
+         |SELECT account, CAST(SUM(dm) AS BIGINT) AS balance_micro,
+         |       CAST(count(*) AS BIGINT) AS n_legs,
+         |       CAST(max(ts) AS BIGINT) AS last_ts
+         |FROM legs GROUP BY 1 ORDER BY 1""".stripMargin))))
 }

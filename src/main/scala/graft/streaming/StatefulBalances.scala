@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   TimeMode, TimerValues, ValueState}
 
@@ -65,5 +66,57 @@ object StatefulBalances {
     legs.groupByKey(_.account)
       .transformWithState(new BalanceProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Catalog form: the transformWithState balance engine driven by the
+    * real event stream — double-entry legs per transfer (token|wallet
+    * accounts, micro-unit integer deltas), folded through the custom
+    * stateful processor, final per-account snapshot read back from the
+    * Update-mode drain (max n_legs = the last snapshot each account
+    * emitted). Oracle = the batch net sums, so the custom processor's
+    * arithmetic is hash-verified end to end, not just spec-asserted.
+    * RocksDB provider is required by transformWithState; restored after. */
+  def streamTokenBalances(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = graft.Tables.eventsStream(spark, sfDir).select(
+        col("event_type").as("tok"),
+        col("user_id").cast("string").as("from_a"),
+        ((col("user_id") * 7 + col("event_id")) % 1000).cast("string")
+          .as("to_a"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 2))
+          * 1000000).cast("long").as("vm"),
+        col("ts_sec").cast("long").as("ts"))
+      val legs = base.select(
+          concat(col("tok"), lit("|"), col("from_a")).as("account"),
+          col("ts").as("ts_sec"), (-col("vm")).as("delta_micro"))
+        .unionByName(base.select(
+          concat(col("tok"), lit("|"), col("to_a")).as("account"),
+          col("ts").as("ts_sec"), col("vm").as("delta_micro")))
+        .as[Leg]
+      val tableName = "graft_stream_balances"
+      val q = runningBalances(spark, legs)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(tableName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(tableName)
+        .groupBy("account")
+        .agg(max(struct(col("n_legs"), col("balance_micro"),
+          col("last_ts"))).as("f"))
+        .select(col("account"), col("f.balance_micro").as("balance_micro"),
+          col("f.n_legs").as("n_legs"), col("f.last_ts").as("last_ts"))
+        .orderBy("account")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 }

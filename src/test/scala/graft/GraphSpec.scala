@@ -188,6 +188,19 @@ class GraphSpec extends AnyFunSuite {
     assert(!two.contains("a"))
   }
 
+  test("ego density: clique seed saturates, star seed stays hollow") {
+    // a->b,c; b<->c forms a triangle: ego(a)={a,b,c}, 4 of 6 directed
+    // edges present (a->b, a->c, b->c, c->b) -> 666666 ppm.
+    // x fans out to y,z with no cross edges: 2 of 6 -> 333333 ppm.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "b"),
+      ("x", "y"), ("x", "z")).toDF("src", "dst")
+    val got = Graph.egoDensity(edges,
+      Seq(Tuple1("a"), Tuple1("x")).toDF("v")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_edges"), r.getAs[Long]("density_ppm"))).toMap
+    assert(got == Map("a" -> (3L, 4L, 666666L), "x" -> (3L, 2L, 333333L)))
+  }
+
   test("betweenness: chain and diamond hand values with quantized credits") {
     val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
     val got = Graph.betweenness(chain, Seq(Tuple1("a")).toDF("v")).collect()

@@ -291,6 +291,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog stream balances equal the batch double-entry net sums") {
+    val got = graft.streaming.StatefulBalances
+      .streamTokenBalances(spark, GraftSpark.Sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("balance_micro"),
+        r.getAs[Long]("n_legs"), r.getAs[Long]("last_ts"))).toMap
+    val t = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "from_address", "to_address",
+        "transact_at", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), (BigDecimal(r.getDouble(4)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact))
+    val legs = t.flatMap(x => Seq((s"${x._1}|${x._2}", x._4, -x._5),
+      (s"${x._1}|${x._3}", x._4, x._5)))
+    val expect = legs.groupBy(_._1).view.mapValues(ls =>
+      (ls.map(_._3).sum, ls.length.toLong, ls.map(_._2).max)).toMap
+    assert(got == expect)
+  }
+
   test("bounded hourly volume: append emits closed windows, state is evicted") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
