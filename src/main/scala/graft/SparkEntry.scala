@@ -7410,5 +7410,23 @@ object Catalog {
          |SELECT account, CAST(SUM(dm) AS BIGINT) AS balance_micro,
          |       CAST(count(*) AS BIGINT) AS n_legs,
          |       CAST(max(ts) AS BIGINT) AS last_ts
-         |FROM legs GROUP BY 1 ORDER BY 1""".stripMargin))))
+         |FROM legs GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Double-entry sanity screen: wallets whose running balance goes
+    // negative (spent-before-received inside the window); exact decimal
+    // comparison, never float dust.
+    QEntry("q_negative_balances",
+      (s, d) => graft.ops.Balances.negativeBalances(s, d),
+      Some(withBalances(graft.Tables.FocusToken,
+      s""", nb AS (
+         |  SELECT address, t,
+         |         SUM(ddelta) OVER (PARTITION BY address ORDER BY t
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS balx
+         |  FROM hourly
+         |)
+         |SELECT address, CAST(min(balx) AS DOUBLE) AS min_balance,
+         |       CAST(min(t) AS BIGINT) AS first_negative_t,
+         |       CAST(count(*) AS BIGINT) AS n_negative_hours
+         |FROM nb WHERE balx < 0 GROUP BY 1 ORDER BY 1""".stripMargin))))
 }

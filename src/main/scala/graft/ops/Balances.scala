@@ -218,4 +218,24 @@ object Balances {
       .agg(max(col("dd")).as("max_drawdown"), max(col("peak")).as("peak"))
     dd.orderBy(col("max_drawdown").desc, col("address")).limit(DrawdownTopK)
   }
+
+  /** Double-entry sanity screen: wallets whose focus-token running balance
+    * ever goes negative — with no mint/burn tracking, a negative running
+    * balance means the wallet SPENT before it RECEIVED inside the observed
+    * window (out-of-window funding), exactly the population a balance-
+    * based metric (whales, holders, clusters) silently mis-scores. Emits
+    * per offending wallet the minimum balance and the first hour it went
+    * negative; one summary-shaped frame a data-contract check can gate on.
+    * Exact DECIMAL comparison — the flag never depends on float dust. */
+  def negativeBalances(spark: SparkSession, sfDir: String,
+      token: String = Tables.FocusToken): DataFrame =
+    hourlyDeltas(spark, sfDir, token)
+      .select(col("address"), col("t"),
+        sum(col("ddelta")).over(byAddrTime).as("bal"))
+      .filter(col("bal") < 0)
+      .groupBy("address")
+      .agg(min(col("bal")).cast("double").as("min_balance"),
+        min(col("t")).as("first_negative_t"),
+        count(lit(1)).as("n_negative_hours"))
+      .orderBy("address")
 }

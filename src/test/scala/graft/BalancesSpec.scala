@@ -84,4 +84,24 @@ class BalancesSpec extends AnyFunSuite {
         col("valid_to") =!= col("next_from"))
     assert(broken.isEmpty)
   }
+
+  test("negative balances: flagged wallets match the running recount and " +
+    "cover exactly the below-zero histories") {
+    val got = graft.ops.Balances.negativeBalances(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("min_balance"),
+        r.getAs[Long]("first_negative_t"),
+        r.getAs[Long]("n_negative_hours"))).toMap
+    val hist = graft.ops.Balances.balanceHistory(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Double]("balance")))
+      .groupBy(_._1)
+    val expect = hist.view.mapValues { rs =>
+      val neg = rs.filter(_._3 < 0)
+      if (neg.isEmpty) None
+      else Some((neg.map(_._3).min, neg.map(_._2).min, neg.length.toLong))
+    }.toMap.collect { case (a, Some(v)) => a -> v }
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }
