@@ -7428,5 +7428,33 @@ object Catalog {
          |SELECT address, CAST(min(balx) AS DOUBLE) AS min_balance,
          |       CAST(min(t) AS BIGINT) AS first_negative_t,
          |       CAST(count(*) AS BIGINT) AS n_negative_hours
-         |FROM nb WHERE balx < 0 GROUP BY 1 ORDER BY 1""".stripMargin))))
+         |FROM nb WHERE balx < 0 GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Pairwise flow imbalance: gross/net per unordered wallet pair,
+    // |net|/gross in exact per-mille; balanced heavy pairs ~ wash signal.
+    QEntry("q_flow_imbalance", Forensics.flowImbalance, Some(withTransfers(
+      s""", pf AS (
+         |  SELECT contract_address, least(from_address, to_address) AS a,
+         |         greatest(from_address, to_address) AS b,
+         |         SUM(CAST(value AS DECIMAL(25,2))) AS gross,
+         |         SUM(CASE WHEN from_address < to_address
+         |             THEN CAST(value AS DECIMAL(25,2))
+         |             ELSE -CAST(value AS DECIMAL(25,2)) END) AS net,
+         |         CAST(count(*) AS BIGINT) AS n_tx
+         |  FROM transfers WHERE from_address <> to_address
+         |  GROUP BY 1, 2, 3
+         |),
+         |topf AS (
+         |  SELECT * FROM pf
+         |  ORDER BY gross DESC, contract_address, a, b
+         |  LIMIT ${Forensics.ImbalanceTopK}
+         |)
+         |SELECT contract_address, a, b, CAST(gross AS DOUBLE) AS gross,
+         |       CAST(net AS DOUBLE) AS net,
+         |       CAST(CAST(abs(net) * 100000 AS HUGEINT)
+         |         // CAST(gross * 100 AS HUGEINT) AS BIGINT)
+         |         AS imbalance_pml,
+         |       n_tx
+         |FROM topf ORDER BY gross DESC, contract_address, a, b"""
+        .stripMargin))))
 }

@@ -276,4 +276,37 @@ object Forensics {
         coalesce(col("n_relays"), lit(0L)).as("n_relays"))
       .orderBy("contract_address")
   }
+
+  /** Rows the flow-imbalance leaderboard reports. */
+  val ImbalanceTopK = 20
+
+  /** Pairwise flow imbalance: per (token, unordered wallet pair), gross
+    * volume both ways, net directional flow, and |net|/gross in integer
+    * per-mille — the aggregate cousin of [[washTrading]]: balanced heavy
+    * pairs (imbalance → 0) look like wash activity, one-sided heavy pairs
+    * are genuine distribution. Top pairs by gross, exact-decimal ordering.
+    * One (token, pair)-keyed aggregate — the same skew-safe key as the
+    * wash screen — and a bounded TakeOrdered. */
+  def flowImbalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 2)
+    Tables.transfers(spark, sfDir)
+      .filter(col("from_address") =!= col("to_address"))
+      .groupBy(col("contract_address"),
+        least(col("from_address"), col("to_address")).as("a"),
+        greatest(col("from_address"), col("to_address")).as("b"))
+      .agg(sum(col("value").cast(dec)).as("gross"),
+        sum(when(col("from_address") < col("to_address"),
+          col("value").cast(dec)).otherwise(-col("value").cast(dec)))
+          .as("net"),
+        count(lit(1)).as("n_tx"))
+      .orderBy(col("gross").desc, col("contract_address"), col("a"),
+        col("b"))
+      .limit(ImbalanceTopK)
+      .select(col("contract_address"), col("a"), col("b"),
+        col("gross").cast("double").as("gross"),
+        col("net").cast("double").as("net"),
+        expr("CAST(abs(net) * 100000 AS DECIMAL(38,0))" +
+          " div CAST(gross * 100 AS DECIMAL(38,0))").as("imbalance_pml"),
+        col("n_tx"))
+  }
 }

@@ -184,4 +184,31 @@ class ForensicsSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  test("flow imbalance: top pairs match the exact-decimal pair recount") {
+    val got = graft.ops.Forensics.flowImbalance(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getAs[Double]("gross"), r.getAs[Double]("net"),
+          r.getAs[Long]("imbalance_pml"), r.getAs[Long]("n_tx"))))
+    def cents(v: Double) = BigDecimal(v).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP)
+    val pairs = transfers.filter(t => t._2 != t._3)
+      .groupBy(t => (t._1, Ordering[String].min(t._2, t._3),
+        Ordering[String].max(t._2, t._3)))
+      .view.mapValues { ts =>
+        val gross = ts.map(t => cents(t._5)).sum
+        val net = ts.map(t =>
+          if (t._2 < t._3) cents(t._5) else -cents(t._5)).sum
+        (gross, net, ts.length.toLong)
+      }.toMap
+    val expect = pairs.toSeq
+      .sortBy { case (k, (g, _, _)) => (-g, k._1, k._2, k._3) }
+      .take(graft.ops.Forensics.ImbalanceTopK)
+      .map { case (k, (g, n, c)) =>
+        (k, (g.toDouble, n.toDouble,
+          ((n.abs * 100000).toBigInt / (g * 100).toBigInt).toLong, c))
+      }
+    assert(got.toSeq == expect)
+  }
 }
