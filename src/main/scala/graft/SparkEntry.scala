@@ -7456,5 +7456,75 @@ object Catalog {
          |         AS imbalance_pml,
          |       n_tx
          |FROM topf ORDER BY gross DESC, contract_address, a, b"""
-        .stripMargin))))
+        .stripMargin))),
+
+    // Power-of-two transfer-size histogram: floor(log2) as the exact
+    // binary-representation length on both engines (no float log).
+    QEntry("q_tx_size_hist", Forensics.txSizeHistogram, Some(withTransfers(
+      s""", cc AS (
+         |  SELECT contract_address,
+         |         CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM transfers
+         |),
+         |bb AS (
+         |  SELECT contract_address, cents,
+         |         CAST(length(printf('%b', cents)) - 1 AS BIGINT) AS bucket
+         |  FROM cc WHERE cents > 0
+         |)
+         |SELECT contract_address, bucket, CAST(count(*) AS BIGINT) AS n_tx,
+         |       CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS total_cents,
+         |       CAST(CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)
+         |         AS BIGINT) AS lo_cents
+         |FROM bb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // Composite bot-likelihood screen: wash round-trips + fan-out days +
+    // sub-throttle burst share, integer-weighted, bounded top-K.
+    QEntry("q_bot_score", Forensics.botScore, Some(withTransfers(
+      s""", rts AS (
+         |  SELECT x.from_address AS wallet, CAST(count(*) AS BIGINT) AS rt
+         |  FROM transfers x JOIN transfers y
+         |    ON y.contract_address = x.contract_address
+         |   AND y.from_address = x.to_address
+         |   AND y.to_address = x.from_address
+         |   AND y.block_number > x.block_number
+         |   AND y.transact_at >= x.transact_at
+         |   AND y.transact_at <= x.transact_at + ${Forensics.WashWindowSec}
+         |  GROUP BY 1
+         |),
+         |fds AS (
+         |  SELECT wallet, CAST(count(*) AS BIGINT) AS fd FROM (
+         |    SELECT from_address AS wallet,
+         |           ${dayBucket("transact_at")} AS day,
+         |           count(DISTINCT to_address) AS nr
+         |    FROM transfers GROUP BY 1, 2
+         |  ) WHERE nr >= ${Forensics.FanoutMinRecipients} GROUP BY 1
+         |),
+         |bsx AS (
+         |  SELECT wallet, n_ev, n_burst, n_burst * 1000 // n_ev AS bp
+         |  FROM (
+         |    SELECT from_address AS wallet, CAST(count(*) AS BIGINT)
+         |             AS n_ev,
+         |           CAST(SUM(CASE WHEN prev IS NOT NULL
+         |               AND transact_at - prev
+         |                 < ${graft.ops.Behavior.ThrottleSec}
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_burst
+         |    FROM (
+         |      SELECT from_address, transact_at,
+         |             lag(transact_at, 1) OVER (PARTITION BY from_address
+         |               ORDER BY transact_at, block_number) AS prev
+         |      FROM transfers
+         |    ) GROUP BY 1
+         |  )
+         |)
+         |SELECT b.wallet, COALESCE(r.rt, 0) AS round_trips,
+         |       COALESCE(f.fd, 0) AS fanout_days, b.bp AS burst_pml,
+         |       COALESCE(r.rt, 0) * ${Forensics.BotRtWeight}
+         |         + COALESCE(f.fd, 0) * ${Forensics.BotFanoutWeight}
+         |         + b.bp AS bot_score
+         |FROM bsx b
+         |LEFT JOIN rts r USING (wallet)
+         |LEFT JOIN fds f USING (wallet)
+         |ORDER BY bot_score DESC, b.wallet
+         |LIMIT ${Forensics.BotTopK}""".stripMargin))))
 }

@@ -287,6 +287,88 @@ object Forensics {
     * are genuine distribution. Top pairs by gross, exact-decimal ordering.
     * One (token, pair)-keyed aggregate — the same skew-safe key as the
     * wash screen — and a bounded TakeOrdered. */
+  /** Power-of-two transfer-size histogram per token (HdrHistogram-style
+    * log₂ bucketing): bucket = ⌊log₂ cents⌋ computed EXACTLY as the
+    * binary-representation length (no float log), with the bucket's lower
+    * bound, count and total. The shape diagnostic behind fee modeling and
+    * dust-attack detection; one map-side-combinable aggregate. */
+  def txSizeHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.transfers(spark, sfDir)
+      .select(col("contract_address"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 2))
+          * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("bucket", (length(expr("bin(cents)")) - 1).cast("long"))
+      .groupBy("contract_address", "bucket")
+      .agg(count(lit(1)).as("n_tx"),
+        sum(col("cents")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("total_cents"))
+      .withColumn("lo_cents", expr("shiftleft(1L, CAST(bucket AS INT))"))
+      .orderBy("contract_address", "bucket")
+
+  /** Bot-score weights: one wash round-trip, one fan-out day, and the
+    * per-mille burst share contribute in this ratio. Literal so the
+    * oracle repeats them. */
+  val BotRtWeight = 50L
+  val BotFanoutWeight = 100L
+  val BotTopK = 20
+
+  /** Composite bot-likelihood score per sender wallet: wash round-trips
+    * initiated ([[washTrading]]'s pairwise count, attributed to the
+    * initiator), fan-out days ([[airdropFanout]]'s day count), and the
+    * per-mille share of the sender's events arriving in sub-[[
+    * graft.ops.Behavior.ThrottleSec]] bursts — combined with integer
+    * weights into one ranked screen. Each component reuses a
+    * hash-verified sub-query's exact spelling, so the composite is
+    * oracle-checkable; at scale each is a key-partitioned aggregate and
+    * the leaderboard is a bounded TakeOrdered. */
+  def botScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.transfers(spark, sfDir)
+    // wash round-trips per initiating wallet
+    val out1 = t.select(col("contract_address").as("tok"),
+      col("from_address").as("a"), col("to_address").as("b"),
+      col("block_number").as("k1"), col("transact_at").as("t1"))
+    val back = t.select(col("contract_address").as("tok"),
+      col("to_address").as("a"), col("from_address").as("b"),
+      col("block_number").as("k2"), col("transact_at").as("t2"))
+    val rts = out1.join(back, Seq("tok", "a", "b"))
+      .filter(col("k2") > col("k1") && col("t2") >= col("t1") &&
+        col("t2") <= col("t1") + WashWindowSec)
+      .groupBy(col("a").as("wallet")).agg(count(lit(1)).as("rt"))
+    // fan-out days per sender
+    val fds = t.groupBy(col("from_address").as("wallet"),
+        Num.dayBucket(col("transact_at")).cast("long").as("day"))
+      .agg(countDistinct(col("to_address")).as("nr"))
+      .filter(col("nr") >= FanoutMinRecipients)
+      .groupBy("wallet").agg(count(lit(1)).as("fd"))
+    // burst share per sender (across tokens)
+    val byW = Window.partitionBy("from_address")
+      .orderBy("transact_at", "block_number")
+    val bursts = t.select(col("from_address"), col("transact_at"),
+        col("block_number"))
+      .withColumn("prev", lag(col("transact_at"), 1).over(byW))
+      .groupBy(col("from_address").as("wallet"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("prev").isNotNull &&
+          col("transact_at") - col("prev") < Behavior.ThrottleSec, 1L)
+          .otherwise(0L)).as("n_burst"))
+      .withColumn("bp", expr("n_burst * 1000 div n_ev"))
+    bursts
+      .join(rts, Seq("wallet"), "left")
+      .join(fds, Seq("wallet"), "left")
+      .select(col("wallet"),
+        coalesce(col("rt"), lit(0L)).as("round_trips"),
+        coalesce(col("fd"), lit(0L)).as("fanout_days"),
+        col("bp").as("burst_pml"))
+      .withColumn("bot_score",
+        expr(s"round_trips * $BotRtWeight + fanout_days * $BotFanoutWeight" +
+          " + burst_pml"))
+      .orderBy(col("bot_score").desc, col("wallet"))
+      .limit(BotTopK)
+  }
+
   def flowImbalance(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(25, 2)
     Tables.transfers(spark, sfDir)

@@ -211,4 +211,53 @@ class ForensicsSpec extends AnyFunSuite {
       }
     assert(got.toSeq == expect)
   }
+
+  test("tx size histogram: log2 buckets partition the cents exactly") {
+    val rows = graft.ops.Forensics.txSizeHistogram(spark, GraftSpark.Sf)
+      .collect()
+    val cents = transfers.map(t => (t._1,
+      (BigDecimal(t._5).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        * 100).toLongExact)).filter(_._2 > 0)
+    val expect = cents.groupBy { case (tok, c) =>
+        (tok, (63 - java.lang.Long.numberOfLeadingZeros(c)).toLong) }
+      .view.mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getAs[Long]("bucket"))
+      assert((r.getAs[Long]("n_tx"), r.getAs[Long]("total_cents"))
+        == expect(k), k)
+      assert(r.getAs[Long]("lo_cents") == (1L << k._2))
+    }
+  }
+
+  test("bot score: components recount and the composite is their weighted " +
+    "sum") {
+    val rows = graft.ops.Forensics.botScore(spark, GraftSpark.Sf).collect()
+    assert(rows.nonEmpty &&
+      rows.length <= graft.ops.Forensics.BotTopK)
+    val w = graft.ops.Forensics.WashWindowSec
+    val bySender = transfers.groupBy(_._2)
+    rows.foreach { r =>
+      val wal = r.getString(0)
+      val rt = (for {
+        x <- bySender.getOrElse(wal, Nil)
+        y <- transfers
+        if y._1 == x._1 && y._2 == x._3 && y._3 == x._2
+        if y._4 > x._4 && y._6 >= x._6 && y._6 <= x._6 + w
+      } yield 1).size.toLong
+      assert(r.getAs[Long]("round_trips") == rt, s"$wal rt")
+      val fd = bySender(wal).groupBy(_._6 / 86400 * 86400)
+        .count(_._2.map(_._3).distinct.size >=
+          graft.ops.Forensics.FanoutMinRecipients)
+      assert(r.getAs[Long]("fanout_days") == fd, s"$wal fd")
+      val ts = bySender(wal).sortBy(t => (t._6, t._4)).map(_._6)
+      val nb = ts.zip(ts.tail).count { case (a, b) =>
+        b - a < graft.ops.Behavior.ThrottleSec }
+      assert(r.getAs[Long]("burst_pml") == nb.toLong * 1000 / ts.length)
+      assert(r.getAs[Long]("bot_score") ==
+        rt * graft.ops.Forensics.BotRtWeight +
+        fd * graft.ops.Forensics.BotFanoutWeight +
+        r.getAs[Long]("burst_pml"))
+    }
+  }
 }
