@@ -7526,5 +7526,79 @@ object Catalog {
          |LEFT JOIN rts r USING (wallet)
          |LEFT JOIN fds f USING (wallet)
          |ORDER BY bot_score DESC, b.wallet
-         |LIMIT ${Forensics.BotTopK}""".stripMargin))))
+         |LIMIT ${Forensics.BotTopK}""".stripMargin))),
+
+    // Seasonal-residual outliers: |residual - median| > K*MAD per token,
+    // both statistics exact lower-median rank selections.
+    QEntry("q_seasonal_outliers", Metrics.seasonalOutliers,
+      Some(withTransfers(
+      s""", hourly AS (
+         |  SELECT contract_address AS token,
+         |         ${hourBucket("transact_at")} AS t,
+         |         SUM(CAST(value AS DECIMAL(25,2))) AS vol
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |tr AS (
+         |  SELECT token, t, vol,
+         |         CAST(SUM(vol) OVER w AS DOUBLE)
+         |           / CAST(COUNT(*) OVER w AS DOUBLE) AS trend,
+         |         CAST(SUM(vol) OVER ws AS DOUBLE)
+         |           / CAST(COUNT(*) OVER ws AS DOUBLE) AS seasonal
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY token ORDER BY t
+         |    RANGE BETWEEN ${Metrics.TrendHalfWidthSec} PRECEDING
+         |              AND ${Metrics.TrendHalfWidthSec} FOLLOWING),
+         |  ws AS (PARTITION BY token, (t % 86400) // 3600)
+         |),
+         |res AS (
+         |  SELECT token, t,
+         |         CAST(vol AS DOUBLE) - trend - seasonal AS residual
+         |  FROM tr
+         |),
+         |cmed AS (
+         |  SELECT token, residual AS r, SUM(c) OVER (PARTITION BY token
+         |    ORDER BY residual
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER (PARTITION BY token) AS n
+         |  FROM (SELECT token, residual, CAST(count(*) AS BIGINT) AS c
+         |        FROM res GROUP BY 1, 2)
+         |),
+         |medx AS (SELECT token, min(r) AS med FROM cmed
+         |         WHERE cum * 2 >= n GROUP BY 1),
+         |adx AS (
+         |  SELECT res.token, res.t, res.residual, medx.med,
+         |         abs(res.residual - medx.med) AS adev
+         |  FROM res JOIN medx USING (token)
+         |),
+         |cad AS (
+         |  SELECT token, adev AS a, SUM(c) OVER (PARTITION BY token
+         |    ORDER BY adev
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER (PARTITION BY token) AS n
+         |  FROM (SELECT token, adev, CAST(count(*) AS BIGINT) AS c
+         |        FROM adx GROUP BY 1, 2)
+         |),
+         |madx AS (SELECT token, min(a) AS mad FROM cad
+         |         WHERE cum * 2 >= n GROUP BY 1)
+         |SELECT a.token, a.t, a.residual, a.med, m2.mad
+         |FROM adx a JOIN madx m2 USING (token)
+         |WHERE a.adev > ${Metrics.SeasonalMadK} * m2.mad
+         |ORDER BY 1, 2""".stripMargin))),
+
+    // Behavioral diversity: Gini impurity of the event-type mix per
+    // wallet in exact ppm (log-free entropy substitute).
+    QEntry("q_wallet_diversity", Metrics.walletDiversity,
+      Some(withTransfers(
+      s""", wc AS (
+         |  SELECT from_address AS wallet, contract_address AS tok,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM transfers GROUP BY 1, 2
+         |)
+         |SELECT wallet, CAST(SUM(c) AS BIGINT) AS n_events,
+         |       CAST(count(*) AS BIGINT) AS n_types,
+         |       CAST((CAST(SUM(c) AS HUGEINT) * SUM(c)
+         |           - SUM(CAST(c AS HUGEINT) * c)) * 1000000
+         |         // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT)
+         |         AS impurity_ppm
+         |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin))))
 }

@@ -737,6 +737,66 @@ object Metrics {
       .orderBy("contract_address")
   }
 
+  /** MAD multiplier for [[seasonalOutliers]]. */
+  val SeasonalMadK = 3
+
+  /** Seasonal-residual outliers: hours whose decomposition residual
+    * ([[seasonalDecompose]]) deviates from the token's median residual by
+    * more than [[SeasonalMadK]]× the MAD — the detector that catches
+    * "high for a Tuesday 3am" anomalies a raw z-score on volume misses
+    * (the seasonal component absorbs the daily shape first). Median and
+    * MAD are exact lower-median order statistics rank-selected from the
+    * per-token residual DISTRIBUTION (the residual doubles are already
+    * bit-identical in both engines, so selection and comparison are too).
+    * Composes two hash-verified operators; windows touch hourly rows
+    * only. */
+  def seasonalOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lowerMedian(df: DataFrame, c: String, out: String): DataFrame = {
+      val cum = df.groupBy("token", c).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy("token").orderBy(c)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("token")))
+      cum.filter(col("cum") * 2 >= col("n"))
+        .groupBy("token").agg(min(col(c)).as(out))
+    }
+    val res = seasonalDecompose(spark, sfDir)
+      .select(col("token"), col("t"), col("residual"))
+    val med = lowerMedian(res, "residual", "med")
+    val ad = res.join(med, Seq("token"))
+      .withColumn("adev", abs(col("residual") - col("med")))
+    val mad = lowerMedian(ad, "adev", "mad")
+    ad.join(mad, Seq("token"))
+      .filter(col("adev") > lit(SeasonalMadK) * col("mad"))
+      .select(col("token"), col("t"), col("residual"), col("med"),
+        col("mad"))
+      .orderBy("token", "t")
+  }
+
+  /** Behavioral diversity per wallet: Gini impurity of the sender's
+    * event-type mix, `1 − Σ pᵢ²`, in exact ppm — the log-free entropy
+    * substitute (`(n² − Σcᵢ²)·10⁶ div n²` is pure integer arithmetic
+    * where Shannon entropy needs libm log). Near-zero impurity marks
+    * single-purpose wallets (bots, vaults); high impurity marks organic
+    * mixed usage. Two map-side-combinable aggregates. */
+  def walletDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.transfers(spark, sfDir)
+      .groupBy(col("from_address").as("wallet"),
+        col("contract_address").as("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("wallet")
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast(dec) * col("c")).as("ss"))
+      .select(col("wallet"), col("n_events"), col("n_types"),
+        expr("CAST((CAST(n_events AS DECIMAL(38,0)) * n_events - ss)" +
+          " * 1000000 div (CAST(n_events AS DECIMAL(38,0)) * n_events)" +
+          " AS BIGINT)").as("impurity_ppm"))
+      .orderBy("wallet")
+  }
+
   /** Week-over-week volume growth per token: weekly cents totals and the
     * relative change vs the previous ISO-agnostic 7-day bucket, in exact
     * integer ppm (first week reports NULL — no fake 0%). The standard

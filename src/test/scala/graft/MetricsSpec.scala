@@ -479,4 +479,45 @@ class MetricsSpec extends AnyFunSuite {
       assert(math.abs(tk - etk) < 1e-9, s"$k")
     }
   }
+
+  test("seasonal outliers: flags are exactly the beyond-K-MAD residuals") {
+    val rows = graft.ops.Metrics.seasonalOutliers(spark, GraftSpark.Sf)
+      .collect()
+    val res = graft.ops.Metrics.seasonalDecompose(spark, GraftSpark.Sf)
+      .select("token", "t", "residual").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    def lowerMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(((s.length + 1) / 2 - 1).max(0))
+    }
+    val expect = res.toSeq.flatMap { case (tok, rs) =>
+      val med = lowerMedian(rs.toSeq.map(_._3))
+      val mad = lowerMedian(rs.toSeq.map(x => math.abs(x._3 - med)))
+      rs.toSeq.filter(x => math.abs(x._3 - med) >
+          graft.ops.Metrics.SeasonalMadK * mad)
+        .map(x => (tok, x._2, x._3, med, mad))
+    }.toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))).toSet == expect)
+    assert(rows.nonEmpty)
+  }
+
+  test("wallet diversity: impurity recounts as exact rational ppm") {
+    val rows = graft.ops.Metrics.walletDiversity(spark, GraftSpark.Sf)
+      .collect()
+    val byWallet = Tables.transfers(spark, GraftSpark.Sf)
+      .select("from_address", "contract_address").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet == byWallet.keySet)
+    rows.foreach { r =>
+      val ts = byWallet(r.getString(0)).map(_._2)
+      val cs = ts.groupBy(identity).values.map(_.length.toLong)
+      val n = BigInt(ts.length)
+      assert(r.getAs[Long]("n_events") == ts.length)
+      assert(r.getAs[Long]("n_types") == cs.size)
+      val imp = (n * n - cs.map(c => BigInt(c) * c).sum) * 1000000 / (n * n)
+      assert(r.getAs[Long]("impurity_ppm") == imp.toLong, r.getString(0))
+    }
+  }
 }
