@@ -7600,5 +7600,52 @@ object Catalog {
          |           - SUM(CAST(c AS HUGEINT) * c)) * 1000000
          |         // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT)
          |         AS impurity_ppm
-         |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin))))
+         |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Dapp-audience conversion funnel: audience via the broadcast
+    // registry join; conversion share in exact per-mille.
+    QEntry("q_dapp_funnel", Dapps.dappFunnel, Some(withTransfersAndDapps(
+      s""", reg AS (
+         |  SELECT dapp_id, dapp_name, unnest(addresses) AS address
+         |  FROM dapps
+         |),
+         |aud AS (
+         |  SELECT DISTINCT r.dapp_id, r.dapp_name, l.wallet FROM (
+         |    SELECT from_address AS wallet, to_address AS address
+         |    FROM transfers
+         |    UNION ALL
+         |    SELECT to_address, from_address FROM transfers
+         |  ) l JOIN reg r USING (address)
+         |),
+         |buyers AS (
+         |  SELECT DISTINCT from_address AS wallet FROM transfers
+         |  WHERE contract_address = 'purchase'
+         |),
+         |g AS (
+         |  SELECT a.dapp_id, a.dapp_name,
+         |         CAST(count(*) AS BIGINT) AS n_audience,
+         |         CAST(SUM(CASE WHEN b.wallet IS NOT NULL THEN 1 ELSE 0
+         |           END) AS BIGINT) AS n_purchasers
+         |  FROM aud a LEFT JOIN buyers b USING (wallet)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT dapp_id, dapp_name, n_audience, n_purchasers,
+         |       n_purchasers * 1000 // n_audience AS purchase_pml
+         |FROM g ORDER BY dapp_id""".stripMargin))),
+
+    // Wallet activity-days histogram (engagement depth / sybil screen).
+    QEntry("q_activity_histogram", Forensics.activityHistogram,
+      Some(withTransfers(
+      s""", dw AS (
+         |  SELECT DISTINCT wallet, day FROM (
+         |    SELECT from_address AS wallet,
+         |           ${dayBucket("transact_at")} AS day FROM transfers
+         |    UNION ALL
+         |    SELECT to_address, ${dayBucket("transact_at")} FROM transfers
+         |  ) u
+         |),
+         |pw AS (SELECT wallet, CAST(count(*) AS BIGINT) AS n_days
+         |       FROM dw GROUP BY 1)
+         |SELECT n_days, CAST(count(*) AS BIGINT) AS n_wallets
+         |FROM pw GROUP BY 1 ORDER BY 1""".stripMargin))))
 }

@@ -105,4 +105,31 @@ object Dapps {
         (col("na") + col("nb") - col("inter")).as("union_n"))
       .orderBy("da", "db")
   }
+
+  /** Dapp-audience conversion funnel: per dapp, how many of the wallets
+    * that transacted WITH its contract addresses also made a `purchase`
+    * event — the attribution question a dapp BD team actually asks
+    * ("does touching us correlate with converting"), in exact per-mille.
+    * Audience via the broadcast registry membership join (fact legs never
+    * shuffle); conversion via one left join against the distinct-buyer
+    * set keyed on the wallet. */
+  def dappFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+    val aud = t.select(col("from_address").as("wallet"),
+        col("to_address").as("address"))
+      .unionByName(t.select(col("to_address").as("wallet"),
+        col("from_address").as("address")))
+      .join(broadcast(dappAddresses(spark)), Seq("address"))
+      .select("dapp_id", "dapp_name", "wallet").distinct()
+    val buyers = t.filter(col("contract_address") === "purchase")
+      .select(col("from_address").as("wallet")).distinct()
+      .withColumn("hit", lit(1L))
+    aud.join(buyers, Seq("wallet"), "left")
+      .groupBy("dapp_id", "dapp_name")
+      .agg(count(lit(1)).as("n_audience"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_purchasers"))
+      .withColumn("purchase_pml",
+        expr("n_purchasers * 1000 div n_audience"))
+      .orderBy("dapp_id")
+  }
 }

@@ -307,6 +307,23 @@ object Forensics {
       .withColumn("lo_cents", expr("shiftleft(1L, CAST(bucket AS INT))"))
       .orderBy("contract_address", "bucket")
 
+  /** Wallet activity-days histogram: how many wallets were active (either
+    * transfer side) on exactly N distinct days — the engagement-depth
+    * distribution behind DAU/MAU modeling and airdrop sybil screens (a
+    * spike at N=1 is farm wallets). Three map-side-combinable aggregates,
+    * output ≤ |days| rows. */
+  def activityHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+    t.select(col("from_address").as("wallet"),
+        Num.dayBucket(col("transact_at")).cast("long").as("day"))
+      .unionByName(t.select(col("to_address").as("wallet"),
+        Num.dayBucket(col("transact_at")).cast("long").as("day")))
+      .distinct()
+      .groupBy("wallet").agg(count(lit(1)).as("n_days"))
+      .groupBy("n_days").agg(count(lit(1)).as("n_wallets"))
+      .orderBy("n_days")
+  }
+
   /** Bot-score weights: one wash round-trip, one fan-out day, and the
     * per-mille burst share contribute in this ratio. Literal so the
     * oracle repeats them. */

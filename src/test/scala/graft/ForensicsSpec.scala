@@ -230,6 +230,39 @@ class ForensicsSpec extends AnyFunSuite {
     }
   }
 
+  test("activity histogram: day counts partition the wallet population") {
+    val rows = graft.ops.Forensics.activityHistogram(spark, GraftSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_wallets")).toMap
+    val perWallet = transfers
+      .flatMap(t => Seq((t._2, t._6 / 86400 * 86400),
+        (t._3, t._6 / 86400 * 86400)))
+      .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expect = perWallet.values.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(rows == expect)
+    assert(rows.values.sum == perWallet.size)
+  }
+
+  test("dapp funnel: audiences and purchase conversion recount") {
+    val got = graft.ops.Dapps.dappFunnel(spark, GraftSpark.Sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_audience"),
+        r.getAs[Long]("n_purchasers"), r.getAs[Long]("purchase_pml"))).toMap
+    val reg = Tables.DappRegistry
+      .flatMap { case (id, _, as) => as.map(a => a -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val buyers = transfers.filter(_._1 == "purchase").map(_._2).toSet
+    val aud = transfers.flatMap(t =>
+        reg.getOrElse(t._3, Nil).map(d => (d, t._2)) ++
+        reg.getOrElse(t._2, Nil).map(d => (d, t._3)))
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = aud.map { case (d, ws) =>
+      val np = ws.count(buyers).toLong
+      d -> (ws.size.toLong, np, np * 1000 / ws.size)
+    }
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("bot score: components recount and the composite is their weighted " +
     "sum") {
     val rows = graft.ops.Forensics.botScore(spark, GraftSpark.Sf).collect()
