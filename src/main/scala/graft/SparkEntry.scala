@@ -7647,5 +7647,76 @@ object Catalog {
          |pw AS (SELECT wallet, CAST(count(*) AS BIGINT) AS n_days
          |       FROM dw GROUP BY 1)
          |SELECT n_days, CAST(count(*) AS BIGINT) AS n_wallets
-         |FROM pw GROUP BY 1 ORDER BY 1""".stripMargin))))
+         |FROM pw GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Token-migration matrix: dominant send-token per wallet, first vs
+    // second half of the window; arg-max ties to the larger token.
+    QEntry("q_token_migration", Wallet.tokenMigration, Some(withTransfers(
+      s""", tt AS (
+         |  SELECT from_address AS wallet, contract_address AS tok,
+         |         transact_at
+         |  FROM transfers
+         |),
+         |mid AS (SELECT (min(transact_at) + max(transact_at)) // 2 AS mid
+         |        FROM tt),
+         |cnts AS (
+         |  SELECT wallet,
+         |         CASE WHEN transact_at < mid THEN 1 ELSE 2 END AS half,
+         |         tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tt, mid GROUP BY 1, 2, 3
+         |),
+         |best AS (
+         |  SELECT wallet, half, tok FROM (
+         |    SELECT wallet, half, tok,
+         |           row_number() OVER (PARTITION BY wallet, half
+         |             ORDER BY c DESC, tok DESC) AS rnk
+         |    FROM cnts
+         |  ) WHERE rnk = 1
+         |)
+         |SELECT f.tok AS tok_first, s.tok AS tok_second,
+         |       CAST(count(*) AS BIGINT) AS n_wallets
+         |FROM best f JOIN best s
+         |  ON s.wallet = f.wallet AND f.half = 1 AND s.half = 2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // Whale-vs-rest contrast: exact-decimal final balances decide the
+    // whale set; per-group sends, totals, per-tx average.
+    QEntry("q_whale_contrast", Wallet.whaleContrast, Some(withTransfers(
+      s""", ft AS (
+         |  SELECT * FROM transfers
+         |  WHERE contract_address = '${graft.Tables.FocusToken}'
+         |),
+         |fb AS (
+         |  SELECT wallet, SUM(d) AS bal FROM (
+         |    SELECT from_address AS wallet,
+         |           -CAST(value AS DECIMAL(25,2)) AS d FROM ft
+         |    UNION ALL
+         |    SELECT to_address, CAST(value AS DECIMAL(25,2)) FROM ft
+         |  ) u GROUP BY 1
+         |),
+         |wh AS (
+         |  SELECT wallet, bal >= ${graft.Tables.WhaleThreshold} AS is_whale
+         |  FROM fb
+         |),
+         |legs AS (
+         |  SELECT from_address AS wallet, value, 1 AS is_out FROM ft
+         |  UNION ALL
+         |  SELECT to_address, value, 0 FROM ft
+         |)
+         |SELECT w.is_whale,
+         |       CAST(count(DISTINCT l.wallet) AS BIGINT) AS n_wallets,
+         |       CAST(SUM(l.is_out) AS BIGINT) AS n_sends,
+         |       CAST(SUM(1 - l.is_out) AS BIGINT) AS n_receives,
+         |       CAST(SUM(CASE WHEN l.is_out = 1
+         |         THEN CAST(l.value AS DECIMAL(25,2))
+         |         ELSE CAST(0 AS DECIMAL(25,2)) END) AS DOUBLE)
+         |         AS total_sent,
+         |       CAST(SUM(CASE WHEN l.is_out = 0
+         |         THEN CAST(l.value AS DECIMAL(25,2))
+         |         ELSE CAST(0 AS DECIMAL(25,2)) END) AS DOUBLE)
+         |         AS total_received,
+         |       round(CAST(SUM(CAST(l.value AS DECIMAL(25,2))) AS DOUBLE)
+         |         / count(*), 6) AS avg_leg
+         |FROM legs l JOIN wh w ON w.wallet = l.wallet
+         |GROUP BY 1 ORDER BY 1""".stripMargin))))
 }

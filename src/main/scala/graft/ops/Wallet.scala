@@ -287,4 +287,77 @@ object Wallet {
       .withColumn("stickiness_ppm", expr("dau * 1000000 div wau"))
       .orderBy("day")
   }
+
+  /** Token-migration matrix: each wallet's dominant token (by send count,
+    * ties to the lexicographically larger token — the `max(struct)`
+    * arg-max) in the first vs second half of the observed window, counted
+    * as a (from_token, to_token) flow matrix. The diagonal is loyalty;
+    * off-diagonal mass is rotation between ecosystems. Two half-window
+    * arg-max aggregations + one wallet-keyed join; the midpoint is a
+    * broadcast 1-row scalar. */
+  def tokenMigration(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.transfers(spark, sfDir)
+      .select(col("from_address").as("wallet"),
+        col("contract_address").as("tok"), col("transact_at"))
+    val mid = t.agg(min(col("transact_at")).as("mn"),
+        max(col("transact_at")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val halves = t.crossJoin(broadcast(mid))
+      .withColumn("half",
+        when(col("transact_at") < col("mid"), lit(1)).otherwise(lit(2)))
+      .groupBy("wallet", "half", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("wallet", "half")
+      .agg(max(struct(col("c"), col("tok"))).as("best"))
+      .select(col("wallet"), col("half"), col("best.tok").as("tok"))
+    halves.filter(col("half") === 1)
+      .select(col("wallet"), col("tok").as("tok_first"))
+      .join(halves.filter(col("half") === 2)
+        .select(col("wallet"), col("tok").as("tok_second")), Seq("wallet"))
+      .groupBy("tok_first", "tok_second")
+      .agg(count(lit(1)).as("n_wallets"))
+      .orderBy("tok_first", "tok_second")
+  }
+
+  /** Whale-vs-rest behavioral contrast on the focus token: do wallets
+    * holding at least the whale threshold (final balance) move more, and
+    * bigger? Whale set from the exact-decimal final balances; per group
+    * over BOTH transfer legs (whales are net receivers — a sender-only
+    * contrast leaves the whale group empty): wallets, sends, receives,
+    * exact-decimal totals and a per-leg average. One balance aggregation
+    * + one broadcast membership join over the leg stream. */
+  def whaleContrast(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 2)
+    val t = Tables.transfers(spark, sfDir)
+      .filter(col("contract_address") === Tables.FocusToken)
+    val finalBal = t.select(col("from_address").as("wallet"),
+        (-col("value")).cast(dec).as("d"))
+      .unionByName(t.select(col("to_address").as("wallet"),
+        col("value").cast(dec).as("d")))
+      .groupBy("wallet").agg(sum(col("d")).as("bal"))
+    val whales = finalBal
+      .select(col("wallet"),
+        (col("bal") >= Tables.WhaleThreshold).as("is_whale"))
+    val legs = t.select(col("from_address").as("wallet"),
+        col("value"), lit(1L).as("is_out"))
+      .unionByName(t.select(col("to_address").as("wallet"),
+        col("value"), lit(0L).as("is_out")))
+    legs.join(broadcast(whales), Seq("wallet"))
+      .groupBy("is_whale")
+      .agg(countDistinct(col("wallet")).as("n_wallets"),
+        sum(col("is_out")).as("n_sends"),
+        sum(lit(1L) - col("is_out")).as("n_receives"),
+        sum(when(col("is_out") === 1, col("value").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("ts"),
+        sum(when(col("is_out") === 0, col("value").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("tr"),
+        count(lit(1)).as("n_legs"),
+        sum(col("value").cast(dec)).as("tot"))
+      .select(col("is_whale"), col("n_wallets"), col("n_sends"),
+        col("n_receives"),
+        col("ts").cast("double").as("total_sent"),
+        col("tr").cast("double").as("total_received"),
+        round(col("tot").cast("double") / col("n_legs"), 6).as("avg_leg"))
+      .orderBy("is_whale")
+  }
 }

@@ -311,4 +311,61 @@ class BehaviorSpec extends AnyFunSuite {
     assert(row.getAs[Long]("median_gap_sec") == rankStat(2, 1))
     assert(row.getAs[Long]("p90_gap_sec") == rankStat(10, 9))
   }
+
+  test("token migration: matrix matches the half-window argmax recount") {
+    val got = graft.ops.Wallet.tokenMigration(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("n_wallets"))).toMap
+    val t = Tables.transfers(spark, GraftSpark.Sf)
+      .select("from_address", "contract_address", "transact_at").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val mid = (t.map(_._3).min + t.map(_._3).max) / 2
+    def best(half: Seq[(String, String, Long)]): Map[String, String] =
+      half.groupBy(_._1).view.mapValues { rs =>
+        rs.groupBy(_._2).toSeq
+          .map { case (tok, xs) => (xs.length, tok) }
+          .maxBy(identity)._2
+      }.toMap
+    val (b1, b2) = (best(t.filter(_._3 < mid).toSeq),
+      best(t.filter(_._3 >= mid).toSeq))
+    val expect = b1.keySet.intersect(b2.keySet).toSeq
+      .map(w => (b1(w), b2(w)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("whale contrast: both groups present and reconcile with exact " +
+    "final balances over both legs") {
+    val rows = graft.ops.Wallet.whaleContrast(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => r.getBoolean(0) -> (r.getAs[Long]("n_wallets"),
+        r.getAs[Long]("n_sends"), r.getAs[Long]("n_receives"),
+        r.getAs[Double]("total_sent"), r.getAs[Double]("total_received")))
+      .toMap
+    val ft = Tables.transfers(spark, GraftSpark.Sf)
+      .filter(org.apache.spark.sql.functions.col("contract_address")
+        === Tables.FocusToken)
+      .select("from_address", "to_address", "value").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val bal = scala.collection.mutable.Map[String, BigDecimal]()
+      .withDefaultValue(BigDecimal(0))
+    ft.foreach { case (f, to, v) => bal(f) -= v; bal(to) += v }
+    val whale = bal.view.mapValues(
+      _ >= BigDecimal(Tables.WhaleThreshold)).toMap
+    val legs = ft.flatMap(x => Seq((x._1, x._3, true), (x._2, x._3, false)))
+    val byGroup = legs.groupBy(l => whale(l._1))
+    assert(rows.keySet == byGroup.keySet)
+    assert(rows.keySet == Set(true, false)) // the contrast is non-degenerate
+    byGroup.foreach { case (g, xs) =>
+      val (nw, ns, nr, ts, tr) = rows(g)
+      assert(nw == xs.map(_._1).distinct.size)
+      assert(ns == xs.count(_._3) && nr == xs.count(!_._3))
+      assert(math.abs(ts - xs.filter(_._3).map(_._2).sum.toDouble) < 1e-9)
+      assert(math.abs(tr - xs.filterNot(_._3).map(_._2).sum.toDouble) < 1e-9)
+    }
+  }
 }
