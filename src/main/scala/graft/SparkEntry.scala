@@ -7718,5 +7718,48 @@ object Catalog {
          |       round(CAST(SUM(CAST(l.value AS DECIMAL(25,2))) AS DOUBLE)
          |         / count(*), 6) AS avg_leg
          |FROM legs l JOIN wh w ON w.wallet = l.wallet
-         |GROUP BY 1 ORDER BY 1""".stripMargin))))
+         |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Peak-to-average hourly volume ratio in exact ppm (burstiness).
+    QEntry("q_peak_to_avg", Metrics.peakToAverage, Some(withTransfers(
+      s""", hourlyp AS (
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |         CAST(SUM(CAST(value AS DECIMAL(25,2))) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM transfers GROUP BY 1, 2
+         |)
+         |SELECT contract_address, CAST(count(*) AS BIGINT) AS n_hours,
+         |       CAST(max(cents) AS BIGINT) AS peak_cents,
+         |       CAST(SUM(cents) AS BIGINT) AS total_cents,
+         |       CAST(CAST(max(cents) AS HUGEINT) * count(*) * 1000000
+         |         // SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS par_ppm
+         |FROM hourlyp GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Longest consecutive-day streak distribution (day_index - row_number
+    // islands over the collapsed day-wallet incidence).
+    QEntry("q_activity_streaks", Metrics.activityStreaks,
+      Some(withTransfers(
+      s""", dws AS (
+         |  SELECT DISTINCT wallet, d FROM (
+         |    SELECT from_address AS wallet,
+         |           ${dayBucket("transact_at")} // 86400 AS d
+         |    FROM transfers
+         |    UNION ALL
+         |    SELECT to_address, ${dayBucket("transact_at")} // 86400
+         |    FROM transfers
+         |  ) u
+         |),
+         |isl AS (
+         |  SELECT wallet,
+         |         d - row_number() OVER (PARTITION BY wallet ORDER BY d)
+         |           AS grp
+         |  FROM dws
+         |),
+         |ln AS (
+         |  SELECT wallet, CAST(count(*) AS BIGINT) AS len
+         |  FROM isl GROUP BY wallet, grp
+         |),
+         |lg AS (SELECT wallet, max(len) AS longest FROM ln GROUP BY 1)
+         |SELECT longest, CAST(count(*) AS BIGINT) AS n_wallets
+         |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin))))
 }

@@ -737,6 +737,46 @@ object Metrics {
       .orderBy("contract_address")
   }
 
+  /** Peak-to-average hourly-volume ratio per token, in exact ppm:
+    * `max_hourly · n_hours · 10⁶ div total` (the average never becomes a
+    * float — the ratio is one integer division over exact cents moments).
+    * The burstiness scalar capacity planning reads first: PAR ≈ 1e6 means
+    * flat load, high PAR means provision for spikes. */
+  def peakToAverage(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"),
+        Num.hourBucket(col("transact_at")).cast("long").as("t"))
+      .agg((Num.dsumDec(col("value")) * 100).cast("long").as("cents"))
+      .groupBy("contract_address")
+      .agg(count(lit(1)).as("n_hours"), max(col("cents")).as("peak_cents"),
+        sum(col("cents")).as("total_cents"))
+      .withColumn("par_ppm", expr(
+        "CAST(CAST(peak_cents AS DECIMAL(38,0)) * n_hours * 1000000" +
+          " div CAST(total_cents AS DECIMAL(38,0)) AS BIGINT)"))
+      .orderBy("contract_address")
+
+  /** Longest consecutive-day activity streak per wallet, rolled into a
+    * streak-length distribution — the engagement/habit metric behind
+    * daily-quest products and sybil screens (farmed wallets streak in
+    * lockstep). Islands via the classic `day_index − row_number` grouping
+    * key on the per-wallet day list: windows touch only the collapsed
+    * (wallet, day) incidence, never raw events. */
+  def activityStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.transfers(spark, sfDir)
+    val dw = t.select(col("from_address").as("wallet"),
+        (Num.dayBucket(col("transact_at")) / 86400).cast("long").as("d"))
+      .unionByName(t.select(col("to_address").as("wallet"),
+        (Num.dayBucket(col("transact_at")) / 86400).cast("long").as("d")))
+      .distinct()
+    val w = Window.partitionBy("wallet").orderBy("d")
+    dw.withColumn("grp", col("d") - row_number().over(w))
+      .groupBy("wallet", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("wallet").agg(max(col("len")).as("longest"))
+      .groupBy("longest").agg(count(lit(1)).as("n_wallets"))
+      .orderBy("longest")
+  }
+
   /** MAD multiplier for [[seasonalOutliers]]. */
   val SeasonalMadK = 3
 

@@ -209,4 +209,47 @@ class TimeSeriesSpec extends AnyFunSuite {
       r.getAs[Double]("peak"))).toSeq ==
       expectTop.map { case (a, (d, p)) => (a, d, p) })
   }
+
+  test("peak-to-average: exact rational ppm recount per token") {
+    val rows = graft.ops.Metrics.peakToAverage(spark, GraftSpark.Sf)
+      .collect()
+    val hourly = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "transact_at", "value").collect()
+      .map(r => ((r.getString(0), r.getLong(1) / 3600 * 3600),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).sum * 100).toLongExact).toMap
+    rows.foreach { r =>
+      val tok = r.getString(0)
+      val cs = hourly.collect { case ((t, _), c) if t == tok => c }.toSeq
+      assert(r.getAs[Long]("n_hours") == cs.length)
+      assert(r.getAs[Long]("peak_cents") == cs.max)
+      assert(r.getAs[Long]("total_cents") == cs.sum)
+      assert(r.getAs[Long]("par_ppm") ==
+        (BigInt(cs.max) * cs.length * 1000000 / BigInt(cs.sum)).toLong)
+      assert(r.getAs[Long]("par_ppm") >= 1000000) // peak >= average
+    }
+  }
+
+  test("activity streaks: distribution matches the islands recount") {
+    val rows = graft.ops.Metrics.activityStreaks(spark, GraftSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_wallets")).toMap
+    val t = Tables.transfers(spark, GraftSpark.Sf)
+      .select("from_address", "to_address", "transact_at").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 86400))
+    val days = t.flatMap(x => Seq((x._1, x._3), (x._2, x._3))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def longest(ds: Seq[Long]): Long = {
+      var best = 1L; var cur = 1L
+      ds.zip(ds.tail).foreach { case (a, b) =>
+        if (b == a + 1) { cur += 1; best = best max cur } else cur = 1
+      }
+      best
+    }
+    val expect = days.values.map(ds => longest(ds.toSeq)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(rows == expect)
+    assert(rows.nonEmpty)
+  }
 }
