@@ -6791,7 +6791,8 @@ object Catalog {
          |SELECT p.tok_x, p.tok_y, p.n_common,
          |       p.n_common * 1000000 // n_wallets AS support_ppm,
          |       p.n_common * 1000000 // a.n AS confidence_ppm,
-         |       p.n_common * n_wallets * 1000000 // (a.n * b.n) AS lift_ppm
+         |       CAST(CAST(p.n_common AS HUGEINT) * n_wallets * 1000000
+         |            // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS lift_ppm
          |FROM pairs p
          |JOIN aud a ON a.tok = p.tok_x
          |JOIN aud b ON b.tok = p.tok_y, tot
@@ -6808,7 +6809,7 @@ object Catalog {
          |),
          |hist AS (
          |  SELECT least(CAST(floor((x - mn) * ${Profile.SketchBuckets}
-         |           / (mx - mn)) AS BIGINT),
+         |           / greatest(mx - mn, 1e-12)) AS BIGINT),
          |           ${Profile.SketchBuckets - 1}) AS bucket,
          |         CAST(count(*) AS BIGINT) AS c
          |  FROM li, bounds GROUP BY 1

@@ -446,16 +446,37 @@ object Clean {
     * per-token min (map-side combinable over the full token stream);
     * everything after runs on decile-grained rows.
     *
-    * Windows touch only the ~|docs|-row rank frame and the 10-row decile
-    * rollup — the token stream itself is never sorted. */
+    * The doc-id rank is the TWO-PHASE distributed form ([[Corpus
+    * .globalShuffle]]'s pattern, here with ORDER-PRESERVING range buckets
+    * on doc_id): 256 bucket counts prefix-summed on a 256-row frame and
+    * broadcast back, per-bucket `row_number` in parallel shards. Because
+    * the bucket index is monotone in doc_id, offset + shard rank IS the
+    * global doc-id rank — no unpartitioned ordering window ever touches
+    * the ~|docs| frame (at 100 TB that frame is billions of rows and a
+    * global window funnels them through one task). Windows beyond that
+    * touch only the 256-row offset frame and the 10-row decile rollup —
+    * the token stream itself is never sorted. */
   def heapsCurve(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(spark, sfDir)
       .select(col("doc_id"), expr("size(toks)").cast("long").as("n_toks"))
-    val ranked = d
-      .withColumn("rank", row_number().over(Window.orderBy("doc_id")))
-      .withColumn("n_tot",
-        count(lit(1)).over(Window.partitionBy(lit(1))))
+    val bounds = d.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+      count(lit(1)).as("n_tot"))
+    // monotone 256-way range bucket over the observed doc_id span; exact
+    // Long arithmetic (span·256 < 2^63 for any realistic id space)
+    val bucketed = d.crossJoin(broadcast(bounds))
+      .withColumn("rb",
+        expr("CAST((doc_id - mn) * 256 div (mx - mn + 1) AS INT)"))
+    val offsets = bucketed.groupBy("rb").agg(count(lit(1)).as("c"))
+      .withColumn("off",
+        sum(col("c")).over(Window.orderBy("rb")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("c"))
+      .select("rb", "off")
+    val ranked = bucketed.join(broadcast(offsets), Seq("rb"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("rb").orderBy("doc_id"))
+          .cast("long") + col("off"))
       .withColumn("decile", expr("(rank - 1) * 10 div n_tot + 1"))
     val maxDoc = ranked.groupBy("decile")
       .agg(max(col("doc_id")).as("max_doc"),

@@ -414,8 +414,12 @@ object Profile {
     val li = Tables.lineitem(spark, sfDir).select(col("l_extendedprice").as("x"))
     val bounds = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
       count(lit(1)).as("n"))
+    // greatest(width, eps) guards the degenerate all-equal column: there
+    // x - mn is exactly 0, so 0/eps = bucket 0 instead of 0/0 = NaN
+    // (which would collapse the histogram and NULL every estimate).
     val hist = li.crossJoin(broadcast(bounds))
-      .select(least(floor((col("x") - col("mn")) * b / (col("mx") - col("mn"))),
+      .select(least(floor((col("x") - col("mn")) * b /
+          greatest(col("mx") - col("mn"), lit(1e-12))),
         lit(b - 1)).cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
     val cum = hist

@@ -151,10 +151,20 @@ object Wallet {
     * [[TextAnalysis.curriculum]]'s integer boundary arithmetic), so ties
     * share a band and no float quantile estimate crosses engines. Bands
     * are ascending in the metric: r_band 1 = most recent, f_band/m_band 3
-    * = most active/valuable. The distribution frames are |distinct
-    * values|-sized — the partition-less windows run on summaries, never
-    * on the wallet stream; everything else is one grouped aggregate and
-    * three value-keyed equi-joins. */
+    * = most active/valuable.
+    *
+    * The `rec_days`/`freq` distributions collapse hard, but per-wallet
+    * decimal volume is NEAR-UNIQUE, so the `mon` distribution is
+    * ~|wallets| rows — a single unpartitioned ordering window over it
+    * would funnel the wallet universe through one task at 100 TB. The
+    * cumulative-before therefore uses the TWO-PHASE rank ([[graft.ops
+    * .Corpus.globalShuffle]]'s pattern): a monotone 256-way range bucket
+    * on the metric, per-bucket counts prefix-summed on the 256-row frame
+    * and broadcast back, per-bucket running sums in parallel shards.
+    * Bucket boundaries ride double arithmetic (only monotonicity matters
+    * — ties collapsing into one shard is harmless); the counts being
+    * summed stay exact integers, so cum_before — and every band edge —
+    * is bit-identical to the flat window spelling the oracle uses. */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.transfers(spark, sfDir)
@@ -168,12 +178,25 @@ object Wallet {
         expr("CAST((tmax - last_ts) DIV 86400 AS BIGINT)").as("rec_days"),
         col("freq"), col("mon"))
     def bandTable(metric: String): DataFrame = {
-      val byAsc = Window.orderBy(col(metric).asc)
-      val all = Window.partitionBy()
-      metrics.groupBy(metric).agg(count(lit(1)).as("c"))
-        .withColumn("cum_before", coalesce(sum("c").over(byAsc
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n", sum("c").over(all))
+      val dist = metrics.groupBy(metric).agg(count(lit(1)).as("c"))
+      val bounds = dist.agg(
+        min(col(metric).cast("double")).as("mnd"),
+        max(col(metric).cast("double")).as("mxd"),
+        sum(col("c")).as("n"))
+      val bucketed = dist.crossJoin(broadcast(bounds))
+        .withColumn("rb", least(
+          floor((col(metric).cast("double") - col("mnd")) * 256 /
+            greatest(col("mxd") - col("mnd"), lit(1e-12))).cast("int"),
+          lit(255)))
+      val offsets = bucketed.groupBy("rb").agg(sum(col("c")).as("bc"))
+        .withColumn("boff", coalesce(sum(col("bc")).over(
+          Window.orderBy("rb")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("rb", "boff")
+      bucketed.join(broadcast(offsets), Seq("rb"))
+        .withColumn("cum_before", col("boff") + coalesce(
+          sum(col("c")).over(Window.partitionBy("rb").orderBy(col(metric).asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col(metric),
           expr(s"CAST(1 + ($RfmBands * cum_before) DIV n AS INT)")
             .as(s"${metric.take(1)}_band"))
@@ -257,7 +280,11 @@ object Wallet {
       .select(col("tok_x"), col("tok_y"), col("n_common"),
         expr("n_common * 1000000 div n_wallets").as("support_ppm"),
         expr("n_common * 1000000 div n_x").as("confidence_ppm"),
-        expr("n_common * n_wallets * 1000000 div (n_x * n_y)")
+        // DECIMAL(38,0) numerator/denominator (impurity_ppm spelling):
+        // n_common·N·1e6 exceeds 2^63 once audiences reach ~3e6 wallets,
+        // and non-ANSI Long arithmetic would wrap silently there.
+        expr("CAST(CAST(n_common AS DECIMAL(38,0)) * n_wallets * 1000000" +
+          " div (CAST(n_x AS DECIMAL(38,0)) * n_y) AS BIGINT)")
           .as("lift_ppm"))
       .orderBy("tok_x", "tok_y")
   }

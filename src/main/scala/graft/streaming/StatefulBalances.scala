@@ -75,8 +75,20 @@ object StatefulBalances {
     * Update-mode drain (max n_legs = the last snapshot each account
     * emitted). Oracle = the batch net sums, so the custom processor's
     * arithmetic is hash-verified end to end, not just spec-asserted.
-    * RocksDB provider is required by transformWithState; restored after. */
-  def streamTokenBalances(spark: SparkSession, sfDir: String): DataFrame = {
+    * RocksDB provider is required by transformWithState; restored after.
+    *
+    * Concurrency: the provider conf is session-global and the memory sink
+    * registers a catalog table, so the whole drain runs under the object
+    * lock (conf restore can't race) and the sink name carries a per-call
+    * unique suffix (two invocations never share a table). */
+  def streamTokenBalances(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized { streamTokenBalances0(spark, sfDir) }
+
+  private[this] val lock = new Object
+  private[this] val invocation = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def streamTokenBalances0(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
@@ -98,7 +110,7 @@ object StatefulBalances {
           concat(col("tok"), lit("|"), col("to_a")).as("account"),
           col("ts").as("ts_sec"), col("vm").as("delta_micro")))
         .as[Leg]
-      val tableName = "graft_stream_balances"
+      val tableName = s"graft_stream_balances_${invocation.incrementAndGet()}"
       val q = runningBalances(spark, legs)
         .writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName(tableName)

@@ -34,11 +34,19 @@ object StreamJoins {
   def transfersWithRecentPrices(transfers: DataFrame, prices: DataFrame,
       windowSeconds: Long = 3600L): DataFrame = {
     val us = windowSeconds * 1000000L
+    // FLOOR division, not `div` (which truncates toward zero): for
+    // pre-1970 event times truncation makes the buckets straddling zero
+    // double-width, so a qualifying pair could land two buckets apart and
+    // be missed. Exact integer spelling (sign-corrected remainder) — no
+    // double rounding near 2^53 µs.
+    def floorBucket(tsCol: String): String =
+      s"(unix_micros($tsCol) div $us) + " +
+        s"(CASE WHEN unix_micros($tsCol) % $us < 0 THEN -1 ELSE 0 END)"
     val t = transfers.withWatermark("t_ts", s"$windowSeconds seconds")
-      .withColumn("t_b", expr(s"unix_micros(t_ts) div $us"))
+      .withColumn("t_b", expr(floorBucket("t_ts")))
     val p = prices.withWatermark("p_ts", s"${2 * windowSeconds} seconds")
       .withColumn("p_b", explode(expr(
-        s"array(unix_micros(p_ts) div $us, unix_micros(p_ts) div $us + 1)")))
+        s"array(${floorBucket("p_ts")}, (${floorBucket("p_ts")}) + 1)")))
     t.join(p,
       col("contract_address") === col("p_contract") &&
         col("t_b") === col("p_b") &&

@@ -343,8 +343,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"unexpected exchange count $exchanges\n$p")
   }
 
-  test("rfm: band tables join back by value without a cross join") {
+  test("rfm: band tables join back by value without a cross join; " +
+      "distributions rank inside range buckets") {
     val p = plan("q_rfm")
     assert(!p.contains("CartesianProduct"), p)
+    // two-phase band edges: the near-unique monetary distribution ranks
+    // inside hashpartitioning(rb); SinglePartition exchanges carry only
+    // the 1-row bounds and 256-row offset frames (≤2 per band table)
+    assert(p.contains("hashpartitioning(rb"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 6, p)
+  }
+
+  test("heaps curve: docs rank inside range buckets; SinglePartition only " +
+      "carries constant-size frames") {
+    val p = plan("q_heaps_curve")
+    // two-phase rank: the docs frame ranks inside hashpartitioning(rb);
+    // SinglePartition may carry only the 1-row bounds aggregate and the
+    // 256-row offset prefix-sum — never the docs frame itself
+    assert(p.contains("hashpartitioning(rb"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
   }
 }
