@@ -1602,6 +1602,25 @@ object Catalog {
            |) WHERE rnk <= ${graft.streaming.StreamingMetrics.TopTokensK}
            |ORDER BY t, rnk""".stripMargin))),
 
+    // Bounded-state sliding windows (watermark + append + parquet sink):
+    // q_stream_sliding's double-bucket oracle restricted to the windows
+    // the final watermark closed (w_end ms <= max event-time ms - 10 min).
+    QEntry("q_stream_bounded_sliding",
+      graft.streaming.StreamingMetrics.streamBoundedSliding,
+      Some(s"""SELECT contract_address, w_start, w_start + 7200 AS w_end,
+         |       ${dsum("value")} AS volume, count(*) AS n
+         |FROM (
+         |  SELECT event_type AS contract_address, value,
+         |         ${hourBucket("epoch_ns(ts) // 1000000000")}
+         |           - 3600 * (1 - off) AS w_start
+         |  FROM events
+         |  CROSS JOIN (SELECT unnest(range(2)) AS off)
+         |)
+         |GROUP BY 1, 2
+         |HAVING (w_start + 7200) * 1000 <=
+         |       (SELECT max(epoch_ns(ts) // 1000000) - 600000 FROM events)
+         |ORDER BY 1, 2""".stripMargin)),
+
     // Streaming sessionization twin: same gaps-and-islands oracle as
     // q_session_volume verifies streaming session-merge state end-to-end.
     QEntry("q_stream_sessions",
@@ -6392,6 +6411,28 @@ object Catalog {
          |JOIN (SELECT dapp_id, unnest(addresses) AS address FROM dapps) da
          |  ON l.address = da.address
          |GROUP BY t ORDER BY t""".stripMargin))),
+
+    // Bounded-state stream-static enrichment (watermark + append + parquet
+    // sink): q_stream_enrich's oracle restricted to watermark-closed hours
+    // ((t + 3600) ms <= max event-time ms - 10 min). The broadcast join
+    // itself is stateless; the watermark bounds the hourly rollup after it.
+    QEntry("q_stream_bounded_enrich",
+      graft.streaming.StreamingMetrics.streamBoundedEnrich,
+      Some(withTransfersAndDapps(
+      s"""SELECT t, count(DISTINCT da.dapp_id) AS n_dapps, count(*) AS n_interactions
+         |FROM (
+         |  SELECT ${hourBucket("transact_at")} AS t, from_address AS address
+         |  FROM transfers
+         |  UNION ALL
+         |  SELECT ${hourBucket("transact_at")} AS t, to_address AS address
+         |  FROM transfers
+         |) l
+         |JOIN (SELECT dapp_id, unnest(addresses) AS address FROM dapps) da
+         |  ON l.address = da.address
+         |GROUP BY t
+         |HAVING (t + 3600) * 1000 <=
+         |       (SELECT max(epoch_ns(ts) // 1000000) - 600000 FROM events)
+         |ORDER BY t""".stripMargin))),
 
     // Benford first-digit screen: the digit comes from an exact integer
     // cents rendering; shares/deviations are integer per-mille against

@@ -196,6 +196,45 @@ object StreamingMetrics {
     spark.read.parquet(out).orderBy("contract_address", "s_start")
   }
 
+  /** PRODUCTION shape of the sliding-window volume: overlapping 2h/1h
+    * event-time windows with watermark + append into a file sink — each
+    * event lands in two window states, and a closed window (end ≤
+    * watermark) is emitted once and evicted, so state tracks tokens ×
+    * open overlapping windows, not stream lifetime. Same determinism
+    * contract as [[hourlyVolumeBounded]]: one data batch → final
+    * watermark = max event-time ms − lateness → emitted set = windows
+    * with end ≤ watermark, stated verbatim by the oracle. */
+  def slidingVolumeBounded(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .select(col("event_type").as("contract_address"), col("ts_t"), col("value"))
+      .withWatermark("ts_t", lateness)
+      .groupBy(col("contract_address"),
+        window(col("ts_t"), "2 hours", "1 hour"))
+      .agg(sum(col("value").cast(DecimalType(25, 2))).as("dvolume"),
+        count(lit(1)).as("n"))
+      .select(col("contract_address"),
+        unix_timestamp(col("window.start")).as("w_start"),
+        unix_timestamp(col("window.end")).as("w_end"),
+        col("dvolume").cast("double").as("volume"), col("n"))
+
+  /** Catalog form of [[slidingVolumeBounded]] over the events file-stream:
+    * parquet sink, AvailableNow drain, fresh dirs per invocation. */
+  def streamBoundedSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_slb_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_slb_ckpt").toString
+    val q = slidingVolumeBounded(graft.Tables.eventsStream(spark, sfDir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("contract_address", "w_start")
+  }
+
   /** Streaming sliding-window twin of [[graft.ops.Metrics.slidingVolume]]:
     * overlapping 2h/1h event-time windows — each event lands in two window
     * states — drained synchronously in complete mode and verified by the
@@ -296,6 +335,54 @@ object StreamingMetrics {
       .select(col("t"), size(col("dapps")).cast("long").as("n_dapps"),
         col("n_interactions"))
       .orderBy("t")
+  }
+
+  /** PRODUCTION shape of the stream-static dapp enrichment: the
+    * broadcast-join enrichment itself carries NO state (the static
+    * registry hash-probes locally per micro-batch, exactly as in
+    * [[streamDappHourly]]); what the watermark bounds is the hourly
+    * rollup after it — event-time windows in append mode, closed hours
+    * emitted once to a file sink and evicted. `collect_set(dapp_id)`
+    * state is bounded by the registry size per open window. The watermark
+    * is planted on the events stream BEFORE the leg union/join, so it
+    * propagates to the aggregation. Same determinism contract as the
+    * other bounded twins: emitted set = hours with window end ≤ (max
+    * event-time ms − lateness). */
+  def dappHourlyBounded(spark: SparkSession, sfDir: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    val ev = graft.Tables.eventsStream(spark, sfDir)
+      .withWatermark("ts_t", lateness)
+    val legs = ev
+      .select(col("ts_t"), col("user_id").cast("string").as("address"))
+      .unionByName(ev.select(col("ts_t"),
+        ((col("user_id") * 7 + col("event_id")) % 1000).cast("string")
+          .as("address")))
+    val reg = graft.Tables.dapps(spark).select(col("dapp_id"),
+      explode(col("addresses")).as("address"))
+    legs.join(broadcast(reg), Seq("address"))
+      .groupBy(window(col("ts_t"), "1 hour"))
+      .agg(collect_set(col("dapp_id")).as("dapps"),
+        count(lit(1)).as("n_interactions"))
+      .select(unix_timestamp(col("window.start")).as("t"),
+        size(col("dapps")).cast("long").as("n_dapps"),
+        col("n_interactions"))
+  }
+
+  /** Catalog form of [[dappHourlyBounded]]: parquet sink, AvailableNow
+    * drain, fresh dirs per invocation. */
+  def streamBoundedEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_enb_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_enb_ckpt").toString
+    val q = dappHourlyBounded(spark, sfDir)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("t")
   }
 
   /** documents schema for the streaming dedup source. */

@@ -421,6 +421,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.forall(_._1 + 3600L <= horizon + 1))
   }
 
+  test("bounded sliding windows: each event in two window states, close " +
+    "on watermark, evict") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(String, Long, Double)] // (token, sec, value)
+    val agg = StreamingMetrics.slidingVolumeBounded(
+      input.toDS().toDF("event_type", "sec", "value")
+        .withColumn("ts_t", timestamp_seconds(col("sec"))))
+    val out = java.nio.file.Files.createTempDirectory("graft_slb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_slb_ck").toString
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // one event → TWO overlapping 2h windows in state, nothing closed
+      input.addData(("tokA", 100L, 1.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 2L)
+      // far-future event closes both of tokA's early windows and opens two
+      input.addData(("tokA", 50000L, 9.0))
+      q.processAllAvailable()
+      val emitted = spark.read
+        .schema("contract_address STRING, w_start LONG, w_end LONG, " +
+          "volume DOUBLE, n LONG")
+        .parquet(out).as[(String, Long, Long, Double, Long)]
+        .collect().toSeq.sorted
+      assert(emitted == Seq(("tokA", -3600L, 3600L, 1.0, 1L),
+        ("tokA", 0L, 7200L, 1.0, 1L)), emitted.toString)
+      val left = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(left == 2L, s"expected 2 open overlapping windows, got $left")
+    } finally q.stop()
+  }
+
+  test("bounded enrich over testdata: file sink holds exactly the " +
+    "watermark-closed prefix of the batch dapp-hourly metric") {
+    import spark.implicits._
+    val streamed = StreamingMetrics.streamBoundedEnrich(spark, GraftSpark.Sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty, "append sink is empty")
+    val batch = SparkEntry.queries("q_stream_enrich")(spark, GraftSpark.Sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val emitted = streamed.toSet
+    assert(emitted.subsetOf(batch.toSet), "streamed row disagrees with batch")
+    // the only rows missing are hours not closed by the final watermark
+    val horizon = Tables.events(spark, GraftSpark.Sf)
+      .agg(org.apache.spark.sql.functions.max("ts_sec")).as[Long].head() - 600L
+    val missing = batch.filterNot(emitted)
+    assert(missing.forall(_._1 + 3600L > horizon),
+      s"non-tail hour missing from append output: ${missing.take(3)}")
+  }
+
   test("stream-stream interval join catalog form equals its batch twin") {
     import org.apache.spark.sql.functions._
     val got = graft.streaming.StreamingMetrics
