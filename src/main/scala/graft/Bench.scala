@@ -49,17 +49,36 @@ object Bench {
     val warmSec =
       if (warmed) (System.nanoTime() - warm0) / 1e9 else -1.0
 
+    // anything the warmup tracked as query-local stays alive for both
+    // passes (it is de-facto shared); drain so per-query releases below
+    // never touch it
+    ops.QueryLocal.drain(spark)
+
     // name-sorted: deterministic order makes per-query numbers comparable
     // across rounds (JVM/codegen warmup always lands on the same queries)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = (1 to 2).map { _ =>
+    // Query-local cache lifetimes: pass-1 entries are pass 2's cache hits
+    // (min-of-2 prices steady state), so they survive pass 1; each query's
+    // frames — both passes' — are released right after its pass-2 run.
+    // Live cache pressure is thus bounded by ~one pass of entries instead
+    // of two, which is what made q_mis run slower warm than cold in r6.
+    val passOneLocal = scala.collection.mutable.Map
+      .empty[String, Seq[org.apache.spark.sql.DataFrame]]
+    val passes = (1 to 2).map { pass =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (pass == 1) passOneLocal(name) = ops.QueryLocal.drain(spark)
+        else {
+          ops.QueryLocal.release(spark)
+          passOneLocal.remove(name).toSeq.flatten
+            .foreach(ops.QueryLocal.unpersistQuietly)
+        }
         // failures report as -1 so a broken query can never look fast
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        name -> (if (ok) sec else -1.0)
       }
     }
     // the one-time shared-frame build is part of the true cold cost: it

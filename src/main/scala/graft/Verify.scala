@@ -32,6 +32,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop this query's query-local caches before the next one runs —
+      // over 288 queries the dead entries' eviction pressure measurably
+      // slows later queries (Shared frames stay)
+      ops.QueryLocal.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -299,7 +299,7 @@ object Clean {
     val counts = docs(spark, sfDir)
       .select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     val total = counts.agg(sum(col("c")).as("total_tokens"))
     CoverageSizes.map { v =>
       counts.orderBy(col("c").desc, col("tok").asc).limit(v)
@@ -333,7 +333,7 @@ object Clean {
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     val left = bg.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
     val right = bg.groupBy("w2").agg(count(lit(1)).as("n1pr"))
@@ -393,7 +393,7 @@ object Clean {
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bg = bgd.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     val left = bg.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
     val right = bg.groupBy("w2").agg(count(lit(1)).as("n1pr"))

@@ -415,7 +415,7 @@ object Corpus {
       .withColumn("w", col("k").cast("double") * col("idf"))
       .select("doc_id", "tok", "w")
       // probe side, candidate side and the norm pass all read this frame
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     val norms = weighted.groupBy("doc_id")
       .agg(sqrt(sum(expr("CAST(w * w AS DECIMAL(38,18))")).cast("double"))
         .as("nrm"))

@@ -439,7 +439,7 @@ object Dedup {
         explode(sequence(lit(0), lit(SimHashMaxDist))).as("band"))
       .withColumn("bits",
         expr(s"substr(simhash, band * $SimHashBandBits + 1, $SimHashBandBits)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     val a = banded.select(col("band"), col("bits"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("bits"),
@@ -501,7 +501,7 @@ object Dedup {
         size(col("arr")).cast("long").as("n"))
       .withColumn("p", col("n") -
         expr(s"(n * $SetSimTauNum + $SetSimTauDen - 1) div $SetSimTauDen") + 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     val cands = byRank
       .select(col("doc_id"), explode(expr("slice(ss, 1, p)")).as("sh"))
       .groupBy("sh")

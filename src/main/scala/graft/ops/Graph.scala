@@ -270,7 +270,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(QueryLocal.persistTracked)
     val tri = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
       .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
@@ -619,7 +619,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(QueryLocal.persistTracked)
     val nbrs = und.select(col("a").as("v"), col("b").as("u"))
       .unionByName(und.select(col("b").as("v"), col("a").as("u")))
     val centers = nbrs.groupBy("v").agg(count(lit(1)).as("deg"))
@@ -655,7 +655,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(QueryLocal.persistTracked)
     val nbrs = und.select(col("a").as("v"), col("b").as("u"))
       .unionByName(und.select(col("b").as("v"), col("a").as("u")))
     val deg = nbrs.groupBy("v").agg(count(lit(1)).as("degree"))
@@ -732,7 +732,7 @@ object Graph {
       val roundDecided = mis.withColumn("state", lit("mis"))
         .unionByName(excl.withColumn("state", lit("excluded")))
         .withColumn("round", lit(k))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(QueryLocal.persistTracked)
       decided = if (decided == null) roundDecided
         else decided.unionByName(roundDecided)
       // only `live` iterates — it must be cut; `decided` is an append-only

@@ -161,7 +161,7 @@ object Membership {
         explode(deleteVariants).as("v"))
       .select(col("c_nationkey"), xxhash64(col("v")).as("vh"),
         col("c_custkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     val cand = v.toDF("c_nationkey", "vh", "key_a")
       .join(v.toDF("c_nationkey", "vh", "key_b"), Seq("c_nationkey", "vh"))
       .filter(col("key_a") < col("key_b"))

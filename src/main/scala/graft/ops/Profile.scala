@@ -52,7 +52,7 @@ object Profile {
     // separate df.count() would re-read the fact table
     val grouped = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     val counts = grouped
       .orderBy(col("n").desc, col("key").asc)
       .limit(HeavyHitterK)
@@ -328,7 +328,7 @@ object Profile {
     val counts = Tables.transfers(spark, sfDir)
       .groupBy(col("to_address").as("key"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     def bucketExpr(d: Int): String = cmsBucketExpr(d)
     val bucketed = (0 until CmsDepth).map(d =>
         counts.select(col("key"), col("n"), lit(d.toLong).as("d"),

@@ -184,9 +184,9 @@ object Similarity {
   def kmeansIterAssignments(spark: SparkSession, sfDir: String,
       iters: Int): DataFrame = {
     val base = cachedBase(spark, sfDir)
-    var assign = assignCore(base, centroids(spark, sfDir)).persist()
+    var assign = assignCore(base, centroids(spark, sfDir)).transform(QueryLocal.persistTracked)
     for (_ <- 1 to iters)
-      assign = assignCore(base, lloydStep(base, assign)).persist()
+      assign = assignCore(base, lloydStep(base, assign)).transform(QueryLocal.persistTracked)
     assign.orderBy("vec_id")
   }
 
@@ -495,7 +495,7 @@ object Similarity {
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val exact = bruteForceTopK(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     val nProbes = exact.select("query_id").distinct()
       .agg(count(lit(1)).as("n_probes"))
     def one(method: String, top1: DataFrame): DataFrame =
@@ -636,7 +636,7 @@ object Similarity {
   def mrlRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val exact = bruteForceTopK(spark, sfDir).filter(col("rnk") === 1)
       .select(col("query_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     val nProbes = exact.agg(count(lit(1)).as("n_probes"))
     // ONE candidate pass scores every prefix length: the per-L slices and
     // dots are per-row expressions, so adding a prefix costs columns, not

@@ -402,7 +402,7 @@ object TextAnalysis {
       .join(enc, Seq("w"))
       .select(col("doc_id"), col("p"),
         posexplode(split(col("sym"), " ")).as(Seq("q", "sy")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
     val vocab = symOcc.groupBy("sy").agg(count(lit(1)).as("n"))
       .withColumn("id", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -68,7 +68,7 @@ object CsvIntake {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(dropDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.QueryLocal.persistTracked)
 
   /** Schema-clean rows of a drop (corrupt capture empty AND the header
     * row of each file dropped by the reader). */
