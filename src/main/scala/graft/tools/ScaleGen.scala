@@ -43,6 +43,11 @@ object ScaleGen {
     val src = args(0)
     val dst = args(1)
     val k = args(2).toInt
+    // optional 4th arg: comma-list of tables to generate (default: all) —
+    // a 100× documents-only corpus for the dedup-spine posture test does
+    // not need 100× lineitem written alongside it
+    val wanted = args.lift(3).map(_.split(",").toSet)
+    def want(name: String): Boolean = wanted.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,18 +58,18 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      if (want(name)) df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
     def copy(name: String): Unit =
-      write(graft.Tables.table(spark, src, name), name)
+      if (want(name)) write(graft.Tables.table(spark, src, name), name)
 
-    val nCust = graft.Tables.customer(spark, src).count()
-    write(amplified(graft.Tables.customer(spark, src), k)
+    lazy val nCust = graft.Tables.customer(spark, src).count()
+    if (want("customer")) write(amplified(graft.Tables.customer(spark, src), k)
       .withColumn("c_custkey", col("c_custkey") + col("_r") * nCust)
       .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
       .drop("_r"), "customer")
 
-    val nDoc = graft.Tables.documents(spark, src).count()
-    write(amplified(graft.Tables.documents(spark, src), k)
+    lazy val nDoc = graft.Tables.documents(spark, src).count()
+    if (want("documents")) write(amplified(graft.Tables.documents(spark, src), k)
       .withColumn("doc_id", col("doc_id") + col("_r") * nDoc)
       .withColumn("text", when(col("_r") === 0, col("text")).otherwise(
         concat_ws(" ", expr(
@@ -72,8 +77,8 @@ object ScaleGen {
       .withColumn("n_chars", length(col("text")))
       .drop("_r"), "documents")
 
-    val nVec = graft.Tables.embeddings(spark, src).count()
-    write(amplified(graft.Tables.embeddings(spark, src), k)
+    lazy val nVec = graft.Tables.embeddings(spark, src).count()
+    if (want("embeddings")) write(amplified(graft.Tables.embeddings(spark, src), k)
       .withColumn("vec_id", col("vec_id") + col("_r") * nVec)
       .withColumn("embedding", expr(
         """concat(slice(embedding, cast(_r as int) + 1,
@@ -85,22 +90,22 @@ object ScaleGen {
     // epoch-nanos long; the amplified copy is written as plain INT64
     // nanos, which exercises the LongType branch of the normalizer (and
     // the directory `events.parquet/part-*` layout) in ScaleCheck runs
-    val ev = graft.Tables.events(spark, src)
+    lazy val ev = graft.Tables.events(spark, src)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val nEv = ev.count()
-    val uMax = ev.agg(max("user_id")).head().getLong(0) + 1
-    write(amplified(ev, k)
+    lazy val nEv = ev.count()
+    lazy val uMax = ev.agg(max("user_id")).head().getLong(0) + 1
+    if (want("events")) write(amplified(ev, k)
       .withColumn("event_id", col("event_id") + col("_r") * nEv)
       .withColumn("user_id", col("user_id") + col("_r") * uMax)
       .drop("_r"), "events")
 
-    val nOrd = graft.Tables.orders(spark, src).count()
-    write(amplified(graft.Tables.orders(spark, src), k)
+    lazy val nOrd = graft.Tables.orders(spark, src).count()
+    if (want("orders")) write(amplified(graft.Tables.orders(spark, src), k)
       .withColumn("o_orderkey", col("o_orderkey") + col("_r") * nOrd)
       .withColumn("o_custkey", col("o_custkey") + col("_r") * nCust)
       .drop("_r"), "orders")
 
-    write(amplified(graft.Tables.lineitem(spark, src), k)
+    if (want("lineitem")) write(amplified(graft.Tables.lineitem(spark, src), k)
       .withColumn("l_orderkey", col("l_orderkey") + col("_r") * nOrd)
       .drop("_r"), "lineitem")
 
