@@ -1989,6 +1989,13 @@ object Catalog {
       (s, d) => graft.streaming.StreamingMetrics.streamingCdcState(s, d),
       Some(cdcApplySql)),
 
+    // Production-sink CDC: Update-mode aggregation -> foreachBatch parquet
+    // changelog -> compacted read-out (latest snapshot per key, tombstones
+    // dropped). Same MERGE oracle, so the file-sink path is hash-proven.
+    QEntry("q_stream_changelog_cdc",
+      (s, d) => graft.streaming.StreamingMetrics.streamingCdcChangelog(s, d),
+      Some(cdcApplySql)),
+
     // Snapshot diff (change-data-feed rollup): added/updated/unchanged
     // key counts between the ~90%-block snapshot and the full state; one
     // aggregation computes both versions per key, no snapshot join.
@@ -7437,6 +7444,28 @@ object Catalog {
     // per-account snapshots equal the batch double-entry net sums.
     QEntry("q_stream_balances",
       graft.streaming.StatefulBalances.streamTokenBalances,
+      Some(withTransfers(
+      s""", legs AS (
+         |  SELECT contract_address || '|' || from_address AS account,
+         |         transact_at AS ts,
+         |         -CAST(CAST(value AS DECIMAL(25,2)) * 1000000 AS BIGINT)
+         |           AS dm
+         |  FROM transfers
+         |  UNION ALL
+         |  SELECT contract_address || '|' || to_address, transact_at,
+         |         CAST(CAST(value AS DECIMAL(25,2)) * 1000000 AS BIGINT)
+         |  FROM transfers
+         |)
+         |SELECT account, CAST(SUM(dm) AS BIGINT) AS balance_micro,
+         |       CAST(count(*) AS BIGINT) AS n_legs,
+         |       CAST(max(ts) AS BIGINT) AS last_ts
+         |FROM legs GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Production-sink balances: the transformWithState engine drained into
+    // a parquet changelog via foreachBatch, compacted on read-out — same
+    // double-entry oracle as q_stream_balances.
+    QEntry("q_stream_changelog_balances",
+      graft.streaming.StatefulBalances.streamTokenBalancesChangelog,
       Some(withTransfers(
       s""", legs AS (
          |  SELECT contract_address || '|' || from_address AS account,

@@ -89,46 +89,90 @@ object StatefulBalances {
 
   private def streamTokenBalances0(spark: SparkSession,
       sfDir: String): DataFrame = {
-    import spark.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val base = graft.Tables.eventsStream(spark, sfDir).select(
-        col("event_type").as("tok"),
-        col("user_id").cast("string").as("from_a"),
-        ((col("user_id") * 7 + col("event_id")) % 1000).cast("string")
-          .as("to_a"),
-        (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 2))
-          * 1000000).cast("long").as("vm"),
-        col("ts_sec").cast("long").as("ts"))
-      val legs = base.select(
-          concat(col("tok"), lit("|"), col("from_a")).as("account"),
-          col("ts").as("ts_sec"), (-col("vm")).as("delta_micro"))
-        .unionByName(base.select(
-          concat(col("tok"), lit("|"), col("to_a")).as("account"),
-          col("ts").as("ts_sec"), col("vm").as("delta_micro")))
-        .as[Leg]
-      val tableName = s"graft_stream_balances_${invocation.incrementAndGet()}"
-      val q = runningBalances(spark, legs)
+    val tableName = s"graft_stream_balances_${invocation.incrementAndGet()}"
+    withRocksDb(spark) {
+      val q = runningBalances(spark, legStream(spark, sfDir))
         .writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName(tableName)
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      spark.table(tableName)
-        .groupBy("account")
-        .agg(max(struct(col("n_legs"), col("balance_micro"),
-          col("last_ts"))).as("f"))
-        .select(col("account"), col("f.balance_micro").as("balance_micro"),
-          col("f.n_legs").as("n_legs"), col("f.last_ts").as("last_ts"))
-        .orderBy("account")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
     }
+    compacted(spark.table(tableName))
+  }
+
+  /** The double-entry leg stream over the events file-source (token|wallet
+    * accounts, micro-unit integer deltas) — shared by the memory-sink and
+    * changelog-sink catalog forms. */
+  private def legStream(spark: SparkSession,
+      sfDir: String): Dataset[Leg] = {
+    import spark.implicits._
+    val base = graft.Tables.eventsStream(spark, sfDir).select(
+      col("event_type").as("tok"),
+      col("user_id").cast("string").as("from_a"),
+      ((col("user_id") * 7 + col("event_id")) % 1000).cast("string")
+        .as("to_a"),
+      (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 2))
+        * 1000000).cast("long").as("vm"),
+      col("ts_sec").cast("long").as("ts"))
+    base.select(
+        concat(col("tok"), lit("|"), col("from_a")).as("account"),
+        col("ts").as("ts_sec"), (-col("vm")).as("delta_micro"))
+      .unionByName(base.select(
+        concat(col("tok"), lit("|"), col("to_a")).as("account"),
+        col("ts").as("ts_sec"), col("vm").as("delta_micro")))
+      .as[Leg]
+  }
+
+  /** RocksDB provider for the duration of `body`, restored after. */
+  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  /** Changelog compaction: the LAST snapshot each account emitted (max
+    * n_legs — strictly increasing per account) is its current state. */
+  private def compacted(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy("account")
+      .agg(max(struct(col("n_legs"), col("balance_micro"),
+        col("last_ts"))).as("f"))
+      .select(col("account"), col("f.balance_micro").as("balance_micro"),
+        col("f.n_legs").as("n_legs"), col("f.last_ts").as("last_ts"))
+      .orderBy("account")
+
+  /** PRODUCTION-sink form of [[streamTokenBalances]]: Update-mode snapshot
+    * rows land in a parquet CHANGELOG via foreachBatch (update output has
+    * no native file-sink; changelog-append + compacted read-out is the
+    * deployable pattern — the same contract a Delta MERGE or a compacted
+    * Kafka topic materializes), and the result is the compaction over the
+    * changelog. Same oracle as the memory-sink form, so the file-sink
+    * path's arithmetic is hash-verified too. */
+  def streamTokenBalancesChangelog(spark: SparkSession,
+      sfDir: String): DataFrame = lock.synchronized {
+    val out =
+      java.nio.file.Files.createTempDirectory("graft_balchg_sink").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_balchg_ckpt").toString
+    withRocksDb(spark) {
+      val q = runningBalances(spark, legStream(spark, sfDir))
+        .toDF()
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    compacted(spark.read.parquet(out))
   }
 }

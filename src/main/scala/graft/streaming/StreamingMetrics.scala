@@ -461,6 +461,48 @@ object StreamingMetrics {
       .orderBy("contract_address", "wallet")
   }
 
+  /** PRODUCTION-sink form of [[streamingCdcState]]: the Update-mode CDC
+    * aggregation streams into a parquet CHANGELOG via foreachBatch (update
+    * output has no native file sink; changelog-append + compacted read-out
+    * is the deployable shape — what a compacted topic or a MERGE INTO
+    * target materializes). Read-out compacts by the latest snapshot per
+    * key (max n_ops — strictly increasing per key) and drops tombstones,
+    * exactly like the memory-sink drain; same batch q_cdc_apply oracle. */
+  def streamingCdcChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val out =
+      java.nio.file.Files.createTempDirectory("graft_cdcchg_sink").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_cdcchg_ckpt").toString
+    val stream = graft.Tables.eventsStream(spark, sfDir)
+      .select(col("event_type").as("contract_address"),
+        col("user_id").cast("string").as("wallet"),
+        col("event_id").as("version"), col("value"),
+        when(col("event_id") % 10 === 0, "D").otherwise("U").as("op"))
+      .groupBy("contract_address", "wallet")
+      .agg(max(struct(col("version"), col("op"), col("value"))).as("last"),
+        count(lit(1)).as("n_ops"))
+    val q = stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("contract_address", "wallet")
+      .agg(max(struct(col("n_ops"), col("last"))).as("m"))
+      .select(col("contract_address"), col("wallet"),
+        col("m.last").as("last"), col("m.n_ops").as("n_ops"))
+      .filter(col("last.op") =!= "D")
+      .select(col("contract_address"), col("wallet"),
+        col("last.version").as("last_version"),
+        col("last.value").as("last_value"), col("n_ops"))
+      .orderBy("contract_address", "wallet")
+  }
+
   /** Hourly leaderboard size for [[streamingTopTokens]]. */
   val TopTokensK = 3
 
