@@ -21,6 +21,45 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Catalog.entries.map(e => e.name -> e.fn).toMap
 
+  /** The fast-iteration core: one driver-verified witness per SURVEY §2
+    * operator ID plus one per LLM-pipeline family head — the subset that
+    * exercises every operator family without the full catalog's ~25-min
+    * sf0.01 wall-clock. `graft.Verify <sf> <out> @core` expands to this
+    * set; round closes still run the FULL catalog. */
+  val CoreQueries: Seq[String] = Seq(
+    // §2 scan/key/project/filter/join witnesses
+    "q_block_range", "q_balance_history", "q_filtered_transfers",
+    "q_json_registry", "q_upsert_dedup", "q_token_document",
+    "q_token_documents_full", "q_whale_count", "q_holder_count",
+    "q_wallet_clusters", "q_dapp_info", "q_dapp_hourly", "q_dapp_totals",
+    "q_dapp_wallets", "q_densified_balance", "q_semi_join", "q_anti_join",
+    // §2 aggregate/window/order/union witnesses
+    "q_volume_hourly", "q_txcount_hourly", "q_avg_tx_per_day",
+    "q_unique_wallets_hourly", "q_unique_wallets_hll", "q_change_log_maps",
+    "q_cluster_map", "q_cluster_pivot", "q_customer_set_ops",
+    "q_wallet_balance_maps", "q_map_roundtrip", "q_big_orders",
+    // §2 compute/UDF-replacement witnesses
+    "q_prefix_strip", "q_transfer_edges", "q_props_extract",
+    "q_block_enrich", "q_dapp_wallet_flags",
+    // streaming (one per pattern: windowed, bounded, session, join,
+    // stateful, dedup, routed, changelog)
+    "q_stream_volume_hourly", "q_stream_bounded_hourly",
+    "q_stream_sessions", "q_stream_interval_join", "q_stream_balances",
+    "q_stream_dedup", "q_stream_quality_route", "q_stream_changelog_cdc",
+    // LLM-pipeline family heads
+    "q_dedup_exact", "q_minhash_pairs", "q_dedup_clusters_star",
+    "q_setsim_join", "q_simhash_pairs", "q_semantic_dedup", "q_ann_recall",
+    "q_embedding_topk", "q_bucketed_ann", "q_ivf_pq_ann", "q_kmeans_iter3",
+    "q_lang_id", "q_text_quality", "q_gopher_rules", "q_bpe_encode",
+    "q_corpus_mix", "q_global_shuffle", "q_seq_pack", "q_decontaminate",
+    "q_bm25", "q_stratified_sample", "q_multimodal_features",
+    "q_media_dedup", "q_pii_redact", "q_k_anon",
+    // graph + profile heads
+    "q_dedup_clusters", "q_pagerank_weighted", "q_bfs_hops", "q_scc",
+    "q_mis", "q_betweenness", "q_heavy_hitters", "q_quantile_sketch",
+    // relational/TPC-H spine
+    "q_pricing_summary", "q_revenue_by_nation", "q_trade_flows", "q_rfm")
+
   def oracleSql: Map[String, String] =
     Catalog.entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
 }

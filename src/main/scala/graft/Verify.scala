@@ -8,8 +8,14 @@ object Verify {
     // driver contract: (sfDir, outDir). Optional third arg (dev only): a
     // regex — only matching query names run (oracle_sql.json still gets
     // every entry, so selfcheck.py can compare the subset that was dumped).
+    // The sentinel `@core` expands to SparkEntry.CoreQueries (one witness
+    // per operator family — fast iteration; round closes run the full set).
     val sfDir = args(0); val outDir = args(1)
-    val only = args.lift(2).map(_.r)
+    val only = args.lift(2)
+      .map {
+        case "@core" => SparkEntry.CoreQueries.mkString("^(", "|", ")$")
+        case re => re
+      }.map(_.r)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -16,6 +16,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("every core query names a real catalog entry, without duplicates") {
+    val qs = SparkEntry.queries.keySet
+    val ghosts = SparkEntry.CoreQueries.filterNot(qs)
+    assert(ghosts.isEmpty, s"core names without catalog entry: $ghosts")
+    val dups = SparkEntry.CoreQueries.groupBy(identity).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicate core names: ${dups.keys}")
+  }
+
   test("catalog names are unique") {
     val names = Catalog.entries.map(_.name)
     assert(names.distinct.size == names.size)
