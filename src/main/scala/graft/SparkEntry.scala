@@ -2940,6 +2940,50 @@ object Catalog {
            |FROM flat GROUP BY 1, 2 ORDER BY sbucket, pack""".stripMargin)
     }),
 
+    // DSIR-style importance resampling: add-one-smoothed hashed-bigram
+    // likelihood ratios (target source vs raw pool) in exact integer ppm;
+    // top-quota selection with deterministic (score, doc_id) tie-break.
+    QEntry("q_importance_resample", Corpus.importanceResample, Some(withDocs(
+      s""", bgp AS (
+         |  SELECT doc_id, source, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |  FROM docs WHERE len(toks) >= 2
+         |),
+         |fe AS (
+         |  SELECT doc_id, source,
+         |         CAST((instr('0123456789abcdef', substr(md5(bg), 1, 1)) - 1)
+         |           * 16 + instr('0123456789abcdef', substr(md5(bg), 2, 1))
+         |           - 1 AS BIGINT) AS f
+         |  FROM bgp
+         |),
+         |raw AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM fe GROUP BY 1),
+         |tgt AS (
+         |  SELECT f, CAST(count(*) AS BIGINT) AS ct FROM fe
+         |  WHERE source = '${Corpus.DsirTargetSource}' GROUP BY 1
+         |),
+         |tot AS (
+         |  SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+         |         (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt
+         |),
+         |w AS (
+         |  SELECT raw.f,
+         |         CAST(CAST(COALESCE(ct, 0) + 1 AS HUGEINT)
+         |           * (nr + ${Corpus.DsirBuckets}) * 1000000
+         |           // (CAST(cr + 1 AS HUGEINT)
+         |              * (nt + ${Corpus.DsirBuckets})) AS BIGINT) AS w_ppm
+         |  FROM raw LEFT JOIN tgt USING (f), tot
+         |),
+         |sc AS (
+         |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_feats,
+         |         CAST(SUM(w_ppm) AS BIGINT) // count(*) AS score_ppm
+         |  FROM fe JOIN w USING (f) GROUP BY 1, 2
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+         |         AS BIGINT) AS rnk,
+         |       doc_id, source, n_feats, score_ppm
+         |FROM sc ORDER BY score_ppm DESC, doc_id
+         |LIMIT ${Corpus.DsirQuota}""".stripMargin))),
+
     QEntry("q_decontaminate", Corpus.decontaminate, Some(withShingles(
       """SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
         |FROM shingles s
@@ -6260,6 +6304,35 @@ object Catalog {
          |       CAST(SUM(CAST(t.value AS DECIMAL(25,2))) AS DOUBLE)
          |         AS tx_volume
          |FROM tx t JOIN tk p ON p.c = t.c
+         |  AND p.us >= t.us - 3600000000 AND p.us <= t.us
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // LEFT OUTER stream-stream interval join: unmatched transfers
+    // NULL-pad once the watermark passes their match horizon (sentinel-
+    // closed, see scaladoc); oracle = the batch LEFT interval join.
+    QEntry("q_stream_outer_join",
+      graft.streaming.StreamingMetrics.streamOuterIntervalJoin,
+      Some(
+      s"""WITH tk AS (
+         |  SELECT event_type AS c, value AS price, epoch_us(ts) AS us
+         |  FROM events WHERE event_id % 5 = 0
+         |),
+         |tx AS (
+         |  SELECT event_type AS c, value, epoch_us(ts) AS us
+         |  FROM events WHERE event_id % 5 <> 0
+         |)
+         |SELECT t.c AS contract_address,
+         |       (t.us // 3600000000) * 3600 AS t,
+         |       CAST(SUM(CASE WHEN p.c IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CASE WHEN p.c IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_unmatched,
+         |       CAST(SUM(CASE WHEN p.c IS NOT NULL
+         |                THEN CAST(p.price AS DECIMAL(25,2)) END)
+         |         AS DOUBLE) AS tick_volume,
+         |       CAST(SUM(CAST(t.value AS DECIMAL(25,2))) AS DOUBLE)
+         |         AS tx_volume
+         |FROM tx t LEFT JOIN tk p ON p.c = t.c
          |  AND p.us >= t.us - 3600000000 AND p.us <= t.us
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 

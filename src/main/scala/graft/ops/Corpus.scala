@@ -493,4 +493,77 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
       .orderBy("source", "split")
   }
+
+  // ─────────────────────────────────────────── importance resampling
+
+  /** Hashed-feature bucket count for [[importanceResample]]: 2 md5 hex
+    * digits = 256 buckets, the engine-portable spelling shared with
+    * [[globalShuffle]]. A production DSIR run uses 2¹⁶+ hashed n-gram
+    * buckets — only this constant (and the hex-digit count) changes; the
+    * plan shape is bucket-count-independent. */
+  val DsirBuckets = 256L
+
+  /** The target distribution: documents of this source play the role of
+    * DSIR's high-quality target corpus. */
+  val DsirTargetSource = "src0"
+
+  /** Documents selected by [[importanceResample]]. */
+  val DsirQuota = 100
+
+  /** Data selection via IMPORTANCE RESAMPLING (the DSIR recipe — Xie et
+    * al. 2023, arXiv:2302.03169): score every raw document by how much
+    * its hashed-bigram feature distribution looks like a TARGET corpus
+    * rather than the raw pool, and keep the top quota. The modern
+    * curation move between hand-written quality rules ([[graft.ops
+    * .TextAnalysis.gopherRules]]) and model-based filtering.
+    *
+    * Kept EXACT by clearing denominators (the paper's log-likelihood
+    * ratio needs libm `log`, which is not bit-portable — see
+    * SURVEY §7.4): per feature bucket f, the add-one-smoothed likelihood
+    * ratio rides as integer ppm
+    *   `w_f = (ct_f+1)·(N_raw+B)·10⁶ div ((cr_f+1)·(N_tgt+B))`
+    * in DECIMAL(38,0) (the impurity_ppm overflow spelling), and a
+    * document's score is the integer mean of its features' weights —
+    * a monotone transform of the paper's mean-log score under the
+    * same ranking use.
+    *
+    * Scale shape: one map-side-combinable feature count over the corpus,
+    * a 256-row weight table broadcast back over the feature stream, one
+    * grouped mean per doc, and a TakeOrdered quota cut — no global sort,
+    * no window over the corpus (the final rank runs on the quota-sized
+    * result). */
+  def importanceResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(TextAnalysis.toksExpr))
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+      .withColumn("f", expr(hexBucketSql("md5(bg)")))
+      .select("doc_id", "source", "f")
+    val raw = feats.groupBy("f").agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("source") === DsirTargetSource)
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("nr"))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("nt"))))
+    val w = raw.join(tgt, Seq("f"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("f"),
+        expr(s"CAST(CAST(coalesce(ct, 0) + 1 AS DECIMAL(38,0))" +
+          s" * (nr + $DsirBuckets) * 1000000" +
+          s" div (CAST(cr + 1 AS DECIMAL(38,0)) * (nt + $DsirBuckets))" +
+          " AS BIGINT)").as("w_ppm"))
+    val scored = feats.join(broadcast(w), Seq("f"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_ppm")).as("sw"))
+      .select(col("doc_id"), col("source"), col("n_feats"),
+        expr("sw div n_feats").as("score_ppm"))
+    scored.orderBy(col("score_ppm").desc, col("doc_id").asc)
+      .limit(DsirQuota)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_ppm").desc, col("doc_id").asc)).cast("long"))
+      .select("rnk", "doc_id", "source", "n_feats", "score_ppm")
+      .orderBy("rnk")
+  }
 }

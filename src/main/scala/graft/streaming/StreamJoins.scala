@@ -56,6 +56,40 @@ object StreamJoins {
         col("price"), col("p_ts"))
   }
 
+  /** LEFT OUTER variant of [[transfersWithRecentPrices]]: transfers with
+    * no qualifying price tick in the preceding window are emitted once,
+    * NULL-padded — but only after the watermark has passed the last point
+    * a matching tick could still arrive (until then the row sits in state
+    * as a potential match). This is the streaming outer-join contract
+    * Spark enforces by requiring both watermarks plus an event-time bound
+    * in the condition; without it the unmatched side could never be
+    * declared final.
+    *
+    * The bucket fold preserves outer semantics: every price a transfer
+    * can match carries the transfer's own (unique) bucket among its two
+    * exploded copies, so "no match in my bucket" IS "no match at all",
+    * and each unmatched transfer emits exactly one NULL row. */
+  def transfersWithRecentPricesOuter(transfers: DataFrame, prices: DataFrame,
+      windowSeconds: Long = 3600L): DataFrame = {
+    val us = windowSeconds * 1000000L
+    def floorBucket(tsCol: String): String =
+      s"(unix_micros($tsCol) div $us) + " +
+        s"(CASE WHEN unix_micros($tsCol) % $us < 0 THEN -1 ELSE 0 END)"
+    val t = transfers.withWatermark("t_ts", s"$windowSeconds seconds")
+      .withColumn("t_b", expr(floorBucket("t_ts")))
+    val p = prices.withWatermark("p_ts", s"${2 * windowSeconds} seconds")
+      .withColumn("p_b", explode(expr(
+        s"array(${floorBucket("p_ts")}, (${floorBucket("p_ts")}) + 1)")))
+    t.join(p,
+      col("contract_address") === col("p_contract") &&
+        col("t_b") === col("p_b") &&
+        col("p_ts") >= col("t_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("p_ts") <= col("t_ts"),
+      "left_outer")
+      .select(col("contract_address"), col("value"), col("t_ts"),
+        col("price"), col("p_ts"))
+  }
+
   /** Stream-STATIC enrichment: join a stream against a batch dimension
     * table (the dapp registry). No watermark and no join state at all —
     * the static side is broadcast per micro-batch and re-read if it

@@ -503,6 +503,68 @@ object StreamingMetrics {
       .orderBy("contract_address", "wallet")
   }
 
+  /** LEFT OUTER stream-stream interval join, catalog form: transfers
+    * NULL-pad when no price tick landed in their preceding hour
+    * ([[StreamJoins.transfersWithRecentPricesOuter]]); matched and
+    * unmatched rows roll up per (token, hour) from the append parquet
+    * sink.
+    *
+    * Determinism: append-mode outer rows become emittable only when the
+    * watermark passes the last instant a match could arrive, so each
+    * file-stream side is UNIONed with a one-row far-future sentinel
+    * (2100-01-01, from a memory source; a token no real row carries).
+    * After the AvailableNow drain the watermark exceeds every real
+    * event's horizon, the no-data batch flushes all withheld NULL rows,
+    * and the emitted set is EXACTLY the batch LEFT interval join — which
+    * is the oracle, stated on epoch microseconds. Sentinels join nothing
+    * and are dropped on read-out. */
+  def streamOuterIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sentinelUs = 4102444800L * 1000000L // 2100-01-01 epoch micros
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_soj_sink").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_soj_ckpt").toString
+    val ev = graft.Tables.eventsStream(spark, sfDir)
+    val tickSent = MemoryStream[Long]
+    tickSent.addData(sentinelUs)
+    val txSent = MemoryStream[Long]
+    txSent.addData(sentinelUs)
+    val ticks = ev.filter(col("event_id") % 5 === 0)
+      .select(col("event_type").as("p_contract"),
+        col("value").as("price"), col("ts_t").as("p_ts"))
+      .unionByName(tickSent.toDF().select(
+        lit("__sentinel__").as("p_contract"), lit(0.0).as("price"),
+        timestamp_micros(col("value")).as("p_ts")))
+    val txs = ev.filter(col("event_id") % 5 =!= 0)
+      .select(col("event_type").as("contract_address"),
+        col("value"), col("ts_t").as("t_ts"))
+      .unionByName(txSent.toDF().select(
+        lit("__sentinel__").as("contract_address"), lit(0.0).as("value"),
+        timestamp_micros(col("value")).as("t_ts")))
+    val q = StreamJoins.transfersWithRecentPricesOuter(txs, ticks, 3600L)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .filter(col("contract_address") =!= "__sentinel__")
+      .groupBy(col("contract_address"),
+        (expr("unix_micros(t_ts) div 3600000000") * 3600)
+          .cast("long").as("t"))
+      .agg(sum(when(col("price").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("price").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        graft.ops.Num.dsum(col("price")).as("tick_volume"),
+        graft.ops.Num.dsum(col("value")).as("tx_volume"))
+      .orderBy("contract_address", "t")
+  }
+
   /** Hourly leaderboard size for [[streamingTopTokens]]. */
   val TopTokensK = 3
 
