@@ -270,7 +270,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .transform(QueryLocal.persistTracked)
+      .persist(StorageLevel.MEMORY_AND_DISK) // session-shared: several catalog queries build this same canonical edge frame (CacheManager dedupes); NOT QueryLocal — releasing after one query would cold-start the others
     val tri = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
       .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
@@ -619,7 +619,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .transform(QueryLocal.persistTracked)
+      .persist(StorageLevel.MEMORY_AND_DISK) // session-shared: several catalog queries build this same canonical edge frame (CacheManager dedupes); NOT QueryLocal — releasing after one query would cold-start the others
     val nbrs = und.select(col("a").as("v"), col("b").as("u"))
       .unionByName(und.select(col("b").as("v"), col("a").as("u")))
     val centers = nbrs.groupBy("v").agg(count(lit(1)).as("deg"))
@@ -655,7 +655,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .transform(QueryLocal.persistTracked)
+      .persist(StorageLevel.MEMORY_AND_DISK) // session-shared: several catalog queries build this same canonical edge frame (CacheManager dedupes); NOT QueryLocal — releasing after one query would cold-start the others
     val nbrs = und.select(col("a").as("v"), col("b").as("u"))
       .unionByName(und.select(col("b").as("v"), col("a").as("u")))
     val deg = nbrs.groupBy("v").agg(count(lit(1)).as("degree"))

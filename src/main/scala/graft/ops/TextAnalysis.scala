@@ -402,7 +402,11 @@ object TextAnalysis {
       .join(enc, Seq("w"))
       .select(col("doc_id"), col("p"),
         posexplode(split(col("sym"), " ")).as(Seq("q", "sy")))
-      .transform(graft.ops.QueryLocal.persistTracked)
+      // session-shared, NOT QueryLocal: q_bpe_encode and
+      // q_tokenizer_fertility both build this exact plan (CacheManager
+      // dedupes to one entry) — a per-query release here cold-starts the
+      // other consumer, measured 1.3 s -> 3.0 s warm in BENCH pass 2
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = symOcc.groupBy("sy").agg(count(lit(1)).as("n"))
       .withColumn("id", row_number().over(
         org.apache.spark.sql.expressions.Window
