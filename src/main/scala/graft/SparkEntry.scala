@@ -2940,6 +2940,40 @@ object Catalog {
            |FROM flat GROUP BY 1, 2 ORDER BY sbucket, pack""".stripMargin)
     }),
 
+    // Arbitrary-alignment substring duplication (exact-substring dedup
+    // signal): every 8-token window at every offset, global-first wins,
+    // later occurrences count duplicated; per-doc share in per-mille.
+    QEntry("q_substring_dups", Clean.substringDups, Some(withDocs(
+      s""", wins AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, len(toks) - ${Clean.SubLen} + 2),
+         |    i -> struct_pack(pos := i - 1,
+         |           gh := md5(array_to_string(
+         |             list_slice(toks, i, i + ${Clean.SubLen - 1}), ' ')))))
+         |    AS w
+         |  FROM docs WHERE len(toks) >= ${Clean.SubLen}
+         |),
+         |wf AS (SELECT doc_id, w.pos AS pos, w.gh AS gh FROM wins),
+         |mk AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos)
+         |           AS rn
+         |  FROM wf
+         |),
+         |pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |         CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_dup
+         |  FROM mk GROUP BY 1
+         |)
+         |SELECT d.doc_id, COALESCE(n_windows, CAST(0 AS BIGINT))
+         |         AS n_windows,
+         |       COALESCE(n_dup, CAST(0 AS BIGINT)) AS n_dup,
+         |       CASE WHEN n_windows > 0 THEN n_dup * 1000 // n_windows END
+         |         AS dup_pml
+         |FROM docs d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))),
+
     // DSIR-style importance resampling: add-one-smoothed hashed-bigram
     // likelihood ratios (target source vs raw pool) in exact integer ppm;
     // top-quota selection with deterministic (score, doc_id) tie-break.

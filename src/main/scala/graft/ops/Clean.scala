@@ -114,6 +114,51 @@ object Clean {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window length for [[substringDups]] (tokens). */
+  val SubLen = 8
+
+  /** ARBITRARY-ALIGNMENT substring duplication (the exact-substring
+    * signal of Lee et al. 2022's "Deduplicating Training Data Makes
+    * Language Models Better", reduced to fixed length): every
+    * [[SubLen]]-token window at EVERY offset — not [[spanDedup]]'s
+    * stride-aligned spans, so boilerplate repeating at any alignment is
+    * caught — is keyed by content, the globally FIRST occurrence
+    * (min (doc_id, position)) is the original, and every later
+    * occurrence (across documents or self-repeats within one) counts as
+    * duplicated. Reported per document: windows, duplicated windows, and
+    * the duplicated share in per-mille — the measurement a pipeline runs
+    * to decide whether substring-level dedup is worth its cost on a
+    * corpus.
+    *
+    * Scale shape: the window stream is [[SubLen]]× the token stream
+    * (linear); the first-occurrence choice is ONE window partitioned by
+    * the window's md5 (identical substrings co-locate, everything else
+    * streams through); the rollup is a map-side-combinable per-doc
+    * aggregate. No pair join — cost is corpus-linear, not duplicate².
+    * Documents shorter than [[SubLen]] stay in the output with zero
+    * windows and a NULL share. */
+  def substringDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+    val wins = base.filter(size(col("toks")) >= SubLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $SubLen),
+           |  i -> md5(concat_ws(' ', slice(toks, i + 1, $SubLen))))"""
+          .stripMargin)).as(Seq("pos", "gh")))
+    val marked = wins.withColumn("rn", row_number().over(
+      Window.partitionBy("gh").orderBy("doc_id", "pos")))
+    val perDoc = marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        expr("CASE WHEN n_windows > 0" +
+          " THEN n_dup * 1000 div n_windows END").as("dup_pml"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source document cap (the per-domain cap of web curation): keep at
     * most [[SourceCap]] documents per source, chosen by a salted-hash
     * priority so the survivors are a stable pseudo-random sample, not
