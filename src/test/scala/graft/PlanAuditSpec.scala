@@ -361,6 +361,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"distribution window lost its rb partition:\n$p")
   }
 
+  test("importance resampling: 256-row weight table broadcasts; the quota " +
+      "cut is a TakeOrdered, not a global sort") {
+    val p = plan("q_importance_resample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("substring dups: one content-hash exchange ranks the window stream") {
+    val p = plan("q_substring_dups")
+    // the gh-partitioned rank plus the per-doc rollup and the join back —
+    // no unpartitioned window over the window stream
+    assert(p.contains("hashpartitioning(gh"), p)
+    assert(!p.contains("windowspecdefinition(doc_id#"), p)
+  }
+
   test("heaps curve: docs rank inside range buckets; SinglePartition only " +
       "carries constant-size frames") {
     val p = plan("q_heaps_curve")

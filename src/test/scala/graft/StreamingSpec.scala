@@ -473,6 +473,47 @@ class StreamingSpec extends AnyFunSuite {
       s"non-tail hour missing from append output: ${missing.take(3)}")
   }
 
+  test("outer interval join: matches emit immediately, NULL rows only " +
+    "after the watermark passes the match horizon") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val tx = MemoryStream[(String, Long, Double)] // (token, sec, value)
+    val pr = MemoryStream[(String, Long, Double)] // (token, sec, price)
+    val joined = graft.streaming.StreamJoins.transfersWithRecentPricesOuter(
+      tx.toDS().toDF("contract_address", "sec", "value")
+        .withColumn("t_ts", timestamp_seconds(col("sec"))).drop("sec"),
+      pr.toDS().toDF("p_contract", "sec", "price")
+        .withColumn("p_ts", timestamp_seconds(col("sec"))).drop("sec"),
+      3600L)
+    val out = java.nio.file.Files.createTempDirectory("graft_soj_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_soj_ck").toString
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // tokA has a tick in its preceding hour -> INNER match, emits now;
+      // tokB has none -> held back as a potential match, nothing emitted
+      tx.addData(("tokA", 1000L, 5.0), ("tokB", 1200L, 7.0))
+      pr.addData(("tokA", 500L, 2.0))
+      q.processAllAvailable()
+      def rows() = spark.read
+        .schema("contract_address STRING, value DOUBLE, t_ts TIMESTAMP, " +
+          "price DOUBLE, p_ts TIMESTAMP")
+        .parquet(out)
+        .select("contract_address", "value", "price")
+        .as[(String, Double, Option[Double])].collect().toSeq.sortBy(_._1)
+      assert(rows() == Seq(("tokA", 5.0, Some(2.0))), rows().toString)
+      // far-future rows push both watermarks past tokB's horizon: its
+      // NULL-padded row flushes exactly once
+      tx.addData(("tokZ", 100000L, 1.0))
+      pr.addData(("tokZ", 100000L, 1.0))
+      q.processAllAvailable()
+      assert(rows().take(2) ==
+        Seq(("tokA", 5.0, Some(2.0)), ("tokB", 7.0, None)), rows().toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join catalog form equals its batch twin") {
     import org.apache.spark.sql.functions._
     val got = graft.streaming.StreamingMetrics
