@@ -3266,8 +3266,10 @@ object Catalog {
          |FROM (
          |  SELECT nation, segment, n_rows,
          |         CASE WHEN min(m) > 1
-         |         THEN CAST(SUM(abs(nn * cc - n_rows * dd)) AS BIGINT)
-         |              * 1000000 // (n_rows * min(nn) * (min(m) - 1))
+         |         THEN CAST(SUM(abs(CAST(nn AS HUGEINT) * cc
+         |                - CAST(n_rows AS HUGEINT) * dd))
+         |              * 1000000 // (CAST(n_rows AS HUGEINT) * min(nn)
+         |                * (min(m) - 1)) AS BIGINT)
          |         ELSE 0 END AS emd_ppm
          |  FROM filled, tot GROUP BY 1, 2, 3
          |) ORDER BY nation, segment""".stripMargin)),
@@ -7333,8 +7335,10 @@ object Catalog {
          |SELECT contract_address, week, cents, prev_cents,
          |       CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
          |            WHEN cents >= prev_cents
-         |              THEN (cents - prev_cents) * 1000000 // prev_cents
-         |            ELSE -((prev_cents - cents) * 1000000 // prev_cents)
+         |              THEN CAST(CAST(cents - prev_cents AS HUGEINT)
+         |                   * 1000000 // prev_cents AS BIGINT)
+         |            ELSE -CAST(CAST(prev_cents - cents AS HUGEINT)
+         |                   * 1000000 // prev_cents AS BIGINT)
          |       END AS growth_ppm
          |FROM lagged ORDER BY 1, 2""".stripMargin))),
 

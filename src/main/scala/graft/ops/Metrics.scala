@@ -853,12 +853,16 @@ object Metrics {
       .withColumn("prev_cents", lag(col("cents"), 1).over(w))
       // sign+abs spelling: Spark's `div` truncates toward zero, DuckDB's
       // `//` floors — keeping the dividend non-negative makes them agree
+      // diff·1e6 exceeds 2^63 once a token moves ≥ ~$92B of cents in a
+      // week — DECIMAL(38,0) keeps the ppm exact instead of wrapping
       .withColumn("growth_ppm", expr(
         """CASE WHEN prev_cents IS NULL OR prev_cents = 0
           |       THEN CAST(NULL AS BIGINT)
           |     WHEN cents >= prev_cents
-          |       THEN (cents - prev_cents) * 1000000 div prev_cents
-          |     ELSE -((prev_cents - cents) * 1000000 div prev_cents)
+          |       THEN CAST(CAST(cents - prev_cents AS DECIMAL(38,0))
+          |            * 1000000 div prev_cents AS BIGINT)
+          |     ELSE -CAST(CAST(prev_cents - cents AS DECIMAL(38,0))
+          |            * 1000000 div prev_cents AS BIGINT)
           |END""".stripMargin))
       .orderBy("contract_address", "week")
   }

@@ -124,13 +124,20 @@ object Privacy {
       .join(broadcast(gcum), Seq("band"))
     filled.crossJoin(broadcast(totals))
       .groupBy("nation", "segment")
+      // DECIMAL(38,0) end to end: nn·cc terms reach ~1e18 each and the
+      // band sum, the ×1e6, and the n_rows·nn·(m−1) denominator all
+      // overflow Long at warehouse row counts — non-ANSI Long arithmetic
+      // would wrap silently (the assocRules lift_ppm lesson applied here)
       .agg(first(col("n_rows")).as("n_rows"),
-        sum(abs(col("nn") * col("cc") - col("n_rows") * col("dd")))
+        sum(abs(col("nn").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("cc") - col("n_rows")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("dd")))
           .as("emd_num"),
         first(col("nn")).as("nn"), first(col("m")).as("m"))
       .withColumn("emd_ppm",
         when(col("m") > 1,
-          expr("emd_num * 1000000 div (n_rows * nn * (m - 1))"))
+          expr("CAST(emd_num * 1000000 div" +
+            " (CAST(n_rows AS DECIMAL(38,0)) * nn * (m - 1)) AS BIGINT)"))
           .otherwise(lit(0L)))
       .select(col("nation"), col("segment"), col("n_rows"), col("emd_ppm"),
         (col("emd_ppm") <= TClosenessPpm && col("n_rows") >= KAnon)
