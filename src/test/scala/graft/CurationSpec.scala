@@ -403,4 +403,46 @@ class CurationSpec extends AnyFunSuite {
       assert(dau <= wau)
     }
   }
+
+  test("substringDups: window conservation, exactly one original per gram") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Clean.substringDups(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == docs.keySet)
+    val L = graft.ops.Clean.SubLen
+    // per-doc window conservation + dup bound
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id"))
+      val expect = math.max(0, toks.length - L + 1).toLong
+      assert(r.getAs[Long]("n_windows") == expect)
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_windows"))
+      if (expect > 0)
+        assert(r.getAs[Long]("dup_pml") ==
+          r.getAs[Long]("n_dup") * 1000 / expect)
+      else assert(r.isNullAt(r.fieldIndex("dup_pml")))
+    }
+    // corpus-level: total duplicated = total windows − distinct grams
+    // (exactly one original per distinct gram survives)
+    val grams = docs.toSeq.flatMap { case (d, toks) =>
+      toks.sliding(L).filter(_.length == L).map(_.mkString(" ")) }
+    val dupTotal = rows.map(_.getAs[Long]("n_dup")).sum
+    assert(dupTotal == grams.size - grams.distinct.size)
+  }
+
+  test("importanceResample: ranks dense, scores non-increasing, quota cut") {
+    val rows = graft.ops.Corpus.importanceResample(spark, sf).collect()
+    assert(rows.length == graft.ops.Corpus.DsirQuota)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq ==
+      (1L to rows.length.toLong))
+    val scores = rows.map(_.getAs[Long]("score_ppm")).toSeq
+    assert(scores == scores.sorted.reverse, "scores must be non-increasing")
+    // ties break by doc_id ascending
+    scores.zip(scores.tail).zipWithIndex.foreach { case ((a, b), i) =>
+      if (a == b) assert(rows(i).getAs[Long]("doc_id") <
+        rows(i + 1).getAs[Long]("doc_id"))
+    }
+  }
 }
