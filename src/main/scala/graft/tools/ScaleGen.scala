@@ -80,10 +80,14 @@ object ScaleGen {
     lazy val nVec = graft.Tables.embeddings(spark, src).count()
     if (want("embeddings")) write(amplified(graft.Tables.embeddings(spark, src), k)
       .withColumn("vec_id", col("vec_id") + col("_r") * nVec)
+      // rotate by _r MOD dims: k may exceed the vector dimension (k=100
+      // replicas of 64-dim vectors), where an un-wrapped rotation asks
+      // slice for a negative length
       .withColumn("embedding", expr(
-        """concat(slice(embedding, cast(_r as int) + 1,
-          |             size(embedding) - cast(_r as int)),
-          |       slice(embedding, 1, cast(_r as int)))""".stripMargin))
+        """concat(slice(embedding, cast(_r % size(embedding) as int) + 1,
+          |             size(embedding) - cast(_r % size(embedding) as int)),
+          |       slice(embedding, 1, cast(_r % size(embedding) as int)))"""
+          .stripMargin))
       .drop("_r"), "embeddings")
 
     // Tables.events normalizes any on-disk ts encoding to canonical
