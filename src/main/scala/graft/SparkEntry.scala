@@ -778,9 +778,16 @@ object Catalog {
        |    GROUP BY 1, 2
        |  ) GROUP BY vec_id
        |),
+       |bcap AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT vec_id, bucket, row_number() OVER (PARTITION BY bucket
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR) || '_bcap'), vec_id) AS crk
+       |    FROM buckets
+       |  ) WHERE crk <= ${Similarity.BucketCandidateCap}
+       |),
        |cands AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id
-       |  FROM buckets a JOIN buckets b
+       |  FROM buckets a JOIN bcap b
        |    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
        |),
        |dots AS (
@@ -5056,9 +5063,16 @@ object Catalog {
          |    GROUP BY 1, 2
          |  ) GROUP BY vec_id
          |),
+         |bcap AS (
+         |  SELECT vec_id, bucket FROM (
+         |    SELECT vec_id, bucket, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR) || '_bcap'), vec_id) AS crk
+         |    FROM buckets
+         |  ) WHERE crk <= ${Similarity.BucketCandidateCap}
+         |),
          |cands AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM buckets a JOIN buckets b
+         |  FROM buckets a JOIN bcap b
          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |),
          |dots AS (
@@ -5105,9 +5119,17 @@ object Catalog {
          |    GROUP BY 1, 2
          |  ) GROUP BY vec_id
          |),
+         |bcap AS (
+         |  SELECT vec_id, bucket FROM (
+         |    SELECT vec_id, bucket, row_number() OVER (
+         |      PARTITION BY substr(bucket, 1, ${Similarity.MultiProbeBits})
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR) || '_bcap'), vec_id) AS crk
+         |    FROM buckets
+         |  ) WHERE crk <= ${Similarity.BucketCandidateCap}
+         |),
          |cands AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM buckets a JOIN buckets b
+         |  FROM buckets a JOIN bcap b
          |    ON substr(a.bucket, 1, ${Similarity.MultiProbeBits})
          |       = substr(b.bucket, 1, ${Similarity.MultiProbeBits})
          |   AND a.vec_id <> b.vec_id
@@ -5263,9 +5285,16 @@ object Catalog {
          |    GROUP BY 1, 2
          |  ) GROUP BY vec_id
          |),
+         |bcap AS (
+         |  SELECT vec_id, bucket FROM (
+         |    SELECT vec_id, bucket, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR) || '_bcap'), vec_id) AS crk
+         |    FROM buckets
+         |  ) WHERE crk <= ${Similarity.BucketCandidateCap}
+         |),
          |cands AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM buckets a JOIN buckets b
+         |  FROM buckets a JOIN bcap b
          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |),
          |dots AS (

@@ -393,8 +393,8 @@ object Similarity {
       .withColumn("code", substring(col("bucket"), 1, MultiProbeBits))
     val l = wv.select(col("code"), col("vec_id").as("vec_a"),
       col("v").as("qv"), col("sq").as("qsq"))
-    val r = wv.select(col("code"), col("vec_id").as("vec_b"),
-      col("v"), col("sq"))
+    val r = capCandidates(wv, "code")
+      .select(col("code"), col("vec_id").as("vec_b"), col("v"), col("sq"))
     l.join(r, Seq("code"))
       .filter(col("vec_a") =!= col("vec_b"))
       .withColumn("dot", expr(dotExpr))
@@ -421,8 +421,8 @@ object Similarity {
     val withVec = bucketedVectors(spark, sfDir)
     val l = withVec.select(col("bucket"), col("vec_id").as("vec_a"),
       col("v").as("qv"), col("sq").as("qsq"))
-    val r = withVec.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("v"), col("sq"))
+    val r = capCandidates(withVec, "bucket")
+      .select(col("bucket"), col("vec_id").as("vec_b"), col("v"), col("sq"))
     l.join(r, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("dot", expr(dotExpr))
@@ -444,6 +444,35 @@ object Similarity {
     * the bounded O(1) query set. At corpus scale B grows ~log₂(N/target
     * bucket size) so the scanned fraction stays constant. */
   val MultiProbeBits = 8
+
+  /** Hot-bucket CANDIDATE CAP for the LSH-bucketed joins — the ANN analog
+    * of the dedup spine's [[graft.ops.Dedup.MaxShingleDf]] hot-key cap.
+    * The round-7 100× posture test (PERF.md) measured the toy-width
+    * hyperplane space saturating: at 200k correlated vectors hot buckets
+    * made the in-bucket pair joins quadratic (q_knn_graph ×217 for ×100
+    * rows). The candidate (build) side of every bucket join therefore
+    * keeps at most this many members per bucket, chosen by a
+    * deterministic salted-md5 rank — per-probe work is then ≤ cap and
+    * the join is worst-case LINEAR at any width and any skew, adversarial
+    * data included. Every vector still probes (full query coverage); only
+    * its candidate pool is sampled, which is already the approximation
+    * contract the recall certificates (q_ann_recall) price. The cap is
+    * far above the gate-SF bucket occupancy (max 11), so oracle results
+    * are unchanged there — the oracles state the same capped candidate
+    * set verbatim. */
+  val BucketCandidateCap = 256
+
+  /** The candidate side of a bucket join, capped per `bucketCol` by
+    * deterministic salted-md5 rank over `vec_id` (ties impossible: the
+    * id is the final key). One window partitioned by bucket — parallel
+    * across buckets, O(B log B) per bucket, never B². */
+  private def capCandidates(df: DataFrame, bucketCol: String): DataFrame =
+    df.withColumn("_crk", row_number().over(
+        Window.partitionBy(bucketCol).orderBy(
+          md5(concat(col("vec_id").cast("string"), lit("_bcap"))),
+          col("vec_id"))))
+      .filter(col("_crk") <= BucketCandidateCap)
+      .drop("_crk")
 
   /** The Hamming-≤2 probe-code array expression over a `code` column
     * (1 + B + B·(B−1)/2 codes) — shared by [[multiProbeTopK]] and
@@ -567,7 +596,8 @@ object Similarity {
     val withVec = bucketedVectors(spark, sfDir)
     val l = withVec.select(col("bucket"), col("vec_id").as("query_id"),
       col("v").as("qv"), col("sq").as("qsq"))
-    val r = withVec.select(col("bucket"), col("vec_id"), col("v"), col("sq"))
+    val r = capCandidates(withVec, "bucket")
+      .select(col("bucket"), col("vec_id"), col("v"), col("sq"))
     l.join(r, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("dot", expr(dotExpr))
