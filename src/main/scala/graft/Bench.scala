@@ -56,7 +56,11 @@ object Bench {
 
     // name-sorted: deterministic order makes per-query numbers comparable
     // across rounds (JVM/codegen warmup always lands on the same queries)
+    // SPARK_GRAFT_BENCH_ONLY (dev only; driver never sets it): regex filter
+    // for fast single-query regression triage without a 4-minute full pass
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     // Query-local cache lifetimes: pass-1 entries are pass 2's cache hits
     // (min-of-2 prices steady state), so they survive pass 1; each query's
     // frames — both passes' — are released right after its pass-2 run.

@@ -54,6 +54,27 @@ object LineageCut {
     }
   }
 
+  /** Deterministically drop the storage of a frame previously returned by
+    * [[cut]]/[[cutCounted]] once it has been superseded and every consumer
+    * has materialized. Local-checkpoint blocks live at RDD level, which
+    * `Dataset.unpersist`/the CacheManager never see — without this, every
+    * round of every iterative algorithm stays cached until a GC lets the
+    * ContextCleaner notice the dead reference. Accumulated over a
+    * ~300-query session that is real eviction pressure, and on a long-lived
+    * cluster job it is executor-storage leak. Calls only on truly
+    * superseded frames: a released local checkpoint CANNOT recompute
+    * (lineage is truncated), so a use-after-release fails loudly rather
+    * than corrupting results. Reliable-checkpoint frames are file-backed;
+    * for them this is a no-op. */
+  def release(df: DataFrame): Unit =
+    try {
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          try lr.rdd.unpersist(false) catch { case _: Throwable => () }
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
+
   /** [[cut]] plus the frame's row count, computed from the SAME
     * materialization instead of a separate action afterwards — iterative
     * algorithms need the count every round for their convergence test, and
@@ -146,6 +167,7 @@ object Graph {
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("new_label"),
             coalesce(col("nlabel") < col("label"), lit(false)).as("chg")),
           cutMode)
+        LineageCut.release(labels) // superseded round (the cut above consumed it)
         labels = updated.select(col("id"), col("new_label").as("label"))
         converged = updated.filter(col("chg")).isEmpty
         i += 1
@@ -205,6 +227,7 @@ object Graph {
             .select("src", "dst"),
           cutMode)
         converged = nPruned == nLive
+        LineageCut.release(live) // superseded round
         live = pruned
         nLive = nPruned
         i += 1
@@ -314,6 +337,10 @@ object Graph {
         .join(deg, Seq("v"), "left"), cutMode)
     val n = base.count() // driver-side scalar only (like the CC loop's flag)
     var ranks = base.withColumn("r", lit(1.0 / n))
+    // the initial ranks frame is BASE-backed — releasing it would drop
+    // base's blocks, which every later round re-joins; only this loop's
+    // own round cuts are ever superseded-and-releasable
+    var ranksOwned = false
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.filter(col("deg").isNotNull)
@@ -328,7 +355,7 @@ object Graph {
       val dangling = ranks.filter(col("deg").isNull)
         .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")
           .as("dang"))
-      ranks = LineageCut.cut(
+      val next = LineageCut.cut(
         base.join(contribs, Seq("v"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("v"), col("deg"),
@@ -336,6 +363,8 @@ object Graph {
               lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
                 coalesce(col("dang"), lit(0.0)) / n)).as("r")),
         cutMode)
+      if (ranksOwned) LineageCut.release(ranks)
+      ranks = next; ranksOwned = true
     }
     ranks.select(col("v"), col("r").as("rank"))
   }
@@ -364,10 +393,12 @@ object Graph {
           .select(col("v").as("src"), col("dist")), Seq("src"))
         .groupBy(col("dst").as("v"))
         .agg((min(col("dist")) + 1).cast("int").as("nd"))
-      dist = LineageCut.cut(
+      val next = LineageCut.cut(
         dist.join(nbr, Seq("v"), "left")
           .select(col("v"), least(col("dist"), col("nd")).as("dist")),
         cutMode)
+      LineageCut.release(dist) // superseded round (initial dist is its own cut)
+      dist = next
     }
     dist.filter(col("dist").isNotNull)
       .select(col("v"), col("dist").as("hops"))
@@ -400,10 +431,12 @@ object Graph {
           .select(col("v").as("src"), col("dist")), Seq("src"))
         .groupBy(col("dst").as("v"))
         .agg(min(col("dist") + col("w")).as("nd"))
-      dist = LineageCut.cut(
+      val next = LineageCut.cut(
         dist.join(nbr, Seq("v"), "left")
           .select(col("v"), least(col("dist"), col("nd")).as("dist")),
         cutMode)
+      LineageCut.release(dist) // superseded round
+      dist = next
     }
     dist.filter(col("dist").isNotNull)
       .select(col("v"), col("dist").as("cost"))
@@ -435,11 +468,13 @@ object Graph {
           Seq("src"))
         .groupBy(col("dst").as("v"), col("seed"))
         .agg((min(col("d")) + 1).cast("int").as("d"))
-      dist = LineageCut.cut(
+      val next = LineageCut.cut(
         dist.unionByName(nbr)
           .groupBy("v", "seed").agg(min(col("d")).cast("int").as("d"))
           .select("v", "seed", "d"),
         cutMode)
+      LineageCut.release(dist) // superseded round
+      dist = next
     }
     dist.filter(col("v") =!= col("seed"))
       .groupBy(col("v").as("address"))
@@ -484,7 +519,9 @@ object Graph {
         .join(dist.select("v", "seed"), Seq("v", "seed"), "left_anti")
         .select(col("v"), col("seed"), lit(i).cast("int").as("d"),
           col("sig").as("sigma"))
-      dist = LineageCut.cut(dist.unionByName(fresh), cutMode)
+      val next = LineageCut.cut(dist.unionByName(fresh), cutMode)
+      LineageCut.release(dist) // superseded forward round
+      dist = next
     }
     var prevQd = dist.filter(col("d") === rounds)
       .select(col("v"), col("seed"), lit(0L).cast(dec).as("qd"))
@@ -776,17 +813,24 @@ object Graph {
     }
     var h = verts.withColumn("h", lit(1.0))
     var a = verts.withColumn("a", lit(0.0))
+    // initial h/a are VERTS-backed (lazy over e) — releasing them would
+    // drop e's blocks; only this loop's own cuts are releasable
+    var owned = false
     for (_ <- 1 to rounds) {
-      a = LineageCut.cut(normalized(
+      val na = LineageCut.cut(normalized(
         e.join(h.select(col("v").as("src"), col("h")), Seq("src"))
           .groupBy(col("dst").as("v"))
           .agg(expr("CAST(SUM(CAST(h AS DECIMAL(38,18))) AS DOUBLE)")
             .as("a")), "a"), cutMode)
-      h = LineageCut.cut(normalized(
+      if (owned) LineageCut.release(a)
+      a = na
+      val nh = LineageCut.cut(normalized(
         e.join(a.select(col("v").as("dst"), col("a")), Seq("dst"))
           .groupBy(col("src").as("v"))
           .agg(expr("CAST(SUM(CAST(a AS DECIMAL(38,18))) AS DOUBLE)")
             .as("h")), "h"), cutMode)
+      if (owned) LineageCut.release(h)
+      h = nh; owned = true
     }
     h.join(a, Seq("v"))
       .select(col("v"), round(col("h"), 9).as("hub"),
@@ -826,10 +870,12 @@ object Graph {
         .filter(col("t") >= col("arrived"))
         .groupBy(col("dst").as("v"))
         .agg(min(col("t")).as("na"))
-      arr = LineageCut.cut(
+      val next = LineageCut.cut(
         arr.join(nbr, Seq("v"), "left")
           .select(col("v"), least(col("arrived"), col("na")).as("arrived")),
         cutMode)
+      LineageCut.release(arr) // superseded round
+      arr = next
     }
     arr.filter(col("arrived").isNotNull)
       .select(col("v"), col("arrived").as("tainted_at"))
@@ -864,11 +910,13 @@ object Graph {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"), col("label"))
         .agg(count(lit(1)).as("c"))
-      labels = LineageCut.cut(
+      val next = LineageCut.cut(
         counts
           .withColumn("mc", max("c").over(Window.partitionBy("id")))
           .filter(col("c") === col("mc"))
           .groupBy("id").agg(min("label").as("label")), cutMode)
+      LineageCut.release(labels) // superseded round
+      labels = next
     }
     labels
   }
@@ -897,6 +945,7 @@ object Graph {
         .join(deg, Seq("v"), "left"), cutMode)
     val n = base.count()
     var ranks = base.withColumn("r", lit(1.0 / n))
+    var ranksOwned = false // initial ranks is base-backed (see pageRank)
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.filter(col("ws").isNotNull)
@@ -908,7 +957,7 @@ object Graph {
       val dangling = ranks.filter(col("ws").isNull)
         .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")
           .as("dang"))
-      ranks = LineageCut.cut(
+      val next = LineageCut.cut(
         base.join(contribs, Seq("v"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("v"), col("ws"),
@@ -916,6 +965,8 @@ object Graph {
               lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
                 coalesce(col("dang"), lit(0.0)) / n)).as("r")),
         cutMode)
+      if (ranksOwned) LineageCut.release(ranks)
+      ranks = next; ranksOwned = true
     }
     ranks.select(col("v"), col("r").as("rank"))
   }
@@ -950,6 +1001,7 @@ object Graph {
     require(s > 0, "pageRankPersonalized: no seed vertex present in the graph")
     var ranks = base.withColumn("r",
       when(col("is_seed"), lit(1.0 / s)).otherwise(lit(0.0)))
+    var ranksOwned = false // initial ranks is base-backed (see pageRank)
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.filter(col("deg").isNotNull)
@@ -961,7 +1013,7 @@ object Graph {
       val dangling = ranks.filter(col("deg").isNull)
         .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")
           .as("dang"))
-      ranks = LineageCut.cut(
+      val next = LineageCut.cut(
         base.join(contribs, Seq("v"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("v"), col("deg"), col("is_seed"),
@@ -971,6 +1023,8 @@ object Graph {
               .otherwise(lit(0.0)) +
               lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("r")),
         cutMode)
+      if (ranksOwned) LineageCut.release(ranks)
+      ranks = next; ranksOwned = true
     }
     ranks.select(col("v"), col("r").as("rank"))
   }
@@ -1033,6 +1087,7 @@ object Graph {
           .unionByName(smallMins.select(col("u").as("src"), col("m").as("dst")))
           .distinct(), cutMode)
       converged = nextCount == eCount && next.except(e).isEmpty
+      LineageCut.release(e) // superseded round (the except probe above was its last read)
       e = next
       eCount = nextCount
       i += 1
@@ -1100,6 +1155,7 @@ object Graph {
         live.join(verts.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
           .join(verts.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
           .select("src", "dst"), cutMode)
+      LineageCut.release(live) // superseded (consumed by the cut above)
       live = l; nLive = n
     }
     while (nVerts > 0 && outer < maxOuter) {
@@ -1114,6 +1170,7 @@ object Graph {
         else {
           done += LineageCut.cut(verts.join(keep, Seq("v"), "left_anti")
             .select(col("v"), col("v").as("scc_id")), cutMode)
+          LineageCut.release(verts) // superseded (consumed by the done cut)
           verts = keep; nVerts = nKeep
           restrictLive()
         }
@@ -1131,6 +1188,7 @@ object Graph {
             .select(col("v"),
               least(col("c"), coalesce(col("nc"), col("c"))).as("c"),
               coalesce(col("nc") < col("c"), lit(false)).as("chg")), cutMode)
+          LineageCut.release(colors) // superseded coloring round
           colors = upd.select("v", "c")
           converged = upd.filter(col("chg")).isEmpty
           i += 1
@@ -1156,6 +1214,7 @@ object Graph {
           val (r2, n2) = LineageCut.cutCounted(
             reached.unionByName(preds), cutMode)
           growing = n2 > nReached
+          LineageCut.release(reached) // superseded sweep round
           reached = r2; nReached = n2
           j += 1
         }
@@ -1166,6 +1225,10 @@ object Graph {
           .select(col("v"), col("c").as("scc_id")), cutMode)
         val (v2, n2) = LineageCut.cutCounted(
           verts.join(reached, Seq("v"), "left_anti"), cutMode)
+        // the done cut and the verts cut above were the last consumers of
+        // this outer round's coloring state — drop all of it
+        LineageCut.release(colors); LineageCut.release(intra)
+        LineageCut.release(reached); LineageCut.release(verts)
         verts = v2; nVerts = n2
         restrictLive()
       }
