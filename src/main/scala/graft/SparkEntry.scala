@@ -5414,6 +5414,19 @@ object Catalog {
       Some("""SELECT doc_id, text, lang, source, n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QEntry("q_text_intake", graft.sources.TextIntake.docsRoundTrip,
+      Some("""SELECT doc_id, lang, source, text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QEntry("q_orc_hourly", graft.sources.OrcFormat.purchaseHourly,
+      Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour,
+             |       count(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |         AS total_value
+             |FROM events
+             |WHERE event_type = 'purchase' AND value IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QEntry("q_json_registry", (s, _) => graft.sources.JsonRegistry.cleaned(s),
       Some(
         """SELECT id, name, address FROM (
