@@ -6414,6 +6414,33 @@ object Catalog {
          |  AND p.us >= t.us - 3600000000 AND p.us <= t.us
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QEntry("q_stream_full_outer_join",
+      graft.streaming.StreamingMetrics.streamFullOuterIntervalJoin,
+      Some(
+      s"""WITH tk AS (
+         |  SELECT event_type AS c, value AS price, epoch_us(ts) AS us
+         |  FROM events WHERE event_id % 5 = 0
+         |),
+         |tx AS (
+         |  SELECT event_type AS c, value, epoch_us(ts) AS us
+         |  FROM events WHERE event_id % 5 <> 0
+         |)
+         |SELECT COALESCE(t.c, p.c) AS token,
+         |       (COALESCE(t.us, p.us) // 3600000000) * 3600 AS t,
+         |       CAST(SUM(CASE WHEN t.c IS NOT NULL AND p.c IS NOT NULL
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CASE WHEN p.c IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_unmatched_tx,
+         |       CAST(SUM(CASE WHEN t.c IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_unmatched_ticks,
+         |       CAST(SUM(CAST(t.value AS DECIMAL(25,2))) AS DOUBLE)
+         |         AS tx_volume,
+         |       CAST(SUM(CAST(p.price AS DECIMAL(25,2))) AS DOUBLE)
+         |         AS tick_volume
+         |FROM tx t FULL JOIN tk p ON p.c = t.c
+         |  AND p.us >= t.us - 3600000000 AND p.us <= t.us
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Strongly connected components of the transfer digraph (trim +
     // forward-coloring + backward sweep); canonical min-vertex labels, so
     // the closure oracle re-derives them algorithm-independently.

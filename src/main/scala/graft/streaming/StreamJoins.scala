@@ -90,6 +90,66 @@ object StreamJoins {
         col("price"), col("p_ts"))
   }
 
+  /** FULL OUTER variant: BOTH unmatched sides NULL-pad once their
+    * watermark passes the last instant a match could arrive — the
+    * reconciliation shape ("every transfer priced, every tick consumed,
+    * and the leftovers of both visible in one stream").
+    *
+    * The bucket fold is asymmetric, so the exactly-once story differs by
+    * side. Transfers are not exploded: an unmatched transfer emits
+    * exactly one NULL row, as in the LEFT variant. Prices ARE exploded
+    * into two bucket copies whose join states are independent — a price
+    * matched only via its `b+1` copy still NULL-pads from its `b` copy,
+    * so the raw appended stream is a SUPERSET on the price side. The
+    * consumer compacts it exactly (drop NULL-padded price rows whose
+    * `p_id` also appears matched, dedup the rest by `p_id`) — the same
+    * sink-side compaction contract as the changelog twins, priced at one
+    * batch pass over the sink. Both inputs must therefore carry unique
+    * row ids (`t_id`, `p_id`).
+    *
+    * State and shuffle envelope are identical to the LEFT variant: one
+    * (token, bucket)-keyed equi-join, per-key state bounded by two
+    * watermarked buckets per side. */
+  def transfersWithRecentPricesFullOuter(transfers: DataFrame,
+      prices: DataFrame, windowSeconds: Long = 3600L): DataFrame = {
+    val us = windowSeconds * 1000000L
+    def floorBucket(tsCol: String): String =
+      s"(unix_micros($tsCol) div $us) + " +
+        s"(CASE WHEN unix_micros($tsCol) % $us < 0 THEN -1 ELSE 0 END)"
+    val t = transfers.withWatermark("t_ts", s"$windowSeconds seconds")
+      .withColumn("t_b", expr(floorBucket("t_ts")))
+    val p = prices.withWatermark("p_ts", s"${2 * windowSeconds} seconds")
+      .withColumn("p_b", explode(expr(
+        s"array(${floorBucket("p_ts")}, (${floorBucket("p_ts")}) + 1)")))
+    t.join(p,
+      col("contract_address") === col("p_contract") &&
+        col("t_b") === col("p_b") &&
+        col("p_ts") >= col("t_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("p_ts") <= col("t_ts"),
+      "full_outer")
+      .select(col("contract_address"), col("value"), col("t_ts"),
+        col("t_id"), col("p_contract"), col("price"), col("p_ts"),
+        col("p_id"))
+  }
+
+  /** Exact compaction of [[transfersWithRecentPricesFullOuter]]'s appended
+    * superset: matched rows and NULL-padded transfers pass through
+    * (exactly-once already); NULL-padded price rows are dropped when
+    * their `p_id` also appears matched (the other bucket copy found the
+    * pair) and deduped by `p_id` otherwise (every copy carries identical
+    * values, so the dedup is deterministic). The result is EXACTLY the
+    * batch FULL interval join. One batch pass over the sink: a filter,
+    * a distinct over matched ids, one anti-join. */
+  def compactFullOuter(raw: DataFrame): DataFrame = {
+    val matched = raw.filter(col("t_id").isNotNull && col("p_id").isNotNull)
+    val unmatchedTx = raw.filter(col("t_id").isNotNull && col("p_id").isNull)
+    val unmatchedTick = raw.filter(col("t_id").isNull)
+      .dropDuplicates("p_id")
+      .join(matched.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .select(raw.columns.map(col).toIndexedSeq: _*)
+    matched.unionByName(unmatchedTx).unionByName(unmatchedTick)
+  }
+
   /** Stream-STATIC enrichment: join a stream against a batch dimension
     * table (the dapp registry). No watermark and no join state at all —
     * the static side is broadcast per micro-batch and re-read if it

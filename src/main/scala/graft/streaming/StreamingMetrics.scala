@@ -565,6 +565,74 @@ object StreamingMetrics {
       .orderBy("contract_address", "t")
   }
 
+  /** FULL OUTER stream-stream interval join, catalog form: the
+    * reconciliation stream — matched pairs, unpriced transfers, AND
+    * unconsumed ticks, rolled up per (token, hour).
+    *
+    * Same sentinel-drain determinism recipe as
+    * [[streamOuterIntervalJoin]]. The price side's exploded bucket copies
+    * make the raw sink a superset ([[StreamJoins
+    * .transfersWithRecentPricesFullOuter]]); the read-out compacts
+    * exactly — NULL-padded price rows are dropped when their `p_id` also
+    * appears matched and deduped by `p_id` otherwise (all copies carry
+    * identical values, so the dedup is deterministic). The compacted set
+    * is EXACTLY the batch FULL interval join, which is the oracle. */
+  def streamFullOuterIntervalJoin(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sentinelUs = 4102444800L * 1000000L // 2100-01-01 epoch micros
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_sfoj_sink").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_sfoj_ckpt").toString
+    val ev = graft.Tables.eventsStream(spark, sfDir)
+    val tickSent = MemoryStream[Long]
+    tickSent.addData(sentinelUs)
+    val txSent = MemoryStream[Long]
+    txSent.addData(sentinelUs)
+    val ticks = ev.filter(col("event_id") % 5 === 0)
+      .select(col("event_type").as("p_contract"),
+        col("value").as("price"), col("ts_t").as("p_ts"),
+        col("event_id").as("p_id"))
+      .unionByName(tickSent.toDF().select(
+        lit("__sentinel__").as("p_contract"), lit(0.0).as("price"),
+        timestamp_micros(col("value")).as("p_ts"), lit(-1L).as("p_id")))
+    val txs = ev.filter(col("event_id") % 5 =!= 0)
+      .select(col("event_type").as("contract_address"),
+        col("value"), col("ts_t").as("t_ts"), col("event_id").as("t_id"))
+      .unionByName(txSent.toDF().select(
+        lit("__sentinel__").as("contract_address"), lit(0.0).as("value"),
+        timestamp_micros(col("value")).as("t_ts"), lit(-2L).as("t_id")))
+    val q = StreamJoins.transfersWithRecentPricesFullOuter(txs, ticks, 3600L)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val raw = spark.read.parquet(outDir)
+      .filter(coalesce(col("contract_address"), col("p_contract"))
+        =!= "__sentinel__")
+    StreamJoins.compactFullOuter(raw)
+      .groupBy(
+        coalesce(col("contract_address"), col("p_contract")).as("token"),
+        (expr("unix_micros(coalesce(t_ts, p_ts)) div 3600000000") * 3600)
+          .cast("long").as("t"))
+      .agg(
+        sum(when(col("t_id").isNotNull && col("p_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_pairs"),
+        sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_unmatched_tx"),
+        sum(when(col("t_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched_ticks"),
+        graft.ops.Num.dsum(col("value")).as("tx_volume"),
+        graft.ops.Num.dsum(col("price")).as("tick_volume"))
+      .orderBy("token", "t")
+  }
+
   /** Hourly leaderboard size for [[streamingTopTokens]]. */
   val TopTokensK = 3
 

@@ -514,6 +514,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full outer interval join: raw sink is a superset on the price " +
+    "side; compaction restores exactly-once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val tx = MemoryStream[(String, Long, Double, Long)] // (token, sec, value, id)
+    val pr = MemoryStream[(String, Long, Double, Long)] // (token, sec, price, id)
+    val joined =
+      graft.streaming.StreamJoins.transfersWithRecentPricesFullOuter(
+        tx.toDS().toDF("contract_address", "sec", "value", "t_id")
+          .withColumn("t_ts", timestamp_seconds(col("sec"))).drop("sec"),
+        pr.toDS().toDF("p_contract", "sec", "price", "p_id")
+          .withColumn("p_ts", timestamp_seconds(col("sec"))).drop("sec"),
+        3600L)
+    val out = java.nio.file.Files.createTempDirectory("graft_sfoj_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sfoj_ck").toString
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // tokA: price in bucket 0 (sec 3500) matched by a transfer in
+      // bucket 1 (sec 3700) — the match rides the price's b+1 copy, so
+      // its b copy NULL-pads into the raw sink (the documented superset);
+      // tokB: transfer with no tick (one NULL row, not exploded);
+      // tokC: tick with no transfer (TWO raw NULL-pads — both copies)
+      tx.addData(("tokA", 3700L, 5.0, 1L), ("tokB", 1200L, 7.0, 2L))
+      pr.addData(("tokA", 3500L, 2.0, 11L), ("tokC", 2000L, 3.0, 12L))
+      q.processAllAvailable()
+      // far-future rows push both watermarks past every real horizon
+      tx.addData(("tokZ", 100000L, 1.0, 99L))
+      pr.addData(("tokZ", 100000L, 1.0, 98L))
+      q.processAllAvailable()
+      val raw = spark.read
+        .schema("contract_address STRING, value DOUBLE, t_ts TIMESTAMP, " +
+          "t_id BIGINT, p_contract STRING, price DOUBLE, p_ts TIMESTAMP, " +
+          "p_id BIGINT")
+        .parquet(out)
+        .filter(coalesce(col("contract_address"), col("p_contract"))
+          =!= "tokZ")
+      // superset: tokA's spurious NULL-pad + tokC's double NULL-pad
+      assert(raw.filter(col("t_id").isNull && col("p_id") === 11L)
+        .count() == 1, "expected tokA's b-copy NULL-pad in the raw sink")
+      assert(raw.filter(col("t_id").isNull && col("p_id") === 12L)
+        .count() == 2, "expected both tokC copies NULL-padded")
+      val got = graft.streaming.StreamJoins.compactFullOuter(raw)
+        .select(col("t_id"), col("p_id"))
+        .as[(Option[Long], Option[Long])].collect().toSeq.sorted
+      assert(got == Seq(
+        (None, Some(12L)),          // tokC tick, exactly once
+        (Some(1L), Some(11L)),      // tokA matched pair only
+        (Some(2L), None)),          // tokB transfer NULL row
+        got.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join catalog form equals its batch twin") {
     import org.apache.spark.sql.functions._
     val got = graft.streaming.StreamingMetrics
