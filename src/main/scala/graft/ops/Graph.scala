@@ -203,14 +203,28 @@ object Graph {
     * of rounds; pathological chains would need more — raise both sides
     * together. */
   def kCore(edges: DataFrame, k: Int = 3, maxIter: Int = 8,
-      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+      cutMode: LineageCut = LineageCut.Auto): DataFrame =
+    kCoreLiveEdges(edges, k, maxIter, cutMode)
+      .groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("v")
+
+  /** [[kCore]]'s peeling loop, returning the surviving symmetric LIVE
+    * EDGE set (a cut frame) instead of the per-vertex summary — the form
+    * [[coreness]] chains tiers over. `symmetricInput` skips the
+    * symmetrize+distinct when the caller feeds a set that already is
+    * (a previous tier's live edges): the union-distinct is a full
+    * shuffle, pure waste on idempotent input. */
+  private[ops] def kCoreLiveEdges(edges: DataFrame, k: Int, maxIter: Int,
+      cutMode: LineageCut, symmetricInput: Boolean = false): DataFrame = {
     val e = LineageCut.cut(
       edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")),
       cutMode)
-    val sym = e
-      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym =
+      (if (symmetricInput) e
+       else e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+         .distinct())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var (live, nLive) = LineageCut.cutCounted(sym, cutMode)
       var converged = false
@@ -235,9 +249,7 @@ object Graph {
       if (!converged) throw new IllegalStateException(
         s"kCore: peeling not stable after $maxIter rounds — raise maxIter " +
           "AND the oracle's unroll count together")
-      live.groupBy(col("src").as("v"))
-        .agg(count(lit(1)).as("core_degree"))
-        .orderBy("v")
+      live
     } finally sym.unpersist()
   }
 
@@ -257,17 +269,26 @@ object Graph {
     * the k-core), so the max surviving tier is a sum of membership flags.
     * Vertices at tier [[CorenessMax]] may have higher true coreness; the
     * cap is the oracle contract (the DuckDB mirror unrolls the same
-    * tiers). Three bounded peeling loops over a shrinking edge set — at
-    * cluster scale the same O(|E|)-per-round profile as one k-core. */
+    * tiers). Tiers CHAIN: cores are nested, so the k-core of the
+    * (k−1)-core IS the k-core of the full graph — each peel after the
+    * first runs over the previous tier's (usually much smaller) live
+    * edge set instead of the whole graph. Result-identical to
+    * independent full-graph peels (the oracle's formulation); measured
+    * at the 100× posture corpus this cut coreness from three full-graph
+    * peel cascades to one plus two short residual peels. */
   def coreness(edges: DataFrame,
       cutMode: LineageCut = LineageCut.Auto): DataFrame = {
     val base = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val verts = base.select(col("src").as("v"))
       .unionByName(base.select(col("dst").as("v"))).distinct()
-    val tiers = (2 to CorenessMax).map(k =>
-      kCore(edges, k, maxIter = CorenessPeelRounds, cutMode = cutMode)
-        .select(col("v")).withColumn(s"in$k", lit(1L)))
+    var live = edges
+    val tiers = (2 to CorenessMax).map { k =>
+      live = kCoreLiveEdges(live, k, CorenessPeelRounds, cutMode,
+        symmetricInput = k > 2)
+      live.select(col("src").as("v")).distinct()
+        .withColumn(s"in$k", lit(1L))
+    }
     tiers.foldLeft(verts.withColumn("coreness", lit(1L))) { (acc, t) =>
         val kcol = t.columns.last
         acc.join(t, Seq("v"), "left")
