@@ -66,8 +66,20 @@ object LineageCut {
     * (lineage is truncated), so a use-after-release fails loudly rather
     * than corrupting results. Reliable-checkpoint frames are file-backed;
     * for them this is a no-op. */
+  // RDD.unpersist logs a WARN for every released local checkpoint
+  // ("lineage has been truncated and cannot be recomputed") — for this
+  // pattern that is the POINT, not a surprise (use-after-release raises,
+  // it doesn't limp through the log). One WARN per round per query is
+  // pure noise; silence that single logger, once per JVM.
+  private lazy val silenceUnpersistWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
   def release(df: DataFrame): Unit =
     try {
+      silenceUnpersistWarn
       df.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           try lr.rdd.unpersist(false) catch { case _: Throwable => () }
