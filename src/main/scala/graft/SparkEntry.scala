@@ -2416,6 +2416,54 @@ object Catalog {
     QEntry("q_minhash_pairs", Dedup.minhashPairs,
       Some(withShingles(s"$minhashBandedPairsBody\nORDER BY 1, 2"))),
 
+    // Banding-tuning certificate: the S-curve 1-(1-s^r)^b for every
+    // (r, b) split of the 8-perm scheme, integrated against the corpus's
+    // observed candidate-pair Jaccard histogram — quantized-ppm integer
+    // recursion generated by ONE Scala function for both engines.
+    QEntry("q_lsh_tuning", Dedup.lshTuning, Some(withShingles(
+      s""", pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  WHERE a.sh IN (SELECT sh FROM shingles
+         |                 GROUP BY sh HAVING count(*) BETWEEN 2 AND ${Dedup.MaxShingleDf})
+         |  GROUP BY 1, 2
+         |),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+         |hist AS (
+         |  SELECT LEAST((p.inter * 1000000 // (sa.n_sh + sb.n_sh - p.inter))
+         |           // ${Dedup.TuneBucketPpm}, 19) AS bkt,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM pr p JOIN sz sa ON sa.doc_id = p.doc_a
+         |            JOIN sz sb ON sb.doc_id = p.doc_b
+         |  GROUP BY 1
+         |),
+         |grid AS (SELECT n, bkt * ${Dedup.TuneBucketPpm}
+         |           + ${Dedup.TuneBucketPpm / 2} AS s_mid FROM hist),
+         |cfg AS (SELECT * FROM (VALUES ${Dedup.TuneConfigs
+              .map { case (r, b) => s"($r, $b)" }.mkString(", ")})
+         |        AS t(r_rows, n_bands)),
+         |x AS (SELECT c.r_rows, c.n_bands, g.n, g.s_mid,
+         |             ${Dedup.collideSql("g.s_mid", "//")} AS p
+         |      FROM cfg c CROSS JOIN grid g)
+         |SELECT r_rows, n_bands,
+         |  CAST(SUM(n) AS BIGINT) AS n_pairs,
+         |  CAST(CASE WHEN SUM(CASE WHEN s_mid >= ${Dedup.TuneTauPpm}
+         |                     THEN n ELSE 0 END) = 0 THEN NULL
+         |       ELSE SUM(CASE WHEN s_mid >= ${Dedup.TuneTauPpm}
+         |                THEN n * p ELSE 0 END)
+         |         // SUM(CASE WHEN s_mid >= ${Dedup.TuneTauPpm}
+         |                THEN n ELSE 0 END) END AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN SUM(CASE WHEN s_mid < ${Dedup.TuneTauPpm}
+         |                     THEN n ELSE 0 END) = 0 THEN NULL
+         |       ELSE SUM(CASE WHEN s_mid < ${Dedup.TuneTauPpm}
+         |                THEN n * p ELSE 0 END)
+         |         // SUM(CASE WHEN s_mid < ${Dedup.TuneTauPpm}
+         |                THEN n ELSE 0 END) END AS BIGINT) AS fp_ppm,
+         |  CAST(${Dedup.collideSql(s"CAST(${Dedup.TuneTauPpm} AS BIGINT)", "//")}
+         |    AS BIGINT) AS p_at_tau_ppm
+         |FROM x GROUP BY 1, 2 ORDER BY 1""".stripMargin))),
+
     // MinHash-banding recall certificate (the dedup twin of q_ann_recall):
     // true pairs by exact shingle Jaccard vs pairs the 4×2 banding caught,
     // per threshold — the S-curve expectations as measured, hashed values.

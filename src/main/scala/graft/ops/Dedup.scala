@@ -555,4 +555,95 @@ object Dedup {
         lit(0L).as("n_dupes"))
     singles.unionByName(multi).orderBy("cluster_size")
   }
+
+  /** Every (rows-per-band, band-count) split of the [[NumHashes]]-
+    * permutation MinHash scheme — the banding-tuning grid. */
+  val TuneConfigs: Seq[(Int, Int)] = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+
+  /** Near-duplicate threshold the tuning certificate evaluates against
+    * (ppm Jaccard). */
+  val TuneTauPpm = 500000L
+
+  /** Similarity-histogram bucket width (ppm) for [[lshTuning]] — 20
+    * buckets over [0, 1]. */
+  val TuneBucketPpm = 50000L
+
+  /** Quantized-ppm integer power x^e (e a power of two) by repeated
+    * squaring, re-quantizing after every multiply — the deterministic
+    * fixed-point recursion both engines reproduce bit-exactly (same move
+    * as betweenness' credit ratios; float `pow` is not cross-engine
+    * stable). `div` is the engine's integer-division token (`div` Spark,
+    * `//` DuckDB); everything else is emitted verbatim for both. */
+  private def powPpmSql(x: String, e: Int, div: String): String =
+    if (e == 1) x
+    else { val h = powPpmSql(x, e / 2, div); s"(($h) * ($h) $div 1000000)" }
+
+  /** LSH collision probability 1 − (1 − s^r)^b in ppm, as a CASE over the
+    * config row's `r_rows` — ONE generator serves the Spark expression
+    * and the DuckDB oracle, so the fixed-point arithmetic cannot drift
+    * between them. `s` is a ppm-valued SQL expression. */
+  private[graft] def collideSql(s: String, div: String): String =
+    TuneConfigs.map { case (r, b) =>
+      val sr = powPpmSql(s"($s)", r, div)
+      val p = s"(1000000 - ${powPpmSql(s"(1000000 - ($sr))", b, div)})"
+      s"WHEN $r THEN $p"
+    }.mkString("CASE r_rows ", " ", " END")
+
+  /** Banding-tuning certificate: which (rows, bands) split of the
+    * [[NumHashes]]-perm MinHash scheme fits THIS corpus. The classic
+    * S-curve analysis made data-driven — instead of evaluating
+    * 1 − (1 − s^r)^b on an abstract similarity grid, it is integrated
+    * against the corpus's OBSERVED candidate-pair Jaccard histogram
+    * (exact-ppm, [[TuneBucketPpm]] buckets, same inverted-index pair
+    * generation and [[MaxShingleDf]] hot-shingle cap as [[jaccardTop1]]).
+    * Per config: expected recall over pairs at/above [[TuneTauPpm]],
+    * expected false-positive collision rate below it, and the analytic
+    * collision probability at τ itself. Completes the self-auditing
+    * family (banding recall, ANN/PQ/MRL recall, join-cardinality probe):
+    * those certify the deployed parameters, this one prices the
+    * alternatives before redeploying.
+    *
+    * Scale shape: the only data-sized work is the candidate-pair
+    * histogram (bounded by the same df-cap as every spine query); the
+    * S-curve grid is 20 rows × 4 configs of pure integer arithmetic. */
+  def lshTuning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = TextAnalysis.shingles(spark, sfDir)
+    val rare = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, MaxShingleDf))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = rare
+      .select(explode(expr(
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .groupBy("p.doc_a", "p.doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val hist = pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(expr(s"least((inter * 1000000 div (n_a + n_b - inter))" +
+        s" div $TuneBucketPpm, 19)").as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("n"))
+      .withColumn("s_mid", col("bkt") * TuneBucketPpm + TuneBucketPpm / 2)
+    val cfgs = TuneConfigs.toDF("r_rows", "n_bands")
+    def massRatio(cmp: String): String =
+      s"CASE WHEN SUM(CASE WHEN s_mid $cmp $TuneTauPpm THEN n ELSE 0 END) = 0" +
+        s" THEN NULL ELSE SUM(CASE WHEN s_mid $cmp $TuneTauPpm" +
+        s" THEN n * p ELSE 0 END) div SUM(CASE WHEN s_mid $cmp $TuneTauPpm" +
+        s" THEN n ELSE 0 END) END"
+    hist.crossJoin(broadcast(cfgs))
+      .withColumn("p", expr(collideSql("s_mid", "div")))
+      .groupBy("r_rows", "n_bands")
+      .agg(expr("SUM(n)").as("n_pairs"),
+        expr(massRatio(">=")).as("recall_ppm"),
+        expr(massRatio("<")).as("fp_ppm"))
+      .withColumn("p_at_tau_ppm",
+        expr(collideSql(s"CAST($TuneTauPpm AS BIGINT)", "div")).cast("long"))
+      .orderBy("r_rows")
+  }
 }

@@ -300,4 +300,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  test("lsh tuning certificate: fixed-point S-curve hand values and " +
+    "monotone config ordering") {
+    // hand-check the quantized recursion at s = 0.5 (500000 ppm), floor
+    // after every multiply:
+    //   r=1,b=8: c=500000; c^8 = 3906    -> p = 996094
+    //   r=2,b=4: s^2=250000; c=750000; c^4=316406 -> p = 683594
+    //   r=4,b=2: s^4=62500;  c=937500; c^2=878906 -> p = 121094
+    //   r=8,b=1: p = s^8 = 3906
+    val rows = Dedup.lshTuning(spark, GraftSpark.Sf)
+      .select("r_rows", "n_bands", "p_at_tau_ppm")
+      .as[(Int, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)) ==
+      Seq((1, 8), (2, 4), (4, 2), (8, 1)))
+    assert(rows.map(_._3) == Seq(996094L, 683594L, 121094L, 3906L),
+      rows.toString)
+    // more rows per band = stricter: recall at tau can only fall
+    val rec = Dedup.lshTuning(spark, GraftSpark.Sf)
+      .select("r_rows", "recall_ppm")
+      .as[(Int, Option[Long])].collect().toSeq.sortBy(_._1).map(_._2)
+    val defined = rec.flatten
+    assert(defined == defined.sorted.reverse, rec.toString)
+    // every pair lands in exactly one histogram bucket: n_pairs is the
+    // same for all four configs
+    val np = Dedup.lshTuning(spark, GraftSpark.Sf)
+      .select("n_pairs").as[Long].collect().toSet
+    assert(np.size == 1 && np.head > 0, np.toString)
+  }
 }
