@@ -4831,6 +4831,47 @@ object Catalog {
          |  <= ${Dedup.SimHashMaxDist}
          |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Pigeonhole cost certificate: candidate volume vs guaranteed radius
+    // for every band layout of the 16-bit fingerprint — the join-cost
+    // dual of q_lsh_tuning's recall S-curve.
+    QEntry("q_simhash_band_cost", Dedup.simhashBandCost, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |),
+         |sh AS (
+         |  SELECT doc_id, string_agg(bitc, '' ORDER BY b) AS simhash FROM (
+         |    SELECT doc_id, b,
+         |           CASE WHEN SUM(bit * 2 - 1) > 0 THEN '1' ELSE '0' END AS bitc
+         |    FROM (
+         |      SELECT doc_id, b,
+         |        CAST(floor((strpos('0123456789abcdef',
+         |                substr(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1)
+         |              / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2 AS bit
+         |      FROM toks
+         |      CROSS JOIN (SELECT unnest(range(${Dedup.SimHashBits})) AS b)
+         |    ) GROUP BY doc_id, b
+         |  ) GROUP BY doc_id
+         |),
+         |cfg AS (SELECT * FROM (VALUES ${Dedup.BandCostConfigs
+              .map { case (nb, w, r) => s"($nb, $w, $r)" }.mkString(", ")})
+         |        AS t(n_bands, band_bits, radius)),
+         |occ AS (
+         |  SELECT c.n_bands, c.band_bits, c.radius, bb.b AS band,
+         |         substr(s.simhash, bb.b * c.band_bits + 1, c.band_bits)
+         |           AS bits,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM sh s CROSS JOIN cfg c
+         |  JOIN (SELECT unnest(range(${Dedup.SimHashBits})) AS b) bb
+         |    ON bb.b < c.n_bands
+         |  GROUP BY 1, 2, 3, 4, 5
+         |)
+         |SELECT n_bands, band_bits, radius,
+         |       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_candidates,
+         |       CAST(MAX(n) AS BIGINT) AS hottest_bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS occupied_buckets
+         |FROM occ GROUP BY 1, 2, 3 ORDER BY n_bands""".stripMargin)),
+
     // ── Embedding similarity (brute-force exact + hyperplane LSH) ──
     QEntry("q_embedding_topk", Similarity.bruteForceTopK,
       Some(embeddingTopkSql)),

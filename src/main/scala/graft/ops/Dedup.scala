@@ -589,6 +589,44 @@ object Dedup {
       s"WHEN $r THEN $p"
     }.mkString("CASE r_rows ", " ", " END")
 
+  /** Pigeonhole layouts priced by [[simhashBandCost]]: (bands, width,
+    * guaranteed Hamming radius = bands − 1) splits of the
+    * [[SimHashBits]]-bit fingerprint. */
+  val BandCostConfigs: Seq[(Int, Int, Int)] =
+    Seq((2, 8, 1), (4, 4, 3), (8, 2, 7))
+
+  /** SimHash pigeonhole COST certificate — the dual of [[lshTuning]].
+    * Pigeonhole banding is lossless within its radius (distance ≤ B−1
+    * ⇒ some band identical, by construction), so recall is not the
+    * trade — CANDIDATE VOLUME is: more/narrower bands buy a larger
+    * guaranteed radius at coarser buckets, and the equi-join's cost is
+    * Σ C(occupancy, 2) over buckets (exactly the quantity the 100×
+    * posture test measured blowing up on hot buckets). Per layout:
+    * the guaranteed radius, the exact candidate-pair count the banded
+    * join would generate on THIS corpus, the hottest bucket, and the
+    * occupied-bucket count. One linear pass per config over the
+    * persisted signature frame — the certificate costs O(B·|docs|),
+    * never the join it prices. */
+  def simhashBandCost(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = simhash(spark, sfDir)
+      .transform(QueryLocal.persistTracked) // three config passes read it
+    val cfgs = BandCostConfigs.toDF("n_bands", "band_bits", "radius")
+    sh.crossJoin(broadcast(cfgs))
+      .select(col("n_bands"), col("band_bits"), col("radius"),
+        col("simhash"),
+        explode(expr("sequence(0, n_bands - 1)")).as("band"))
+      .withColumn("bits",
+        expr("substr(simhash, band * band_bits + 1, band_bits)"))
+      .groupBy("n_bands", "band_bits", "radius", "band", "bits")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("n_bands", "band_bits", "radius")
+      .agg(expr("SUM(n * (n - 1) div 2)").as("n_candidates"),
+        max(col("n")).as("hottest_bucket"),
+        count(lit(1)).as("occupied_buckets"))
+      .orderBy("n_bands")
+  }
+
   /** Banding-tuning certificate: which (rows, bands) split of the
     * [[NumHashes]]-perm MinHash scheme fits THIS corpus. The classic
     * S-curve analysis made data-driven — instead of evaluating

@@ -328,4 +328,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("n_pairs").as[Long].collect().toSet
     assert(np.size == 1 && np.head > 0, np.toString)
   }
+
+  test("simhash band-cost certificate: exact local recount and " +
+    "coarser-buckets-cost-more ordering") {
+    val rows = Dedup.simhashBandCost(spark, GraftSpark.Sf)
+      .select("n_bands", "band_bits", "radius", "n_candidates",
+        "hottest_bucket", "occupied_buckets")
+      .as[(Int, Int, Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)) ==
+      Seq((2, 8, 1), (4, 4, 3), (8, 2, 7)))
+    // recount every layout locally from the signature strings
+    val sigs = Dedup.simhash(spark, GraftSpark.Sf)
+      .select("simhash").as[String].collect().toSeq
+    for ((nb, w, _) <- Dedup.BandCostConfigs) {
+      val occ = sigs.flatMap(s =>
+        (0 until nb).map(b => (b, s.substring(b * w, b * w + w))))
+        .groupBy(identity).values.map(_.size.toLong).toSeq
+      val expect = (occ.map(n => n * (n - 1) / 2).sum,
+        occ.max, occ.size.toLong)
+      val got = rows.find(_._1 == nb).get
+      assert((got._4, got._5, got._6) == expect, s"layout $nb×$w: $got")
+    }
+    // wider bands refine buckets: candidate volume rises with band count
+    // (each wide-band collision persists in both sub-bands of the finer
+    // layout, so the sums are monotone in n_bands)
+    assert(rows.map(_._4) == rows.map(_._4).sorted, rows.toString)
+  }
 }
