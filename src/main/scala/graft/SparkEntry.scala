@@ -1237,6 +1237,82 @@ object Catalog {
       .replace("%%IVF%%", ivfAnnSql)
       .replace("%%QUANTIZED%%", quantizedAnnSql)
 
+  private val ivfNprobeTuningSql: String =
+    s"""WITH $embIdxCte,
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sq
+       |  FROM idx GROUP BY 1
+       |),
+       |cdots AS (
+       |  SELECT v.vec_id, c.vec_id AS cid,
+       |         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM idx v JOIN idx c ON v.i = c.i
+       |  WHERE c.vec_id % ${Similarity.CentroidStride} = 1
+       |    AND c.vec_id < ${Similarity.CentroidStride * Similarity.MaxCells}
+       |  GROUP BY 1, 2
+       |),
+       |ranked AS (
+       |  SELECT d.vec_id, d.cid,
+       |         row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |           d.dot / (sqrt(nv.sq) * sqrt(nc.sq)) DESC, d.cid ASC) AS rnk
+       |  FROM cdots d
+       |  JOIN norms nv ON nv.vec_id = d.vec_id
+       |  JOIN norms nc ON nc.vec_id = d.cid
+       |),
+       |assign AS (SELECT vec_id, cid FROM ranked WHERE rnk = 1),
+       |cfg AS (SELECT unnest([${Similarity.IvfNprobes.mkString(", ")}])
+       |          AS nprobe),
+       |probed AS (
+       |  SELECT c.nprobe, k.vec_id AS query_id, k.cid
+       |  FROM cfg c JOIN ranked k ON k.rnk <= c.nprobe
+       |  WHERE k.vec_id < ${Similarity.ProbeCount}
+       |),
+       |cand AS (
+       |  SELECT p.nprobe, p.query_id, m.vec_id
+       |  FROM probed p JOIN assign m
+       |    ON m.cid = p.cid AND m.vec_id != p.query_id
+       |),
+       |sc AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_scanned
+       |       FROM cand GROUP BY 1),
+       |pdots AS (
+       |  SELECT c.nprobe, c.query_id, c.vec_id,
+       |         CAST(SUM(CAST(qi.x * vi.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM cand c
+       |  JOIN idx qi ON qi.vec_id = c.query_id
+       |  JOIN idx vi ON vi.vec_id = c.vec_id AND vi.i = qi.i
+       |  GROUP BY 1, 2, 3
+       |),
+       |t1 AS (
+       |  SELECT nprobe, query_id, vec_id AS neighbor_id FROM (
+       |    SELECT p.nprobe, p.query_id, p.vec_id,
+       |           row_number() OVER (PARTITION BY p.nprobe, p.query_id
+       |             ORDER BY p.dot / (sqrt(nq.sq) * sqrt(nv.sq)) DESC,
+       |                      p.vec_id ASC) AS rnk
+       |    FROM pdots p
+       |    JOIN norms nq ON nq.vec_id = p.query_id
+       |    JOIN norms nv ON nv.vec_id = p.vec_id
+       |  ) WHERE rnk = 1
+       |),
+       |exact AS (SELECT query_id, neighbor_id FROM (%%TOPK%%)),
+       |np AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_probes
+       |       FROM exact),
+       |allv AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs
+       |         FROM idx),
+       |h AS (SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM t1 t JOIN exact USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT c.nprobe, np.n_probes,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+       |         / CAST(np.n_probes AS DOUBLE), 6) AS recall,
+       |       CAST(COALESCE(sc.n_scanned, 0) AS BIGINT) AS n_scanned,
+       |       CAST(COALESCE(sc.n_scanned, 0) * 1000000
+       |         // (np.n_probes * (allv.n_vecs - 1)) AS BIGINT) AS scanned_ppm
+       |FROM cfg c CROSS JOIN np CROSS JOIN allv
+       |LEFT JOIN h ON h.nprobe = c.nprobe
+       |LEFT JOIN sc ON sc.nprobe = c.nprobe
+       |ORDER BY c.nprobe""".stripMargin
+      .replace("%%TOPK%%", embeddingTopkSql)
+
   /** LSH-banded candidate pairs (doc_a < doc_b), as a SQL body over the
     * `shingles` CTE — shared by q_minhash_pairs and the q_dedup_recall
     * certificate. Spliced into larger WITH scopes, so no ORDER BY. */
@@ -4949,6 +5025,11 @@ object Catalog {
     // ANN recall certificate: recall@K of every approximate method vs the
     // exact top-K, in one deterministic 4-row result.
     QEntry("q_ann_recall", Similarity.annRecall, Some(annRecallSql)),
+
+    // IVF nprobe tuning certificate: recall@K vs exact scan cost for each
+    // probe budget — the quality/cost dial, measured not guessed.
+    QEntry("q_ivf_nprobe_tuning", Similarity.ivfNprobeTuning,
+      Some(ivfNprobeTuningSql)),
 
     // Mean reciprocal rank of the first same-label neighbor in the exact
     // top-K — retrieval eval in exact integer ppm (bit-reproducible).

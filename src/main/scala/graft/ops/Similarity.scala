@@ -543,6 +543,77 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** nprobe values the IVF tuning certificate sweeps. */
+  val IvfNprobes: Seq[Int] = Seq(1, 2, 4)
+
+  /** IVF nprobe tuning certificate — the third leg of the tuning family
+    * (LSH banding recall, SimHash banding cost): for each probe budget,
+    * search the nprobe NEAREST cells instead of only the assigned one,
+    * and report recall@[[K]] against the exact top-K next to the exact
+    * scan cost (candidates examined, absolute and as ppm of a full
+    * brute-force scan). This is THE standard IVF quality/cost dial; the
+    * certificate turns its textbook curve into measured, hash-verified
+    * values on this corpus. nprobe = 1 reproduces [[annRecall]]'s `ivf`
+    * row by construction (the assigned cell IS the rank-1 centroid under
+    * the identical cosine + smaller-cid tie-break).
+    *
+    * Cost shape: centroid ranking is a broadcast join against the ≤
+    * [[MaxCells]] centroid set with a per-query sorted collect (≤ 20
+    * elements — no data-sized window); cell search is an equi-join on
+    * cell id; the arg-max is the map-side-combinable max(struct). */
+  def ivfNprobeTuning(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = cachedBase(spark, sfDir)
+    val cents = centroids(spark, sfDir)
+    val members = assignCore(base, cents).select("vec_id", "cid")
+      .join(base, Seq("vec_id"))
+      .transform(graft.ops.QueryLocal.persistTracked) // one pass per nprobe
+    val nAll = base.agg(count(lit(1)).as("n_vecs"))
+    val probeCells = base.filter(col("vec_id") < ProbeCount)
+      .join(broadcast(cents))
+      .withColumn("dot", expr(dotOf("cv", "v")))
+      .withColumn("cos", col("dot") / (sqrt(col("sq")) * sqrt(col("csq"))))
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(sort_array(collect_list(struct(col("cos"),
+        (-col("cid")).as("ncid"))), asc = false).as("cells"))
+      .transform(graft.ops.QueryLocal.persistTracked)
+    val exact = bruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .transform(graft.ops.QueryLocal.persistTracked)
+    val nProbes = exact.select("query_id").distinct()
+      .agg(count(lit(1)).as("n_probes"))
+    val probes = base.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("sq").as("qsq"))
+    val frames = IvfNprobes.map { np =>
+      val probed = probeCells.select(col("query_id"),
+          explode(expr(s"slice(cells, 1, $np)")).as("cell"))
+        .select(col("query_id"), (-col("cell.ncid")).as("cid"))
+      val cand = probed.join(members, Seq("cid"))
+        .join(probes, Seq("query_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+      val scanned = cand.agg(count(lit(1)).as("n_scanned"))
+      cand
+        .withColumn("dot", expr(dotExpr))
+        .withColumn("cosine",
+          col("dot") / (sqrt(col("qsq")) * sqrt(col("sq"))))
+        .groupBy("query_id")
+        .agg(max(struct(col("cosine"), (-col("vec_id")).as("nid"))).as("best"))
+        .select(col("query_id"), (-col("best.nid")).as("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nProbes))   // 1-row scalars
+        .crossJoin(broadcast(scanned))
+        .crossJoin(broadcast(nAll))
+        .select(lit(np).as("nprobe"), col("n_probes"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_probes").cast("double"),
+            6).as("recall"),
+          col("n_scanned"),
+          expr("n_scanned * 1000000 div (n_probes * (n_vecs - 1))")
+            .as("scanned_ppm"))
+    }
+    frames.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   /** Contrastive hard-negative mining: for each probe, the
     * [[HardNegativesK]] candidates that are CLOSEST by cosine while
     * carrying a DIFFERENT label — the negatives that actually teach a

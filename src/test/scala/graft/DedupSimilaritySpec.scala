@@ -354,4 +354,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // layout, so the sums are monotone in n_bands)
     assert(rows.map(_._4) == rows.map(_._4).sorted, rows.toString)
   }
+
+  test("ivf nprobe tuning: nprobe=1 reproduces the annRecall ivf row; " +
+    "recall and scan cost are monotone in the budget") {
+    val rows = Similarity.ivfNprobeTuning(spark, GraftSpark.Sf)
+      .select("nprobe", "n_hits", "n_scanned")
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == Similarity.IvfNprobes)
+    // the assigned cell IS the rank-1 centroid (same cosine + tie-break),
+    // so the one-probe search is exactly annRecall's own-cell ivf method
+    val ivfHits = Similarity.annRecall(spark, GraftSpark.Sf)
+      .filter(col("method") === "ivf")
+      .select("n_hits").as[Long].head()
+    assert(rows.head._2 == ivfHits, s"${rows.head._2} vs $ivfHits")
+    // a larger budget only adds candidates: both curves monotone
+    assert(rows.map(_._2) == rows.map(_._2).sorted, rows.toString)
+    assert(rows.map(_._3) == rows.map(_._3).sorted, rows.toString)
+    assert(rows.map(_._3).distinct.size == rows.size)
+  }
 }
