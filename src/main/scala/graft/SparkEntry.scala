@@ -5846,6 +5846,80 @@ object Catalog {
          |FROM orders
          |ORDER BY zval, o_orderkey""".stripMargin)),
 
+    // Data-skipping certificate: per candidate layout (key-sorted,
+    // date-sorted, z-ordered), how many model files a range-predicate
+    // grid skips on footer min/max extents — the zorder decision, priced.
+    QEntry("q_skipping_stats", Layout.skippingStats, Some(
+      s"""WITH raw AS (
+         |  SELECT o_orderkey AS k,
+         |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS d
+         |  FROM orders
+         |),
+         |b AS (SELECT min(k) AS kmn, max(k) AS kmx, min(d) AS dmn,
+         |             max(d) AS dmx
+         |      FROM raw),
+         |scaled AS (
+         |  SELECT r.k, r.d,
+         |         (r.k - b.kmn) * 65535 // GREATEST(b.kmx - b.kmn, 1)
+         |           AS ka16,
+         |         (r.d - b.dmn) * 65535 // GREATEST(b.dmx - b.dmn, 1)
+         |           AS da16
+         |  FROM raw r CROSS JOIN b
+         |),
+         |rows_ AS (
+         |  SELECT k, d, ${Layout.duckZ("ka16", "da16")} AS z FROM scaled
+         |),
+         |lay AS (SELECT unnest(['by_key', 'by_date', 'zorder']) AS layout),
+         |ext AS (
+         |  SELECT layout, file_id, min(k) AS fkmn, max(k) AS fkmx,
+         |         min(d) AS fdmn, max(d) AS fdmx
+         |  FROM (
+         |    SELECT l.layout, r.k, r.d,
+         |      LEAST((CASE l.layout WHEN 'by_key' THEN r.k
+         |               WHEN 'by_date' THEN r.d ELSE r.z END
+         |             - CASE l.layout WHEN 'by_key' THEN b.kmn
+         |               WHEN 'by_date' THEN b.dmn ELSE CAST(0 AS BIGINT) END)
+         |            * ${Layout.SkippingFiles}
+         |            // GREATEST(CASE l.layout WHEN 'by_key' THEN b.kmx
+         |                WHEN 'by_date' THEN b.dmx
+         |                ELSE CAST(4294967295 AS BIGINT) END
+         |              - CASE l.layout WHEN 'by_key' THEN b.kmn
+         |                WHEN 'by_date' THEN b.dmn
+         |                ELSE CAST(0 AS BIGINT) END + 1, 1),
+         |            ${Layout.SkippingFiles - 1}) AS file_id
+         |    FROM rows_ r CROSS JOIN lay l CROSS JOIN b
+         |  ) GROUP BY 1, 2
+         |),
+         |pr AS (
+         |  SELECT g.dim, g.i,
+         |    CASE g.dim WHEN 'date' THEN b.dmn + g.i *
+         |        ((b.dmx - b.dmn + ${Layout.DateWindows}) // ${Layout.DateWindows})
+         |      ELSE b.kmn + g.i *
+         |        ((b.kmx - b.kmn + ${Layout.KeyWindows}) // ${Layout.KeyWindows})
+         |      END AS lo,
+         |    CASE g.dim WHEN 'date' THEN b.dmn + (g.i + 1) *
+         |        ((b.dmx - b.dmn + ${Layout.DateWindows}) // ${Layout.DateWindows})
+         |      ELSE b.kmn + (g.i + 1) *
+         |        ((b.kmx - b.kmn + ${Layout.KeyWindows}) // ${Layout.KeyWindows})
+         |      END AS hi
+         |  FROM (SELECT 'date' AS dim,
+         |               unnest(range(${Layout.DateWindows})) AS i
+         |        UNION ALL
+         |        SELECT 'key', unnest(range(${Layout.KeyWindows}))) g
+         |  CROSS JOIN b
+         |)
+         |SELECT e.layout, p.dim,
+         |  CAST(count(DISTINCT e.file_id) AS BIGINT) AS n_files,
+         |  CAST(count(DISTINCT p.i) AS BIGINT) AS n_preds,
+         |  CAST(SUM(CASE WHEN (CASE WHEN p.dim = 'date'
+         |             THEN e.fdmx < p.lo OR e.fdmn >= p.hi
+         |             ELSE e.fkmx < p.lo OR e.fkmn >= p.hi END)
+         |           THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         |    AS skipped_ppm
+         |FROM ext e CROSS JOIN pr p
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Small-file compaction planner: greedy first-fit bin-packing of
     // documents into ~target-byte output groups, per source partition.
     QEntry("q_compaction_plan", Layout.compactionPlan, Some(

@@ -120,6 +120,88 @@ object Layout {
       .orderBy("source", "file_no")
   }
 
+  /** File count the data-skipping model splits each candidate layout
+    * into, and the range-predicate grid sizes per dimension. */
+  val SkippingFiles = 32
+  val DateWindows = 8
+  val KeyWindows = 4
+
+  /** Data-skipping certificate — the WHY behind [[zorderOrders]], as a
+    * measured number: for each candidate physical layout of `orders`
+    * (sorted by key, sorted by date, z-ordered over key × price), split
+    * the table into [[SkippingFiles]] deterministic files, collect each
+    * file's min/max footer extents of BOTH predicate columns, and count
+    * how many files a grid of range predicates could skip. The output is
+    * the classic trade quantified on this data: a date-sorted layout
+    * skips ~everything for date ranges and nothing for key ranges, the
+    * z-order splits the difference on both — exactly the decision a
+    * 100 TB table owner makes before a rewrite, here priced in one query
+    * instead of two test rewrites.
+    *
+    * The file model is EQUAL-WIDTH range buckets over the layout key
+    * (min/max from a broadcast 1-row bound, the quantile-sketch guard for
+    * degenerate spans) — deterministic and oracle-mirrorable, unlike
+    * `repartitionByRange`'s sampled quantiles; a skewed key inflates some
+    * model files the same way it inflates real range-partitioned ones.
+    * Everything is integer arithmetic on epoch days / keys / z-values;
+    * cost is one pass per layout plus a 96-row × 12-predicate literal
+    * cross join. */
+  def skippingStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("k"),
+      // epoch days via DATE arithmetic: o_orderdate arrives TIMESTAMP_NTZ,
+      // and the DATE cast is the tz-free reading both engines share
+      expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')" +
+        " AS BIGINT)").as("d"))
+    val b = raw.agg(min("k").as("kmn"), max("k").as("kmx"),
+      min("d").as("dmn"), max("d").as("dmx"))
+    // the z-curve interleaves MONOTONE 16-bit scalings of the two
+    // PREDICATE dimensions (key, date) — the co-clustering a real
+    // OPTIMIZE ZORDER BY (k, d) performs; a z over unrelated dimensions
+    // would measure nothing about these predicates. Scaled dims span the
+    // full 16-bit range by construction, so the z space is [0, 2^32).
+    val rows = raw.crossJoin(broadcast(b))
+      .withColumn("ka16",
+        expr("(k - kmn) * 65535 div greatest(kmx - kmn, 1)"))
+      .withColumn("da16",
+        expr("(d - dmn) * 65535 div greatest(dmx - dmn, 1)"))
+      .withColumn("z", expr(sparkZ("ka16", "da16")))
+    val layouts = Seq("by_key", "by_date", "zorder").toDF("layout")
+    val extents = rows.crossJoin(broadcast(layouts))
+      .withColumn("lk", expr(
+        "CASE layout WHEN 'by_key' THEN k WHEN 'by_date' THEN d ELSE z END"))
+      .withColumn("lmn", expr(
+        "CASE layout WHEN 'by_key' THEN kmn WHEN 'by_date' THEN dmn" +
+          " ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("lmx", expr(
+        "CASE layout WHEN 'by_key' THEN kmx WHEN 'by_date' THEN dmx" +
+          " ELSE CAST(4294967295 AS BIGINT) END"))
+      .withColumn("file_id", expr(s"least((lk - lmn) * $SkippingFiles" +
+        s" div greatest(lmx - lmn + 1, 1), ${SkippingFiles - 1})"))
+      .groupBy("layout", "file_id")
+      .agg(min("k").as("fkmn"), max("k").as("fkmx"),
+        min("d").as("fdmn"), max("d").as("fdmx"))
+    def win(dim: String, n: Int, mn: String, mx: String) =
+      spark.range(n).select(lit(dim).as("dim"), col("id").as("i"))
+        .crossJoin(broadcast(b))
+        .withColumn("w", expr(s"($mx - $mn + $n) div $n"))
+        .select(col("dim"), col("i"),
+          expr(s"$mn + i * w").as("lo"), expr(s"$mn + (i + 1) * w").as("hi"))
+    val preds = win("date", DateWindows, "dmn", "dmx")
+      .unionByName(win("key", KeyWindows, "kmn", "kmx"))
+    extents.crossJoin(broadcast(preds))
+      .withColumn("skip", expr(
+        "CASE WHEN dim = 'date' THEN (fdmx < lo OR fdmn >= hi)" +
+          " ELSE (fkmx < lo OR fkmn >= hi) END"))
+      .groupBy("layout", "dim")
+      .agg(countDistinct(col("file_id")).as("n_files"),
+        countDistinct(col("i")).as("n_preds"),
+        expr("SUM(CASE WHEN skip THEN 1 ELSE 0 END) * 1000000 div COUNT(*)")
+          .as("skipped_ppm"))
+      .orderBy("layout", "dim")
+  }
+
   /** Training-batch padding audit: the token waste of padding each batch
     * to its longest member, compared between ARRIVAL-order batching and
     * LENGTH-SORTED batching (the standard dynamic-batching win). Batches

@@ -59,6 +59,56 @@ class LayoutSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("skipping stats: exact local recount of every layout's skip rate") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Layout.skippingStats(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // recompute the whole model from the raw (key, day) pairs
+    val kd = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')" +
+          " AS BIGINT)"))
+      .as[(Long, Long)].collect().toSeq
+    val (kmn, kmx) = (kd.map(_._1).min, kd.map(_._1).max)
+    val (dmn, dmx) = (kd.map(_._2).min, kd.map(_._2).max)
+    def spread(x: Long): Long = (0 until 16)
+      .map(i => ((x >> i) & 1L) << (2 * i)).sum
+    val rows = kd.map { case (k, d) =>
+      val ka = (k - kmn) * 65535 / math.max(kmx - kmn, 1)
+      val da = (d - dmn) * 65535 / math.max(dmx - dmn, 1)
+      (k, d, spread(ka) | (spread(da) << 1))
+    }
+    val F = graft.ops.Layout.SkippingFiles
+    def wins(n: Int, mn: Long, mx: Long): Seq[(Long, Long)] = {
+      val w = (mx - mn + n) / n
+      (0 until n).map(i => (mn + i * w, mn + (i + 1) * w))
+    }
+    for ((layout, pick, lmn, lmx) <- Seq(
+      ("by_key", (r: (Long, Long, Long)) => r._1, kmn, kmx),
+      ("by_date", (r: (Long, Long, Long)) => r._2, dmn, dmx),
+      ("zorder", (r: (Long, Long, Long)) => r._3, 0L, 4294967295L))) {
+      val files = rows.groupBy(r =>
+        math.min((pick(r) - lmn) * F / math.max(lmx - lmn + 1, 1), F - 1L))
+      val exts = files.values.map(rs =>
+        (rs.map(_._1).min, rs.map(_._1).max,
+          rs.map(_._2).min, rs.map(_._2).max)).toSeq
+      for ((dim, ws, loHi) <- Seq(
+        ("date", wins(graft.ops.Layout.DateWindows, dmn, dmx),
+          (e: (Long, Long, Long, Long)) => (e._3, e._4)),
+        ("key", wins(graft.ops.Layout.KeyWindows, kmn, kmx),
+          (e: (Long, Long, Long, Long)) => (e._1, e._2)))) {
+        val skips = (for (e <- exts; (lo, hi) <- ws) yield {
+          val (fmn, fmx) = loHi(e); if (fmx < lo || fmn >= hi) 1L else 0L
+        }).sum
+        val total = exts.size.toLong * ws.size
+        assert(got((layout, dim)) ==
+          (exts.size.toLong, ws.size.toLong, skips * 1000000L / total),
+          s"$layout/$dim")
+      }
+    }
+  }
+
   test("batch padding: length-sorting never loses, token totals invariant") {
     val rows = graft.ops.Layout.batchPaddingAudit(spark, GraftSpark.Sf)
       .collect()
