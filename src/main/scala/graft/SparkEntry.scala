@@ -7211,6 +7211,46 @@ object Catalog {
 
     // Event-time disorder profile (the watermark-sizing measurement):
     // running high-water-mark lateness, exact p95 order statistic.
+    // Watermark-delay tuning: events a streaming query would DROP per
+    // candidate withWatermark delay — the sizing decision, priced from
+    // the global high-water mark (two-phase, no data-sized global window).
+    QEntry("q_watermark_tuning", Metrics.watermarkTuning, Some(withTransfers(
+      s""", ev AS (SELECT block_number AS b, transact_at AS ts
+         |         FROM transfers),
+         |bo AS (SELECT min(b) AS bmn, max(b) AS bmx FROM ev),
+         |keyed AS (
+         |  SELECT e.b, e.ts,
+         |         LEAST((e.b - bo.bmn) * 256
+         |           // GREATEST(bo.bmx - bo.bmn + 1, 1), 255) AS bkt
+         |  FROM ev e CROSS JOIN bo
+         |),
+         |pref AS (
+         |  SELECT bkt, max(mx) OVER (ORDER BY bkt
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS prev_mx
+         |  FROM (SELECT bkt, max(ts) AS mx FROM keyed GROUP BY 1)
+         |),
+         |hw AS (
+         |  SELECT k.b, k.ts,
+         |         GREATEST(COALESCE(p.prev_mx, k.ts),
+         |           max(k.ts) OVER (PARTITION BY k.bkt ORDER BY k.b
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |           - k.ts AS late
+         |  FROM keyed k JOIN pref p USING (bkt)
+         |),
+         |d AS (SELECT CAST(unnest([${Metrics.WatermarkDelays
+              .mkString(", ")}]) AS BIGINT) AS delay_sec)
+         |SELECT d.delay_sec,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_out_of_order,
+         |  CAST(SUM(CASE WHEN late > d.delay_sec THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN late > d.delay_sec THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS dropped_ppm
+         |FROM hw CROSS JOIN d
+         |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
     QEntry("q_lateness_profile", Metrics.latenessProfile, Some(withTransfers(
       s""", l AS (
          |  SELECT contract_address, block_number,

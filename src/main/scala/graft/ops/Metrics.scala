@@ -737,6 +737,58 @@ object Metrics {
       .orderBy("contract_address")
   }
 
+  /** Candidate watermark delays (seconds) [[watermarkTuning]] prices. */
+  val WatermarkDelays: Seq[Long] = Seq(60L, 600L, 3600L)
+
+  /** Watermark-delay tuning certificate: for each candidate
+    * `withWatermark` delay, how many events the streaming engine would
+    * DROP (event time older than the high-water mark minus the delay at
+    * arrival) — the number that turns [[latenessProfile]]'s measurement
+    * into the actual sizing decision, next to the completeness/latency
+    * trade it implies. Spark's watermark is GLOBAL (max event time seen
+    * across the stream), so the running high-water mark here is global
+    * too — computed with the house two-phase pattern (monotone 256-way
+    * block-range bucket, per-bucket max, 256-row prefix-max broadcast
+    * back, within-bucket running max), never an unpartitioned
+    * data-sized ordering window. Ingest order is block order, as in
+    * [[latenessProfile]]. */
+  def watermarkTuning(spark: SparkSession, sfDir: String): DataFrame =
+    watermarkTuningOf(spark,
+      Tables.transfers(spark, sfDir)
+        .select(col("block_number").as("b"), col("transact_at").as("ts")))
+
+  /** [[watermarkTuning]]'s core over any `(b ingest-order key, ts event
+    * seconds)` frame — split out so the spec can drive a genuinely
+    * out-of-order stream (the driver's synthetic feed arrives perfectly
+    * ordered, which makes the catalog row's truthful answer "drop
+    * nothing at any delay"). */
+  def watermarkTuningOf(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val bounds = ev.agg(min("b").as("bmn"), max("b").as("bmx"))
+    val keyed = ev.crossJoin(broadcast(bounds))
+      .withColumn("bkt", expr(
+        "least((b - bmn) * 256 div greatest(bmx - bmn + 1, 1), 255)"))
+    val prefix = keyed.groupBy("bkt").agg(max("ts").as("mx"))
+      .withColumn("prev_mx", max("mx").over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("bkt", "prev_mx")
+    val late = keyed.join(broadcast(prefix), Seq("bkt"))
+      .withColumn("hwm", greatest(coalesce(col("prev_mx"), col("ts")),
+        max(col("ts")).over(Window.partitionBy("bkt").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("late", col("hwm") - col("ts"))
+    late.crossJoin(broadcast(WatermarkDelays.toDF("delay_sec")))
+      .groupBy("delay_sec")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late") > 0, 1L).otherwise(0L)).as("n_out_of_order"),
+        sum(when(col("late") > col("delay_sec"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        expr("SUM(CASE WHEN late > delay_sec THEN 1 ELSE 0 END)" +
+          " * 1000000 div COUNT(*)").as("dropped_ppm"))
+      .orderBy("delay_sec")
+  }
+
   /** Peak-to-average hourly-volume ratio per token, in exact ppm:
     * `max_hourly · n_hours · 10⁶ div total` (the average never becomes a
     * float — the ratio is one integer division over exact cents moments).

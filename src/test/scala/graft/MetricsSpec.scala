@@ -520,4 +520,49 @@ class MetricsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("impurity_ppm") == imp.toLong, r.getString(0))
     }
   }
+
+  test("watermark tuning: exact local recount of the global high-water " +
+    "drop counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Metrics.watermarkTuning(spark, GraftSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == graft.ops.Metrics.WatermarkDelays)
+    // sequential truth: running max of event time in global block order
+    val ev = Tables.transfers(spark, GraftSpark.Sf)
+      .select(col("block_number"), col("transact_at"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    var hwm = Long.MinValue
+    val lates = ev.map { case (_, ts) =>
+      hwm = math.max(hwm, ts); hwm - ts
+    }
+    for ((delay, n, ooo, dropped, ppm) <- got) {
+      assert(n == lates.size)
+      assert(ooo == lates.count(_ > 0))
+      assert(dropped == lates.count(_ > delay), s"delay=$delay")
+      assert(ppm == lates.count(_ > delay).toLong * 1000000L / lates.size)
+    }
+    // a longer delay can only keep more
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+    // the driver feed is perfectly ordered (a truthful all-zero answer);
+    // drive the same core over a genuinely out-of-order stream and
+    // recount sequentially
+    val disordered = (1L to 400L).map { b =>
+      // event time jitters up to 1200s behind a rising front
+      (b, 10000L + b * 10L - (b * 37L % 4L) * 400L)
+    }
+    val dGot = graft.ops.Metrics.watermarkTuningOf(spark,
+        disordered.toDF("b", "ts"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    var h2 = Long.MinValue
+    val l2 = disordered.sortBy(_._1).map { case (_, ts) =>
+      h2 = math.max(h2, ts); h2 - ts
+    }
+    assert(l2.count(_ > 600L) > 0, "spec stream must actually drop rows")
+    for ((delay, n, ooo, dropped, ppm) <- dGot) {
+      assert(n == l2.size && ooo == l2.count(_ > 0))
+      assert(dropped == l2.count(_ > delay), s"delay=$delay")
+      assert(ppm == l2.count(_ > delay).toLong * 1000000L / l2.size)
+    }
+  }
 }
