@@ -2324,6 +2324,42 @@ object Catalog {
          |JOIN nation s_nat ON s.s_nationkey = s_nat.n_nationkey
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // Returned-item customer revenue (TPC-H Q10): fact stream shrinks to
+    // the customer grain before the broadcast dimension joins.
+    QEntry("q_returned_items", Relational.returnedItems, Some(
+      s"""SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+         |       b.revenue, b.n_items
+         |FROM (
+         |  SELECT o.o_custkey,
+         |         ${dsum("l.l_extendedprice * (1.0 - l.l_discount)", 8)}
+         |           AS revenue,
+         |         count(*) AS n_items
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_returnflag = 'R'
+         |  GROUP BY 1
+         |) b
+         |JOIN customer c ON b.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |ORDER BY b.revenue DESC, c.c_custkey
+         |LIMIT ${Relational.ReturnedTopK}""".stripMargin)),
+
+    // Monthly promo revenue share (TPC-H Q14): conditional revenue over a
+    // broadcast part dimension; share via one identical IEEE chain.
+    QEntry("q_promo_revenue", Relational.promoRevenue, Some {
+      val promo = dsum("CASE WHEN p.p_type = 'PROMO' THEN" +
+        " l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END", 8)
+      val total = dsum("l.l_extendedprice * (1.0 - l.l_discount)", 8)
+      s"""SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE)
+         |         AS ship_month,
+         |       $promo AS promo_revenue,
+         |       $total AS total_revenue,
+         |       count(*) AS n_items,
+         |       CAST(FLOOR($promo * 1000000.0 / $total) AS BIGINT)
+         |         AS promo_ppm
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
     QEntry("q_semi_join", Relational.customersWithOrders, Some(
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

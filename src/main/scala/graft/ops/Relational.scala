@@ -555,4 +555,61 @@ object Relational {
         col("qty").cast("double").as("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
+
+  /** Top customers by returned-item revenue [[ReturnedTopK]] (TPC-H Q10
+    * shape): the returns-to-lose-money report. The fact stream shrinks
+    * FIRST — filter to `l_returnflag = 'R'`, aggregate revenue to the
+    * order grain, then to the customer grain — before any dimension
+    * join, so the wide customer/nation attributes ride a
+    * customer-cardinality frame, never the lineitem stream. Exact
+    * decimal revenue; top-K is an order-grained TakeOrdered with the
+    * customer key as tiebreak (same contract as [[shippingPriority]]). */
+  val ReturnedTopK = 20
+
+  def returnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val byCust = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+    byCust
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(ReturnedTopK)
+  }
+
+  /** Monthly promo revenue share (TPC-H Q14 shape): what fraction of
+    * shipped revenue came from PROMO-type parts, per ship month. The
+    * part dimension broadcasts; revenue sums are exact decimal rendered
+    * to double, and the share is the single IEEE chain
+    * `floor(promo · 10⁶ / total)` spelled identically in the oracle —
+    * deterministic because the inputs are the same hash-stable doubles. */
+  def promoRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("px"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("ship_month")
+      .agg(dsum(when(col("p_type") === "PROMO", col("px"))
+        .otherwise(lit(0.0)), 8).as("promo_revenue"),
+        dsum(col("px"), 8).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_ppm",
+        expr("CAST(FLOOR(promo_revenue * 1000000.0 / total_revenue)" +
+          " AS BIGINT)"))
+      .orderBy("ship_month")
 }

@@ -565,4 +565,35 @@ class MetricsSpec extends AnyFunSuite {
       assert(ppm == l2.count(_ > delay).toLong * 1000000L / l2.size)
     }
   }
+
+  test("tpch q10/q14: returned revenue recounts; promo share is the " +
+    "exact floor chain of its own sums") {
+    import org.apache.spark.sql.functions._
+    val top = graft.ops.Relational.returnedItems(spark, GraftSpark.Sf)
+      .collect()
+    assert(top.length == graft.ops.Relational.ReturnedTopK)
+    val revs = top.map(_.getAs[Double]("revenue"))
+    assert(revs.toSeq == revs.sorted.reverse.toSeq)
+    // recount the leader's revenue straight off the fact tables
+    val leader = top.head.getAs[Long]("c_custkey")
+    val expect = Tables.lineitem(spark, GraftSpark.Sf)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, GraftSpark.Sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") === leader)
+      .agg(graft.ops.Num.dsum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8))
+      .head().getDouble(0)
+    assert(top.head.getAs[Double]("revenue") == expect)
+    val months = graft.ops.Relational.promoRevenue(spark, GraftSpark.Sf)
+      .collect()
+    assert(months.nonEmpty)
+    for (m <- months) {
+      val (p, t) = (m.getAs[Double]("promo_revenue"),
+        m.getAs[Double]("total_revenue"))
+      assert(p >= 0.0 && p <= t)
+      assert(m.getAs[Long]("promo_ppm") ==
+        math.floor(p * 1000000.0 / t).toLong)
+    }
+  }
 }
