@@ -2360,6 +2360,41 @@ object Catalog {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     }),
 
+    // Forecast revenue change (TPC-H Q6): pure filtered-scan aggregate —
+    // every predicate pushdown-eligible, no join anywhere.
+    QEntry("q_forecast_revenue", Relational.forecastRevenue, Some(
+      s"""SELECT ${dsum("l_extendedprice * l_discount", 8)} AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem
+         |WHERE year(l_shipdate) = ${Relational.ForecastYear}
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin)),
+
+    // National market share (TPC-H Q8): deepest broadcast-dimension tree;
+    // share via the identical IEEE floor chain.
+    QEntry("q_nation_market_share", Relational.nationMarketShare, Some {
+      val nat = dsum("CASE WHEN sn.n_name = '" + Relational.MktNation +
+        "' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END", 8)
+      val tot = dsum("l.l_extendedprice * (1.0 - l.l_discount)", 8)
+      s"""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         |       $nat AS nation_revenue,
+         |       $tot AS total_revenue,
+         |       count(*) AS n_items,
+         |       CAST(FLOOR($nat * 1000000.0 / $tot) AS BIGINT)
+         |         AS share_ppm
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |  AND p.p_type = '${Relational.MktType}'
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |JOIN region r ON cn.n_regionkey = r.r_regionkey
+         |  AND r.r_name = '${Relational.MktRegion}'
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
     QEntry("q_semi_join", Relational.customersWithOrders, Some(
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

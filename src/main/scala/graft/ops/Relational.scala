@@ -612,4 +612,69 @@ object Relational {
         expr("CAST(FLOOR(promo_revenue * 1000000.0 / total_revenue)" +
           " AS BIGINT)"))
       .orderBy("ship_month")
+
+  /** Forecast-revenue-change constants (TPC-H Q6 shape): one ship year,
+    * a discount band, a quantity cap. */
+  val ForecastYear = 1996
+
+  /** Revenue the company would have kept by eliminating the discount
+    * band (TPC-H Q6): the canonical FILTERED SCAN aggregate — no join at
+    * all, every predicate eligible for parquet pushdown, one exact
+    * decimal sum. The shape that proves the scan path prunes. */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(year(col("l_shipdate")) === ForecastYear &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 8)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** National market share constants (TPC-H Q8 shape). */
+  val MktRegion = "ASIA"
+  val MktType = "STANDARD"
+  val MktNation = "NATION_7"
+
+  /** One supplier nation's share of a region's market for one part type,
+    * per order year (TPC-H Q8): the deepest broadcast-dimension join
+    * tree in the relational suite — part-type filter shrinks the fact
+    * stream at the scan, region membership and supplier nation ride
+    * broadcast lookups, and the share renders through the identical
+    * IEEE floor chain over hash-stable decimal-sum doubles. */
+  def nationMarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val natInRegion = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === MktRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnat"))
+    val custR = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(natInRegion), col("c_nationkey") === col("cnat"))
+      .select("c_custkey")
+    val suppNat = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("px"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .filter(col("p_type") === MktType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custR), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsum(when(col("supp_nation") === MktNation, col("px"))
+        .otherwise(lit(0.0)), 8).as("nation_revenue"),
+        dsum(col("px"), 8).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .withColumn("share_ppm",
+        expr("CAST(FLOOR(nation_revenue * 1000000.0 / total_revenue)" +
+          " AS BIGINT)"))
+      .orderBy("o_year")
+  }
 }

@@ -21,6 +21,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(event_id"), p)
   }
 
+  test("q6 filtered-scan aggregate pushes its range predicates to the scan") {
+    val p = plan("q_forecast_revenue")
+    // the plan string truncates the PushedFilters list — assert on the
+    // surviving prefix (discount bound) and the Filter node (quantity cap);
+    // the year() predicate is a function, legitimately evaluated post-scan
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discou"), p)
+    assert(p.contains("< 24.0)"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p) // no join anywhere: the whole query is scan + one aggregate
+  }
+
   test("token filter is pushed down in per-token balance pipeline") {
     val p = plan("q_balance_history")
     assert(p.contains("EqualTo(event_type,purchase)"), p)
