@@ -6756,6 +6756,24 @@ object Catalog {
          |  AND p.us >= t.us - 3600000000 AND p.us <= t.us
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Incremental CC maintenance: old labels collapse to stars, CC runs
+    // over (stars ∪ delta) only; oracle = FULL recompute via closure —
+    // hash-equality is the IVM contract, as with the agg/join/dedup twins.
+    QEntry("q_incremental_cc", Graph.incrementalComponents, Some(
+      s"""WITH RECURSIVE $transfersCte,
+         |e AS (
+         |  SELECT DISTINCT from_address AS s, to_address AS t
+         |  FROM transfers WHERE from_address <> to_address
+         |),
+         |sym AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+         |reach AS (
+         |  SELECT s AS id, s AS r FROM sym
+         |  UNION
+         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.t = reach.id
+         |)
+         |SELECT id, min(r) AS label
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Strongly connected components of the transfer digraph (trim +
     // forward-coloring + backward sweep); canonical min-vertex labels, so
     // the closure oracle re-derives them algorithm-independently.

@@ -1275,6 +1275,40 @@ object Graph {
     else done.reduceLeft(_ unionByName _)
   }
 
+  /** Incremental connected-components maintenance — the IVM move
+    * (base ⊕ delta ≡ recompute) applied to graphs: yesterday's labels
+    * plus today's edge delta re-labeled WITHOUT touching the full edge
+    * set. Each old component collapses to its label STAR (member →
+    * component-min edges, |V| of them); CC over (stars ∪ new edges)
+    * yields exactly the full graph's components because stars preserve
+    * connectivity and old labels are component minima, so the reduced
+    * graph's min-label IS the merged component's true min. Vertices the
+    * reduced graph never sees (old singletons untouched by the delta)
+    * carry their old label through an anti-join.
+    *
+    * At 100 TB this is the daily-update path: cost is O(|V| + |Δ|)
+    * edges through the CC loop instead of O(|E|) — the edge history
+    * never replays. The oracle is the FULL recompute (reachability
+    * closure), so hash-equality is the correctness contract, exactly
+    * like the incremental aggregate/join/dedup twins. */
+  def incrementalComponents(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val t = graft.Tables.transfers(spark, sfDir)
+      .filter(col("from_address") =!= col("to_address"))
+      .select(col("from_address").as("src"), col("to_address").as("dst"),
+        col("block_number"))
+    val oldEdges = t.filter(col("block_number") % 10 =!= 9)
+      .select("src", "dst")
+    val newEdges = t.filter(col("block_number") % 10 === 9)
+      .select("src", "dst")
+    val oldLabels = connectedComponents(oldEdges)
+    val stars = oldLabels.filter(col("id") =!= col("label"))
+      .select(col("id").as("src"), col("label").as("dst"))
+    val reduced = connectedComponents(stars.unionByName(newEdges))
+    val carried = oldLabels.join(reduced.select("id"), Seq("id"), "left_anti")
+    reduced.unionByName(carried).orderBy("id")
+  }
+
   /** Edge reciprocity of the directed graph: how many distinct ordered
     * edges u→v are answered by v→u. A one-row summary — classic digraph
     * statistic (and the cheap precursor to the wash-trading screen: high

@@ -528,4 +528,20 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(repart == sccBrute(edges))
   }
+
+  test("incremental CC equals the full recompute on the transfer graph") {
+    import org.apache.spark.sql.functions._
+    val incr = Graph.incrementalComponents(spark, GraftSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val full = Graph.connectedComponents(
+      Tables.transfers(spark, GraftSpark.Sf)
+        .filter(col("from_address") =!= col("to_address"))
+        .select(col("from_address").as("src"), col("to_address").as("dst")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(incr == full)
+    assert(incr.nonEmpty)
+    // the delta is genuinely non-empty (otherwise this proves nothing)
+    assert(Tables.transfers(spark, GraftSpark.Sf)
+      .filter(col("block_number") % 10 === 9).count() > 0)
+  }
 }
