@@ -430,7 +430,12 @@ object Catalog {
            |  SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
            |)""".stripMargin
     s"""$eCte,
-       |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |-- DISTINCT-over-UNION-ALL, not bare UNION: under WITH RECURSIVE
+       |-- (the graph-report composition) DuckDB 1.0 drops the dedup of a
+       |-- non-self-referencing `base UNION step` CTE — doubling v and
+       |-- halving every r0 rank
+       |v AS (SELECT DISTINCT v FROM
+       |        (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
        |r0 AS (SELECT v.v, CAST(1.0 AS DOUBLE) / n.n AS r
        |       FROM v CROSS JOIN n),
@@ -6755,6 +6760,56 @@ object Catalog {
          |FROM tx t FULL JOIN tk p ON p.c = t.c
          |  AND p.us >= t.us - 3600000000 AND p.us <= t.us
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Component-grained graph build report: CC labeling + intra-edge
+    // density + PageRank mass + per-component anchor in one summary —
+    // every fragment an already-proven oracle shape, composed.
+    QEntry("q_graph_build_report", Wallet.graphBuildReport, Some(
+      s"""WITH RECURSIVE $transfersCte,
+         |${pageRankCtes(3)},
+         |ce AS (SELECT src AS s, dst AS t FROM e WHERE src <> dst),
+         |csym AS (SELECT s, t FROM ce UNION SELECT t, s FROM ce),
+         |creach AS (
+         |  SELECT s AS id, s AS r FROM csym
+         |  UNION
+         |  SELECT csym.s, creach.r FROM csym
+         |  JOIN creach ON csym.t = creach.id
+         |),
+         |clab AS (SELECT id, min(r) AS label FROM creach GROUP BY 1),
+         |mem AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+         |        FROM clab GROUP BY 1),
+         |intra AS (
+         |  SELECT la.label, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM ce JOIN clab la ON la.id = ce.s
+         |          JOIN clab lb ON lb.id = ce.t AND lb.label = la.label
+         |  GROUP BY 1
+         |),
+         |rk AS (SELECT r.v, r.r, la.label
+         |       FROM r3 r JOIN clab la ON la.id = r.v),
+         |mass AS (
+         |  SELECT label,
+         |         CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+         |           AS rank_mass,
+         |         max(r) AS mxr
+         |  FROM rk GROUP BY 1
+         |),
+         |top AS (
+         |  SELECT rk.label, min(rk.v) AS top_wallet
+         |  FROM rk JOIN mass m ON m.label = rk.label AND rk.r = m.mxr
+         |  GROUP BY 1
+         |)
+         |SELECT m.label AS component, m.n_members,
+         |       COALESCE(i.n_edges, 0) AS n_edges,
+         |       round(ms.rank_mass, 9) AS rank_mass,
+         |       t.top_wallet,
+         |       CASE WHEN m.n_members > 1 THEN COALESCE(i.n_edges, 0)
+         |         * 1000000 // (m.n_members * (m.n_members - 1)) END
+         |         AS density_ppm
+         |FROM mem m
+         |LEFT JOIN intra i ON i.label = m.label
+         |JOIN mass ms ON ms.label = m.label
+         |JOIN top t ON t.label = m.label
+         |ORDER BY 1""".stripMargin)),
 
     // Incremental CC maintenance: old labels collapse to stars, CC runs
     // over (stars ∪ delta) only; oracle = FULL recompute via closure —

@@ -71,6 +71,54 @@ object Wallet {
       .orderBy("address")
   }
 
+  /** Component-level graph build report — the graph-family analogue of
+    * the corpus build report: connected components, intra-component edge
+    * counts, PageRank mass, and the top-ranked wallet per component, in
+    * one component-grained summary ("how many islands does the transfer
+    * graph have, how big, how dense, who anchors each"). Composes two
+    * already-proven subtrees (the closure-checked CC labeling, the
+    * session-shared PageRank) with three label equi-joins; the top
+    * wallet is a two-pass arg-max (per-component max rank, then min
+    * address at that rank — STRING ids have no negation trick, and the
+    * equality join compares identical doubles from one frame). */
+  def graphBuildReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edges(spark, sfDir).filter(col("src") =!= col("dst")).distinct()
+      .transform(QueryLocal.persistTracked) // labeling + intra-edge count
+    val labels = Graph.connectedComponents(e)
+      .select(col("id"), col("label"))
+      .transform(QueryLocal.persistTracked) // four consumers below
+    val members = labels.groupBy("label")
+      .agg(count(lit(1)).as("n_members"))
+    val intra = e
+      .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("label").as("lb")),
+        Seq("dst"))
+      .filter(col("label") === col("lb"))
+      .groupBy("label").agg(count(lit(1)).as("n_edges"))
+    val ranked = transferPageRank(spark, sfDir)
+      .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+    val mass = ranked.groupBy("label")
+      .agg(expr("CAST(SUM(CAST(rank AS DECIMAL(38,18))) AS DOUBLE)")
+        .as("rank_mass"),
+        max(col("rank")).as("mxr"))
+    val top = ranked
+      .join(mass.select(col("label"), col("mxr")), Seq("label"))
+      .filter(col("rank") === col("mxr"))
+      .groupBy("label").agg(min(col("v")).as("top_wallet"))
+    members
+      .join(intra, Seq("label"), "left")
+      .join(mass.select("label", "rank_mass"), Seq("label"))
+      .join(top, Seq("label"))
+      .select(col("label").as("component"), col("n_members"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        round(col("rank_mass"), 9).as("rank_mass"), col("top_wallet"),
+        when(col("n_members") > 1,
+          expr("coalesce(n_edges, 0L) * 1000000" +
+            " div (n_members * (n_members - 1))"))
+          .as("density_ppm"))
+      .orderBy("component")
+  }
+
   /** Community-level flow matrix — the transfer graph COARSENED to its
     * LPA communities: every edge re-keyed to (src community, dst
     * community), volumes decimal-summed. The first step of any
