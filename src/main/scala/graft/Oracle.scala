@@ -119,6 +119,15 @@ object Oracle {
       |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
       |)""".stripMargin
 
+  /** DuckDB mirror of Spark's `CAST(conv(substr(<hex>, 1, 12), 16, 10) AS
+    * BIGINT)` — the 48-bit numeric prefix of an md5 hex string, spelled as
+    * a 12-nibble positional sum (DuckDB has no base-conversion builtin). */
+  def hex48(e: String): String =
+    (1 to 12).map { i =>
+      val w = math.pow(16, 12 - i).toLong
+      s"(instr('0123456789abcdef', substr($e, $i, 1)) - 1) * $w"
+    }.mkString("(", " + ", ")")
+
   /** Hour bucket on epoch seconds — mirror of [[graft.ops.Num.hourBucket]]. */
   def hourBucket(expr: String): String =
     s"CAST(floor($expr / 3600) AS BIGINT) * 3600"

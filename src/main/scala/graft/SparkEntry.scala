@@ -324,6 +324,69 @@ object Catalog {
   /** The BPE ENCODE CTE chain (training words + enc dictionary + the
     * per-(doc, token_pos, symbol_pos) symbol-occurrence stream) — shared
     * by the q_bpe_encode and q_tokenizer_fertility oracles. */
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.wordpieceVocab]] /
+    * [[graft.ops.TextAnalysis.wordpieceEncode]]: weighted distinct words,
+    * frequency-ranked multi-char piece table, totality singles, and the
+    * greedy longest-match iteration unrolled to [[graft.ops.TextAnalysis
+    * .WpMaxWord]] chained CTE steps (the [[anfReachCtes]]/BFS spelling —
+    * no recursive CTE, so aggregation inside each round is plain SQL).
+    * Defines `words, wpmultis, wpvocab, s<N>` for the final SELECT. */
+  private lazy val wordpieceCtes: String = {
+    import graft.ops.TextAnalysis.{WpMaxPiece, WpVocabK, WpMaxWord}
+    val lvals = (1 to WpMaxPiece).map(l => s"($l)").mkString(", ")
+    val steps = (1 to WpMaxWord).map { k =>
+      s"""wb$k AS (
+         |  SELECT s.w, max(lt.L) AS bl
+         |  FROM s${k - 1} s
+         |  JOIN (VALUES $lvals) lt(L) ON lt.L <= len(s.w) - s.pos + 1
+         |  JOIN wpvocab v ON v.piece = substr(s.w, s.pos, lt.L)
+         |  WHERE s.pos <= len(s.w)
+         |  GROUP BY s.w
+         |),
+         |s$k AS MATERIALIZED (
+         |  SELECT w, c, pos, acc, np FROM s${k - 1} WHERE pos > len(w)
+         |  UNION ALL
+         |  SELECT a.w, a.c, a.pos + b.bl AS pos,
+         |         a.acc || CASE WHEN a.acc = '' THEN '' ELSE ' ' END ||
+         |           substr(a.w, a.pos, b.bl) AS acc,
+         |         a.np + 1 AS np
+         |  FROM s${k - 1} a JOIN wb$k b ON b.w = a.w
+         |  WHERE a.pos <= len(a.w)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(toks) AS w FROM docs
+       |  ) WHERE len(w) >= 1 GROUP BY 1
+       |),
+       |wpmultis AS (
+       |  SELECT piece, CAST(SUM(c) AS BIGINT) AS n,
+       |         CAST(row_number() OVER (ORDER BY SUM(c) DESC, piece)
+       |           AS BIGINT) AS rnk
+       |  FROM (
+       |    SELECT c, substr(w, CAST(i AS INTEGER), CAST(L AS INTEGER))
+       |             AS piece
+       |    FROM words,
+       |         unnest(range(2, ${WpMaxPiece + 1})) AS tl(L),
+       |         unnest(range(1, len(w))) AS ti(i)
+       |    WHERE i + L - 1 <= len(w)
+       |  ) GROUP BY 1
+       |  ORDER BY n DESC, piece LIMIT $WpVocabK
+       |),
+       |wpsingles AS (
+       |  SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS piece
+       |  FROM words, unnest(range(1, len(w) + 1)) AS t(i)
+       |),
+       |wpvocab AS (
+       |  SELECT piece FROM wpmultis UNION SELECT piece FROM wpsingles
+       |),
+       |s0 AS (
+       |  SELECT w, c, 1 AS pos, '' AS acc, CAST(0 AS BIGINT) AS np
+       |  FROM words WHERE len(w) <= $WpMaxWord
+       |),
+       |$steps""".stripMargin
+  }
+
   private lazy val bpeSymOccCtes: String =
     s"""${bpeWordsCtes(TextAnalysis.BpeMergeRounds)},
        |enc AS (
@@ -440,6 +503,52 @@ object Catalog {
        |r0 AS (SELECT v.v, CAST(1.0 AS DOUBLE) / n.n AS r
        |       FROM v CROSS JOIN n),
        |$steps""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.ops.Graph.anfSketches]]'s contract: exact
+    * ≤r-hop out-reachability sets (bounded iterated CTEs — KMV merge is
+    * lossless for the k-minimum set, so exact-then-sketch equals the
+    * iterated register), then the same k-smallest-md5 rule and the same
+    * `(k−1)·2^48 // h_k` integer estimate per (r, v). Defines CTEs
+    * `e, v, all_r, est` for the final SELECT to consume. */
+  private val anfReachCtes: String = {
+    import graft.ops.Graph.{AnfK, AnfRounds, AnfHashSpace}
+    val steps = (1 to AnfRounds).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT v, w FROM r${i - 1}
+         |  UNION
+         |  SELECT e.src AS v, r.w FROM e JOIN r${i - 1} r ON r.v = e.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to AnfRounds)
+      .map(i => s"SELECT $i AS r, v, w FROM r$i").mkString("\n  UNION ALL ")
+    val hk = Oracle.hex48(s"max(CASE WHEN rn = $AnfK THEN h END)")
+    s"""e AS (
+       |  SELECT DISTINCT from_address AS src, to_address AS dst
+       |  FROM transfers WHERE from_address <> to_address
+       |),
+       |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT v, v AS w FROM v),
+       |$steps,
+       |all_r AS (
+       |  $unions
+       |),
+       |h AS (SELECT DISTINCT r, v, md5(w || '|anf') AS h FROM all_r),
+       |rk AS (
+       |  SELECT r, v, h,
+       |         row_number() OVER (PARTITION BY r, v ORDER BY h) AS rn,
+       |         count(*) OVER (PARTITION BY r, v) AS n
+       |  FROM h
+       |),
+       |est AS (
+       |  SELECT r, v,
+       |         CASE WHEN max(n) < $AnfK THEN max(n)
+       |              ELSE ${(AnfK - 1).toLong * AnfHashSpace}
+       |                   // GREATEST($hk, 1)
+       |         END AS est,
+       |         CASE WHEN max(n) >= $AnfK THEN 1 ELSE 0 END AS sat
+       |  FROM rk GROUP BY r, v
+       |)""".stripMargin
   }
 
   /** DuckDB mirror of [[graft.ops.Graph.pageRankPersonalized]] over the
@@ -3794,6 +3903,54 @@ object Catalog {
              |FROM b4 WHERE dist IS NOT NULL ORDER BY 1""".stripMargin)
       }),
 
+    // ── Approximate neighborhood function (HyperANF, KMV registers) ──
+    // N(r) for r = 1..3 over the transfer graph. KMV merge is lossless for
+    // the retained k-minimum set, so the oracle computes EXACT ≤r-hop
+    // reachability and applies the same k-smallest-hashes rule — identical
+    // registers, identical integer-division estimates.
+    QEntry("q_anf",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        Graph.neighborhoodFunction(
+          graft.Tables.transfers(s, d)
+            .select(col("from_address").as("src"),
+              col("to_address").as("dst")))
+      },
+      Some(withTransfers(
+        s""", $anfReachCtes
+           |SELECT r, CAST(count(*) AS BIGINT) AS n_nodes,
+           |       CAST(SUM(CAST(est AS HUGEINT)) AS BIGINT) AS nf_est,
+           |       CAST(SUM(sat) AS BIGINT) AS n_saturated
+           |FROM est GROUP BY r ORDER BY r""".stripMargin))),
+
+    // ANF recall certificate: exact reach counts on a 4-seed md5 sample
+    // vs the KMV estimates on the same seeds, relative error in ppm.
+    QEntry("q_anf_recall",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        Graph.anfCertificate(
+          graft.Tables.transfers(s, d)
+            .select(col("from_address").as("src"),
+              col("to_address").as("dst")))
+      },
+      Some(withTransfers(
+        s""", $anfReachCtes,
+           |seeds AS (SELECT v FROM v ORDER BY md5(v), v LIMIT 4),
+           |ex AS (
+           |  SELECT a.r, a.v, count(*) AS n_exact
+           |  FROM all_r a JOIN seeds s ON s.v = a.v
+           |  GROUP BY 1, 2
+           |)
+           |SELECT e1.r, CAST(count(*) AS BIGINT) AS n_seeds,
+           |       CAST(SUM(e1.n_exact) AS BIGINT) AS sum_exact,
+           |       CAST(SUM(e2.est) AS BIGINT) AS sum_est,
+           |       CAST(abs(SUM(CAST(e2.est AS HUGEINT))
+           |                - SUM(CAST(e1.n_exact AS HUGEINT))) * 1000000
+           |            // SUM(CAST(e1.n_exact AS HUGEINT)) AS BIGINT)
+           |         AS err_ppm
+           |FROM ex e1 JOIN est e2 ON e1.r = e2.r AND e1.v = e2.v
+           |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
     // Personalized PageRank from the dapp-address seed set: influence /
     // taint propagation relative to the dapps.
     QEntry("q_pagerank_personalized",
@@ -5664,6 +5821,15 @@ object Catalog {
       Some("""SELECT doc_id, lang, source, text
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Schema-evolution intake: two parquet batch generations (v1 lacks
+    // source/n_chars) merged by footer-schema union; NULLs appear exactly
+    // where the writing schema lacked the column.
+    QEntry("q_schema_evolution", graft.sources.SchemaEvolution.mergedDocs,
+      Some("""SELECT doc_id, text, lang,
+             |       CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+             |       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QEntry("q_orc_hourly", graft.sources.OrcFormat.purchaseHourly,
       Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour,
              |       count(*) AS n_events,
@@ -6185,6 +6351,27 @@ object Catalog {
          |           || ']' AS sym_ids
          |FROM symocc so JOIN vocab v USING (sy)
          |GROUP BY so.doc_id ORDER BY so.doc_id""".stripMargin))),
+
+    // ── WordPiece-style tokenizer (greedy longest-match) ──
+    // Frequency-ranked piece vocabulary: top-K substrings (len 2..4) over
+    // the count-weighted distinct-word table.
+    QEntry("q_wordpiece_vocab", TextAnalysis.wordpieceVocab,
+      Some(withDocs(
+        s""", $wordpieceCtes
+           |SELECT rnk, piece, n FROM wpmultis ORDER BY rnk""".stripMargin))),
+
+    // Greedy longest-match segmentation of every distinct word (the
+    // WordPiece inference rule; oversized words map to [UNK]); oracle
+    // replays the identical 16-round iteration as unrolled CTE steps.
+    QEntry("q_wordpiece_encode", TextAnalysis.wordpieceEncode,
+      Some(withDocs(
+        s""", $wordpieceCtes
+           |SELECT w, c, CAST(np AS BIGINT) AS n_pieces, acc AS pieces
+           |FROM s${TextAnalysis.WpMaxWord}
+           |UNION ALL
+           |SELECT w, c, CAST(1 AS BIGINT) AS n_pieces, '[UNK]' AS pieces
+           |FROM words WHERE len(w) > ${TextAnalysis.WpMaxWord}
+           |ORDER BY w""".stripMargin))),
 
     // Tokenizer fertility by source: symbols per word + chars per symbol
     // from the trained encoder — the tokenizer-eval rollup.

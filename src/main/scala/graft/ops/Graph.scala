@@ -1330,6 +1330,151 @@ object Graph {
         expr("n_reciprocated * 1000 div n_edges").as("reciprocity_pml"))
   }
 
+  // ── Approximate neighborhood function (ANF / HyperBall family) ──
+
+  /** KMV register size for [[neighborhoodFunction]]. */
+  val AnfK = 16
+
+  /** Radius bound for the ANF iteration. */
+  val AnfRounds = 3
+
+  /** 2^48 — the value space of the 12-hex-digit register prefix used for
+    * the cardinality estimate. */
+  val AnfHashSpace = 281474976710656L
+
+  /** Per-round reach sketches for the approximate neighborhood function:
+    * `sk(v, r)` is the k-minimum-values (KMV) register of the set of
+    * vertices reachable from `v` in ≤ r hops along OUT-edges — the k
+    * lexicographically smallest md5 hashes of the members.
+    *
+    * This is HyperBall's iteration (Boldi–Rosa–Vigna, "HyperANF") with a
+    * KMV register in place of the HyperLogLog register, chosen because KMV
+    * merge is LOSSLESS for the retained k-minimum set: the k smallest
+    * hashes of a union equal the k smallest of the per-input k-minimum
+    * sets (an element dropped from one input is larger than k elements of
+    * that input, all of which survive into the union). So the iterated,
+    * per-round-capped sketch equals the sketch OF THE EXACT REACH SET —
+    * the oracle can compute exact reachability and apply the same
+    * k-smallest rule, and the hashes match bit-for-bit. A HyperLogLog
+    * register has the same merge-exactness but its estimate needs float
+    * harmonic means; KMV's estimate is one integer division.
+    *
+    * Scale shape: per round, one equi-join keyed by dst (pull each
+    * out-neighbor's register) + one grouped merge keyed by src — O(|E|)
+    * rows shuffled per round carrying ≤ k·32-byte registers, map-side
+    * combinable. State is |V|·k hashes, rounds are lineage-cut. Every
+    * round's frame escapes to the caller (each radius is reported), so no
+    * round is superseded and none is released — the [[coreness]] tier
+    * pattern, not the [[bfsHops]] release pattern. */
+  private[graft] def anfSketches(edges: DataFrame, rounds: Int = AnfRounds,
+      k: Int = AnfK, cutMode: LineageCut = LineageCut.Auto)
+      : Seq[(Int, DataFrame)] = {
+    val e = LineageCut.cut(
+      edges.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct(), cutMode)
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    var sk = LineageCut.cut(
+      verts.select(col("v"),
+        array(md5(concat(col("v"), lit("|anf")))).as("sk")), cutMode)
+    val out = Seq.newBuilder[(Int, DataFrame)]
+    for (r <- 1 to rounds) {
+      val nbr = e
+        .join(sk.select(col("v").as("dst"), col("sk").as("nsk")), Seq("dst"))
+        .groupBy(col("src").as("v"))
+        .agg(flatten(collect_list(col("nsk"))).as("nsks"))
+      val next = LineageCut.cut(
+        sk.join(nbr, Seq("v"), "left")
+          .select(col("v"),
+            slice(array_sort(array_distinct(
+              when(col("nsks").isNull, col("sk"))
+                .otherwise(concat(col("sk"), col("nsks"))))), 1, k).as("sk")),
+        cutMode)
+      sk = next
+      out += r -> sk
+    }
+    out.result()
+  }
+
+  /** Per-vertex KMV cardinality estimate over a `sk` register column: an
+    * unsaturated register (|R| < k) stores the WHOLE reach set, so its
+    * size is the exact count; a saturated one estimates
+    * `(k−1) · 2^48 / h_k` from the k-th smallest hash's 48-bit prefix —
+    * integer division, so both engines compute the identical BIGINT. */
+  private def anfEstimate(k: Int) = {
+    when(size(col("sk")) < k, size(col("sk")).cast("long"))
+      .otherwise(expr(
+        s"CAST(${(k - 1).toLong * AnfHashSpace} div greatest(" +
+          s"CAST(conv(substr(element_at(sk, $k), 1, 12), 16, 10) AS BIGINT)" +
+          s", 1) AS BIGINT)"))
+  }
+
+  /** Approximate neighborhood function: for each radius r = 1..`rounds`,
+    * the estimated number of (source, reachable-vertex) pairs within r
+    * hops — N(r) of the ANF literature, the curve whose flattening point
+    * is the graph's effective diameter. One row per radius:
+    * `(r, n_nodes, nf_est, n_saturated)`; `n_saturated` counts vertices
+    * whose register overflowed into estimation (the rest are exact). */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int = AnfRounds,
+      k: Int = AnfK, cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    anfSketches(edges, rounds, k, cutMode).map { case (r, sk) =>
+      sk.select(anfEstimate(k).as("est"),
+          (size(col("sk")) === k).cast("long").as("sat"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("est").cast(dec)).cast("long").as("nf_est"),
+          sum(col("sat")).cast("long").as("n_saturated"))
+        .select(lit(r).as("r"), col("n_nodes"), col("nf_est"),
+          col("n_saturated"))
+    }.reduce(_ unionByName _).orderBy("r")
+  }
+
+  /** ANF recall certificate: on a bounded md5-ordered seed sample, the
+    * exact per-radius reach counts (forward BFS carrying (seed, vertex)
+    * pairs — state ≤ |seeds|·|V|, the [[betweenness]] bounding move) next
+    * to the KMV estimates of [[neighborhoodFunction]] restricted to the
+    * same seeds, with the aggregate relative error in exact ppm. The
+    * self-auditing row every sketch in this library ships with
+    * (q_ann_recall, q_dedup_recall, q_pq_recall): the estimator's error on
+    * THIS graph, measured, not assumed. */
+  def anfCertificate(edges: DataFrame, seedCount: Int = 4,
+      rounds: Int = AnfRounds, k: Int = AnfK,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = LineageCut.cut(
+      edges.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct(), cutMode)
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    val seeds = verts.orderBy(expr("md5(v)"), col("v")).limit(seedCount)
+    var pairs = LineageCut.cut(
+      seeds.select(col("v").as("seed"), col("v").as("w")), cutMode)
+    val exacts = (1 to rounds).map { r =>
+      val step = e
+        .join(pairs.select(col("seed"), col("w").as("src")), Seq("src"))
+        .select(col("seed"), col("dst").as("w"))
+      pairs = LineageCut.cut(
+        pairs.unionByName(step).distinct(), cutMode)
+      pairs.groupBy("seed").agg(count(lit(1)).as("n_exact"))
+        .select(lit(r).as("r"), col("seed"), col("n_exact"))
+    }
+    val exact = exacts.reduce(_ unionByName _)
+    val est = anfSketches(edges, rounds, k, cutMode).map { case (r, sk) =>
+      sk.join(seeds.select(col("v")), Seq("v"), "left_semi")
+        .select(lit(r).as("r"), col("v").as("seed"), anfEstimate(k).as("est"))
+    }.reduce(_ unionByName _)
+    exact.join(est, Seq("r", "seed"))
+      .groupBy("r")
+      .agg(count(lit(1)).as("n_seeds"),
+        sum(col("n_exact").cast(dec)).as("se"),
+        sum(col("est").cast(dec)).as("ss"))
+      .select(col("r"), col("n_seeds"),
+        col("se").cast("long").as("sum_exact"),
+        col("ss").cast("long").as("sum_est"),
+        expr("CAST(abs(ss - se) * 1000000 div se AS BIGINT)").as("err_ppm"))
+      .orderBy("r")
+  }
+
   def assortativity(edges: DataFrame): DataFrame = {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),

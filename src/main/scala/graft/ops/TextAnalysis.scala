@@ -526,6 +526,125 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ── WordPiece-style greedy longest-match tokenizer ──
+
+  /** Longest piece the WordPiece vocabulary may contain. */
+  val WpMaxPiece = 4
+
+  /** Multi-char vocabulary budget (singles ride along for totality). */
+  val WpVocabK = 60
+
+  /** Words longer than this map to `[UNK]` — WordPiece's
+    * max_input_chars_per_word guard, scaled to this corpus. */
+  val WpMaxWord = 16
+
+  /** Weighted distinct-word table `(w, c)` — the working set every
+    * tokenizer op here iterates over (corpus-sized work collapses to
+    * vocabulary-sized work before any loop runs). */
+  private def wpWords(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** WordPiece-style vocabulary TRAINING, frequency-ranked: the top
+    * [[WpVocabK]] substrings of length 2..[[WpMaxPiece]] over the
+    * count-weighted distinct-word table, plus every single character
+    * (rank 0) so greedy matching is total. Real WordPiece scores merges
+    * by likelihood gain; the frequency proxy keeps the whole train
+    * integer-exact and oracle-checkable while producing the same KIND of
+    * vocabulary (common stems/affixes beat rare long strings). The `##`
+    * continuation marking is deliberately dropped — one shared piece
+    * table instead of position-split ones; documented divergence, not an
+    * accident.
+    *
+    * Scale shape: substring enumeration runs over DISTINCT words weighted
+    * by count — |vocab|·len·[[WpMaxPiece]] rows, not corpus tokens; one
+    * map-side-combined groupBy + a [[WpVocabK]]-row TakeOrdered. */
+  def wordpieceVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = wpWords(spark, sfDir)
+    val multis = words
+      .filter(length(col("w")) >= 2)
+      .select(col("c"), explode(expr(
+        s"""flatten(transform(sequence(2, least($WpMaxPiece, length(w))),
+           |  L -> transform(sequence(1, length(w) - L + 1),
+           |       i -> substring(w, i, L))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("c").as("n"))
+      .orderBy(col("n").desc, col("piece").asc)
+      .limit(WpVocabK)
+    multis
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("piece").asc)).cast("long"))
+      .select("rnk", "piece", "n")
+      .orderBy("rnk")
+  }
+
+  /** The full matching table: ranked multis plus every observed single
+    * character (always matchable, so segmentation cannot dead-end). */
+  private def wpMatchTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = wpWords(spark, sfDir)
+    val singles = words
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as("piece"))
+      .distinct()
+    wordpieceVocab(spark, sfDir).select("piece")
+      .unionByName(singles).distinct()
+  }
+
+  /** WordPiece-style ENCODING — greedy longest-match-first segmentation
+    * of every distinct word against [[wordpieceVocab]] (the WordPiece
+    * inference algorithm; Devlin et al. 2019, tokenization appendix).
+    * Words longer than [[WpMaxWord]] become `[UNK]` like real WordPiece's
+    * per-word char guard. Greedy is deterministic: at each position take
+    * the LONGEST vocabulary piece; singles guarantee progress, so exactly
+    * `len(w)` rounds bound any word.
+    *
+    * The loop is state-table iteration, not recursion: `(w, c, pos, acc,
+    * np)` rows advance one piece per round; done rows pass through.
+    * Per round: one explode into ≤[[WpMaxPiece]] candidate substrings,
+    * one broadcast semi-join against the piece table, one max-length
+    * groupBy keyed by the word — all vocabulary-sized. Every 4th round is
+    * lineage-cut ([[graft.ops.LineageCut]]) so the 16-round plan tree
+    * stays linear. Corpus-sized cost appears nowhere: encoding a document
+    * stream would be one dictionary join against this table, exactly like
+    * [[bpeEncode]]'s lookup. */
+  def wordpieceEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = wpMatchTable(spark, sfDir)
+    val words = wpWords(spark, sfDir)
+    val unk = words.filter(length(col("w")) > WpMaxWord)
+      .select(col("w"), col("c"), lit(1L).as("n_pieces"),
+        lit("[UNK]").as("pieces"))
+    var state = words.filter(length(col("w")) <= WpMaxWord)
+      .select(col("w"), col("c"), lit(1).as("pos"), lit("").as("acc"),
+        lit(0L).as("np"))
+    for (r <- 1 to WpMaxWord) {
+      val active = state.filter(col("pos") <= length(col("w")))
+      val done = state.filter(col("pos") > length(col("w")))
+      val best = active
+        .select(col("w"), col("pos"), explode(expr(
+          s"transform(sequence(1, least($WpMaxPiece, length(w) - pos + 1))," +
+            " L -> substring(w, pos, L))")).as("piece"))
+        .withColumn("len_l", length(col("piece")))
+        .join(broadcast(vocab), Seq("piece"), "left_semi")
+        .groupBy("w").agg(max(col("len_l")).as("bl"))
+      val stepped = active.join(best, Seq("w"))
+        .select(col("w"), col("c"), (col("pos") + col("bl")).as("pos"),
+          concat(col("acc"),
+            when(col("acc") === "", lit("")).otherwise(lit(" ")),
+            expr("substring(w, pos, bl)")).as("acc"),
+          (col("np") + 1L).as("np"))
+      state = stepped.unionByName(done)
+      if (r % 4 == 0) state = LineageCut.cut(state, LineageCut.Auto)
+    }
+    state
+      .select(col("w"), col("c"), col("np").as("n_pieces"),
+        col("acc").as("pieces"))
+      .unionByName(unk)
+      .orderBy("w")
+  }
+
   /** Language-ID confusion rollup: the n-gram classifier's predictions
     * against the corpus's ground-truth `lang` labels — per (actual,
     * predicted) cell count and its share of the actual language's docs in

@@ -95,6 +95,69 @@ class CurationSpec extends AnyFunSuite {
     assert(got2 == Seq((1L, "a a", 3L), (2L, "aa aa", 1L)))
   }
 
+  test("wordpiece: vocab and greedy segmentation match a plain-Scala rebuild") {
+    // independent witness: reimplement train+encode imperatively (no SQL,
+    // no iteration-unrolling shared with the oracle) and demand equality
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(r.getAs[String]("text")))
+      .flatMap(_.trim.split("\\s+"))
+      .filter(_.nonEmpty)
+      .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L)
+    val multiCounts = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, c) =>
+      for (l <- 2 to TextAnalysis.WpMaxPiece; i <- 0 to w.length - l)
+        { val p = w.substring(i, i + l)
+          multiCounts(p) = multiCounts.getOrElse(p, 0L) + c }
+    }
+    val topMultis = multiCounts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(TextAnalysis.WpVocabK)
+    val gotVocab = TextAnalysis.wordpieceVocab(spark, sf).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("n"))).toSeq
+    assert(gotVocab == topMultis)
+
+    val vocab = topMultis.map(_._1).toSet ++
+      words.keys.flatMap(_.toCharArray.map(_.toString))
+    def greedy(w: String): Seq[String] =
+      if (w.length > TextAnalysis.WpMaxWord) Seq("[UNK]")
+      else {
+        val out = Seq.newBuilder[String]
+        var pos = 0
+        while (pos < w.length) {
+          val maxL = math.min(TextAnalysis.WpMaxPiece, w.length - pos)
+          val l = (maxL to 1 by -1)
+            .find(l => vocab.contains(w.substring(pos, pos + l))).get
+          out += w.substring(pos, pos + l)
+          pos += l
+        }
+        out.result()
+      }
+    val expected = words.toSeq.map { case (w, c) =>
+      val p = greedy(w); (w, c, p.length.toLong, p.mkString(" "))
+    }.sortBy(_._1)
+    val got = TextAnalysis.wordpieceEncode(spark, sf).collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("c"),
+        r.getAs[Long]("n_pieces"), r.getAs[String]("pieces"))).toSeq
+    assert(got == expected)
+  }
+
+  test("wordpiece: oversized words become [UNK], pieces respect the cap") {
+    import spark.implicits._
+    // cap semantics on a synthetic frame routed through the same helpers:
+    // re-derive from the public encode on real data
+    val enc = TextAnalysis.wordpieceEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val w = r.getAs[String]("w"); val pieces = r.getAs[String]("pieces")
+      if (w.length > TextAnalysis.WpMaxWord) assert(pieces == "[UNK]")
+      else {
+        // pieces reassemble the word and never exceed WpMaxPiece chars
+        assert(pieces.split(" ").mkString("") == w)
+        assert(pieces.split(" ").forall(_.length <= TextAnalysis.WpMaxPiece))
+      }
+    }
+  }
+
   test("unigramQuality: exact per-doc signals on a hand-built corpus") {
     val rows = TextAnalysis.unigramQuality(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -544,4 +544,52 @@ class GraphSpec extends AnyFunSuite {
     assert(Tables.transfers(spark, GraftSpark.Sf)
       .filter(col("block_number") % 10 === 9).count() > 0)
   }
+
+  test("ANF: unsaturated registers count reach sets exactly on a chain") {
+    // directed chain 1→2→3→4→5; with k=16 every register stays unsaturated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .map { case (a, b) => (a.toString, b.toString) }.toDF("src", "dst")
+    val nf = Graph.neighborhoodFunction(edges)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // N(1)=2+2+2+2+1, N(2)=3+3+3+2+1, N(3)=4+4+3+2+1; nothing saturates
+    assert(nf == Seq((1, 5L, 9L, 0L), (2, 5L, 12L, 0L), (3, 5L, 14L, 0L)))
+  }
+
+  test("ANF: saturated registers estimate, and saturation is flagged") {
+    // star hub→12 leaves with k=4: the hub's r=1 reach (13) saturates
+    val edges = (1 to 12).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    val nf = Graph.neighborhoodFunction(edges, rounds = 1, k = 4)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(nf.length == 1)
+    val (_, nNodes, nfEst, nSat) = nf.head
+    assert(nNodes == 13L && nSat == 1L)
+    // 12 exact leaf singletons + a positive estimate for the hub
+    assert(nfEst > 12L)
+  }
+
+  test("ANF certificate: exact where unsaturated (err_ppm = 0 on a chain)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .map { case (a, b) => (a.toString, b.toString) }.toDF("src", "dst")
+    val cert = Graph.anfCertificate(edges, seedCount = 3)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(cert.length == 3)
+    assert(cert.forall { case (_, nSeeds, se, ss, err) =>
+      nSeeds == 3L && se == ss && err == 0L })
+  }
+
+  test("ANF: KMV register capping is lossless vs an uncapped register") {
+    import org.apache.spark.sql.functions.col
+    // k=3 on the transfer graph sample must equal k=large truncated to 3:
+    // the k smallest of a union are the k smallest of per-input k-minima
+    val edges = Tables.transfers(spark, GraftSpark.Sf)
+      .filter(col("from_address") =!= col("to_address"))
+      .select(col("from_address").as("src"), col("to_address").as("dst"))
+      .limit(200)
+    val capped = Graph.anfSketches(edges, rounds = 2, k = 3).last._2
+      .orderBy("v").as[(String, Seq[String])].collect().toSeq
+    val wide = Graph.anfSketches(edges, rounds = 2, k = 1000).last._2
+      .orderBy("v").as[(String, Seq[String])].collect().toSeq
+      .map { case (v, sk) => (v, sk.take(3): Seq[String]) }
+    assert(capped == wide)
+  }
 }

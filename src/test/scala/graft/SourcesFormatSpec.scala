@@ -65,6 +65,27 @@ class SourcesFormatSpec extends AnyFunSuite {
     assert(back == orig)
   }
 
+  test("schema-evolution merge: union schema, NULLs exactly on v1 rows") {
+    val merged = graft.sources.SchemaEvolution.mergedDocs(spark, GraftSpark.Sf)
+    assert(merged.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = merged
+      .select(col("doc_id"), col("source").isNull.as("s_null"),
+        col("n_chars").isNull.as("n_null"))
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // v1 batch (even ids) predates source/n_chars → NULL there, and ONLY there
+    assert(rows.forall { case (id, sNull, nNull) =>
+      (sNull == (id % 2 == 0)) && (nNull == (id % 2 == 0)) })
+    // shared columns round-trip for every row of both generations
+    val back = merged.select("doc_id", "text", "lang").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    val orig = Tables.documents(spark, GraftSpark.Sf)
+      .select("doc_id", "text", "lang").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(back == orig)
+  }
+
   test("pruned orc read keeps only the filtered partition") {
     val stage = OrcFormat.stage(spark, GraftSpark.Sf)
     val pruned = OrcFormat.read(spark, stage)
