@@ -1960,6 +1960,20 @@ object Catalog {
            |         AS is_current
            |FROM bal ORDER BY address, valid_from""".stripMargin))),
 
+    // Incremental SCD2 MERGE: last-48h deltas applied to the prior
+    // interval table (untouched wallets pass through, open intervals
+    // close at the first batch hour, exact decimal balance carry); the
+    // oracle IS the full rebuild — the IVM equivalence contract.
+    QEntry("q_scd2_merge",
+      (s, d) => Balances.scd2Merge(s, d),
+      Some(withBalances(Tables.FocusToken,
+        s"""SELECT address, t AS valid_from,
+           |       lead(t) OVER (PARTITION BY address ORDER BY t) AS valid_to,
+           |       balance,
+           |       lead(t) OVER (PARTITION BY address ORDER BY t) IS NULL
+           |         AS is_current
+           |FROM bal ORDER BY address, valid_from""".stripMargin))),
+
     QEntry("q_holder_count", Balances.holderCount,
       Some(withBalances(Tables.FocusToken,
         s"""SELECT t, CAST(SUM(ih) AS BIGINT) AS holder_count FROM (
@@ -5821,6 +5835,18 @@ object Catalog {
       Some("""SELECT doc_id, lang, source, text
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Co-located bucketed join: both sides staged bucketBy+sortBy on the
+    // join key (external bucketed tables), joined with broadcast disabled
+    // so the persisted bucket layout carries the join; no-shuffle plan
+    // property asserted in BucketingSpec, result hash-verified here.
+    QEntry("q_bucketed_join", graft.io.Bucketing.ordersLineitemJoin,
+      Some("""SELECT o.o_orderstatus,
+             |       CAST(count(*) AS BIGINT) AS n_items,
+             |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+             |         AS total_qty
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Schema-evolution intake: two parquet batch generations (v1 lacks
     // source/n_chars) merged by footer-schema union; NULLs appear exactly
     // where the writing schema lacked the column.
@@ -6890,6 +6916,31 @@ object Catalog {
          |         AS tx_volume
          |FROM tx t JOIN tk p ON p.c = t.c
          |  AND p.us >= t.us - 3600000000 AND p.us <= t.us
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // LEFT SEMI stream-stream interval join: existence filtering as a
+    // stream (transfers with >=1 tick in the preceding hour, emitted
+    // once); oracle = the batch EXISTS on epoch microseconds.
+    QEntry("q_stream_semi_join",
+      graft.streaming.StreamingMetrics.streamSemiJoin,
+      Some(
+      s"""WITH tk AS (
+         |  SELECT event_type AS c, epoch_us(ts) AS us
+         |  FROM events WHERE event_id % 5 = 0
+         |),
+         |tx AS (
+         |  SELECT event_type AS c, value, epoch_us(ts) AS us
+         |  FROM events WHERE event_id % 5 <> 0
+         |)
+         |SELECT t.c AS contract_address,
+         |       (t.us // 3600000000) * 3600 AS t,
+         |       CAST(count(*) AS BIGINT) AS n_matched,
+         |       CAST(SUM(CAST(t.value AS DECIMAL(25,2))) AS DOUBLE)
+         |         AS tx_volume
+         |FROM tx t
+         |WHERE EXISTS (
+         |  SELECT 1 FROM tk p WHERE p.c = t.c
+         |    AND p.us >= t.us - 3600000000 AND p.us <= t.us)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // LEFT OUTER stream-stream interval join: unmatched transfers

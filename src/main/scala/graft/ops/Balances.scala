@@ -95,6 +95,71 @@ object Balances {
       .orderBy("address", "valid_from")
   }
 
+  /** INCREMENTAL maintenance of [[scd2Intervals]] — the SCD2 MERGE: apply
+    * a late batch of deltas to an existing interval table without
+    * rebuilding untouched wallets. The base table is the history before a
+    * cutoff (last 48 h withheld as the arriving batch); the merge then
+    *
+    *  1. passes every UNTOUCHED wallet's intervals through verbatim
+    *     (anti-join on the batch's address set — the only full-table
+    *     work, and it is one semi-join, not a window),
+    *  2. closes each touched wallet's open interval at its first batch
+    *     hour, and
+    *  3. extends with new intervals cumulated from the open balance
+    *     (exact DECIMAL carry: open + batch running sum ≡ the full-history
+    *     running sum, so the merged table is bit-identical to a full
+    *     rebuild — the correctness contract, stated by the oracle AS the
+    *     full rebuild).
+    *
+    * Work scales with |touched wallets' batch rows|, not |history| — the
+    * same IVM shape as the incremental agg/join/dedup/CC family. The
+    * cutoff is internal bookkeeping (any split yields the same merged
+    * table); windows are all partitioned by address. */
+  def scd2Merge(spark: SparkSession, sfDir: String,
+      token: String = Tables.FocusToken): DataFrame = {
+    val leadW = Window.partitionBy("address").orderBy("t")
+    val deltas = hourlyDeltas(spark, sfDir, token)
+    val cut = deltas.agg((max(col("t")) - lit(48L * 3600L)).as("cut"))
+    val d = deltas.crossJoin(broadcast(cut))
+    val base = d.filter(col("t") < col("cut"))
+      .select("address", "t", "ddelta")
+    val batch = d.filter(col("t") >= col("cut"))
+      .select("address", "t", "ddelta")
+    val baseIv = base
+      .select(col("address"), col("t"),
+        sum(col("ddelta")).over(byAddrTime).as("dbal"))
+      .select(col("address"), col("t").as("valid_from"),
+        lead(col("t"), 1).over(leadW).as("valid_to"),
+        col("dbal"))
+    val touched = batch.select("address").distinct()
+    val untouched = baseIv.join(touched, Seq("address"), "left_anti")
+    val open = baseIv.filter(col("valid_to").isNull)
+      .join(touched, Seq("address"), "left_semi")
+      .select(col("address"), col("valid_from").as("open_from"),
+        col("dbal").as("open_bal"))
+    val closedBase = baseIv.filter(col("valid_to").isNotNull)
+      .join(touched, Seq("address"), "left_semi")
+    val closedOpen = open
+      .join(batch.groupBy("address").agg(min(col("t")).as("first_t")),
+        Seq("address"))
+      .select(col("address"), col("open_from").as("valid_from"),
+        col("first_t").as("valid_to"), col("open_bal").as("dbal"))
+    val newIv = batch
+      .join(open.select(col("address"), col("open_bal")), Seq("address"),
+        "left")
+      .select(col("address"), col("t"),
+        (coalesce(col("open_bal"), lit(0).cast(Dec))
+          + sum(col("ddelta")).over(byAddrTime)).as("dbal"))
+      .select(col("address"), col("t").as("valid_from"),
+        lead(col("t"), 1).over(leadW).as("valid_to"), col("dbal"))
+    Seq(untouched, closedBase, closedOpen, newIv)
+      .map(_.select(col("address"), col("valid_from"), col("valid_to"),
+        col("dbal").cast("double").as("balance")))
+      .reduce(_ unionByName _)
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("address", "valid_from")
+  }
+
   /** Holder-transition flag per (address, hour) — lag + the reference's
     * null-aware CASE exactly as written (F7, reference:
     * src/main/scala/etl/BaseEnricher.scala:130-155; the isNull arm is

@@ -150,6 +150,38 @@ object StreamJoins {
     matched.unionByName(unmatchedTx).unionByName(unmatchedTick)
   }
 
+  /** LEFT SEMI variant of [[transfersWithRecentPrices]]: transfers that
+    * had AT LEAST ONE qualifying price tick in the preceding window,
+    * emitted once — existence filtering as a stream, the streaming twin of
+    * the batch semi-join family (J5). Matched left rows emit as soon as
+    * the match arrives (no watermark wait — only unmatched rows need
+    * end-of-horizon declaration, and those are dropped, not emitted);
+    * state expires on both watermarks exactly like the inner variant.
+    *
+    * Exactly-once under the bucket fold: the transfer's own bucket is
+    * unique among a matching price's two exploded copies, so a transfer's
+    * join state sees every qualifying tick under one key, and LEFT SEMI
+    * emits the transfer once regardless of how many ticks match. */
+  def transfersWithRecentPricesSemi(transfers: DataFrame, prices: DataFrame,
+      windowSeconds: Long = 3600L): DataFrame = {
+    val us = windowSeconds * 1000000L
+    def floorBucket(tsCol: String): String =
+      s"(unix_micros($tsCol) div $us) + " +
+        s"(CASE WHEN unix_micros($tsCol) % $us < 0 THEN -1 ELSE 0 END)"
+    val t = transfers.withWatermark("t_ts", s"$windowSeconds seconds")
+      .withColumn("t_b", expr(floorBucket("t_ts")))
+    val p = prices.withWatermark("p_ts", s"${2 * windowSeconds} seconds")
+      .withColumn("p_b", explode(expr(
+        s"array(${floorBucket("p_ts")}, (${floorBucket("p_ts")}) + 1)")))
+    t.join(p,
+      col("contract_address") === col("p_contract") &&
+        col("t_b") === col("p_b") &&
+        col("p_ts") >= col("t_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("p_ts") <= col("t_ts"),
+      "left_semi")
+      .select(col("contract_address"), col("value"), col("t_ts"))
+  }
+
   /** Stream-STATIC enrichment: join a stream against a batch dimension
     * table (the dapp registry). No watermark and no join state at all —
     * the static side is broadcast per micro-batch and re-read if it

@@ -713,4 +713,43 @@ object StreamingMetrics {
         graft.ops.Num.dsum(col("value")).as("tx_volume"))
       .orderBy("contract_address", "t")
   }
+
+  /** LEFT SEMI stream-stream interval join, drained through a real file
+    * sink: transfers that saw at least one price tick in the preceding
+    * hour, rolled up per (token, hour). Matched rows emit on match — no
+    * watermark wait and no sentinel needed (unmatched rows are DROPPED,
+    * not emitted, so nothing depends on end-of-stream declaration) — and
+    * each transfer appears exactly once however many ticks matched, so
+    * the appended set equals the batch semi join, which the oracle states
+    * as an EXISTS on epoch microseconds. */
+  def streamSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_ssemi_sink").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_ssemi_ckpt").toString
+    val ticks = graft.Tables.eventsStream(spark, sfDir)
+      .filter(col("event_id") % 5 === 0)
+      .select(col("event_type").as("p_contract"),
+        col("value").as("price"), col("ts_t").as("p_ts"))
+    val txs = graft.Tables.eventsStream(spark, sfDir)
+      .filter(col("event_id") % 5 =!= 0)
+      .select(col("event_type").as("contract_address"),
+        col("value"), col("ts_t").as("t_ts"))
+    val q = StreamJoins.transfersWithRecentPricesSemi(txs, ticks, 3600L)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .groupBy(col("contract_address"),
+        (expr("unix_micros(t_ts) div 3600000000") * 3600)
+          .cast("long").as("t"))
+      .agg(count(lit(1)).as("n_matched"),
+        graft.ops.Num.dsum(col("value")).as("tx_volume"))
+      .orderBy("contract_address", "t")
+  }
 }

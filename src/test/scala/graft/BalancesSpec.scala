@@ -104,4 +104,22 @@ class BalancesSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  test("scd2Merge: incremental merge equals the full interval rebuild") {
+    val sf = GraftSpark.Sf
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    val merged = rows(Balances.scd2Merge(spark, sf))
+    val full = rows(Balances.scd2Intervals(spark, sf))
+    assert(merged == full)
+    // the equivalence must be non-vacuous: the withheld batch really
+    // splits the history (some wallet has intervals on both sides)
+    val deltas = Balances.hourlyDeltas(spark, sf, Tables.FocusToken)
+    val cut = deltas.agg(max(col("t"))).collect()(0).getLong(0) - 48L * 3600L
+    assert(deltas.filter(col("t") >= cut).count() > 0)
+    assert(deltas.filter(col("t") < cut).count() > 0)
+  }
 }

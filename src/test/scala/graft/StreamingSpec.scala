@@ -164,6 +164,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT SEMI join: emits once per matched transfer, " +
+      "drops unmatched") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val tIn = MemoryStream[(String, Double, Long)]
+    val pIn = MemoryStream[(String, Double, Long)]
+    val semi = graft.streaming.StreamJoins.transfersWithRecentPricesSemi(
+      tIn.toDS().toDF("contract_address", "value", "sec")
+        .withColumn("t_ts", timestamp_seconds(col("sec"))).drop("sec"),
+      pIn.toDS().toDF("p_contract", "price", "sec")
+        .withColumn("p_ts", timestamp_seconds(col("sec"))).drop("sec"))
+    val q = semi.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_ssemi_test").start()
+    try {
+      pIn.addData(("click", 10.0, 1000L), ("click", 11.0, 3000L),
+        ("view", 7.0, 2000L))
+      // two qualifying ticks -> still exactly ONE emitted row
+      tIn.addData(("click", 99.0, 3500L))
+      // no tick within the preceding hour -> dropped, not emitted
+      tIn.addData(("click", 50.0, 9000L))
+      q.processAllAvailable()
+      val out = spark.table("graft_ssemi_test")
+        .select("contract_address", "value")
+        .as[(String, Double)].collect().toSeq
+      assert(out == Seq(("click", 99.0)), out.toString)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches against the broadcast dapp registry") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
