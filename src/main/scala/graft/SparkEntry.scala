@@ -6114,6 +6114,19 @@ object Catalog {
          |FROM orders
          |ORDER BY zval, o_orderkey""".stripMargin)),
 
+    // Hilbert-curve layout keys — the z-order twin with grid-adjacent
+    // walk (no Morton diagonal jumps); one Scala generator emits the
+    // identical 16-round CASE arithmetic for both engines.
+    QEntry("q_hilbert", Layout.hilbertOrders, Some(
+      s"""WITH raw AS (
+         |  SELECT o_orderkey, ${Layout.DimA} AS ka, ${Layout.DimB} AS kb
+         |  FROM orders
+         |),
+         |${Layout.duckHilbertCtes("raw", "ka", "kb", Seq("o_orderkey"))}
+         |SELECT o_orderkey, hd AS hval
+         |FROM h${Layout.HilbertBits}
+         |ORDER BY hval, o_orderkey""".stripMargin)),
+
     // Data-skipping certificate: per candidate layout (key-sorted,
     // date-sorted, z-ordered), how many model files a range-predicate
     // grid skips on footer min/max extents — the zorder decision, priced.
@@ -6135,17 +6148,25 @@ object Catalog {
          |           AS da16
          |  FROM raw r CROSS JOIN b
          |),
-         |rows_ AS (
-         |  SELECT k, d, ${Layout.duckZ("ka16", "da16")} AS z FROM scaled
+         |zrows AS (
+         |  SELECT k, d, ka16, da16, ${Layout.duckZ("ka16", "da16")} AS z
+         |  FROM scaled
          |),
-         |lay AS (SELECT unnest(['by_key', 'by_date', 'zorder']) AS layout),
+         |${Layout.duckHilbertCtes("zrows", "ka16", "da16",
+              Seq("k", "d", "z"))},
+         |rows_ AS (
+         |  SELECT k, d, z, hd AS h FROM h${Layout.HilbertBits}
+         |),
+         |lay AS (SELECT unnest(['by_key', 'by_date', 'zorder', 'hilbert'])
+         |          AS layout),
          |ext AS (
          |  SELECT layout, file_id, min(k) AS fkmn, max(k) AS fkmx,
          |         min(d) AS fdmn, max(d) AS fdmx
          |  FROM (
          |    SELECT l.layout, r.k, r.d,
          |      LEAST((CASE l.layout WHEN 'by_key' THEN r.k
-         |               WHEN 'by_date' THEN r.d ELSE r.z END
+         |               WHEN 'by_date' THEN r.d
+         |               WHEN 'zorder' THEN r.z ELSE r.h END
          |             - CASE l.layout WHEN 'by_key' THEN b.kmn
          |               WHEN 'by_date' THEN b.dmn ELSE CAST(0 AS BIGINT) END)
          |            * ${Layout.SkippingFiles}

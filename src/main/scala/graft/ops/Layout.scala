@@ -41,6 +41,93 @@ object Layout {
   def duckZ(a: String, b: String): String =
     s"(${duckSpread(a)} | (${duckSpread(b)} << 1))"
 
+  // ── Hilbert-curve layout (the z-order alternative) ──
+
+  /** Bits per dimension for the Hilbert index; the curve fills the
+    * 65536 × 65536 grid and d spans [0, 2^32). */
+  val HilbertBits = 16
+  val HilbertN: Long = 1L << HilbertBits
+
+  /** One xy2d round at scale `s` (the textbook iterative Hilbert
+    * encoding: quadrant digit + reflect-and-swap rotation), as (d', x',
+    * y') expression strings over columns `(hd, hx, hy)`. Plain CASE +
+    * integer arithmetic — ONE generator serves Spark and DuckDB
+    * verbatim, so the two engines share the curve definition the way
+    * [[spreadExpr]] shares the Morton ladder. The quadrant digit
+    * `(3·rx) XOR ry` is spelled as its 4-row CASE truth table (DuckDB's
+    * `^` is power, not xor; the CASE is engine-neutral). */
+  private def hilbertStep(s: Long): (String, String, String) = {
+    val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+    val quad = s"(CASE WHEN $rx = 1 AND $ry = 1 THEN 2" +
+      s" WHEN $rx = 1 THEN 3 WHEN $ry = 1 THEN 1 ELSE 0 END)"
+    // the square is CAST to BIGINT: at s = 2^15 the int-literal product
+    // s*s*quad reaches 3·2^30 and overflows 32-bit arithmetic (ANSI
+    // Spark raises; DuckDB INTEGER would too)
+    val d = s"(hd + CAST(${s * s} AS BIGINT) * $quad)"
+    val x = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1" +
+      s" THEN ${HilbertN - 1} - hy ELSE hy END) ELSE hx END)"
+    val y = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1" +
+      s" THEN ${HilbertN - 1} - hx ELSE hx END) ELSE hy END)"
+    (d, x, y)
+  }
+
+  /** Append `hval` (the 32-bit Hilbert index of (`xExpr`, `yExpr`)) to
+    * `df` by unrolling the 16 rounds as chained projections — pure
+    * per-row arithmetic, no shuffle, codegen-friendly. */
+  def withHilbert(df: DataFrame, xExpr: String, yExpr: String): DataFrame = {
+    var cur = df
+      .withColumn("hx", expr(s"CAST($xExpr AS BIGINT)"))
+      .withColumn("hy", expr(s"CAST($yExpr AS BIGINT)"))
+      .withColumn("hd", lit(0L))
+    for (k <- (HilbertBits - 1) to 0 by -1) {
+      val (d, x, y) = hilbertStep(1L << k)
+      cur = cur
+        .select(col("*"), expr(d).as("hd2"), expr(x).as("hx2"),
+          expr(y).as("hy2"))
+        .drop("hd", "hx", "hy")
+        .withColumnRenamed("hd2", "hd")
+        .withColumnRenamed("hx2", "hx")
+        .withColumnRenamed("hy2", "hy")
+    }
+    cur.withColumnRenamed("hd", "hval").drop("hx", "hy")
+  }
+
+  /** The same 16 rounds as chained DuckDB CTEs `h0..h16` over `srcCte`
+    * (must expose `xExpr`/`yExpr` and every column in `keep`); `h16`
+    * carries `keep` plus the final index in `hd`. */
+  def duckHilbertCtes(srcCte: String, xExpr: String, yExpr: String,
+      keep: Seq[String]): String = {
+    val keepCols = keep.mkString(", ")
+    val steps = ((HilbertBits - 1) to 0 by -1).zipWithIndex.map {
+      case (k, i) =>
+        val (d, x, y) = hilbertStep(1L << k)
+        s"""h${i + 1} AS (
+           |  SELECT $keepCols, $d AS hd, $x AS hx, $y AS hy
+           |  FROM h$i
+           |)""".stripMargin
+    }.mkString(",\n")
+    s"""h0 AS (
+       |  SELECT $keepCols, CAST(0 AS BIGINT) AS hd,
+       |         CAST($xExpr AS BIGINT) AS hx, CAST($yExpr AS BIGINT) AS hy
+       |  FROM $srcCte
+       |),
+       |$steps""".stripMargin
+  }
+
+  /** (o_orderkey, hval) in Hilbert order — [[zorderOrders]]'s twin on the
+    * curve with strictly better worst-case locality (every step of the
+    * Hilbert walk is grid-adjacent; Morton takes long diagonal jumps at
+    * power-of-two seams, which is exactly what widens file extents). */
+  def hilbertOrders(spark: SparkSession, sfDir: String): DataFrame =
+    withHilbert(
+      Tables.orders(spark, sfDir)
+        .withColumn("ka", expr(DimA))
+        .withColumn("kb", expr(DimB)),
+      "ka", "kb")
+      .select(col("o_orderkey"), col("hval"))
+      .orderBy("hval", "o_orderkey")
+
   /** The two layout dimensions for `orders`: key and (integer) total
     * price, both folded into 16 bits. floor() before the cast — a raw
     * double→BIGINT cast truncates in Spark but rounds in DuckDB. */
@@ -167,10 +254,12 @@ object Layout {
       .withColumn("da16",
         expr("(d - dmn) * 65535 div greatest(dmx - dmn, 1)"))
       .withColumn("z", expr(sparkZ("ka16", "da16")))
-    val layouts = Seq("by_key", "by_date", "zorder").toDF("layout")
+      .transform(withHilbert(_, "ka16", "da16"))
+    val layouts = Seq("by_key", "by_date", "zorder", "hilbert").toDF("layout")
     val extents = rows.crossJoin(broadcast(layouts))
       .withColumn("lk", expr(
-        "CASE layout WHEN 'by_key' THEN k WHEN 'by_date' THEN d ELSE z END"))
+        "CASE layout WHEN 'by_key' THEN k WHEN 'by_date' THEN d" +
+          " WHEN 'zorder' THEN z ELSE hval END"))
       .withColumn("lmn", expr(
         "CASE layout WHEN 'by_key' THEN kmn WHEN 'by_date' THEN dmn" +
           " ELSE CAST(0 AS BIGINT) END"))

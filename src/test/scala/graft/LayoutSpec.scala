@@ -59,6 +59,68 @@ class LayoutSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  /** Textbook iterative Hilbert encode (the algorithm the SQL chain
+    * unrolls), used as the independent reference. */
+  private def xy2d(n: Long, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L; var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  /** Reference decode — validates [[xy2d]] is a true Hilbert curve. */
+  private def d2xy(n: Long, d0: Long): (Long, Long) = {
+    var x = 0L; var y = 0L; var t = d0; var s = 1L
+    while (s < n) {
+      val rx = 1L & (t / 2); val ry = 1L & (t ^ rx)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx; y += s * ry; t /= 4; s *= 2
+    }
+    (x, y)
+  }
+
+  test("hilbert reference: bijective round-trip and grid-adjacent walk") {
+    val n = 64L
+    val cells = (0L until n * n).map(d2xy(n, _))
+    assert(cells.distinct.size == (n * n).toInt) // bijection
+    cells.zipWithIndex.foreach { case ((x, y), d) =>
+      assert(xy2d(n, x, y) == d.toLong) // encode inverts decode
+    }
+    cells.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      // every step of the walk moves to a grid-adjacent cell — the
+      // locality property Morton lacks at power-of-two seams
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+  }
+
+  test("hilbert SQL chain equals the reference on edge and grid points") {
+    import spark.implicits._
+    val pts = (for {
+      x <- Seq(0L, 1L, 2L, 32767L, 32768L, 65534L, 65535L, 12345L)
+      y <- Seq(0L, 1L, 2L, 32767L, 32768L, 65534L, 65535L, 54321L)
+    } yield (x, y)) ++ (0 until 200).map(i => ((i * 331L) % 65536, (i * 7919L) % 65536))
+    val got = graft.ops.Layout
+      .withHilbert(pts.toDF("x", "y"), "x", "y")
+      .select("x", "y", "hval")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (x, y, h) =>
+      assert(h == xy2d(graft.ops.Layout.HilbertN, x, y), s"($x,$y)")
+      assert(h >= 0L && h < graft.ops.Layout.HilbertN * graft.ops.Layout.HilbertN)
+    }
+  }
+
   test("skipping stats: exact local recount of every layout's skip rate") {
     import org.apache.spark.sql.functions._
     val got = graft.ops.Layout.skippingStats(spark, sf)
@@ -77,7 +139,8 @@ class LayoutSpec extends AnyFunSuite {
     val rows = kd.map { case (k, d) =>
       val ka = (k - kmn) * 65535 / math.max(kmx - kmn, 1)
       val da = (d - dmn) * 65535 / math.max(dmx - dmn, 1)
-      (k, d, spread(ka) | (spread(da) << 1))
+      (k, d, spread(ka) | (spread(da) << 1),
+        xy2d(graft.ops.Layout.HilbertN, ka, da))
     }
     val F = graft.ops.Layout.SkippingFiles
     def wins(n: Int, mn: Long, mx: Long): Seq[(Long, Long)] = {
@@ -85,9 +148,10 @@ class LayoutSpec extends AnyFunSuite {
       (0 until n).map(i => (mn + i * w, mn + (i + 1) * w))
     }
     for ((layout, pick, lmn, lmx) <- Seq(
-      ("by_key", (r: (Long, Long, Long)) => r._1, kmn, kmx),
-      ("by_date", (r: (Long, Long, Long)) => r._2, dmn, dmx),
-      ("zorder", (r: (Long, Long, Long)) => r._3, 0L, 4294967295L))) {
+      ("by_key", (r: (Long, Long, Long, Long)) => r._1, kmn, kmx),
+      ("by_date", (r: (Long, Long, Long, Long)) => r._2, dmn, dmx),
+      ("zorder", (r: (Long, Long, Long, Long)) => r._3, 0L, 4294967295L),
+      ("hilbert", (r: (Long, Long, Long, Long)) => r._4, 0L, 4294967295L))) {
       val files = rows.groupBy(r =>
         math.min((pick(r) - lmn) * F / math.max(lmx - lmn + 1, 1), F - 1L))
       val exts = files.values.map(rs =>
