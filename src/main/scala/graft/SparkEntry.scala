@@ -3937,6 +3937,31 @@ object Catalog {
            |       CAST(SUM(sat) AS BIGINT) AS n_saturated
            |FROM est GROUP BY r ORDER BY r""".stripMargin))),
 
+    // 90% effective diameter read off the ANF curve (integer-ppm
+    // comparison over the per-radius estimates).
+    QEntry("q_effective_diameter",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        Graph.effectiveDiameter(
+          graft.Tables.transfers(s, d)
+            .select(col("from_address").as("src"),
+              col("to_address").as("dst")))
+      },
+      Some(withTransfers(
+        s""", $anfReachCtes,
+           |nf AS (
+           |  SELECT r, CAST(SUM(CAST(est AS HUGEINT)) AS BIGINT) AS nf_est
+           |  FROM est GROUP BY r
+           |),
+           |mx AS (SELECT max(nf_est) AS nf_max FROM nf)
+           |SELECT CAST(min(n.r) AS INTEGER) AS eff_diameter,
+           |       CAST(900000 AS BIGINT) AS target_ppm,
+           |       min_by(n.nf_est, n.r) AS nf_at_diameter,
+           |       max(m.nf_max) AS nf_max
+           |FROM nf n CROSS JOIN mx m
+           |WHERE CAST(n.nf_est AS HUGEINT) * 1000000
+           |      >= CAST(m.nf_max AS HUGEINT) * 900000""".stripMargin))),
+
     // ANF recall certificate: exact reach counts on a 4-seed md5 sample
     // vs the KMV estimates on the same seeds, relative error in ppm.
     QEntry("q_anf_recall",
@@ -5834,6 +5859,32 @@ object Catalog {
     QEntry("q_text_intake", graft.sources.TextIntake.docsRoundTrip,
       Some("""SELECT doc_id, lang, source, text
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Partitioning/broadcast advisor: per table, a deterministic size
+    // model prices the compaction file count, shuffle-partition count and
+    // broadcast verdict — the tuning-certificate family's ops member.
+    QEntry("q_partition_advisor", graft.ops.Advisor.partitionAdvisor,
+      Some {
+        import graft.ops.Advisor._
+        val per = TableCols.map { case (tbl, cols) =>
+          s"""SELECT '$tbl' AS tbl, count(*) AS n_rows,
+             |  CAST(SUM(${rowBytesExpr(cols, c => s"len($c)")}) AS BIGINT)
+             |    AS est_bytes
+             |FROM $tbl""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH sz AS (
+           |$per
+           |)
+           |SELECT tbl, n_rows, est_bytes,
+           |  est_bytes <= $BroadcastThreshold AS broadcastable,
+           |  GREATEST(CAST(1 AS BIGINT),
+           |    (est_bytes + ${TargetFileBytes - 1}) // $TargetFileBytes)
+           |    AS n_target_files,
+           |  GREATEST(CAST(1 AS BIGINT),
+           |    (est_bytes + ${TargetPartitionBytes - 1})
+           |      // $TargetPartitionBytes) AS shuffle_partitions
+           |FROM sz ORDER BY tbl""".stripMargin
+      }),
 
     // Co-located bucketed join: both sides staged bucketBy+sortBy on the
     // join key (external bucketed tables), joined with broadcast disabled

@@ -1429,6 +1429,30 @@ object Graph {
     }.reduce(_ unionByName _).orderBy("r")
   }
 
+  /** Effective diameter from the ANF curve: the smallest radius whose
+    * estimated neighborhood function reaches ≥ `ppm`/1e6 of the deepest
+    * round's — the standard "90% effective diameter" read off N(r)
+    * (integer ppm comparison, no floats). One row:
+    * `(eff_diameter, target_ppm, nf_at_diameter, nf_max)`. Cost: the
+    * [[neighborhoodFunction]] rounds plus arithmetic over `rounds` rows. */
+  def effectiveDiameter(edges: DataFrame, rounds: Int = AnfRounds,
+      k: Int = AnfK, ppm: Long = 900000L,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val nf = neighborhoodFunction(edges, rounds, k, cutMode)
+      .select(col("r"), col("nf_est"))
+    val mx = nf.agg(max(col("nf_est")).as("nf_max"))
+    nf.crossJoin(broadcast(mx))
+      // DECIMAL route: nf ppm products pass 2^63 long before |V|² does
+      .filter(expr(s"CAST(nf_est AS DECIMAL(38,0)) * 1000000" +
+        s" >= CAST(nf_max AS DECIMAL(38,0)) * $ppm"))
+      .groupBy(lit(ppm).as("target_ppm"))
+      .agg(min(col("r")).as("eff_diameter"),
+        min_by(col("nf_est"), col("r")).as("nf_at_diameter"),
+        max(col("nf_max")).as("nf_max"))
+      .select(col("eff_diameter"), col("target_ppm"),
+        col("nf_at_diameter"), col("nf_max"))
+  }
+
   /** ANF recall certificate: on a bounded md5-ordered seed sample, the
     * exact per-radius reach counts (forward BFS carrying (seed, vertex)
     * pairs — state ≤ |seeds|·|V|, the [[betweenness]] bounding move) next
