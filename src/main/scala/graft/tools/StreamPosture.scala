@@ -24,15 +24,17 @@ import org.apache.spark.sql.functions._
   * the MAX `numRowsTotal` any batch held (the falsifiable number), rows
   * dropped as late, and the appended output count.
   *
-  * Usage: runMain graft.tools.StreamPosture <sfDir> [shards]
+  * Usage: runMain graft.tools.StreamPosture <sfDir> [shards] [agg|join]
   * Compare sf0.1 against a ScaleGen sf1.0: input_rows ×10,
-  * max_state_rows ≈ flat.
+  * max_state_rows ≈ flat (agg) / ∝ rows-in-horizon, not stream length
+  * (join — finer shards shrink it at ANY corpus size).
   */
 object StreamPosture {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val shards = args.lift(1).map(_.toInt).getOrElse(12)
+    val mode = args.lift(2).getOrElse("agg")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,31 +47,52 @@ object StreamPosture {
 
     // time-range shards, written sequentially so file mod-times follow
     // event time and the FileStreamSource replays them in order
-    val ev = graft.Tables.events(spark, sfDir)
-      .select(col("event_type"), col("value"), col("ts_t"))
-    val bounds = ev.agg(min(unix_micros(col("ts_t"))).as("mn"),
-      max(unix_micros(col("ts_t"))).as("mx"))
-    val sharded = ev.crossJoin(broadcast(bounds))
-      .withColumn("sh", expr(
-        s"CAST((unix_micros(ts_t) - mn) * $shards" +
-          " div greatest(mx - mn + 1, 1) AS INT)"))
-      .select("event_type", "value", "ts_t", "sh")
-    val stage =
-      java.nio.file.Files.createTempDirectory("graft_sposture").toString
-    for (k <- 0 until shards) {
-      sharded.filter(col("sh") === k).drop("sh")
-        .coalesce(1).write.mode("append").parquet(stage)
+    val evAll = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts_t"))
+    def stageShards(df: org.apache.spark.sql.DataFrame): String = {
+      val bounds = df.agg(min(unix_micros(col("ts_t"))).as("mn"),
+        max(unix_micros(col("ts_t"))).as("mx"))
+      val sharded = df.crossJoin(broadcast(bounds))
+        .withColumn("sh", expr(
+          s"CAST((unix_micros(ts_t) - mn) * $shards" +
+            " div greatest(mx - mn + 1, 1) AS INT)"))
+      val stage =
+        java.nio.file.Files.createTempDirectory("graft_sposture").toString
+      for (k <- 0 until shards) {
+        sharded.filter(col("sh") === k).drop("sh", "mn", "mx")
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      stage
     }
+    def readShards(stage: String, cols: String): org.apache.spark.sql.DataFrame =
+      spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
 
-    val stream = spark.readStream
-      .schema("event_type STRING, value DOUBLE, ts_t TIMESTAMP")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
-    val agg = stream
-      .withWatermark("ts_t", "600 seconds")
-      .groupBy(window(col("ts_t"), "3600 seconds"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(25,2)")).as("v"))
+    val agg = mode match {
+      case "join" =>
+        // the stream-stream interval-join shape (q_stream_interval_join):
+        // both sides sharded by time, state keyed (token, bucket)
+        val ticks = readShards(
+          stageShards(evAll.filter(col("event_id") % 5 === 0)),
+          "event_id LONG, event_type STRING, value DOUBLE, ts_t TIMESTAMP")
+          .select(col("event_type").as("p_contract"),
+            col("value").as("price"), col("ts_t").as("p_ts"))
+        val txs = readShards(
+          stageShards(evAll.filter(col("event_id") % 5 =!= 0)),
+          "event_id LONG, event_type STRING, value DOUBLE, ts_t TIMESTAMP")
+          .select(col("event_type").as("contract_address"),
+            col("value"), col("ts_t").as("t_ts"))
+        graft.streaming.StreamJoins
+          .transfersWithRecentPrices(txs, ticks, 3600L)
+      case _ =>
+        val stage = stageShards(evAll.drop("event_id"))
+        readShards(stage, "event_type STRING, value DOUBLE, ts_t TIMESTAMP")
+          .withWatermark("ts_t", "600 seconds")
+          .groupBy(window(col("ts_t"), "3600 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(25,2)")).as("v"))
+    }
     val sink =
       java.nio.file.Files.createTempDirectory("graft_sposture_sink").toString
     val ckpt =
@@ -91,7 +114,7 @@ object StreamPosture {
     val dropped = states.map(_.numRowsDroppedByWatermark).sum
     val inputRows = progs.map(_.numInputRows).sum
     val outRows = spark.read.parquet(sink).count()
-    println(f"""{"dir":"$sfDir","shards":$shards,""" +
+    println(f"""{"dir":"$sfDir","mode":"$mode","shards":$shards,""" +
       f""""batches":${progs.count(_.numInputRows > 0)},""" +
       f""""input_rows":$inputRows,"max_state_rows":$maxState,""" +
       f""""rows_dropped_late":$dropped,"out_rows":$outRows,""" +
