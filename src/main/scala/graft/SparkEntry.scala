@@ -387,6 +387,64 @@ object Catalog {
        |$steps""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.unigramSegment]]: piece
+    * frequencies (ranked multis + weighted singles), then the suffix-DP
+    * relaxation unrolled like [[wordpieceCtes]]'s greedy scan — per round
+    * one candidate join and one `min_by` over the fixed-width composite
+    * order key (zero-padded piece count, zero-padded inverted score,
+    * piece string). Consumes `words`/`wpmultis` from [[wordpieceCtes]];
+    * defines `ugpieces, upos, ub<N>`. */
+  private lazy val unigramCtes: String = {
+    import graft.ops.TextAnalysis.{WpMaxPiece, WpMaxWord}
+    val lvals = (1 to WpMaxPiece).map(l => s"($l)").mkString(", ")
+    val key = "lpad(CAST(k AS VARCHAR), 2, '0') ||" +
+      " lpad(CAST(1000000000000 - score AS VARCHAR), 13, '0') || acc"
+    val steps = (1 to WpMaxWord).map { r =>
+      s"""uc$r AS (
+         |  SELECT p.w, p.pos, b.k + 1 AS k, b.score + v.n AS score,
+         |         v.piece || CASE WHEN b.acc = '' THEN '' ELSE ' ' END ||
+         |           b.acc AS acc
+         |  FROM upos p
+         |  JOIN (VALUES $lvals) lt(L) ON p.pos + lt.L <= len(p.w) + 1
+         |  JOIN ugpieces v ON v.piece = substr(p.w, p.pos, lt.L)
+         |  JOIN ub${r - 1} b ON b.w = p.w AND b.pos = p.pos + lt.L
+         |),
+         |ub$r AS MATERIALIZED (
+         |  SELECT w, pos, min_by(k, okey) AS k, min_by(score, okey) AS score,
+         |         min_by(acc, okey) AS acc
+         |  FROM (
+         |    SELECT *, $key AS okey FROM (
+         |      SELECT w, pos, k, score, acc FROM ub${r - 1}
+         |      UNION ALL
+         |      SELECT w, pos, k, score, acc FROM uc$r
+         |    )
+         |  ) GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""ugsingles AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), 1) AS piece,
+       |         CAST(SUM(c) AS BIGINT) AS n
+       |  FROM words, unnest(range(1, len(w) + 1)) AS t(i)
+       |  GROUP BY 1
+       |),
+       |ugpieces AS (
+       |  SELECT piece, n FROM wpmultis
+       |  UNION ALL SELECT piece, n FROM ugsingles
+       |),
+       |upos AS (
+       |  SELECT w, CAST(pos AS INTEGER) AS pos
+       |  FROM (SELECT w, unnest(range(1, len(w) + 1)) AS pos
+       |        FROM words WHERE len(w) <= $WpMaxWord)
+       |),
+       |ub0 AS (
+       |  SELECT w, CAST(len(w) + 1 AS INTEGER) AS pos,
+       |         CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS score,
+       |         '' AS acc
+       |  FROM words WHERE len(w) <= $WpMaxWord
+       |),
+       |$steps""".stripMargin
+  }
+
   private lazy val bpeSymOccCtes: String =
     s"""${bpeWordsCtes(TextAnalysis.BpeMergeRounds)},
        |enc AS (
@@ -6470,6 +6528,62 @@ object Catalog {
            |SELECT w, c, CAST(1 AS BIGINT) AS n_pieces, '[UNK]' AS pieces
            |FROM words WHERE len(w) > ${TextAnalysis.WpMaxWord}
            |ORDER BY w""".stripMargin))),
+
+    // Unigram-style OPTIMAL segmentation: suffix-DP over the same piece
+    // vocabulary (fewest pieces, then max total frequency, then lexical —
+    // a total order both engines replay); oversized words -> [UNK].
+    QEntry("q_unigram_seg", TextAnalysis.unigramSegment,
+      Some(withDocs(
+        s""", $wordpieceCtes,
+           |$unigramCtes
+           |SELECT b.w, wd.c, b.k AS n_pieces, b.score, b.acc AS pieces
+           |FROM ub${TextAnalysis.WpMaxWord} b JOIN words wd ON wd.w = b.w
+           |WHERE b.pos = 1
+           |UNION ALL
+           |SELECT w, c, CAST(1 AS BIGINT) AS n_pieces,
+           |       CAST(0 AS BIGINT) AS score, '[UNK]' AS pieces
+           |FROM words WHERE len(w) > ${TextAnalysis.WpMaxWord}
+           |ORDER BY w""".stripMargin))),
+
+    // Tokenizer-strategy certificate: greedy longest-match vs the DP
+    // optimum on the SAME vocabulary — how often greedy over-segments,
+    // and both strategies' total piece budgets.
+    QEntry("q_tokenizer_compare",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val g = TextAnalysis.wordpieceEncode(s, d)
+          .select(col("w"), col("n_pieces").as("greedy_np"))
+        val u = TextAnalysis.unigramSegment(s, d)
+          .select(col("w"), col("n_pieces").as("dp_np"))
+        g.join(u, Seq("w"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(col("dp_np") < col("greedy_np"), 1L).otherwise(0L))
+              .as("n_dp_fewer"),
+            sum(col("greedy_np")).as("greedy_pieces"),
+            sum(col("dp_np")).as("dp_pieces"))
+      },
+      Some(withDocs(
+        s""", $wordpieceCtes,
+           |$unigramCtes,
+           |greedy AS (
+           |  SELECT w, CAST(np AS BIGINT) AS np
+           |  FROM s${TextAnalysis.WpMaxWord}
+           |  UNION ALL
+           |  SELECT w, CAST(1 AS BIGINT) FROM words
+           |  WHERE len(w) > ${TextAnalysis.WpMaxWord}
+           |),
+           |dp AS (
+           |  SELECT w, k FROM ub${TextAnalysis.WpMaxWord} WHERE pos = 1
+           |  UNION ALL
+           |  SELECT w, CAST(1 AS BIGINT) FROM words
+           |  WHERE len(w) > ${TextAnalysis.WpMaxWord}
+           |)
+           |SELECT CAST(count(*) AS BIGINT) AS n_words,
+           |       CAST(SUM(CASE WHEN d.k < g.np THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_dp_fewer,
+           |       CAST(SUM(g.np) AS BIGINT) AS greedy_pieces,
+           |       CAST(SUM(d.k) AS BIGINT) AS dp_pieces
+           |FROM greedy g JOIN dp d ON d.w = g.w""".stripMargin))),
 
     // Tokenizer fertility by source: symbols per word + chars per symbol
     // from the trained encoder — the tokenizer-eval rollup.

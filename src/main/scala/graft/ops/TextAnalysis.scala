@@ -645,6 +645,95 @@ object TextAnalysis {
       .orderBy("w")
   }
 
+  // ── Unigram-style OPTIMAL segmentation (the DP contrast to greedy) ──
+
+  /** Piece table with frequencies: the ranked multis of
+    * [[wordpieceVocab]] plus every single character weighted by its
+    * corpus occurrence count (disjoint by construction — multis are
+    * length ≥ 2). The score source for [[unigramSegment]]. */
+  def unigramPieceCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val singles = wpWords(spark, sfDir)
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as("piece"))
+      .groupBy("piece").agg(sum("c").as("n"))
+    wordpieceVocab(spark, sfDir).select("piece", "n")
+      .unionByName(singles)
+  }
+
+  /** OPTIMAL segmentation over the same piece vocabulary WordPiece scans
+    * greedily: per distinct word, the segmentation with the FEWEST
+    * pieces, ties broken by the HIGHEST total piece frequency, then by
+    * lexicographically-smallest piece sequence (a total order, so both
+    * engines pick the identical optimum). This is the dynamic program a
+    * unigram-LM tokenizer (Kudo 2018 / SentencePiece) runs at inference,
+    * with integer piece frequencies standing in for log-probabilities —
+    * the house log-free spelling (same move as the KN-LM doc scorer);
+    * the ranking intent (prefer fewer, more frequent pieces) is the
+    * same, the arithmetic is exactly reproducible. Oversized words map
+    * to `[UNK]` as in [[wordpieceEncode]].
+    *
+    * Shape: suffix-DP as bounded relaxation — `best(w, pos)` = optimal
+    * segmentation of the suffix from `pos`, relaxed [[WpMaxWord]]
+    * rounds (a word of length L converges after L rounds; singles make
+    * every position reachable). State is Σ len(w) rows over DISTINCT
+    * words; each round is one candidate explode (≤[[WpMaxPiece]] per
+    * position), one broadcast join against the piece table, one
+    * min_by-keyed aggregation — all vocabulary-sized, nothing
+    * corpus-sized. The composite order key is a fixed-width string
+    * (zero-padded k, zero-padded inverted score, then the piece string)
+    * so ONE `min_by` implements the three-level comparator identically
+    * in both engines. */
+  def unigramSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = unigramPieceCounts(spark, sfDir)
+    val words = wpWords(spark, sfDir)
+    val unk = words.filter(length(col("w")) > WpMaxWord)
+      .select(col("w"), col("c"), lit(1L).as("n_pieces"),
+        lit(0L).as("score"), lit("[UNK]").as("pieces"))
+    val inWords = words.filter(length(col("w")) <= WpMaxWord)
+    val positions = inWords
+      .select(col("w"), explode(expr("sequence(1, length(w))")).as("pos"))
+    val keyExpr = "concat(lpad(CAST(k AS STRING), 2, '0')," +
+      " lpad(CAST(1000000000000 - score AS STRING), 13, '0'), acc)"
+    var best = inWords
+      .select(col("w"), (length(col("w")) + 1).as("pos"),
+        lit(0L).as("k"), lit(0L).as("score"), lit("").as("acc"))
+    for (r <- 1 to WpMaxWord) {
+      val stepped = positions
+        .select(col("w"), col("pos"),
+          explode(expr(s"transform(sequence(1," +
+            s" least($WpMaxPiece, length(w) - pos + 1))," +
+            s" L -> struct(L AS l, substring(w, pos, L) AS piece))"))
+            .as("cl"))
+        .select(col("w"), col("pos"), col("cl.l").as("l"),
+          col("cl.piece").as("piece"))
+        .join(broadcast(vocab), Seq("piece"))
+        .join(best.select(col("w"), col("pos").as("bpos"),
+          col("k").as("bk"), col("score").as("bscore"),
+          col("acc").as("bacc")), Seq("w"))
+        .filter(col("bpos") === col("pos") + col("l"))
+        .select(col("w"), col("pos"), (col("bk") + 1L).as("k"),
+          (col("bscore") + col("n")).as("score"),
+          concat(col("piece"),
+            when(col("bacc") === "", lit("")).otherwise(lit(" ")),
+            col("bacc")).as("acc"))
+      val merged = best.unionByName(stepped)
+        .withColumn("okey", expr(keyExpr))
+        .groupBy("w", "pos")
+        .agg(min_by(col("k"), col("okey")).as("k"),
+          min_by(col("score"), col("okey")).as("score"),
+          min_by(col("acc"), col("okey")).as("acc"))
+      best = if (r % 4 == 0) LineageCut.cut(merged, LineageCut.Auto)
+        else merged
+    }
+    best.filter(col("pos") === 1)
+      .join(inWords, Seq("w"))
+      .select(col("w"), col("c"), col("k").as("n_pieces"),
+        col("score"), col("acc").as("pieces"))
+      .unionByName(unk)
+      .orderBy("w")
+  }
+
   /** Language-ID confusion rollup: the n-gram classifier's predictions
     * against the corpus's ground-truth `lang` labels — per (actual,
     * predicted) cell count and its share of the actual language's docs in

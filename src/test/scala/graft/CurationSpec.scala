@@ -141,6 +141,65 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("unigram DP: optimal segmentation matches a plain-Scala rebuild") {
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(r.getAs[String]("text")))
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L)
+    val multiCounts = scala.collection.mutable.Map.empty[String, Long]
+    val charCounts = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, c) =>
+      for (l <- 2 to TextAnalysis.WpMaxPiece; i <- 0 to w.length - l)
+        { val p = w.substring(i, i + l)
+          multiCounts(p) = multiCounts.getOrElse(p, 0L) + c }
+      w.foreach { ch => val s = ch.toString
+        charCounts(s) = charCounts.getOrElse(s, 0L) + c }
+    }
+    val pieceN: Map[String, Long] =
+      multiCounts.toSeq.sortBy { case (p, n) => (-n, p) }
+        .take(TextAnalysis.WpVocabK).toMap ++ charCounts
+    // (k asc, score desc, pieces-string asc) — the DP's total order
+    def better(a: (Long, Long, String), b: (Long, Long, String)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 &&
+        (a._2 > b._2 || (a._2 == b._2 && a._3 < b._3)))
+    def dp(w: String): (Long, Long, String) =
+      if (w.length > TextAnalysis.WpMaxWord) (1L, 0L, "[UNK]")
+      else {
+        val best =
+          new Array[(Long, Long, String)](w.length + TextAnalysis.WpMaxPiece + 2)
+        best(w.length + 1) = (0L, 0L, "")
+        for (pos <- w.length to 1 by -1) {
+          var cur: (Long, Long, String) = null
+          for (l <- 1 to math.min(TextAnalysis.WpMaxPiece, w.length - pos + 1)) {
+            val piece = w.substring(pos - 1, pos - 1 + l)
+            pieceN.get(piece).foreach { n =>
+              val nxt = best(pos + l)
+              if (nxt != null) {
+                val cand = (nxt._1 + 1, nxt._2 + n,
+                  piece + (if (nxt._3.isEmpty) "" else " ") + nxt._3)
+                if (cur == null || better(cand, cur)) cur = cand
+              }
+            }
+          }
+          best(pos) = cur
+        }
+        best(1)
+      }
+    val expected = words.toSeq.map { case (w, c) =>
+      val (k, s, p) = dp(w); (w, c, k, s, p)
+    }.sortBy(_._1)
+    val got = TextAnalysis.unigramSegment(spark, sf).collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("c"),
+        r.getAs[Long]("n_pieces"), r.getAs[Long]("score"),
+        r.getAs[String]("pieces"))).toSeq
+    assert(got == expected)
+    // DP never uses MORE pieces than greedy on the same vocabulary
+    val greedy = TextAnalysis.wordpieceEncode(spark, sf).collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("n_pieces"))).toMap
+    got.foreach { case (w, _, k, _, _) => assert(k <= greedy(w), w) }
+  }
+
   test("wordpiece: oversized words become [UNK], pieces respect the cap") {
     import spark.implicits._
     // cap semantics on a synthetic frame routed through the same helpers:
