@@ -58,7 +58,13 @@ object SparkEntry {
     "q_dedup_clusters", "q_pagerank_weighted", "q_bfs_hops", "q_scc",
     "q_mis", "q_betweenness", "q_heavy_hitters", "q_quantile_sketch",
     // relational/TPC-H spine
-    "q_pricing_summary", "q_revenue_by_nation", "q_trade_flows", "q_rfm")
+    "q_pricing_summary", "q_revenue_by_nation", "q_trade_flows", "q_rfm",
+    // round-7 continuation family heads: KMV-ANF, tokenizer triad,
+    // layout curves, IVM merge, streaming semi-join, bucketed join,
+    // schema-evolution intake, advisor certificate
+    "q_anf", "q_wordpiece_encode", "q_unigram_seg", "q_hilbert",
+    "q_scd2_merge", "q_stream_semi_join", "q_bucketed_join",
+    "q_schema_evolution", "q_partition_advisor")
 
   def oracleSql: Map[String, String] =
     Catalog.entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
@@ -569,6 +575,44 @@ object Catalog {
     * iterated register), then the same k-smallest-md5 rule and the same
     * `(k−1)·2^48 // h_k` integer estimate per (r, v). Defines CTEs
     * `e, v, all_r, est` for the final SELECT to consume. */
+  /** The directed transfer-graph edge frame the ANF entries share. */
+  private def transferGraphEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.Tables.transfers(s, d)
+      .select(col("from_address").as("src"), col("to_address").as("dst"))
+  }
+
+  /** Session-shared ANF sketch rounds: q_anf, q_anf_recall and
+    * q_effective_diameter all consume the same iterated registers, and a
+    * checkpointed iteration is invisible to the CacheManager — so the
+    * rounds build once per (session, sfDir) and stash under per-round
+    * [[graft.ops.Shared]] tags (peek-first, rebuild-all on a miss). */
+  private def sharedAnfSketches(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Int, org.apache.spark.sql.DataFrame)] = {
+    import graft.ops.Shared
+    val cached = (1 to Graph.AnfRounds)
+      .map(r => Shared.peek(s, d, s"anf_sk_$r"))
+    if (cached.forall(_.isDefined))
+      (1 to Graph.AnfRounds).zip(cached.map(_.get))
+    else Graph.anfSketches(transferGraphEdges(s, d))
+      .map { case (r, df) => r -> Shared.frame(s, d, s"anf_sk_$r")(df) }
+  }
+
+  /** Session-shared tokenizer tables: the greedy encode serves
+    * q_wordpiece_encode + q_tokenizer_compare, the DP segmentation
+    * q_unigram_seg + q_tokenizer_compare — both are 16-round builds worth
+    * exactly one run per (session, sfDir). */
+  private def sharedWordpieceEncode(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Shared.frame(s, d, "wp_encode")(
+      TextAnalysis.wordpieceEncode(s, d))
+
+  private def sharedUnigramSeg(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Shared.frame(s, d, "unigram_seg")(
+      TextAnalysis.unigramSegment(s, d))
+
   private val anfReachCtes: String = {
     import graft.ops.Graph.{AnfK, AnfRounds, AnfHashSpace}
     val steps = (1 to AnfRounds).map { i =>
@@ -3981,13 +4025,7 @@ object Catalog {
     // reachability and applies the same k-smallest-hashes rule — identical
     // registers, identical integer-division estimates.
     QEntry("q_anf",
-      (s, d) => {
-        import org.apache.spark.sql.functions.col
-        Graph.neighborhoodFunction(
-          graft.Tables.transfers(s, d)
-            .select(col("from_address").as("src"),
-              col("to_address").as("dst")))
-      },
+      (s, d) => Graph.nfFromSketches(sharedAnfSketches(s, d)),
       Some(withTransfers(
         s""", $anfReachCtes
            |SELECT r, CAST(count(*) AS BIGINT) AS n_nodes,
@@ -3998,13 +4036,8 @@ object Catalog {
     // 90% effective diameter read off the ANF curve (integer-ppm
     // comparison over the per-radius estimates).
     QEntry("q_effective_diameter",
-      (s, d) => {
-        import org.apache.spark.sql.functions.col
-        Graph.effectiveDiameter(
-          graft.Tables.transfers(s, d)
-            .select(col("from_address").as("src"),
-              col("to_address").as("dst")))
-      },
+      (s, d) => Graph.effectiveDiameterFromNf(
+        Graph.nfFromSketches(sharedAnfSketches(s, d))),
       Some(withTransfers(
         s""", $anfReachCtes,
            |nf AS (
@@ -4023,13 +4056,8 @@ object Catalog {
     // ANF recall certificate: exact reach counts on a 4-seed md5 sample
     // vs the KMV estimates on the same seeds, relative error in ppm.
     QEntry("q_anf_recall",
-      (s, d) => {
-        import org.apache.spark.sql.functions.col
-        Graph.anfCertificate(
-          graft.Tables.transfers(s, d)
-            .select(col("from_address").as("src"),
-              col("to_address").as("dst")))
-      },
+      (s, d) => Graph.anfCertificate(transferGraphEdges(s, d),
+        sketches = Some(sharedAnfSketches(s, d))),
       Some(withTransfers(
         s""", $anfReachCtes,
            |seeds AS (SELECT v FROM v ORDER BY md5(v), v LIMIT 4),
@@ -6519,7 +6547,7 @@ object Catalog {
     // Greedy longest-match segmentation of every distinct word (the
     // WordPiece inference rule; oversized words map to [UNK]); oracle
     // replays the identical 16-round iteration as unrolled CTE steps.
-    QEntry("q_wordpiece_encode", TextAnalysis.wordpieceEncode,
+    QEntry("q_wordpiece_encode", (s, d) => sharedWordpieceEncode(s, d),
       Some(withDocs(
         s""", $wordpieceCtes
            |SELECT w, c, CAST(np AS BIGINT) AS n_pieces, acc AS pieces
@@ -6532,7 +6560,7 @@ object Catalog {
     // Unigram-style OPTIMAL segmentation: suffix-DP over the same piece
     // vocabulary (fewest pieces, then max total frequency, then lexical —
     // a total order both engines replay); oversized words -> [UNK].
-    QEntry("q_unigram_seg", TextAnalysis.unigramSegment,
+    QEntry("q_unigram_seg", (s, d) => sharedUnigramSeg(s, d),
       Some(withDocs(
         s""", $wordpieceCtes,
            |$unigramCtes
@@ -6551,9 +6579,9 @@ object Catalog {
     QEntry("q_tokenizer_compare",
       (s, d) => {
         import org.apache.spark.sql.functions._
-        val g = TextAnalysis.wordpieceEncode(s, d)
+        val g = sharedWordpieceEncode(s, d)
           .select(col("w"), col("n_pieces").as("greedy_np"))
-        val u = TextAnalysis.unigramSegment(s, d)
+        val u = sharedUnigramSeg(s, d)
           .select(col("w"), col("n_pieces").as("dp_np"))
         g.join(u, Seq("w"))
           .agg(count(lit(1)).as("n_words"),

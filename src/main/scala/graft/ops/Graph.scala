@@ -1416,9 +1416,15 @@ object Graph {
     * `(r, n_nodes, nf_est, n_saturated)`; `n_saturated` counts vertices
     * whose register overflowed into estimation (the rest are exact). */
   def neighborhoodFunction(edges: DataFrame, rounds: Int = AnfRounds,
-      k: Int = AnfK, cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+      k: Int = AnfK, cutMode: LineageCut = LineageCut.Auto): DataFrame =
+    nfFromSketches(anfSketches(edges, rounds, k, cutMode), k)
+
+  /** [[neighborhoodFunction]] over pre-built (possibly session-shared)
+    * sketch rounds. */
+  def nfFromSketches(sketches: Seq[(Int, DataFrame)], k: Int = AnfK)
+      : DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    anfSketches(edges, rounds, k, cutMode).map { case (r, sk) =>
+    sketches.map { case (r, sk) =>
       sk.select(anfEstimate(k).as("est"),
           (size(col("sk")) === k).cast("long").as("sat"))
         .agg(count(lit(1)).as("n_nodes"),
@@ -1437,9 +1443,15 @@ object Graph {
     * [[neighborhoodFunction]] rounds plus arithmetic over `rounds` rows. */
   def effectiveDiameter(edges: DataFrame, rounds: Int = AnfRounds,
       k: Int = AnfK, ppm: Long = 900000L,
-      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
-    val nf = neighborhoodFunction(edges, rounds, k, cutMode)
-      .select(col("r"), col("nf_est"))
+      cutMode: LineageCut = LineageCut.Auto): DataFrame =
+    effectiveDiameterFromNf(
+      neighborhoodFunction(edges, rounds, k, cutMode), ppm)
+
+  /** [[effectiveDiameter]] over a pre-built [[neighborhoodFunction]]
+    * frame. */
+  def effectiveDiameterFromNf(nfFrame: DataFrame,
+      ppm: Long = 900000L): DataFrame = {
+    val nf = nfFrame.select(col("r"), col("nf_est"))
     val mx = nf.agg(max(col("nf_est")).as("nf_max"))
     nf.crossJoin(broadcast(mx))
       // DECIMAL route: nf ppm products pass 2^63 long before |V|² does
@@ -1463,7 +1475,8 @@ object Graph {
     * THIS graph, measured, not assumed. */
   def anfCertificate(edges: DataFrame, seedCount: Int = 4,
       rounds: Int = AnfRounds, k: Int = AnfK,
-      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+      cutMode: LineageCut = LineageCut.Auto,
+      sketches: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val e = LineageCut.cut(
       edges.filter(col("src") =!= col("dst"))
@@ -1483,10 +1496,12 @@ object Graph {
         .select(lit(r).as("r"), col("seed"), col("n_exact"))
     }
     val exact = exacts.reduce(_ unionByName _)
-    val est = anfSketches(edges, rounds, k, cutMode).map { case (r, sk) =>
-      sk.join(seeds.select(col("v")), Seq("v"), "left_semi")
-        .select(lit(r).as("r"), col("v").as("seed"), anfEstimate(k).as("est"))
-    }.reduce(_ unionByName _)
+    val est = sketches.getOrElse(anfSketches(edges, rounds, k, cutMode))
+      .map { case (r, sk) =>
+        sk.join(seeds.select(col("v")), Seq("v"), "left_semi")
+          .select(lit(r).as("r"), col("v").as("seed"),
+            anfEstimate(k).as("est"))
+      }.reduce(_ unionByName _)
     exact.join(est, Seq("r", "seed"))
       .groupBy("r")
       .agg(count(lit(1)).as("n_seeds"),

@@ -49,6 +49,13 @@ object Shared {
     lastUsed.remove(spark)
   }
 
+  /** The cached frame for (session, sfDir, tag) if one exists — for
+    * multi-frame producers (the ANF sketch rounds) that build all their
+    * frames in one pass and stash each under its own tag: peek first,
+    * rebuild-and-stash only on a full miss. */
+  def peek(spark: SparkSession, sfDir: String, tag: String): Option[DataFrame] =
+    frames.get((spark, sfDir, tag))
+
   /** The frame for (session, sfDir, tag), building and persisting it on
     * first access. A concurrent first-build race persists both candidates
     * but releases the loser's cache entry. */
