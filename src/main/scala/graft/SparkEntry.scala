@@ -6557,6 +6557,44 @@ object Catalog {
            |FROM words WHERE len(w) > ${TextAnalysis.WpMaxWord}
            |ORDER BY w""".stripMargin))),
 
+    // WordPiece document encoding: the corpus-sized dictionary join (the
+    // bpeEncode shape) — per-doc piece-id sequences in (token, piece)
+    // order; ids rank the frequency-weighted piece table, [UNK] = 0.
+    QEntry("q_wordpiece_docs",
+      (s, d) => jsonArr(TextAnalysis.wordpieceDocs(s, d,
+        Some(sharedWordpieceEncode(s, d))), "piece_ids"),
+      Some(withDocs(
+        s""", $wordpieceCtes,
+           |$unigramCtes,
+           |wpids AS (
+           |  SELECT piece, CAST(row_number() OVER (ORDER BY n DESC, piece)
+           |    AS BIGINT) AS id
+           |  FROM ugpieces
+           |  UNION ALL SELECT '[UNK]', CAST(0 AS BIGINT)
+           |),
+           |wenc AS (
+           |  SELECT w, acc FROM s${TextAnalysis.WpMaxWord}
+           |  UNION ALL
+           |  SELECT w, '[UNK]' FROM words
+           |  WHERE len(w) > ${TextAnalysis.WpMaxWord}
+           |),
+           |wocc AS (
+           |  SELECT d.doc_id, t.i AS p, d.toks[t.i] AS w
+           |  FROM docs d, unnest(range(1, len(d.toks) + 1)) AS t(i)
+           |),
+           |wpsymocc AS (
+           |  SELECT o.doc_id, o.p, s.i AS q,
+           |         list_extract(string_split(e.acc, ' '),
+           |           CAST(s.i AS INTEGER)) AS piece
+           |  FROM wocc o JOIN wenc e ON e.w = o.w,
+           |       unnest(range(1, len(string_split(e.acc, ' ')) + 1)) AS s(i)
+           |)
+           |SELECT so.doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+           |       '[' || string_agg(CAST(v.id AS VARCHAR), ','
+           |         ORDER BY so.p, so.q) || ']' AS piece_ids
+           |FROM wpsymocc so JOIN wpids v ON v.piece = so.piece
+           |GROUP BY so.doc_id ORDER BY so.doc_id""".stripMargin))),
+
     // Unigram-style OPTIMAL segmentation: suffix-DP over the same piece
     // vocabulary (fewest pieces, then max total frequency, then lexical —
     // a total order both engines replay); oversized words -> [UNK].
@@ -7153,6 +7191,31 @@ object Catalog {
          |         AS tx_volume
          |FROM tx t
          |WHERE EXISTS (
+         |  SELECT 1 FROM tk p WHERE p.c = t.c
+         |    AND p.us >= t.us - 3600000000 AND p.us <= t.us)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // LEFT ANTI stream-stream interval join, derived from the outer join
+    // (the engine has no native stream-stream anti): transfers with NO
+    // tick in the preceding hour; oracle = the batch NOT EXISTS.
+    QEntry("q_stream_anti_join",
+      graft.streaming.StreamingMetrics.streamAntiJoin,
+      Some(
+      s"""WITH tk AS (
+         |  SELECT event_type AS c, epoch_us(ts) AS us
+         |  FROM events WHERE event_id % 5 = 0
+         |),
+         |tx AS (
+         |  SELECT event_type AS c, value, epoch_us(ts) AS us
+         |  FROM events WHERE event_id % 5 <> 0
+         |)
+         |SELECT t.c AS contract_address,
+         |       (t.us // 3600000000) * 3600 AS t,
+         |       CAST(count(*) AS BIGINT) AS n_unmatched,
+         |       CAST(SUM(CAST(t.value AS DECIMAL(25,2))) AS DOUBLE)
+         |         AS tx_volume
+         |FROM tx t
+         |WHERE NOT EXISTS (
          |  SELECT 1 FROM tk p WHERE p.c = t.c
          |    AND p.us >= t.us - 3600000000 AND p.us <= t.us)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),

@@ -645,6 +645,36 @@ object TextAnalysis {
       .orderBy("w")
   }
 
+  /** WordPiece ENCODING of the document stream — the corpus-sized half,
+    * exactly [[bpeEncode]]'s shape: the trained per-word segmentation is
+    * a dictionary, encoding is one equi-join of the positional token
+    * stream against it (never a re-scan), and piece ids rank the
+    * frequency-weighted piece table (count desc, piece asc; `[UNK]` is
+    * id 0). Output per doc: piece count + the id sequence in
+    * (token_pos, piece_pos) order. */
+  def wordpieceDocs(spark: SparkSession, sfDir: String,
+      enc: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val encode = enc.getOrElse(wordpieceEncode(spark, sfDir))
+    val ids = unigramPieceCounts(spark, sfDir)
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("piece").asc)).cast("long"))
+      .select("piece", "id")
+      .unionByName(Seq(("[UNK]", 0L)).toDF("piece", "id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "w")))
+      .join(encode.select("w", "pieces"), Seq("w"))
+      .select(col("doc_id"), col("p"),
+        posexplode(split(col("pieces"), " ")).as(Seq("q", "piece")))
+      .join(broadcast(ids), Seq("piece"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pieces"),
+        expr("transform(array_sort(collect_list(struct(p, q, id)))," +
+          " x -> x.id)").as("piece_ids"))
+      .orderBy("doc_id")
+  }
+
   // ── Unigram-style OPTIMAL segmentation (the DP contrast to greedy) ──
 
   /** Piece table with frequencies: the ranked multis of

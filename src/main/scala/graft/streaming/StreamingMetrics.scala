@@ -714,6 +714,60 @@ object StreamingMetrics {
       .orderBy("contract_address", "t")
   }
 
+  /** LEFT ANTI stream-stream interval join, DERIVED: Spark's stream-stream
+    * engine supports inner/outer/semi but not anti, so anti is the LEFT
+    * OUTER join filtered to its NULL-padded rows — semantically exact
+    * (each unmatched transfer NULL-pads exactly once after the watermark
+    * passes its match horizon; sentinel-closed like the outer twin) and
+    * the composition costs nothing beyond the outer join it derives from.
+    * Output: transfers with NO price tick in the preceding hour, rolled
+    * up per (token, hour); oracle = the batch NOT EXISTS. */
+  def streamAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sentinelUs = 4102444800L * 1000000L // 2100-01-01 epoch micros
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_saj_sink").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_saj_ckpt").toString
+    val ev = graft.Tables.eventsStream(spark, sfDir)
+    val tickSent = MemoryStream[Long]
+    tickSent.addData(sentinelUs)
+    val txSent = MemoryStream[Long]
+    txSent.addData(sentinelUs)
+    val ticks = ev.filter(col("event_id") % 5 === 0)
+      .select(col("event_type").as("p_contract"),
+        col("value").as("price"), col("ts_t").as("p_ts"))
+      .unionByName(tickSent.toDF().select(
+        lit("__sentinel__").as("p_contract"), lit(0.0).as("price"),
+        timestamp_micros(col("value")).as("p_ts")))
+    val txs = ev.filter(col("event_id") % 5 =!= 0)
+      .select(col("event_type").as("contract_address"),
+        col("value"), col("ts_t").as("t_ts"))
+      .unionByName(txSent.toDF().select(
+        lit("__sentinel__").as("contract_address"), lit(0.0).as("value"),
+        timestamp_micros(col("value")).as("t_ts")))
+    val q = StreamJoins.transfersWithRecentPricesOuter(txs, ticks, 3600L)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .filter(col("contract_address") =!= "__sentinel__" &&
+        col("price").isNull)
+      .groupBy(col("contract_address"),
+        (expr("unix_micros(t_ts) div 3600000000") * 3600)
+          .cast("long").as("t"))
+      .agg(count(lit(1)).as("n_unmatched"),
+        graft.ops.Num.dsum(col("value")).as("tx_volume"))
+      .orderBy("contract_address", "t")
+  }
+
   /** LEFT SEMI stream-stream interval join, drained through a real file
     * sink: transfers that saw at least one price tick in the preceding
     * hour, rolled up per (token, hour). Matched rows emit on match — no

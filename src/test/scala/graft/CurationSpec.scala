@@ -141,6 +141,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("wordpieceDocs: id sequences decode back to every document's tokens") {
+    val ids = TextAnalysis.unigramPieceCounts(spark, sf).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("n"))).toSeq
+      .sortBy { case (p, n) => (-n, p) }
+      .zipWithIndex.map { case ((p, _), i) => (i + 1L, p) }.toMap + (0L -> "[UNK]")
+    val enc = TextAnalysis.wordpieceDocs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pieces"),
+        r.getAs[scala.collection.Seq[Long]]("piece_ids"))).toSeq
+    assert(enc.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    enc.foreach { case (docId, nPieces, pieceIds) =>
+      assert(nPieces == pieceIds.length.toLong)
+      val decoded = pieceIds.map(ids).mkString("")
+      val wordChars = texts(docId).trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => if (w.length > TextAnalysis.WpMaxWord) "[UNK]" else w)
+        .mkString("")
+      assert(decoded == wordChars, s"doc $docId")
+    }
+  }
+
   test("unigram DP: optimal segmentation matches a plain-Scala rebuild") {
     val words = scala.collection.mutable.Map.empty[String, Long]
     Tables.documents(spark, sf).select("text").collect()
