@@ -179,6 +179,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val offenders = SparkEntry.queries.toSeq
       .filterNot(_._1 == "q_stream_volume_hourly")
       .filterNot(_._1 == "q_props_extract")
+      // the size-model advisor legitimately measures props' byte share
+      .filterNot(_._1 == "q_partition_advisor")
       .flatMap { case (n, fn) =>
         val plan = fn(spark, GraftSpark.Sf).queryExecution.executedPlan.toString
         if (plan.contains("props")) Some(n) else None
