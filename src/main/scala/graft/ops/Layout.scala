@@ -155,6 +155,21 @@ object Layout {
       .sortWithinPartitions("zval")
       .write.mode("overwrite").parquet(path)
 
+  /** Write `orders` as `files` parquet files clustered by Hilbert index —
+    * [[writeZClustered]]'s curve twin; LayoutSpec measures both curves'
+    * extent tightening against the linear layout. */
+  def writeHilbertClustered(spark: SparkSession, sfDir: String,
+      path: String, files: Int): Unit =
+    withHilbert(
+      Tables.orders(spark, sfDir)
+        .withColumn("ka", expr(DimA))
+        .withColumn("kb", expr(DimB))
+        .withColumn("zval", expr(sparkZ(DimA, DimB))),
+      "ka", "kb")
+      .repartitionByRange(files, col("hval"))
+      .sortWithinPartitions("hval")
+      .write.mode("overwrite").parquet(path)
+
   /** Same rows, linear-sorted by the leading dimension only. */
   def writeLinear(spark: SparkSession, sfDir: String, path: String,
       files: Int): Unit =

@@ -59,6 +59,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hilbert-clustered files tighten extents like the z layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hilbert")
+    val hPath = s"$tmp/h"
+    val linPath = s"$tmp/lin"
+    val files = 8
+    Layout.writeHilbertClustered(spark, sf, hPath, files)
+    Layout.writeLinear(spark, sf, linPath, files)
+    def meanExtent(path: String, mn: String, mx: String): Double = {
+      val rows = Layout.fileExtents(spark, path)
+        .select((col(mx) - col(mn)).cast("double").as("e"))
+        .as[Double].collect()
+      rows.sum / rows.length
+    }
+    // the Hilbert walk is grid-adjacent, so range-partitioned files cover
+    // compact 2-D cells: the non-leading dimension's extents must shrink
+    // well below the linear layout's near-full-range ones
+    val hB = meanExtent(hPath, "bmin", "bmax")
+    val linB = meanExtent(linPath, "bmin", "bmax")
+    assert(hB < linB * 0.8,
+      s"hilbert mean kb extent $hB not < 0.8 * linear $linB")
+    // identical data either way
+    val a = spark.read.parquet(hPath).agg(
+      count(lit(1)), sum("o_orderkey"), sum("hval")).as[(Long, Long, Long)]
+      .head()
+    val b = spark.read.parquet(linPath)
+      .transform(graft.ops.Layout.withHilbert(_, "ka", "kb"))
+      .agg(count(lit(1)), sum("o_orderkey"), sum("hval"))
+      .as[(Long, Long, Long)].head()
+    assert(a == b)
+  }
+
   /** Textbook iterative Hilbert encode (the algorithm the SQL chain
     * unrolls), used as the independent reference. */
   private def xy2d(n: Long, x0: Long, y0: Long): Long = {
