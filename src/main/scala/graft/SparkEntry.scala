@@ -8994,5 +8994,183 @@ object Catalog {
          |),
          |lg AS (SELECT wallet, max(len) AS longest FROM ln GROUP BY 1)
          |SELECT longest, CAST(count(*) AS BIGINT) AS n_wallets
-         |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin))))
+         |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Per-token OLS trend of hourly volume: exact DECIMAL sufficient
+    // statistics, signed truncating division spelled sign+abs.
+    QEntry("q_ols_trend", Metrics.olsTrend, Some(withTransfers(
+      s""", hourlyt AS (
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |         CAST(SUM(CAST(value AS DECIMAL(25,2))) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |xs AS (
+         |  SELECT h.contract_address, (h.t - m.t0) // 3600 AS x,
+         |         h.cents AS y
+         |  FROM hourlyt h JOIN (SELECT contract_address, min(t) AS t0
+         |                       FROM hourlyt GROUP BY 1) m
+         |    ON m.contract_address = h.contract_address
+         |),
+         |st AS (
+         |  SELECT contract_address, CAST(count(*) AS HUGEINT) AS n,
+         |         SUM(CAST(x AS HUGEINT)) AS sx,
+         |         SUM(CAST(y AS HUGEINT)) AS sy,
+         |         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |         SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM xs GROUP BY 1 HAVING count(*) >= 2
+         |),
+         |dv AS (
+         |  SELECT contract_address, n, sx, sy,
+         |         n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+         |         n * syy - sy * sy AS deny
+         |  FROM st
+         |)
+         |SELECT contract_address, CAST(n AS BIGINT) AS n_hours,
+         |       CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
+         |            ELSE num * 1000000 // den END AS BIGINT)
+         |         AS slope_microcents,
+         |       CAST(CASE WHEN sy * den - num * sx < 0 THEN
+         |              -((-(sy * den - num * sx)) * 1000000 // (n * den))
+         |            ELSE (sy * den - num * sx) * 1000000 // (n * den) END
+         |            AS BIGINT) AS icept_microcents,
+         |       CAST(CASE WHEN deny = 0 THEN NULL ELSE
+         |            ((abs(num) * 1000000 // den) * abs(num)) // deny END
+         |            AS BIGINT) AS r2_ppm
+         |FROM dv ORDER BY contract_address""".stripMargin))),
+
+    // Two-sample KS drift per token between timeline halves: exact
+    // integer CDF gaps over the hourly-volume distribution.
+    QEntry("q_ks_drift", Behavior.ksDrift, Some(withTransfers(
+      s""", hourlyk AS (
+         |  SELECT contract_address, ${hourBucket("transact_at")} AS t,
+         |         CAST(SUM(CAST(value AS DECIMAL(25,2))) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM transfers GROUP BY 1, 2
+         |),
+         |bnd AS (SELECT min(t) AS mn, max(t) AS mx FROM hourlyk),
+         |hv AS (
+         |  SELECT contract_address, cents,
+         |         CAST(SUM(CASE WHEN t * 2 <= mn + mx THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS c1,
+         |         CAST(SUM(CASE WHEN t * 2 <= mn + mx THEN 0 ELSE 1 END)
+         |           AS BIGINT) AS c2
+         |  FROM hourlyk, bnd GROUP BY 1, 2
+         |),
+         |cumk AS (
+         |  SELECT contract_address,
+         |         SUM(c1) OVER (PARTITION BY contract_address ORDER BY cents
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+         |         SUM(c2) OVER (PARTITION BY contract_address ORDER BY cents
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+         |         SUM(c1) OVER (PARTITION BY contract_address) AS n1,
+         |         SUM(c2) OVER (PARTITION BY contract_address) AS n2
+         |  FROM hv
+         |)
+         |SELECT contract_address, CAST(max(n1) AS BIGINT) AS n1,
+         |       CAST(max(n2) AS BIGINT) AS n2,
+         |       CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_num,
+         |       CAST(CAST(max(abs(f1 * n2 - f2 * n1)) AS HUGEINT) * 1000000
+         |         // (CAST(max(n1) AS HUGEINT) * max(n2)) AS BIGINT)
+         |         AS ks_ppm
+         |FROM cumk GROUP BY 1 HAVING max(n1) > 0 AND max(n2) > 0
+         |ORDER BY contract_address""".stripMargin))),
+
+    // Mann-Whitney U per token, weekend vs weekday transfer sizes over
+    // the bounded log2 cent grid; doubled-U keeps tie half-steps integer.
+    QEntry("q_mann_whitney", Behavior.mannWhitney, Some(withTransfers(
+      s""", mw AS (
+         |  SELECT contract_address,
+         |         CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT)
+         |           AS cents,
+         |         (transact_at // 86400 + 4) % 7 AS wd
+         |  FROM transfers
+         |),
+         |mb AS (
+         |  SELECT contract_address,
+         |         CAST(length(printf('%b', cents)) - 1 AS BIGINT) AS bucket,
+         |         CAST(SUM(CASE WHEN wd IN (0, 6) THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n1b,
+         |         CAST(SUM(CASE WHEN wd IN (0, 6) THEN 0 ELSE 1 END)
+         |           AS BIGINT) AS n2b
+         |  FROM mw WHERE cents > 0 GROUP BY 1, 2
+         |),
+         |mc AS (
+         |  SELECT contract_address, n1b, n2b,
+         |         SUM(n2b) OVER (PARTITION BY contract_address
+         |           ORDER BY bucket
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - n2b AS cum2
+         |  FROM mb
+         |)
+         |SELECT contract_address,
+         |       CAST(SUM(n1b) AS BIGINT) AS n1,
+         |       CAST(SUM(n2b) AS BIGINT) AS n2,
+         |       CAST(SUM(n1b * cum2 * 2 + n1b * n2b) AS BIGINT) AS u1_x2,
+         |       CAST(CAST(SUM(n1b * cum2 * 2 + n1b * n2b) AS HUGEINT)
+         |         * 1000000
+         |         // (CAST(SUM(n1b) AS HUGEINT) * SUM(n2b) * 2) AS BIGINT)
+         |         AS auc_ppm
+         |FROM mc GROUP BY 1 HAVING SUM(n1b) > 0 AND SUM(n2b) > 0
+         |ORDER BY contract_address""".stripMargin))),
+
+    // Deterministic hash-argmin random walks (DeepWalk corpus): 40
+    // md5-sampled seeds, 4 unrolled steps, argmin via min(hash || '|' ||
+    // neighbor) so ties are impossible.
+    QEntry("q_random_walks", Wallet.transferRandomWalks, Some(withTransfers {
+      val steps = (1 to Wallet.RandomWalkSteps).map { s =>
+        // NB: no continuation line may START with "||" — the outer
+        // stripMargin would strip it as a margin (memory: triple-strip).
+        s"""s$s AS (
+           |  SELECT walk,
+           |         split_part(min(md5(walk || ':$s:' || dst) ||
+           |           '|' || dst), '|', 2) AS v
+           |  FROM s${s - 1} JOIN eg ON eg.src = s${s - 1}.v
+           |  GROUP BY walk
+           |)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to Wallet.RandomWalkSteps).map { s =>
+        s"SELECT walk, CAST($s AS BIGINT) AS step, v FROM s$s"
+      }.mkString("\nUNION ALL\n")
+      s""", eg AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT from_address AS src, to_address AS dst FROM transfers
+         |    UNION ALL
+         |    SELECT to_address, from_address FROM transfers
+         |  ) u WHERE src <> dst
+         |),
+         |sd AS (
+         |  SELECT src AS v FROM eg GROUP BY src
+         |  ORDER BY md5(src), src LIMIT ${Wallet.RandomWalkSeeds}
+         |),
+         |s0 AS (SELECT v AS walk, v FROM sd),
+         |$steps
+         |$unions
+         |ORDER BY walk, step""".stripMargin
+    })),
+
+    // Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    // zero-order customers land in the biggest bucket.
+    QEntry("q_order_count_dist", Relational.orderCountDistribution, Some(
+      s"""WITH co AS (
+         |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT)
+         |           AS c_count
+         |  FROM customer c LEFT JOIN orders o
+         |    ON o.o_custkey = c.c_custkey
+         |   AND o.o_orderpriority NOT LIKE
+         |       '${Relational.Q13ExcludedPriorityPrefix}%'
+         |  GROUP BY 1
+         |)
+         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         |FROM co GROUP BY 1
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // binaryFile-source intake round trip: one .bin file per document,
+    // id from the path, bytes hash-verified against the source text.
+    QEntry("q_binary_intake", graft.sources.BinaryIntake.intake, Some(
+      s"""SELECT doc_id,
+         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes,
+         |       md5(COALESCE(text, '')) AS content_hash
+         |FROM documents ORDER BY doc_id""".stripMargin)))
 }

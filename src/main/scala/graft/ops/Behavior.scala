@@ -395,4 +395,91 @@ object Behavior {
       .crossJoin(broadcast(med))
       .crossJoin(broadcast(p90))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic per token: the hourly
+    * volume distribution of the first half of the timeline vs the second,
+    * KS = max |F1 − F2| over the pooled value support — the standard
+    * nonparametric drift detector between a reference window and a live
+    * window (no distributional assumption, unlike [[abTestReadout]]'s
+    * rate contrast or the chi² goodness-of-fit twin).
+    *
+    * Everything is exact integer arithmetic: the CDF gap at value v is
+    * |c1(v)·n2 − c2(v)·n1| over a common denominator n1·n2, so the max
+    * and the final ppm rendering never touch a float. The cumulative
+    * window runs over the per-token (value, half-counts) DISTRIBUTION —
+    * bounded by |distinct hourly values| ≤ |hours in the timeline|, a
+    * time-bounded frame, never the raw transfer stream. The half split
+    * is `2·t ≤ min+max` (doubling instead of halving sidesteps integer
+    * division parity at the midpoint). */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"),
+        Num.hourBucket(col("transact_at")).cast("long").as("t"))
+      .agg((Num.dsumDec(col("value")) * 100).cast("long").as("cents"))
+    val bounds = hourly.agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+    val halves = hourly.crossJoin(broadcast(bounds))
+      .withColumn("h1",
+        when(col("t") * 2 <= col("mn") + col("mx"), 1L).otherwise(0L))
+      .groupBy(col("contract_address"), col("cents"))
+      .agg(sum(col("h1")).as("c1"), sum(lit(1L) - col("h1")).as("c2"))
+    val wTok = Window.partitionBy("contract_address")
+    val wCum = wTok.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    halves
+      .withColumn("f1", sum(col("c1")).over(wCum))
+      .withColumn("f2", sum(col("c2")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wTok))
+      .withColumn("n2", sum(col("c2")).over(wTok))
+      .groupBy("contract_address")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+          .as("ks_num"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("ks_ppm", expr(
+        "CAST(CAST(ks_num AS DECIMAL(38,0)) * 1000000" +
+          " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"))
+      .orderBy("contract_address")
+  }
+
+  /** Mann–Whitney U (rank-sum) test per token: weekend vs weekday transfer
+    * sizes over log₂ cent buckets — the nonparametric "is one group
+    * stochastically larger" test, reported as the doubled U statistic
+    * (ties contribute half-steps; doubling keeps every quantity integer)
+    * and the effect size AUC = U/(n1·n2) in exact ppm.
+    *
+    * The bucketing is the deliberate scale contract: midranks over the raw
+    * near-unique cent values would order a data-sized distribution through
+    * one window, while the log₂ grid is ≤64 buckets per token (the
+    * [[Forensics.txSizeHistogram]] spelling: bucket = bit length − 1), so
+    * the per-token cumulative window touches a constant-bounded frame and
+    * the test itself — which only consumes ranks — is exact for the
+    * gridded variable. Day-of-week is pure epoch arithmetic
+    * ((day+4) mod 7, 0=Sunday), identical in both engines. */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val graded = Tables.transfers(spark, sfDir)
+      .select(col("contract_address"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 2))
+          * 100).cast("long").as("cents"),
+        expr("(transact_at div 86400 + 4) % 7").as("wd"))
+      .filter(col("cents") > 0)
+      .withColumn("bucket", (length(expr("bin(cents)")) - 1).cast("long"))
+      .withColumn("wknd",
+        when(col("wd") === 0 || col("wd") === 6, 1L).otherwise(0L))
+      .groupBy("contract_address", "bucket")
+      .agg(sum(col("wknd")).as("n1b"),
+        sum(lit(1L) - col("wknd")).as("n2b"))
+    val wCum = Window.partitionBy("contract_address").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graded
+      .withColumn("cum2", sum(col("n2b")).over(wCum) - col("n2b"))
+      .groupBy("contract_address")
+      .agg(sum(col("n1b")).as("n1"), sum(col("n2b")).as("n2"),
+        sum(col("n1b") * col("cum2") * 2 + col("n1b") * col("n2b"))
+          .as("u1_x2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("auc_ppm", expr(
+        "CAST(CAST(u1_x2 AS DECIMAL(38,0)) * 1000000" +
+          " div (CAST(n1 AS DECIMAL(38,0)) * n2 * 2) AS BIGINT)"))
+      .orderBy("contract_address")
+  }
 }

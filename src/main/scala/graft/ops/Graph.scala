@@ -1541,4 +1541,46 @@ object Graph {
           .otherwise(round(col("num").cast("double") / col("den").cast("double"), 6))
           .as("r"))
   }
+
+  /** Deterministic random walks — the node2vec/DeepWalk corpus generator:
+    * from each seed vertex, a fixed-length walk whose step-s transition
+    * out of v picks the out-neighbor minimizing md5(walk:s:neighbor).
+    * Hash-argmin IS the uniform sampler in the house determinism
+    * discipline (the reservoir/weighted samplers spell randomness the
+    * same way): every (walk, step) draws an independent uniform order
+    * over the neighbor set, but replaying is bit-exact, so the walk
+    * corpus is oracle-checkable — a property no seeded-RNG walker has
+    * across engines.
+    *
+    * Scale shape: the frontier is seed-bounded (≤ |seeds| rows), so each
+    * step is a BROADCAST of the frontier against the edge list — walks
+    * never shuffle the graph; cost is |steps| scans of the (pushdown-
+    * pruned) edge columns. The argmin key appends "|vertex" after the
+    * hash so ties are impossible even under hash collision, and a plain
+    * `min` + suffix parse recovers the chosen neighbor (`min_by` would
+    * need its own tiebreak). Dead-end vertices end their walk early (the
+    * inner join drops the walker), exactly like the sampling walkers in
+    * the embedding literature.
+    *
+    * Output: one row per (walk, step, vertex) visited, step 0 = seed. */
+  def randomWalks(edges: DataFrame, seeds: DataFrame,
+      steps: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    var cur = seeds.select(col("v").as("walk"), col("v"))
+    var out = cur.select(col("walk"), lit(0L).as("step"), col("v"))
+    for (s <- 1 to steps) {
+      cur = e.join(broadcast(cur.select(col("walk"),
+          col("v").as("src"))), Seq("src"))
+        .select(col("walk"),
+          concat(md5(concat_ws(":", col("walk"), lit(s), col("dst"))),
+            lit("|"), col("dst")).as("key"))
+        .groupBy("walk").agg(min(col("key")).as("key"))
+        .select(col("walk"),
+          substring_index(col("key"), "|", -1).as("v"))
+      out = out.unionByName(
+        cur.select(col("walk"), lit(s.toLong).as("step"), col("v")))
+    }
+    out.orderBy("walk", "step")
+  }
 }

@@ -807,6 +807,59 @@ object Metrics {
           " div CAST(total_cents AS DECIMAL(38,0)) AS BIGINT)"))
       .orderBy("contract_address")
 
+  /** Per-token OLS trend of hourly volume: slope, intercept and R² of the
+    * least-squares line cents ~ hour_index, the closed-form regression
+    * every capacity forecast and "is this token growing" readout starts
+    * from. x is the hour offset from the token's own first active hour
+    * (a broadcast join against the token-sized min frame), so intercepts
+    * are anchored at launch, not at 1970.
+    *
+    * The five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * in DECIMAL(38,0) — map-side combinable, order-independent, exact —
+    * and the outputs are integer renderings of the exact rationals:
+    * slope·10⁶ and intercept·10⁶ as micro-cents (signed division spelled
+    * sign·(|num| div den) because Spark `div` truncates while DuckDB `//`
+    * floors), and R²·10⁶ via the staged ((|num|·10⁶ div den)·|num|) div
+    * denY — staging keeps every intermediate under 38 digits where the
+    * algebraic num²·10⁶ would overflow; both engines run the identical
+    * truncation chain. Tokens need ≥2 active hours (den>0 follows: x is
+    * distinct per hour); constant-volume tokens render R² as NULL rather
+    * than 0/0. */
+  def olsTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.transfers(spark, sfDir)
+      .groupBy(col("contract_address"),
+        Num.hourBucket(col("transact_at")).cast("long").as("t"))
+      .agg((Num.dsumDec(col("value")) * 100).cast("long").as("cents"))
+    val t0 = hourly.groupBy("contract_address")
+      .agg(min(col("t")).as("t0"))
+    hourly.join(broadcast(t0), Seq("contract_address"))
+      .select(col("contract_address"),
+        expr("(t - t0) div 3600").as("x"), col("cents").as("y"))
+      .groupBy("contract_address")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .filter(col("n") >= 2)
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .withColumn("deny", expr("n * syy - sy * sy"))
+      .select(col("contract_address"), col("n").as("n_hours"),
+        expr("CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 div den)" +
+          " ELSE num * 1000000 div den END AS BIGINT)")
+          .as("slope_microcents"),
+        expr("CAST(CASE WHEN sy * den - num * sx < 0 THEN" +
+          " -((-(sy * den - num * sx)) * 1000000 div (n * den))" +
+          " ELSE (sy * den - num * sx) * 1000000 div (n * den) END" +
+          " AS BIGINT)").as("icept_microcents"),
+        expr("CAST(CASE WHEN deny = 0 THEN NULL ELSE" +
+          " ((abs(num) * 1000000 div den) * abs(num)) div deny END" +
+          " AS BIGINT)").as("r2_ppm"))
+      .orderBy("contract_address")
+  }
+
   /** Longest consecutive-day activity streak per wallet, rolled into a
     * streak-length distribution — the engagement/habit metric behind
     * daily-quest products and sybil screens (farmed wallets streak in

@@ -677,4 +677,28 @@ object Relational {
           " AS BIGINT)"))
       .orderBy("o_year")
   }
+
+  /** Priority class excluded from [[orderCountDistribution]] — stands in
+    * for Q13's `o_comment NOT LIKE '%special%requests%'` (the testdata
+    * orders table carries no comment column). */
+  val Q13ExcludedPriorityPrefix = "1"
+
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly N qualifying orders — INCLUDING the
+    * zero-order customers, which is the whole point of the query and why
+    * it must be a LEFT join from the customer dimension (an inner join
+    * silently drops the biggest bucket). Two aggregations: per-customer
+    * count (counting the nullable order key, so no-match rows count 0),
+    * then the count-of-counts rollup — both map-side combinable; the
+    * join shuffles on custkey, the classic large-dimension × fact shape
+    * AQE handles at scale. */
+  def orderCountDistribution(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(Tables.orders(spark, sfDir)
+        .filter(!col("o_orderpriority").startsWith(Q13ExcludedPriorityPrefix))
+        .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
 }

@@ -44,6 +44,32 @@ object Wallet {
   def transferKCore(spark: SparkSession, sfDir: String): DataFrame =
     Graph.kCore(edges(spark, sfDir))
 
+  /** Seeds for [[transferRandomWalks]]: the md5-smallest source wallets —
+    * the house deterministic uniform sample (same convention as the ANF
+    * certificate's seed draw). */
+  val RandomWalkSeeds = 40
+
+  /** Steps per walk in [[transferRandomWalks]]. */
+  val RandomWalkSteps = 4
+
+  /** Hash-argmin random walks over the transfer graph
+    * ([[Graph.randomWalks]]): [[RandomWalkSeeds]] md5-sampled seed
+    * wallets, [[RandomWalkSteps]] steps — the walk corpus a graph-
+    * embedding trainer (DeepWalk/node2vec) consumes. Walks run on the
+    * SYMMETRIZED edge set (the DeepWalk convention), which also matters
+    * structurally here: transfer senders and receivers are near-disjoint
+    * populations, so directed walks would die at depth 1. TakeOrdered
+    * picks the seed sample (never a full sort); each step broadcasts the
+    * seed-bounded frontier against the edge list. */
+  def transferRandomWalks(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edges(spark, sfDir)
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = und.select(col("src").as("v")).distinct()
+      .orderBy(md5(col("v")), col("v")).limit(RandomWalkSeeds)
+    Graph.randomWalks(und, seeds, RandomWalkSteps)
+  }
+
   def wallet360(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables.transfers(spark, sfDir)
     val outF = t.groupBy(col("from_address").as("address"))

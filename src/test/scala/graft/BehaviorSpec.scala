@@ -336,6 +336,71 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("ksDrift: exact KS recount over the hourly distribution halves") {
+    val hourly = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "transact_at", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600 * 3600,
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(t => (t._1, t._2)).view
+      .mapValues(xs => (xs.map(_._3).sum * 100).toBigInt.toLong).toMap
+    val ts = hourly.keys.map(_._2)
+    val (mn, mx) = (ts.min, ts.max)
+    val expect = hourly.groupBy(_._1._1).view.mapValues { h =>
+      val (h1, h2) = h.partition(_._1._2 * 2 <= mn + mx)
+      val (n1, n2) = (h1.size.toLong, h2.size.toLong)
+      val support = h.values.toSeq.distinct.sorted
+      val ks = support.map { v =>
+        val f1 = h1.values.count(_ <= v).toLong
+        val f2 = h2.values.count(_ <= v).toLong
+        math.abs(f1 * n2 - f2 * n1)
+      }.max
+      (n1, n2, ks, ks * 1000000L / (n1 * n2))
+    }.toMap
+    val got = Behavior.ksDrift(spark, GraftSpark.Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect.filter { case (_, (n1, n2, _, _)) =>
+      n1 > 0 && n2 > 0 })
+    assert(got.nonEmpty)
+  }
+
+  test("mannWhitney: doubled-U rank-sum recount over log2 buckets " +
+    "with midrank ties") {
+    val rows = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "transact_at", "value").collect()
+      .map { r =>
+        val cents = (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt.toLong
+        (r.getString(0), (r.getLong(1) / 86400 + 4) % 7, cents)
+      }
+      .filter(_._3 > 0)
+      .map { case (tok, wd, cents) =>
+        (tok, 63 - java.lang.Long.numberOfLeadingZeros(cents),
+          wd == 0 || wd == 6)
+      }
+    val expect = rows.groupBy(_._1).view.mapValues { xs =>
+      val byB = xs.groupBy(_._2).view.mapValues(g =>
+        (g.count(_._3).toLong, g.count(!_._3).toLong)).toMap
+      val buckets = byB.keys.toSeq.sorted
+      var cum2 = 0L; var u2 = 0L
+      buckets.foreach { b =>
+        val (a, d) = byB(b); u2 += 2 * a * cum2 + a * d; cum2 += d
+      }
+      val (n1, n2) = (xs.count(_._3).toLong, xs.count(!_._3).toLong)
+      (n1, n2, u2, u2 * 1000000L / (2 * n1 * n2))
+    }.filter { case (_, (n1, n2, _, _)) => n1 > 0 && n2 > 0 }.toMap
+    val got = Behavior.mannWhitney(spark, GraftSpark.Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // AUC is a probability in ppm
+    got.values.foreach { case (_, _, _, auc) =>
+      assert(auc >= 0L && auc <= 1000000L)
+    }
+  }
+
   test("whale contrast: both groups present and reconcile with exact " +
     "final balances over both legs") {
     val rows = graft.ops.Wallet.whaleContrast(spark, GraftSpark.Sf)

@@ -592,4 +592,35 @@ class GraphSpec extends AnyFunSuite {
       .map { case (v, sk) => (v, sk.take(3): Seq[String]) }
     assert(capped == wide)
   }
+
+  test("randomWalks: hash-argmin transitions replay in plain Scala; " +
+    "dead ends truncate the walk") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // a -> {b, c}; b -> {d}; d is a dead end; e isolated seed-less
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "a"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("v")
+    val got = Graph.randomWalks(edges, seeds, steps = 4)
+      .as[(String, Long, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // replay: at step s out of v, pick argmin md5("walk:s:nbr")
+    val adj = Map("a" -> Seq("b", "c"), "b" -> Seq("d"), "c" -> Seq("a"))
+    var v = "a"
+    val expected = scala.collection.mutable.ArrayBuffer(("a", 0L, "a"))
+    var s = 1L
+    var alive = true
+    while (alive && s <= 4) {
+      adj.get(v) match {
+        case Some(nbrs) =>
+          v = nbrs.minBy(n => md5hex(s"a:$s:$n") + "|" + n)
+          expected += (("a", s, v)); s += 1
+        case None => alive = false
+      }
+    }
+    assert(got == expected.toSeq)
+    // the walk must have actually branched through the argmin at least
+    // twice from 'a' (steps out of 'a' at different depths may differ)
+    assert(got.size >= 3)
+  }
 }

@@ -596,4 +596,65 @@ class MetricsSpec extends AnyFunSuite {
         math.floor(p * 1000000.0 / t).toLong)
     }
   }
+
+  test("olsTrend: BigInt sufficient-statistics recount reproduces " +
+    "slope/intercept/r2 renderings") {
+    val hourly = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "transact_at", "value").collect()
+      .map(r => ((r.getString(0), r.getLong(1) / 3600 * 3600),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.map(_._2).sum * 100).toBigInt).toMap
+    // truncating signed division: Spark div / abs-wrapped DuckDB //
+    def tdiv(a: BigInt, b: BigInt): BigInt =
+      if (a < 0) -((-a) / b) else a / b
+    val expect = hourly.groupBy(_._1._1).view.mapValues { h =>
+      val t0 = h.keys.map(_._2).min
+      val pts = h.toSeq.map { case ((_, t), y) =>
+        (BigInt((t - t0) / 3600), y) }
+      val n = BigInt(pts.size)
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      (n.toLong,
+        tdiv(num * 1000000, den).toLong,
+        tdiv((sy * den - num * sx) * 1000000, n * den).toLong,
+        if (deny == 0) None
+        else Some(((num.abs * 1000000 / den) * num.abs / deny).toLong))
+    }.filter(_._2._1 >= 2L).toMap
+    val got = graft.ops.Metrics.olsTrend(spark, GraftSpark.Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // r2 is a proportion in ppm
+    got.values.flatMap(_._4).foreach(r2 => assert(r2 >= 0L && r2 <= 1000000L))
+  }
+
+  test("orderCountDistribution: zero-order customers populate the " +
+    "largest bucket (Q13 LEFT-join semantics)") {
+    val custs = Tables.customer(spark, GraftSpark.Sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val perCust = Tables.orders(spark, GraftSpark.Sf)
+      .select("o_custkey", "o_orderpriority").collect()
+      .filter(!_.getString(1).startsWith(
+        graft.ops.Relational.Q13ExcludedPriorityPrefix))
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val expect = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = graft.ops.Relational.orderCountDistribution(
+        spark, GraftSpark.Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // the LEFT-join contract: every customer lands in exactly one bucket
+    // (an inner join would silently shrink the total by the zero-order
+    // customers; this data has none at sf0.001, so the sum IS the check)
+    assert(got.values.sum == custs.length.toLong)
+  }
 }

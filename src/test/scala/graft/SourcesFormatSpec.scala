@@ -98,4 +98,24 @@ class SourcesFormatSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") &&
       plan.contains("event_type"), plan)
   }
+
+  test("binaryFile intake round-trips every document payload byte-exactly") {
+    val got = graft.sources.BinaryIntake.intake(spark, GraftSpark.Sf)
+      .as[(Long, Long, String)].collect().toSeq
+    val expect = Tables.documents(spark, GraftSpark.Sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        (id, bytes.length.toLong,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString)
+      }.sortBy(_._1)
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // the read really is the binaryFile source, not a parquet shortcut
+    val frame = graft.sources.BinaryIntake.read(spark,
+      graft.sources.BinaryIntake.stage(spark, GraftSpark.Sf))
+    assert(frame.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+  }
 }
