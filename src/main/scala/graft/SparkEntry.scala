@@ -9172,5 +9172,134 @@ object Catalog {
       s"""SELECT doc_id,
          |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes,
          |       md5(COALESCE(text, '')) AS content_hash
-         |FROM documents ORDER BY doc_id""".stripMargin)))
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Cohort LTV: cumulative spend per acquisition-week cohort by age,
+    // per-user value in exact micro-cents.
+    QEntry("q_cohort_ltv", Behavior.cohortLtv, Some(withTransfers(
+      s""", spendl AS (
+         |  SELECT from_address AS wallet, transact_at // 604800 AS w,
+         |         CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM transfers
+         |),
+         |cohl AS (SELECT wallet, min(w) AS cw FROM spendl GROUP BY 1),
+         |szl AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+         |        FROM cohl GROUP BY 1),
+         |perl AS (
+         |  SELECT c.cw, s.w - c.cw AS age_weeks,
+         |         CAST(count(DISTINCT s.wallet) AS BIGINT) AS n_active,
+         |         CAST(SUM(CAST(s.cents AS HUGEINT)) AS BIGINT) AS cents
+         |  FROM spendl s JOIN cohl c ON c.wallet = s.wallet
+         |  GROUP BY 1, 2
+         |),
+         |cuml AS (
+         |  SELECT cw, age_weeks, n_active, cents,
+         |         SUM(cents) OVER (PARTITION BY cw ORDER BY age_weeks
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum_cents
+         |  FROM perl
+         |)
+         |SELECT c.cw AS cohort_week, c.age_weeks, z.cohort_size,
+         |       c.n_active, c.cents,
+         |       CAST(c.cum_cents AS BIGINT) AS cum_cents,
+         |       CAST(CAST(c.cum_cents AS HUGEINT) * 1000000
+         |         // CAST(z.cohort_size AS HUGEINT) AS BIGINT)
+         |         AS ltv_ucents_per_user
+         |FROM cuml c JOIN szl z ON z.cw = c.cw
+         |ORDER BY cohort_week, age_weeks""".stripMargin))),
+
+    // Deterministic Poisson bootstrap CI for per-token mean transfer
+    // size: hash-uniform -> shared inverse-CDF CASE -> 32 replicate
+    // means -> rank-selected p5/median/p95, all integer-exact.
+    QEntry("q_bootstrap_ci", Profile.bootstrapCi, Some(withTransfers {
+      val u = hex48("md5(key || ':' || b)")
+      s""", baseb AS (
+         |  SELECT contract_address,
+         |         CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT)
+         |           AS cents,
+         |         CAST(block_number AS VARCHAR) || ':' ||
+         |           CAST(log_index AS VARCHAR) AS key
+         |  FROM transfers
+         |),
+         |ptb AS (
+         |  SELECT contract_address, CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(SUM(CAST(cents AS HUGEINT)) * 1000000 // count(*)
+         |           AS BIGINT) AS point_ucents
+         |  FROM baseb GROUP BY 1
+         |),
+         |repw AS (
+         |  SELECT contract_address, cents, b,
+         |         ${Profile.poissonCaseSql(u)} AS w
+         |  FROM baseb, range(0, ${Profile.BootstrapB}) t(b)
+         |),
+         |repm AS (
+         |  SELECT contract_address, b,
+         |         CAST(SUM(CAST(w AS HUGEINT) * cents) * 1000000
+         |           // CAST(SUM(w) AS HUGEINT) AS BIGINT) AS m
+         |  FROM repw GROUP BY 1, 2 HAVING SUM(w) > 0
+         |),
+         |rrank AS (
+         |  SELECT contract_address, m,
+         |         ROW_NUMBER() OVER (PARTITION BY contract_address
+         |           ORDER BY m, b) AS rn
+         |  FROM repm
+         |)
+         |SELECT r.contract_address, p.n_rows, p.point_ucents,
+         |       min(CASE WHEN rn = 2 THEN m END) AS lo_ucents,
+         |       min(CASE WHEN rn = ${Profile.BootstrapB / 2} THEN m END)
+         |         AS med_ucents,
+         |       min(CASE WHEN rn = ${Profile.BootstrapB - 1} THEN m END)
+         |         AS hi_ucents
+         |FROM rrank r JOIN ptb p ON p.contract_address = r.contract_address
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+    })),
+
+    // k-truss community core: 4 peel rounds of the >=2-triangle-support
+    // filter, unrolled identically in the oracle.
+    QEntry("q_ktruss", Wallet.transferKTruss, Some(withTransfers {
+      def roundCtes(r: Int): String = {
+        val prev = s"e${r - 1}"
+        s"""t$r AS MATERIALIZED (
+           |  SELECT e1.a, e1.b, e2.b AS c
+           |  FROM $prev e1 JOIN $prev e2 ON e2.a = e1.b
+           |       JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b
+           |),
+           |s$r AS (
+           |  SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+           |    SELECT a, b FROM t$r
+           |    UNION ALL SELECT b AS a, c AS b FROM t$r
+           |    UNION ALL SELECT a, c AS b FROM t$r
+           |  ) u GROUP BY 1, 2
+           |),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM $prev e
+           |  LEFT JOIN s$r s ON s.a = e.a AND s.b = e.b
+           |  WHERE COALESCE(s.sup, 0) >= ${Wallet.KTrussK - 2}
+           |)""".stripMargin
+      }
+      val rounds = (1 to Wallet.KTrussRounds).map(roundCtes).mkString(",\n")
+      val fin = Wallet.KTrussRounds
+      s""", e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(from_address, to_address) AS a,
+         |         greatest(from_address, to_address) AS b
+         |  FROM transfers WHERE from_address <> to_address
+         |),
+         |$rounds,
+         |tf AS MATERIALIZED (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e$fin e1 JOIN e$fin e2 ON e2.a = e1.b
+         |       JOIN e$fin e3 ON e3.a = e1.a AND e3.b = e2.b
+         |),
+         |sf AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+         |    SELECT a, b FROM tf
+         |    UNION ALL SELECT b AS a, c AS b FROM tf
+         |    UNION ALL SELECT a, c AS b FROM tf
+         |  ) u GROUP BY 1, 2
+         |)
+         |SELECT e.a, e.b, COALESCE(s.sup, 0) AS sup
+         |FROM e$fin e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin
+    })))
 }

@@ -396,6 +396,44 @@ object Behavior {
       .crossJoin(broadcast(p90))
   }
 
+  /** Cohort LTV curves: cumulative spend per acquisition cohort by cohort
+    * age — the lifetime-value readout sitting one step past
+    * [[cohortRetention]] (retention counts who came back; LTV sums what
+    * they spent). Cohort = the spender's first active week; age = weeks
+    * since. Cumulative value runs over the per-(cohort, age) rollup —
+    * a |weeks|²-bounded frame, so the window is time-bounded regardless
+    * of data volume — and per-user LTV renders exactly as micro-cents
+    * via one truncating DECIMAL division against the broadcast cohort
+    * sizes. The wallet→cohort attach is a plain wallet-keyed equi-join
+    * (both sides wallet-grained; at 100 TB it shuffles once on the
+    * natural key). */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.transfers(spark, sfDir)
+      .select(col("from_address").as("wallet"),
+        expr("transact_at div 604800").as("w"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 2))
+          * 100).cast("long").as("cents"))
+    val cohort = spend.groupBy("wallet").agg(min(col("w")).as("cw"))
+    val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+    val per = spend.join(cohort, Seq("wallet"))
+      .groupBy(col("cw"), (col("w") - col("cw")).as("age_weeks"))
+      .agg(count_distinct(col("wallet")).as("n_active"),
+        sum(col("cents")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("cents"))
+    per.join(broadcast(sizes), Seq("cw"))
+      .withColumn("cum_cents", sum(col("cents")).over(
+        Window.partitionBy("cw").orderBy("age_weeks")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ltv_ucents_per_user", expr(
+        "CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000" +
+          " div CAST(cohort_size AS DECIMAL(38,0)) AS BIGINT)"))
+      .select(col("cw").as("cohort_week"), col("age_weeks"),
+        col("cohort_size"), col("n_active"), col("cents"),
+        col("cum_cents"), col("ltv_ucents_per_user"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic per token: the hourly
     * volume distribution of the first half of the timeline vs the second,
     * KS = max |F1 − F2| over the pooled value support — the standard

@@ -1583,4 +1583,72 @@ object Graph {
     }
     out.orderBy("walk", "step")
   }
+
+  /** k-truss: the subgraph where every surviving edge closes ≥ k−2
+    * triangles WITH other surviving edges — the community-core filter
+    * one notch stronger than [[kCore]] (degree can be faked by a hub;
+    * triangle support cannot). Peeling alternates support counting and
+    * edge deletion for a FIXED round budget (the [[coreness]]/SCC
+    * convention: deterministic, oracle-unrollable, and idempotent once
+    * converged — extra rounds are no-ops, and non-convergence shows up
+    * as edges below threshold in the reported final support rather than
+    * a silent truncation).
+    *
+    * Per round: DEGREE-ordered wedge enumeration (compact-forward —
+    * orient every edge from its lower-(degree, id) endpoint, so each
+    * triangle appears exactly once and wedge fan-out is bounded by the
+    * oriented out-degree, O(√E) on any graph instead of the raw hub
+    * degree; a 10× densified fixed-vertex graph costs ~10×, not ~100×),
+    * three per-edge credit projections, one grouped count, one
+    * anti-filter. Orientation only changes ENUMERATION cost — support
+    * counts are orientation-free, which is why the DuckDB oracle can
+    * enumerate id-ordered instead. Lineage-cut per round. Output:
+    * surviving (a, b) with final-round support. */
+  def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 4,
+      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    // orient ONCE by initial (degree, id): exactly-once enumeration needs
+    // any fixed total order; initial degrees stay a good fan-out bound
+    // through the peel (peeling only shrinks degrees), and a static
+    // orientation saves two degree joins per round
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    var e = LineageCut.cut(und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"),
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst")), cutMode)
+    // u -> v, u -> w wedges closed by the oriented v -> w edge: every
+    // triangle exactly once with u < v < w in (degree, id) order
+    def support(o: DataFrame): DataFrame = {
+      val tri = o.select(col("src").as("u"), col("dst").as("v"))
+        .join(o.select(col("src").as("u"), col("dst").as("w")), Seq("u"))
+        .filter(col("v") =!= col("w"))
+        .join(o.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"))
+      def undKey(x: String, y: String) = Seq(
+        least(col(x), col(y)).as("a"), greatest(col(x), col(y)).as("b"))
+      tri.select(undKey("u", "v"): _*)
+        .unionByName(tri.select(undKey("u", "w"): _*))
+        .unionByName(tri.select(undKey("v", "w"): _*))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+    }
+    for (_ <- 1 to rounds) {
+      e = LineageCut.cut(
+        e.join(support(e), Seq("a", "b"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+          .select(col("a"), col("b"), col("src"), col("dst")), cutMode)
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("sup"), lit(0L)).as("sup"))
+      .orderBy("a", "b")
+  }
 }

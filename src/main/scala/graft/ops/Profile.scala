@@ -496,4 +496,78 @@ object Profile {
         (col("est") - col("exact")).cast("long").as("overest"),
         (col("est") >= col("exact")).as("never_under"))
   }
+
+  /** Bootstrap replicate count for [[bootstrapCi]]. */
+  val BootstrapB = 32
+
+  /** Poisson(1) CDF thresholds on the 48-bit hash lattice:
+    * floor(P(X ≤ k)·2⁴⁸) for k = 0..8 (weights beyond 8 collapse to 9;
+    * P(X > 8) ≈ 1.1e-6). ONE Scala constant feeds both engines, so the
+    * inverse-CDF lookup is literal-identical. */
+  val PoissonThresholds48: Seq[Long] = {
+    var fact = 1.0
+    (0 to 8).scanLeft(0.0) { (acc, k) =>
+      if (k > 0) fact *= k
+      acc + math.exp(-1.0) / fact
+    }.tail.map(p => math.floor(p * math.pow(2, 48)).toLong)
+  }
+
+  /** The inverse-CDF CASE over a 48-bit uniform expression — the shared
+    * generator both the Spark plan and the DuckDB oracle compile from. */
+  def poissonCaseSql(u: String): String =
+    PoissonThresholds48.zipWithIndex
+      .map { case (t, k) => s"WHEN ($u) < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+
+  /** Poisson bootstrap confidence interval for the per-token mean transfer
+    * size — THE distributed bootstrap: true resampling-with-replacement
+    * needs global coordination, but for n large, multinomial(n, 1/n)
+    * row multiplicities converge to independent Poisson(1) weights, so
+    * each of the [[BootstrapB]] replicates draws a per-row weight from a
+    * 48-bit hash-uniform through the inverse CDF ([[PoissonThresholds48]])
+    * — deterministic, replayable, and embarrassingly map-side (the
+    * classic production spelling, e.g. Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams").
+    *
+    * Everything stays integer-exact: replicate means render as
+    * micro-cents via one truncating DECIMAL division; the interval is a
+    * rank selection (2nd / 16th / 31st of the 32 sorted replicate means
+    * — ≈ p5/median/p95) through a window over the 32-row-per-token
+    * replicate frame, never the data. Cost: one ×B row amplification
+    * feeding one (token, b)-grouped map-side-combinable aggregate. */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.transfers(spark, sfDir)
+      .select(col("contract_address"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 2))
+          * 100).cast("long").as("cents"),
+        concat(col("block_number"), lit(":"), col("log_index")).as("key"))
+    val point = base.groupBy("contract_address")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(SUM(CAST(cents AS DECIMAL(38,0))) * 1000000" +
+          " div count(*) AS BIGINT)").as("point_ucents"))
+    val u = "CAST(conv(substr(md5(concat(key, ':', b)), 1, 12), 16, 10)" +
+      " AS BIGINT)"
+    val reps = base
+      .select(col("contract_address"), col("cents"), col("key"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .withColumn("w", expr(poissonCaseSql(u)))
+      .groupBy("contract_address", "b")
+      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * cents")).as("swc"),
+        sum(col("w").cast("long")).as("sw"))
+      .filter(col("sw") > 0)
+      .withColumn("m", expr("CAST(swc * 1000000 div CAST(sw AS" +
+        " DECIMAL(38,0)) AS BIGINT)"))
+    val rn = row_number().over(
+      Window.partitionBy("contract_address").orderBy(col("m"), col("b")))
+    reps.withColumn("rn", rn)
+      .groupBy("contract_address")
+      .agg(min(when(col("rn") === 2, col("m"))).as("lo_ucents"),
+        min(when(col("rn") === BootstrapB / 2, col("m"))).as("med_ucents"),
+        min(when(col("rn") === BootstrapB - 1, col("m"))).as("hi_ucents"))
+      .join(broadcast(point), Seq("contract_address"))
+      .select(col("contract_address"), col("n_rows"), col("point_ucents"),
+        col("lo_ucents"), col("med_ucents"), col("hi_ucents"))
+      .orderBy("contract_address")
+  }
 }

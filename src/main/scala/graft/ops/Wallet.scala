@@ -44,6 +44,17 @@ object Wallet {
   def transferKCore(spark: SparkSession, sfDir: String): DataFrame =
     Graph.kCore(edges(spark, sfDir))
 
+  /** Truss order / peel budget for [[transferKTruss]] — the 3-truss
+    * (every edge must survive inside ≥1 triangle of survivors; the
+    * 4-truss is empty on this graph's sparse triangle fabric). */
+  val KTrussK = 3
+  val KTrussRounds = 4
+
+  /** [[Graph.kTruss]] over the transfer graph: edges surviving the
+    * ≥(k−2)-triangle peel with their final support. */
+  def transferKTruss(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.kTruss(edges(spark, sfDir), KTrussK, KTrussRounds)
+
   /** Seeds for [[transferRandomWalks]]: the md5-smallest source wallets —
     * the house deterministic uniform sample (same convention as the ANF
     * certificate's seed draw). */

@@ -336,6 +336,35 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("cohortLtv: cumulative spend recount; cohort sizes partition " +
+    "the spender population") {
+    val t = Tables.transfers(spark, GraftSpark.Sf)
+      .select("from_address", "transact_at", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 604800,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt.toLong))
+    val cohort = t.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val per = t.groupBy(x => (cohort(x._1), x._2 - cohort(x._1)))
+      .map { case ((cw, age), xs) =>
+        (cw, age, xs.map(_._1).distinct.size.toLong, xs.map(_._3).sum) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    val sizes = cohort.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    var cums = Map[Long, Long]().withDefaultValue(0L)
+    val expect = per.map { case (cw, age, na, cents) =>
+      cums += cw -> (cums(cw) + cents)
+      (cw, age, sizes(cw), na, cents, cums(cw),
+        (BigInt(cums(cw)) * 1000000 / sizes(cw)).toLong)
+    }
+    val got = graft.ops.Behavior.cohortLtv(spark, GraftSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect)
+    // every spender is in exactly one cohort
+    assert(sizes.values.sum == cohort.size.toLong)
+    assert(got.nonEmpty)
+  }
+
   test("ksDrift: exact KS recount over the hourly distribution halves") {
     val hourly = Tables.transfers(spark, GraftSpark.Sf)
       .select("contract_address", "transact_at", "value").collect()

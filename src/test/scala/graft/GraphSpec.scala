@@ -623,4 +623,30 @@ class GraphSpec extends AnyFunSuite {
     // twice from 'a' (steps out of 'a' at different depths may differ)
     assert(got.size >= 3)
   }
+
+  test("kTruss: K4 survives the 4-truss; a pendant triangle survives " +
+    "only the 3-truss; cascade peeling removes dependent triangles") {
+    // K4 on 1..4 plus a triangle (5,6,7) hanging off vertex 4 by edge 4-5
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L)))
+      .toDF("src", "dst")
+    // 3-truss: pendant edge 4-5 is in no triangle -> peeled; both the K4
+    // and the 5-6-7 triangle survive with their supports
+    val t3 = Graph.kTruss(edges, k = 3, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t3 == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L),
+      (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L)))
+    // 4-truss: only K4 edges close 2 triangles among survivors
+    val t4 = Graph.kTruss(edges, k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t4.map(e => (e._1, e._2)) ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // cascade: two triangles sharing edge (1,2), plus that shared edge's
+    // support 2 — 4-truss needs every edge at >= 2, the outer edges have
+    // 1, peeling them drops (1,2) to 0 -> empty 4-truss
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    assert(Graph.kTruss(twoTri, k = 4, rounds = 3).count() == 0L)
+  }
 }

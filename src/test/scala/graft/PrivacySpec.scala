@@ -165,4 +165,58 @@ class PrivacySpec extends AnyFunSuite {
       row.getAs[Long]("est_pairs") - exact)
     assert(row.getAs[Long]("overest") >= 0)
   }
+
+  test("bootstrapCi: thresholds are the Poisson(1) CDF; replicate means " +
+    "bracket the point estimate and replay in plain Scala") {
+    // the lattice constants really are the Poisson(1) CDF: successive
+    // threshold INCREMENTS match e^-1/k! on the 2^48 lattice, and the
+    // tail mass beyond k=8 is ~1.1e-6
+    val ths = graft.ops.Profile.PoissonThresholds48
+    var fact = 1.0
+    ths.zipWithIndex.foreach { case (t, k) =>
+      if (k > 0) fact *= k
+      val pmf = math.exp(-1.0) / fact * math.pow(2, 48)
+      val delta = t - (if (k == 0) 0L else ths(k - 1))
+      assert(math.abs(delta - pmf) <= 4.0, s"k=$k delta=$delta pmf=$pmf")
+    }
+    val tail = 1.0 - ths.last / math.pow(2, 48)
+    assert(tail > 0 && tail < 2e-6, s"tail=$tail")
+    val got = graft.ops.Profile.bootstrapCi(spark, GraftSpark.Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (lo, med, hi) = (r.getAs[Long]("lo_ucents"),
+        r.getAs[Long]("med_ucents"), r.getAs[Long]("hi_ucents"))
+      assert(lo <= med && med <= hi)
+      // the point mean lies inside the (generous) bootstrap band
+      val p = r.getAs[Long]("point_ucents")
+      assert(p >= lo - (hi - lo) && p <= hi + (hi - lo),
+        s"point $p outside [$lo, $hi] band")
+    }
+    // full plain-Scala replay of one replicate's weighted mean
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Tables.transfers(spark, GraftSpark.Sf)
+      .select("contract_address", "block_number", "log_index", "value")
+      .collect().map(r => (r.getString(0),
+        s"${r.getLong(1)}:${r.getLong(2)}",
+        (BigDecimal(r.getDouble(3)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt))
+    def w(key: String, b: Int): Int = {
+      val u = java.lang.Long.parseLong(md5hex(s"$key:$b").take(12), 16)
+      ths.indexWhere(u < _) match { case -1 => 9; case k => k }
+    }
+    val tok = rows.head._1
+    val reps = (0 until graft.ops.Profile.BootstrapB).flatMap { b =>
+      val xs = rows.filter(_._1 == tok).map(t => (w(t._2, b), t._3))
+      val sw = xs.map(_._1).sum
+      if (sw == 0) None
+      else Some((xs.map { case (ww, c) => c * ww }.sum * 1000000 /
+        sw).toLong)
+    }.sorted
+    val row = got.find(_.getString(0) == tok).get
+    assert(row.getAs[Long]("lo_ucents") == reps(1))
+    assert(row.getAs[Long]("hi_ucents") ==
+      reps(graft.ops.Profile.BootstrapB - 2))
+  }
 }
