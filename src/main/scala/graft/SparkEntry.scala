@@ -9301,5 +9301,27 @@ object Catalog {
          |SELECT e.a, e.b, COALESCE(s.sup, 0) AS sup
          |FROM e$fin e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
          |ORDER BY e.a, e.b""".stripMargin
-    })))
+    })),
+
+    // Frame-level media dedup: identical 1024-grain frames grouped
+    // across objects (the video twin of q_media_dedup).
+    QEntry("q_frame_dedup", (s, d) => graft.ops.Multimodal.frameDedup(s, d),
+      Some(
+      s"""WITH fr AS (
+         |  SELECT doc_id,
+         |         md5(substring(text, CAST(o + 1 AS BIGINT),
+         |           ${graft.ops.Multimodal.FrameLen})) AS frame_hash
+         |  FROM (
+         |    SELECT doc_id, text,
+         |           unnest(range(0, CAST(length(text) AS BIGINT),
+         |             ${graft.ops.Multimodal.FrameLen})) AS o
+         |    FROM documents WHERE length(text) > 0
+         |  )
+         |)
+         |SELECT frame_hash, CAST(count(*) AS BIGINT) AS n_copies,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(min(doc_id) AS BIGINT) AS keeper
+         |FROM fr GROUP BY 1
+         |ORDER BY n_copies DESC, keeper, frame_hash
+         |LIMIT ${graft.ops.Multimodal.FrameDedupTopK}""".stripMargin)))
 }

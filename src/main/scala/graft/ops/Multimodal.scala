@@ -120,4 +120,44 @@ object Multimodal {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
       .orderBy(col("n_copies").desc, col("keeper"))
       .limit(MediaDedupTopK)
+
+  /** Frame grain (chars) and report size for [[frameDedup]]. */
+  val FrameLen = 1024
+  val FrameDedupTopK = 20
+
+  /** FRAME-level dedup: hash every [[FrameLen]]-grain frame of every
+    * media object and group identical frames ACROSS objects — the video
+    * analogue of [[mediaDedup]] (whole-file dedup misses near-identical
+    * cuts of the same footage; frame dedup catches any shared aligned
+    * segment). The frame grid is [[frameSamplePlan]]'s, so this is
+    * exactly "run the dedup after the sampler" — with the perceptual
+    * hash slot stubbed to md5 of the frame payload, like every decode
+    * stub in this module. Frames cut on the CHARACTER grid of the
+    * stand-in payload (both engines substring by codepoint; a byte grid
+    * would need BLOB substring the oracle engine lacks — contract, not
+    * compromise: a real perceptual hash is alignment-tolerant anyway).
+    *
+    * Pure explode → projection → one grouped count; the TopK cut is a
+    * TakeOrdered. Scale cost is the decode pass itself. */
+  def frameDedup(spark: SparkSession, sfDir: String): DataFrame =
+    frameDedupOf(Tables.documents(spark, sfDir))
+
+  /** [[frameDedup]] over any (doc_id, text) payload frame. */
+  def frameDedupOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"))
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n_chars") - 1,
+          lit(FrameLen.toLong))).as("frame_offset"))
+      .select(col("doc_id"), col("frame_offset"),
+        md5(expr(s"substring(text, frame_offset + 1, $FrameLen)"))
+          .as("frame_hash"))
+      .groupBy("frame_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper"))
+      .orderBy(col("n_copies").desc, col("keeper"), col("frame_hash"))
+      .limit(FrameDedupTopK)
 }

@@ -495,4 +495,43 @@ class CleanSpec extends AnyFunSuite {
     val dist = rows.map(_.getAs[Long]("n_distinct_cum"))
     assert(dist.zip(dist.tail).forall { case (a, b) => b >= a })
   }
+
+  test("frameDedup: plain-Scala frame grid recount; duplicated docs " +
+    "share every frame") {
+    val docs = Tables.documents(spark, GraftSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+      .filter(_._2.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val L = graft.ops.Multimodal.FrameLen
+    val frames = docs.flatMap { case (id, t) =>
+      (0 until t.length by L).map(o =>
+        (md5hex(t.substring(o, math.min(o + L, t.length))), id))
+    }
+    val expect = frames.groupBy(_._1).map { case (h, xs) =>
+      (h, xs.length.toLong, xs.map(_._2).distinct.length.toLong,
+        xs.map(_._2).min)
+    }.toSeq
+      .sortBy(x => (-x._2, x._4, x._1))
+      .take(graft.ops.Multimodal.FrameDedupTopK)
+    val got = graft.ops.Multimodal.frameDedup(spark, GraftSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+    // sf0.001's corpus is all-unique and sub-frame-length, so singleton
+    // groups ARE the right answer here (mediaDedup's convention); the
+    // cross-doc grouping itself is proven by the recount above and by a
+    // synthetic duplicated pair:
+    import spark.implicits._
+    val dup = Seq((1L, "x" * (L + 10)), (2L, "x" * (L + 10)),
+      (3L, "y" * 5)).toDF("doc_id", "text")
+    val g2 = graft.ops.Multimodal.frameDedupOf(dup).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // two shared full frames (n_copies 2, n_docs 2), two shared tail
+    // frames, one singleton
+    assert(g2.sortBy(x => (-x._1, -x._2)) ==
+      Seq((2L, 2L), (2L, 2L), (1L, 1L)))
+  }
 }
