@@ -9323,5 +9323,69 @@ object Catalog {
          |       CAST(min(doc_id) AS BIGINT) AS keeper
          |FROM fr GROUP BY 1
          |ORDER BY n_copies DESC, keeper, frame_hash
-         |LIMIT ${graft.ops.Multimodal.FrameDedupTopK}""".stripMargin)))
+         |LIMIT ${graft.ops.Multimodal.FrameDedupTopK}""".stripMargin)),
+
+    // Interval union per wallet: overlapping 30-min activity windows
+    // coalesce; raw/merged counts + exact covered seconds.
+    QEntry("q_merge_intervals", Forensics.mergeIntervals, Some(withTransfers(
+      s""", ivm AS (
+         |  SELECT from_address AS wallet, transact_at AS s,
+         |         transact_at + ${Forensics.IntervalLenSec} AS e
+         |  FROM transfers
+         |),
+         |isl AS (
+         |  SELECT wallet, s, e,
+         |         CASE WHEN max(e) OVER (PARTITION BY wallet ORDER BY s, e
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |             IS NULL THEN 1
+         |           WHEN s > max(e) OVER (PARTITION BY wallet ORDER BY s, e
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |             THEN 1 ELSE 0 END AS opens
+         |  FROM ivm
+         |),
+         |isl2 AS (
+         |  SELECT wallet, s, e,
+         |         SUM(opens) OVER (PARTITION BY wallet ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS island
+         |  FROM isl
+         |),
+         |mg AS (
+         |  SELECT wallet, island, CAST(count(*) AS BIGINT) AS n_iv,
+         |         min(s) AS is_, max(e) AS ie
+         |  FROM isl2 GROUP BY 1, 2
+         |)
+         |SELECT wallet, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+         |       CAST(count(*) AS BIGINT) AS n_merged,
+         |       CAST(SUM(ie - is_) AS BIGINT) AS covered_sec
+         |FROM mg GROUP BY 1 ORDER BY wallet""".stripMargin))),
+
+    // Inverted-index build: per-term df/ttf + leading postings; the
+    // bounded min-k aggregator cuts postings pre-shuffle.
+    QEntry("q_postings", Corpus.invertedIndex, Some(withDocs(
+      s""", tfq AS (
+         |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) u
+         |  WHERE tok <> '' GROUP BY 1, 2
+         |),
+         |termsq AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+         |         CAST(SUM(tf) AS BIGINT) AS ttf
+         |  FROM tfq GROUP BY 1
+         |  ORDER BY df DESC, tok LIMIT ${Corpus.PostingsTerms}
+         |),
+         |rk AS (
+         |  SELECT t.tok, f.doc_id, f.tf,
+         |         ROW_NUMBER() OVER (PARTITION BY t.tok
+         |           ORDER BY f.doc_id) AS rn
+         |  FROM termsq t JOIN tfq f ON f.tok = t.tok
+         |),
+         |pl AS (
+         |  SELECT tok, string_agg(doc_id || ':' || tf, ','
+         |           ORDER BY doc_id) AS postings
+         |  FROM rk WHERE rn <= ${Corpus.PostingsDocs} GROUP BY 1
+         |)
+         |SELECT t.tok, t.df, t.ttf, p.postings
+         |FROM termsq t JOIN pl p ON p.tok = t.tok
+         |ORDER BY t.df DESC, t.tok""".stripMargin))))
 }

@@ -570,4 +570,51 @@ object Corpus {
       .select("rnk", "doc_id", "source", "n_feats", "score_ppm")
       .orderBy("rnk")
   }
+
+  /** Report width for [[invertedIndex]]: terms kept (by document
+    * frequency) and postings kept per term (by doc id). */
+  val PostingsTerms = 100
+  val PostingsDocs = 10
+
+  /** Inverted-index build — the retrieval-infrastructure artifact behind
+    * [[bm25]] (that op consumes per-term stats transiently; this one
+    * MATERIALIZES the index): per term, document frequency, total term
+    * frequency, and the leading postings rendered as "doc:tf" runs.
+    *
+    * The scale-critical step is the per-term postings cut: a common term's
+    * postings list is corpus-sized, and a row_number window would sort all
+    * of it per term. The bounded [[graft.functions.TopKAggregator]] keeps
+    * the ≤[[PostingsDocs]] smallest doc ids per term BEFORE the shuffle
+    * (score = −doc_id turns the max-k aggregator into min-k), then one
+    * tiny equi-join recovers each kept posting's tf. Term selection is a
+    * TakeOrdered over the term-stats frame; the full postings of the
+    * selected terms never materialize anywhere. */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(TextAnalysis.toksExpr)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    val terms = tf.groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+      .orderBy(col("df").desc, col("tok")).limit(PostingsTerms)
+    val kept = tf.join(broadcast(terms.select("tok")), Seq("tok"))
+      .select(col("tok"), col("doc_id")).as[(String, Long)]
+      .map { case (tok, doc) => (tok, Scored(doc, -doc.toDouble)) }
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new TopKAggregator(PostingsDocs).toColumn.name("top"))
+      .toDF("tok", "top")
+      .select(col("tok"), explode(col("top")).as("s"))
+      .select(col("tok"), col("s").getField("id").as("doc_id"))
+      .join(tf, Seq("tok", "doc_id"))
+    val plist = kept.groupBy("tok")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+        x => concat(x.getField("doc_id"), lit(":"), x.getField("tf"))),
+        ",").as("postings"))
+    terms.join(plist, Seq("tok"))
+      .select(col("tok"), col("df"), col("ttf"), col("postings"))
+      .orderBy(col("df").desc, col("tok"))
+  }
 }

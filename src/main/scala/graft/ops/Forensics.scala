@@ -408,4 +408,45 @@ object Forensics {
           " div CAST(gross * 100 AS DECIMAL(38,0))").as("imbalance_pml"),
         col("n_tx"))
   }
+
+  /** Activity-interval half-width (seconds) for [[mergeIntervals]]: each
+    * transaction opens a 30-minute activity window. */
+  val IntervalLenSec = 1800L
+
+  /** Interval union (the classic overlapping-intervals merge): each
+    * wallet's transactions open [t, t+[[IntervalLenSec]]) activity
+    * windows; overlapping windows coalesce, and the report is per-wallet
+    * raw interval count, merged-island count, and exact covered seconds
+    * — the activity-surface metric behind "how long was this wallet
+    * actually live" (dormancy's complement) and the generic interval-
+    * algebra operator every scheduling/uptime pipeline needs.
+    *
+    * One wallet-keyed window pass: an island opens where the start
+    * exceeds the running max of prior ends (cumulative-max lag), island
+    * ids are the running sum of those opens, then two rollups. All
+    * windows partition by wallet — no global ordering anywhere. */
+  def mergeIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.transfers(spark, sfDir)
+      .select(col("from_address").as("wallet"),
+        col("transact_at").as("s"),
+        (col("transact_at") + IntervalLenSec).as("e"))
+    val w = Window.partitionBy("wallet").orderBy(col("s"), col("e"))
+    val islands = iv
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("prev_max_e").isNull ||
+          col("s") > col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy("wallet", "island")
+      .agg(count(lit(1)).as("n_iv"), min(col("s")).as("is_"),
+        max(col("e")).as("ie"))
+      .groupBy("wallet")
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_merged"),
+        sum(col("ie") - col("is_")).as("covered_sec"))
+      .orderBy("wallet")
+  }
 }

@@ -128,4 +128,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(pairs.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
       s1 > s2 || (s1 == s2 && d1 < d2); case _ => true })
   }
+
+  test("invertedIndex: postings recount — df/ttf exact, lists are the " +
+    "min-doc prefix in doc order") {
+    val docs = Tables.documents(spark, GraftSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val tf = docs.flatMap { case (id, t) =>
+      t.trim.split("\\s+").filter(_.nonEmpty).map(tok => (tok, id))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byTok = tf.keys.toSeq.groupBy(_._1)
+    val terms = byTok.map { case (tok, ks) =>
+      (tok, ks.size.toLong, ks.map(tf(_)).sum) }.toSeq
+      .sortBy(t => (-t._2, t._1)).take(graft.ops.Corpus.PostingsTerms)
+    val expect = terms.map { case (tok, df, ttf) =>
+      val posting = byTok(tok).map(_._2).toSeq.sorted
+        .take(graft.ops.Corpus.PostingsDocs)
+        .map(d => s"$d:${tf((tok, d))}").mkString(",")
+      (tok, df, ttf, posting)
+    }
+    val got = graft.ops.Corpus.invertedIndex(spark, GraftSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }

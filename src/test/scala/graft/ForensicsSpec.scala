@@ -293,4 +293,36 @@ class ForensicsSpec extends AnyFunSuite {
         r.getAs[Long]("burst_pml"))
     }
   }
+
+  test("mergeIntervals: plain-Scala interval-union recount; coverage " +
+    "bounded by raw span sum") {
+    val L = graft.ops.Forensics.IntervalLenSec
+    val byWallet = Tables.transfers(spark, GraftSpark.Sf)
+      .select("from_address", "transact_at").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val expect = byWallet.map { case (w, ts) =>
+      var merged = List.empty[(Long, Long)] // reversed (start, end)
+      ts.foreach { t =>
+        merged = merged match {
+          case (s0, e0) :: rest if t <= e0 =>
+            (s0, math.max(e0, t + L)) :: rest
+          case m => (t, t + L) :: m
+        }
+      }
+      (w, (ts.size.toLong, merged.size.toLong,
+        merged.map(iv => iv._2 - iv._1).sum))
+    }
+    val got = graft.ops.Forensics.mergeIntervals(spark, GraftSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // union coverage never exceeds the raw span sum, and something merged
+    got.values.foreach { case (n, m, cov) =>
+      assert(cov <= n * L && m <= n && cov >= L)
+    }
+    assert(got.values.exists { case (n, m, _) => m < n })
+  }
 }
