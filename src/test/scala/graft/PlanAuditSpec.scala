@@ -403,4 +403,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition(doc_id#"),
       s"doc-id rank lost its rb partition:\n$p")
   }
+
+  test("random walks: every step broadcasts the seed-bounded frontier; " +
+    "seeds are a TakeOrdered") {
+    val p = plan("q_random_walks")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the edge list must never be sort-merge-joined against a frontier
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("postings: term selection is a TakeOrdered; the postings cut is " +
+    "a partial (object-hash) aggregate, not a per-term sort window") {
+    val p = plan("q_postings")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("merge intervals and cohort LTV: windows ride wallet/cohort " +
+    "exchanges, never SinglePartition") {
+    for (q <- Seq("q_merge_intervals", "q_cohort_ltv")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("bootstrap CI: replicate means partial-aggregate map-side; the " +
+    "only window runs over the 32-row-per-token replicate frame") {
+    val p = plan("q_bootstrap_ci")
+    // partial_sum before the (token, b) exchange = map-side combine
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    assert(p.contains("hashpartitioning(contract_address"), p)
+  }
+
+  test("stat tests (KS, Mann-Whitney, OLS): distribution windows " +
+    "partition by token; no window ever orders a global frame") {
+    for (q <- Seq("q_ks_drift", "q_mann_whitney", "q_ols_trend")) {
+      val p = plan(q)
+      // (ksDrift's 1-row min/max bounds agg is a constant-size
+      // SinglePartition by design — the guard is on WINDOWS)
+      assert(!p.contains("windowspecdefinition(cents#") &&
+        !p.contains("windowspecdefinition(bucket#"),
+        s"$q window lost its token partition:\n$p")
+      assert(p.contains("hashpartitioning(contract_address"), s"$q:\n$p")
+    }
+  }
 }
