@@ -9387,5 +9387,237 @@ object Catalog {
          |)
          |SELECT t.tok, t.df, t.ttf, p.postings
          |FROM termsq t JOIN pl p ON p.tok = t.tok
-         |ORDER BY t.df DESC, t.tok""".stripMargin))))
+         |ORDER BY t.df DESC, t.tok""".stripMargin))),
+
+    // ── Wave: learners + winnowing + sequence mining ──
+
+    // Exact decision-stump fit: per surface feature, the Gini-minimizing
+    // binary split of the is-English label; all arithmetic integer/ppm.
+    QEntry("q_decision_stump", Learn.decisionStump, Some {
+      val b = Learn.StumpBuckets
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |),
+         |feat AS (
+         |  SELECT CASE WHEN lang = '${Learn.StumpLang}'
+         |           THEN CAST(1 AS BIGINT) ELSE 0 END AS y,
+         |         CAST(len(toks) AS BIGINT) AS n_toks,
+         |         CAST(n_chars AS BIGINT) AS n_chars,
+         |         CAST(list_max(list_transform(toks, x -> len(x)))
+         |           AS BIGINT) AS max_tok,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+         |  FROM d
+         |),
+         |lg AS (
+         |  SELECT y, 'n_toks' AS feature, n_toks AS v FROM feat
+         |  UNION ALL SELECT y, 'n_chars', n_chars FROM feat
+         |  UNION ALL SELECT y, 'max_tok', max_tok FROM feat
+         |  UNION ALL SELECT y, 'n_uniq', n_uniq FROM feat
+         |),
+         |bounds AS (
+         |  SELECT feature, min(v) AS mn, max(v) AS mx FROM lg GROUP BY 1
+         |),
+         |hist AS (
+         |  SELECT l.feature,
+         |         (l.v - b.mn) * $b // greatest(b.mx - b.mn + 1, 1) AS bucket,
+         |         b.mn, b.mx,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(SUM(l.y) AS BIGINT) AS n1
+         |  FROM lg l JOIN bounds b ON b.feature = l.feature
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |cum AS (
+         |  SELECT feature, bucket, mn, mx,
+         |         CAST(SUM(n) OVER w AS BIGINT) AS l,
+         |         CAST(SUM(n1) OVER w AS BIGINT) AS l1,
+         |         CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS nn,
+         |         CAST(SUM(n1) OVER (PARTITION BY feature) AS BIGINT) AS nn1
+         |  FROM hist
+         |  WINDOW w AS (PARTITION BY feature ORDER BY bucket
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |spl AS (
+         |  SELECT feature, bucket, mn, mx, l, l1,
+         |         nn - l AS r, nn1 - l1 AS r1,
+         |         CAST(CAST(l - l1 AS HUGEINT) * l1 * 1000000 // l
+         |            + CAST((nn - l) - (nn1 - l1) AS HUGEINT)
+         |                * (nn1 - l1) * 1000000 // (nn - l)
+         |           AS BIGINT) AS gini_ppm
+         |  FROM cum WHERE l < nn
+         |),
+         |best AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY feature ORDER BY gini_ppm, bucket) AS rn
+         |  FROM spl
+         |)
+         |SELECT feature,
+         |       CAST(mn + ((bucket + 1) * greatest(mx - mn + 1, 1) + $b - 1)
+         |         // $b AS BIGINT) AS cut,
+         |       gini_ppm,
+         |       l AS n_left, l1 AS n_left_pos,
+         |       r AS n_right, r1 AS n_right_pos,
+         |       CAST(CASE WHEN l1 * 2 >= l THEN 1 ELSE 0 END AS BIGINT)
+         |         AS left_pred,
+         |       CAST(CASE WHEN r1 * 2 >= r THEN 1 ELSE 0 END AS BIGINT)
+         |         AS right_pred
+         |FROM best WHERE rn = 1
+         |ORDER BY gini_ppm, feature""".stripMargin
+    }),
+
+    // Winnowing (MOSS) fingerprint pairs: window minima over positional
+    // 3-gram hashes, df-capped fingerprint equi-join.
+    QEntry("q_winnow_pairs", Dedup.winnowPairs, Some(withDocs(
+      s""", g AS (
+         |  SELECT doc_id, list_transform(range(1, len(toks) - 1), i ->
+         |    md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+         |  FROM docs WHERE len(toks) >= 3
+         |),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, fp FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(1, greatest(len(grams) - ${Dedup.WinnowW - 1}, 1) + 1),
+         |      p -> list_min(grams[p:p+${Dedup.WinnowW - 1}]))) AS fp
+         |    FROM g
+         |  )
+         |),
+         |sz AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1
+         |),
+         |keep AS (
+         |  SELECT fp FROM fp GROUP BY fp
+         |  HAVING count(*) BETWEEN 2 AND ${Dedup.WinnowDfCap}
+         |),
+         |sh AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep k ON k.fp = f.fp),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+         |       sa.n_fp AS fp_a, sb.n_fp AS fp_b,
+         |       CAST(pr.n_shared * 1000000 // least(sa.n_fp, sb.n_fp)
+         |         AS BIGINT) AS overlap_ppm
+         |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+         |        JOIN sz sb ON sb.doc_id = pr.doc_b
+         |ORDER BY n_shared DESC, doc_a, doc_b
+         |LIMIT ${Dedup.WinnowTopPairs}""".stripMargin))),
+
+    // Gapped length-3 sequential patterns over each user's first-10-event
+    // prefix; support counts each user once.
+    QEntry("q_seq_patterns", Behavior.seqPatterns, Some(
+      s"""WITH rk AS (
+         |  SELECT user_id, event_type, row_number() OVER
+         |    (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+         |  FROM events
+         |),
+         |p AS (
+         |  SELECT user_id, event_type, rn FROM rk
+         |  WHERE rn <= ${Behavior.SeqPrefixLen}
+         |),
+         |tr AS (
+         |  SELECT DISTINCT a.user_id,
+         |         a.event_type || '>' || b.event_type || '>' || c.event_type
+         |           AS pattern
+         |  FROM p a
+         |  JOIN p b ON b.user_id = a.user_id AND a.rn < b.rn
+         |  JOIN p c ON c.user_id = a.user_id AND b.rn < c.rn
+         |),
+         |nu AS (
+         |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM p
+         |)
+         |SELECT pattern, CAST(count(*) AS BIGINT) AS support,
+         |       CAST(count(*) * 1000000 // n_users AS BIGINT) AS support_ppm
+         |FROM tr, nu GROUP BY pattern, n_users
+         |ORDER BY support DESC, pattern
+         |LIMIT ${Behavior.SeqTopPatterns}""".stripMargin)),
+
+    // Grid-DBSCAN over the 2-D Rademacher sketch: core cells by 3x3
+    // neighborhood mass, clusters = CC of core-cell adjacency.
+    QEntry("q_dbscan_grid", Learn.dbscanGrid, Some {
+      val off = 1L << 20
+      val span = 1L << 21
+      def axis(j: Int): String =
+        s"""CAST(floor(list_reduce(list_transform(
+           |    range(1, len(embedding) + 1), i ->
+           |    CAST(embedding[i] AS DOUBLE) *
+           |    (CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR) || '_' || '$j'),
+           |            1, 1) IN ('0','2','4','6','8','a','c','e')
+           |       THEN 1.0 ELSE -1.0 END)),
+           |  (a, b) -> a + b) / ${Learn.DbscanEps}) AS BIGINT)""".stripMargin
+      s"""WITH RECURSIVE pt AS (
+         |  SELECT vec_id,
+         |         ${axis(8)} AS cx,
+         |         ${axis(9)} AS cy
+         |  FROM embeddings
+         |),
+         |pc AS (
+         |  SELECT vec_id, cx, cy,
+         |         (cx + $off) * $span + (cy + $off) AS cid
+         |  FROM pt
+         |),
+         |cells AS (
+         |  SELECT cid, cx, cy, CAST(count(*) AS BIGINT) AS n
+         |  FROM pc GROUP BY 1, 2, 3
+         |),
+         |off AS (
+         |  SELECT a.dx, b.dy
+         |  FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)
+         |),
+         |nbr AS (
+         |  SELECT (c.cx + o.dx + $off) * $span + (c.cy + o.dy + $off) AS cid,
+         |         CAST(SUM(c.n) AS BIGINT) AS mass
+         |  FROM cells c, off o GROUP BY 1
+         |),
+         |core AS (
+         |  SELECT c.cid, c.cx, c.cy
+         |  FROM cells c JOIN nbr nb ON nb.cid = c.cid
+         |  WHERE nb.mass >= ${Learn.DbscanMinPts}
+         |),
+         |edc AS (
+         |  SELECT e.s, e.t FROM (
+         |    SELECT a.cid AS s,
+         |           (a.cx + o.dx + $off) * $span + (a.cy + o.dy + $off) AS t
+         |    FROM core a, off o WHERE NOT (o.dx = 0 AND o.dy = 0)
+         |  ) e JOIN core c ON c.cid = e.t
+         |),
+         |reach AS (
+         |  SELECT s AS cid, s AS r FROM edc
+         |  UNION
+         |  SELECT edc.s, reach.r FROM edc JOIN reach ON edc.t = reach.cid
+         |),
+         |lab AS (
+         |  SELECT c.cid, COALESCE(m.r, c.cid) AS cluster
+         |  FROM core c LEFT JOIN
+         |    (SELECT cid, min(r) AS r FROM reach GROUP BY 1) m
+         |    ON m.cid = c.cid
+         |),
+         |own AS (
+         |  SELECT p.vec_id, p.cid, p.cx, p.cy, l.cluster AS own_cluster
+         |  FROM pc p LEFT JOIN lab l ON l.cid = p.cid
+         |),
+         |bord AS (
+         |  SELECT p.vec_id, min(l.cluster) AS border_cluster
+         |  FROM pc p JOIN off o ON NOT (o.dx = 0 AND o.dy = 0)
+         |  JOIN lab l
+         |    ON l.cid = (p.cx + o.dx + $off) * $span + (p.cy + o.dy + $off)
+         |  GROUP BY 1
+         |),
+         |cls AS (
+         |  SELECT ow.vec_id, ow.cid,
+         |         COALESCE(ow.own_cluster, b.border_cluster, -1) AS cluster,
+         |         ow.own_cluster IS NOT NULL AS is_core
+         |  FROM own ow LEFT JOIN bord b ON b.vec_id = ow.vec_id
+         |)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+         |       CAST(SUM(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_core_points,
+         |       CAST(count(DISTINCT CASE WHEN is_core THEN cid END)
+         |         AS BIGINT) AS n_cells,
+         |       CAST(min(vec_id) AS BIGINT) AS keeper
+         |FROM cls GROUP BY 1
+         |ORDER BY n_points DESC, cluster""".stripMargin
+    }))
 }

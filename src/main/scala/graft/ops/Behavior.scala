@@ -520,4 +520,54 @@ object Behavior {
           " div (CAST(n1 AS DECIMAL(38,0)) * n2 * 2) AS BIGINT)"))
       .orderBy("contract_address")
   }
+
+  /** Per-user event-sequence prefix mined for patterns. */
+  val SeqPrefixLen = 10
+  /** Reported pattern budget. */
+  val SeqTopPatterns = 30
+
+  /** Gapped sequential-pattern mining (PrefixSpan's support semantics,
+    * bounded): the most common length-3 event-type SUBSEQUENCES a→b→c
+    * across users — "signup … view … purchase" counts however many other
+    * events sit in the gaps, which is what distinguishes sequence mining
+    * from the consecutive-transition views ([[nextEventPairs]], session
+    * paths). Support counts each user AT MOST ONCE per pattern (the
+    * standard sequence-support definition), so one hyperactive user cannot
+    * dominate.
+    *
+    * Bounded by construction: only each user's first [[SeqPrefixLen]]
+    * events (by (ts, event_id) — exact nanosecond order) enter, so the
+    * triple enumeration is ≤ C(10,3)=120 combinations per user, produced
+    * by two self-equi-joins on `user_id` over the ≤10-row ranked prefix —
+    * both joins ride ONE hash exchange of the prefix frame (co-partitioned
+    * reuse), and the support count is map-side combinable. At 100 TB this
+    * is (rows → 10·|users|) then O(120·|users|) — linear in users, with
+    * the pattern dictionary collapsing to ≤|event_types|³ rows. */
+  def seqPatterns(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= SeqPrefixLen)
+      .select("user_id", "event_type", "rn")
+      .transform(QueryLocal.persistTracked) // three join sides
+    val nUsers = ranked.select(countDistinct(col("user_id")).as("n_users"))
+    val triples = ranked.select(col("user_id"), col("event_type").as("a"),
+        col("rn").as("ra"))
+      .join(ranked.select(col("user_id"), col("event_type").as("b"),
+        col("rn").as("rb")), Seq("user_id"))
+      .filter(col("ra") < col("rb"))
+      .join(ranked.select(col("user_id"), col("event_type").as("c"),
+        col("rn").as("rc")), Seq("user_id"))
+      .filter(col("rb") < col("rc"))
+      .select(col("user_id"),
+        concat_ws(">", col("a"), col("b"), col("c")).as("pattern"))
+      .distinct() // support: once per user
+    triples.groupBy("pattern").agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nUsers))
+      .withColumn("support_ppm", expr("support * 1000000 div n_users"))
+      .select("pattern", "support", "support_ppm")
+      .orderBy(col("support").desc, col("pattern"))
+      .limit(SeqTopPatterns)
+  }
 }

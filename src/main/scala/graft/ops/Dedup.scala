@@ -684,4 +684,69 @@ object Dedup {
         expr(collideSql(s"CAST($TuneTauPpm AS BIGINT)", "div")).cast("long"))
       .orderBy("r_rows")
   }
+
+  /** Winnowing window: fingerprints are window minima over [[WinnowW]]
+    * consecutive k-gram hashes (Schleimer et al., the MOSS algorithm). */
+  val WinnowW = 4
+  /** Fingerprints shared by more than this many docs are background noise
+    * (boilerplate) — dropped BEFORE the pair join, bounding hot-key fan-out
+    * exactly like the shingle document-frequency cap. */
+  val WinnowDfCap = 50L
+  /** Reported pair budget. */
+  val WinnowTopPairs = 40
+
+  /** Winnowing fingerprint candidate pairs: per document, hash every
+    * positional 3-word gram (md5 — the same gram arithmetic as
+    * [[TextAnalysis.shingles]], but POSITIONAL, not distinct), slide a
+    * [[WinnowW]]-hash window and keep each window's minimum, then join
+    * documents sharing a selected fingerprint. Winnowing's guarantee —
+    * any shared run of W+k-1 words yields at least one shared
+    * fingerprint — gives the density-proportional sampling MOSS uses for
+    * plagiarism detection, at ~1/W the index size of full shingling.
+    *
+    * Scale: the window minima fold IN-ROW over the gram array (zero
+    * shuffle, no per-position explode survives the map side); the only
+    * data-sized exchanges are the distinct-(doc, fingerprint) collapse and
+    * the equi-join on fingerprint, whose fan-out [[WinnowDfCap]] bounds.
+    * Overlap is reported in ppm of the smaller document's fingerprint set
+    * (the containment-style score, truncating div — positive operands). */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = winnowFingerprints(spark, sfDir)
+      .transform(QueryLocal.persistTracked) // df cut, join sides, set sizes
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= WinnowDfCap)
+    val shared = fps.join(keep.select("fp"), Seq("fp"))
+    val pairs = shared.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(shared.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")),
+        Seq("doc_b"))
+      .withColumn("overlap_ppm",
+        expr("n_shared * 1000000 div least(fp_a, fp_b)"))
+      .select("doc_a", "doc_b", "n_shared", "fp_a", "fp_b", "overlap_ppm")
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(WinnowTopPairs)
+  }
+
+  /** Distinct winnowing fingerprints per document: (doc_id, fp). Documents
+    * with fewer than [[WinnowW]] grams contribute one whole-list window —
+    * the standard short-document degeneration. */
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(TextAnalysis.toksExpr))
+      .filter(expr("size(toks) >= 3"))
+      .withColumn("grams", expr(
+        """transform(sequence(1, size(toks) - 2), i ->
+          |  md5(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                 element_at(toks, i + 2))))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(grams) - ${WinnowW - 1}, 1)),
+           |  p -> array_min(slice(grams, p, $WinnowW))))""".stripMargin))
+        .as("fp"))
 }

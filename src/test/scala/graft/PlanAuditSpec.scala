@@ -450,4 +450,35 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("hashpartitioning(contract_address"), s"$q:\n$p")
     }
   }
+
+  test("decision stump: the split-search windows ride the 4-row feature " +
+    "partitioning; bounds and totals broadcast") {
+    val p = plan("q_decision_stump")
+    assert(p.contains("hashpartitioning(feature"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("winnowing pairs: window-free — fingerprints fold in-row; the " +
+    "report cut is a TakeOrdered") {
+    val p = plan("q_winnow_pairs")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("seq patterns: the prefix rank rides the user_id exchange; the " +
+    "pattern cut is a TakeOrdered") {
+    val p = plan("q_seq_patterns")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("grid DBSCAN: offset scatters broadcast; no cartesian product " +
+    "anywhere") {
+    val p = plan("q_dbscan_grid")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
 }
