@@ -1594,61 +1594,126 @@ object Graph {
     * as edges below threshold in the reported final support rather than
     * a silent truncation).
     *
-    * Per round: DEGREE-ordered wedge enumeration (compact-forward —
-    * orient every edge from its lower-(degree, id) endpoint, so each
-    * triangle appears exactly once and wedge fan-out is bounded by the
-    * oriented out-degree, O(√E) on any graph instead of the raw hub
-    * degree; a 10× densified fixed-vertex graph costs ~10×, not ~100×),
-    * three per-edge credit projections, one grouped count, one
-    * anti-filter. Orientation only changes ENUMERATION cost — support
-    * counts are orientation-free, which is why the DuckDB oracle can
-    * enumerate id-ordered instead. Lineage-cut per round. Output:
-    * surviving (a, b) with final-round support. */
+    * Enumeration happens ONCE: a DEGREE-ordered wedge join (compact-
+    * forward — orient every edge from its lower-(degree, id) endpoint,
+    * so each triangle appears exactly once and wedge fan-out is bounded
+    * by the oriented out-degree, O(√E) on any graph instead of the raw
+    * hub degree) materializes the triangle list keyed by its three
+    * undirected edges. Support is then maintained INCREMENTALLY through
+    * the peel: each round deletes the under-supported edges, finds the
+    * triangles that lost an edge (three semi-joins against the deleted
+    * set — work ∝ deletions, not graph size), decrements their surviving
+    * edges, and drops the dead triangles. The earlier form re-ran the
+    * full wedge enumeration every round (rounds+1 enumerations); a 10×
+    * densified fixed-vertex graph made each of those ~10× dearer, so the
+    * peel cost multiplied instead of amortizing. The triangle list is
+    * O(#triangles) storage — the standard price of incremental truss
+    * maintenance, linear in the one-time enumeration output and
+    * partition-parallel like any other frame. Orientation only changes
+    * ENUMERATION cost — support counts are orientation-free, which is
+    * why the DuckDB oracle can enumerate id-ordered and recount per
+    * round instead. Lineage-cut per round; superseded rounds released.
+    * Output: surviving (a, b) with final-round support. */
   def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 4,
       cutMode: LineageCut = LineageCut.Auto): DataFrame = {
-    val und = edges.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    // cut the deduped edge list ONCE: it feeds the degree count, the
+    // orientation join, and the initial support join — left as lineage,
+    // the self-join below would recompute the whole distinct three times
+    val und = LineageCut.cut(
+      edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct(), cutMode)
     // orient ONCE by initial (degree, id): exactly-once enumeration needs
-    // any fixed total order; initial degrees stay a good fan-out bound
-    // through the peel (peeling only shrinks degrees), and a static
-    // orientation saves two degree joins per round
+    // any fixed total order, and initial degrees are a good fan-out bound
     val deg = und.select(col("a").as("v"))
       .unionByName(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    var e = LineageCut.cut(und
+    // carry the dst endpoint's (degree) so the wedge join can order its
+    // two legs without another degree lookup; cut so (a) the three reads
+    // below share one materialization and (b) the closing join sees an
+    // ACCURATE size and AQE can broadcast the edge side under the big
+    // wedge frame when it fits (at cluster scale it won't — same plan
+    // degrades to a shuffle join, which is the right call there)
+    val oriented = LineageCut.cut(und
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
-      .select(col("a"), col("b"),
+      .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
-        when(aFirst, col("b")).otherwise(col("a")).as("dst")), cutMode)
-    // u -> v, u -> w wedges closed by the oriented v -> w edge: every
-    // triangle exactly once with u < v < w in (degree, id) order
-    def support(o: DataFrame): DataFrame = {
-      val tri = o.select(col("src").as("u"), col("dst").as("v"))
-        .join(o.select(col("src").as("u"), col("dst").as("w")), Seq("u"))
-        .filter(col("v") =!= col("w"))
-        .join(o.select(col("src").as("v"), col("dst").as("w")),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd")), cutMode)
+    // u -> v, u -> w wedges with (dv, v) < (dw, w) — each unordered leg
+    // pair once, closed by the oriented v -> w edge: every triangle
+    // exactly once, keyed by its three undirected edges
+    val keys = Seq("a1", "b1", "a2", "b2", "a3", "b3")
+    def undKey(x: String, y: String, an: String, bn: String) = Seq(
+      least(col(x), col(y)).as(an), greatest(col(x), col(y)).as(bn))
+    var tri = LineageCut.cut(
+      oriented.select(col("src").as("u"), col("dst").as("v"),
+          col("dd").as("dv"))
+        .join(oriented.select(col("src").as("u"), col("dst").as("w"),
+          col("dd").as("dw")), Seq("u"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+        .join(oriented.select(col("src").as("v"), col("dst").as("w")),
           Seq("v", "w"))
-      def undKey(x: String, y: String) = Seq(
-        least(col(x), col(y)).as("a"), greatest(col(x), col(y)).as("b"))
-      tri.select(undKey("u", "v"): _*)
-        .unionByName(tri.select(undKey("u", "w"): _*))
-        .unionByName(tri.select(undKey("v", "w"): _*))
+        .select(undKey("u", "v", "a1", "b1") ++
+          undKey("u", "w", "a2", "b2") ++
+          undKey("v", "w", "a3", "b3"): _*), cutMode)
+    LineageCut.release(oriented) // enumeration happens exactly once
+    // per-edge triangle count over a (live) triangle list
+    def supOf(t: DataFrame): DataFrame =
+      t.select(col("a1").as("a"), col("b1").as("b"))
+        .unionByName(t.select(col("a2").as("a"), col("b2").as("b")))
+        .unionByName(t.select(col("a3").as("a"), col("b3").as("b")))
         .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+    var e = LineageCut.cut(
+      und.join(supOf(tri), Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("sup"), lit(0L)).as("sup")), cutMode)
+    LineageCut.release(und)
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
+      val dead = e.filter(col("sup") < k - 2).select("a", "b")
+      // no deletions ⇒ support is already a fixed point and every later
+      // round is a provable no-op — identical output, so the fixed round
+      // budget stays the CONTRACT (oracle-unrollable) while the engine
+      // stops paying for converged rounds (the count is a narrow job
+      // over the checkpointed edge frame)
+      if (dead.count() == 0L) converged = true
+      else {
+        // triangles that lose ≥1 edge this round, each exactly once;
+        // persisted (not cut): both consumers below materialize inside
+        // their own cut jobs, so a lazy cache saves the third job
+        def touch(an: String, bn: String) = tri.join(
+          dead.select(col("a").as(an), col("b").as(bn)),
+          Seq(an, bn), "left_semi")
+        val deadTri = touch("a1", "b1").unionByName(touch("a2", "b2"))
+          .unionByName(touch("a3", "b3")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nextE = LineageCut.cut(
+          e.filter(col("sup") >= k - 2)
+            .join(supOf(deadTri).withColumnRenamed("sup", "dec"),
+              Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("sup") - coalesce(col("dec"), lit(0L))).as("sup")),
+          cutMode)
+        LineageCut.release(e)
+        e = nextE
+        if (r < rounds) { // the final round's list has no reader
+          val nextTri = LineageCut.cut(
+            tri.join(deadTri, keys, "left_anti"), cutMode)
+          LineageCut.release(tri)
+          tri = nextTri
+        }
+        deadTri.unpersist(false)
+      }
+      r += 1
     }
-    for (_ <- 1 to rounds) {
-      e = LineageCut.cut(
-        e.join(support(e), Seq("a", "b"), "left")
-          .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
-          .select(col("a"), col("b"), col("src"), col("dst")), cutMode)
-    }
-    e.join(support(e), Seq("a", "b"), "left")
-      .select(col("a"), col("b"),
-        coalesce(col("sup"), lit(0L)).as("sup"))
-      .orderBy("a", "b")
+    LineageCut.release(tri)
+    e.orderBy("a", "b")
   }
 }
