@@ -5,8 +5,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Two in-JVM passes, reporting the per-query MIN: one-shot numbers on this
   * box swing ±25% (JIT, GC, cache attribution), which round over round
-  * drowned real regressions in noise — pass 1 pays cache builds and codegen,
-  * pass 2 is steady state, and the min is the variance-controlled cost.
+  * drowned real regressions in noise — pass 1 pays JIT/codegen warmup,
+  * pass 2 runs compiled, and the min is the variance-controlled cost.
+  * Query-local caches are released after every run in BOTH passes (each
+  * pass pays its own builds — the honest single-query price) so the two
+  * pass totals are comparable and no catalog-wide frame pileup taxes the
+  * late queries; the slowest queries get a third run and a min-of-3.
   * Pass totals are reported alongside so the cold number stays visible.
   *
   * Output contract: the FINAL stdout line is one JSON object small enough to
@@ -61,36 +65,45 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
-    // Query-local cache lifetimes: pass-1 entries are pass 2's cache hits
-    // (min-of-2 prices steady state), so they survive pass 1; each query's
-    // frames — both passes' — are released right after its pass-2 run.
-    // Live cache pressure is thus bounded by ~one pass of entries instead
-    // of two, which is what made q_mis run slower warm than cold in r6.
-    val passOneLocal = scala.collection.mutable.Map
-      .empty[String, Seq[org.apache.spark.sql.DataFrame]]
-    val passes = (1 to 2).map { pass =>
-      names.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (pass == 1) passOneLocal(name) = ops.QueryLocal.drain(spark)
-        else {
-          ops.QueryLocal.release(spark)
-          passOneLocal.remove(name).toSeq.flatten
-            .foreach(ops.QueryLocal.unpersistQuietly)
-        }
-        // failures report as -1 so a broken query can never look fast
-        name -> (if (ok) sec else -1.0)
-      }
+    // Query-local cache lifetimes: released right after EVERY run, both
+    // passes. Round 7 kept pass-1 frames alive as pass 2's cache hits,
+    // which meant the whole catalog's local frames — hundreds of
+    // MEMORY_AND_DISK entries — coexisted at the pass boundary; the
+    // eviction churn that pileup caused measurably taxed the heavy
+    // queries (q_setsim_join benched 3.8× its standalone cost). Paying
+    // the local cache build in each pass is the honest per-query price
+    // anyway (a user running one query pays it), and it keeps live
+    // pressure bounded by ONE query's working set beyond the [[Shared]]
+    // frames — so both passes run under like-for-like cache conditions
+    // and their totals stay comparable.
+    def runOnce(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (String, Double) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      ops.QueryLocal.release(spark)
+      // failures report as -1 so a broken query can never look fast
+      name -> (if (ok) sec else -1.0)
     }
+    val passes = (1 to 2).map { _ => names.map { case (n, f) => runOnce(n, f) } }
+    // The slowest queries dominate the total AND carry the most
+    // scheduling/GC variance, so they get a third timed run and a
+    // min-of-3 — bounding the one-bad-sample noise exactly where a bad
+    // sample costs whole seconds. Everything else keeps min-of-2.
+    val heavy = names.map { case (n, f) =>
+      (n, f, passes.map(_.toMap.apply(n)).min) }
+      .filter { case (_, _, m) => m >= 2.0 }
+      .sortBy { case (_, _, m) => -m }
+      .take(16)
+    val pass3 = heavy.map { case (n, f, _) => runOnce(n, f) }.toMap
     // the one-time shared-frame build is part of the true cold cost: it
     // joins the report as its own entry (built once — no min-of-2), so the
     // headline `value` DELIBERATELY includes it on top of the per-query
     // mins; n_queries counts real catalog entries only
     val mins = names.map { case (n, _) =>
-      val ts = passes.map(_.toMap.apply(n))
+      val ts = passes.map(_.toMap.apply(n)) ++ pass3.get(n)
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     } :+ ("_shared_warmup" -> warmSec)
     // the build ran once, before pass 1 — only the cold pass total carries it
@@ -110,7 +123,8 @@ object Bench {
         s""","pass_totals":[${passTotals.mkString(",")}]""" +
         s""","queries_min":${mapJson(mins, "%.4f")}""" +
         s""","pass1":${mapJson(passes.head, "%.4f")}""" +
-        s""","pass2":${mapJson(passes.last, "%.4f")}}"""
+        s""","pass2":${mapJson(passes.last, "%.4f")}""" +
+        s""","pass3":${mapJson(pass3.toSeq.sortBy(_._1), "%.4f")}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable =>

@@ -485,7 +485,13 @@ object Dedup {
     * (Chaudhuri et al., "A Primitive Operator for Similarity Joins", and
     * the PPJoin line of work — public literature, not reference code.) */
   def setSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = TextAnalysis.shingles(spark, sfDir)
+    // Tokenization is the single most expensive leaf here and the plan
+    // reads the shingle relation TWICE (df counts, then the df join) —
+    // persist the per-document distinct-shingle ARRAYS (docs-sized, tiny)
+    // and re-explode from cache, so the text is shingled exactly once.
+    val docSh = TextAnalysis.shinglesArr(spark, sfDir)
+      .transform(graft.ops.QueryLocal.persistTracked)
+    val sh = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
     val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // ONE per-document frame serves both roles: the rank-ordered shingle
     // array yields the prefix (its first p elements under the global

@@ -16,9 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  - `Verify` releases after every query — the 25-min full-catalog run
   *    holds at most one query's working set beyond the [[Shared]] frames;
-  *  - `Bench` keeps pass-1 entries alive (they are pass 2's cache hits —
-  *    the min-of-2 contract prices steady state) and releases each query's
-  *    frames, both passes', right after its pass-2 run.
+  *  - `Bench` releases after every run in every pass: each pass pays its
+  *    own local cache builds (the honest single-query price), and live
+  *    pressure stays bounded by one query's working set. (Round 7 kept
+  *    pass-1 entries alive as pass-2 cache hits; the catalog-wide pileup
+  *    at the pass boundary taxed the heavy queries 2-4×.)
   *
   * Frames that several catalog entries share deliberately (the similarity
   * base vectors, LSH buckets, the [[Shared]] holder's iterative results)

@@ -485,16 +485,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Distinct 3-word shingles per document — the base for fingerprinting and
-    * MinHash ([[Dedup]]). Docs shorter than 3 tokens are excluded (both
-    * engines). */
-  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+  /** Distinct 3-word shingles per document, one ARRAY row per doc — the
+    * cacheable form ([[Dedup.setSimJoin]] persists it and re-explodes from
+    * cache so multi-consumer plans tokenize once). Docs shorter than 3
+    * tokens are excluded (both engines). */
+  def shinglesArr(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .filter(expr("size(toks) >= 3"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), expr(
         """array_distinct(transform(sequence(0, size(toks) - 3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""".stripMargin))
-        .as("sh"))
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""".stripMargin)
+        .as("shs"))
+
+  /** Distinct 3-word shingles per document, exploded — the base for
+    * fingerprinting and MinHash ([[Dedup]]). */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    shinglesArr(spark, sfDir)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
 
   /** Document fingerprint: min-hash-of-shingles (winnowing-style content
     * signature — equal fingerprints ⇒ near-identical leading content) plus
