@@ -44,7 +44,8 @@ object Bench {
     // its steady state). Charge them to one labeled pseudo-entry instead.
     val warm0 = System.nanoTime()
     val warmed = try {
-      Seq(ops.Dedup.clusterLabels(spark, sfDir),
+      Seq(ops.Dedup.clusterLabels(spark, sfDir), // + shingles/sig spine
+        ops.Similarity.bruteForceTopK(spark, sfDir), // ANN recall baseline
         ops.Wallet.transferPageRank(spark, sfDir),
         ops.Wallet.transferCommunities(spark, sfDir)).foreach(_.count())
       true

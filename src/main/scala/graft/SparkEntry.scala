@@ -5266,8 +5266,11 @@ object Catalog {
          |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Pigeonhole cost certificate: candidate volume vs guaranteed radius
-    // for every band layout of the 16-bit fingerprint — the join-cost
-    // dual of q_lsh_tuning's recall S-curve.
+    // for band layouts of BOTH the 16-bit (oracle-portable) and 64-bit
+    // (production/scale) fingerprints — the join-cost dual of
+    // q_lsh_tuning's recall S-curve. Bit b is computed identically at
+    // every width, so one 64-bit signature CTE prices all layouts via
+    // prefix banding.
     QEntry("q_simhash_band_cost", Dedup.simhashBandCost, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -5283,28 +5286,80 @@ object Catalog {
          |                substr(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1)
          |              / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2 AS bit
          |      FROM toks
-         |      CROSS JOIN (SELECT unnest(range(${Dedup.SimHashBits})) AS b)
+         |      CROSS JOIN (SELECT unnest(range(${Dedup.SimHash64Bits})) AS b)
          |    ) GROUP BY doc_id, b
          |  ) GROUP BY doc_id
          |),
          |cfg AS (SELECT * FROM (VALUES ${Dedup.BandCostConfigs
-              .map { case (nb, w, r) => s"($nb, $w, $r)" }.mkString(", ")})
-         |        AS t(n_bands, band_bits, radius)),
+              .map { case (fp, nb, w, r) => s"($fp, $nb, $w, $r)" }
+              .mkString(", ")})
+         |        AS t(fp_bits, n_bands, band_bits, radius)),
          |occ AS (
-         |  SELECT c.n_bands, c.band_bits, c.radius, bb.b AS band,
+         |  SELECT c.fp_bits, c.n_bands, c.band_bits, c.radius, bb.b AS band,
          |         substr(s.simhash, bb.b * c.band_bits + 1, c.band_bits)
          |           AS bits,
          |         CAST(count(*) AS BIGINT) AS n
          |  FROM sh s CROSS JOIN cfg c
-         |  JOIN (SELECT unnest(range(${Dedup.SimHashBits})) AS b) bb
+         |  JOIN (SELECT unnest(range(${Dedup.SimHash64Bits})) AS b) bb
          |    ON bb.b < c.n_bands
-         |  GROUP BY 1, 2, 3, 4, 5
+         |  GROUP BY 1, 2, 3, 4, 5, 6
          |)
-         |SELECT n_bands, band_bits, radius,
+         |SELECT fp_bits, n_bands, band_bits, radius,
          |       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_candidates,
          |       CAST(MAX(n) AS BIGINT) AS hottest_bucket,
          |       CAST(COUNT(*) AS BIGINT) AS occupied_buckets
-         |FROM occ GROUP BY 1, 2, 3 ORDER BY n_bands""".stripMargin)),
+         |FROM occ GROUP BY 1, 2, 3, 4
+         |ORDER BY fp_bits, n_bands""".stripMargin)),
+
+    // The production-width twin of q_simhash_pairs: 64-bit fingerprints,
+    // 4 bands × 16 bits, same radius-3 pigeonhole guarantee. At 16 bits
+    // the fingerprint space saturates at large corpora (round-7 100×
+    // posture: 1.8 B true pairs, quadratic by contract); at 64 bits the
+    // random-collision density at Hamming ≤ 3 is ~2.4e-15, so candidates
+    // ≈ true near-dups and the identical banded plan stays ~linear.
+    QEntry("q_simhash64_pairs", Dedup.simhashPairs64, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |),
+         |sh AS (
+         |  SELECT doc_id, string_agg(bitc, '' ORDER BY b) AS simhash FROM (
+         |    SELECT doc_id, b,
+         |           CASE WHEN SUM(bit * 2 - 1) > 0 THEN '1' ELSE '0' END AS bitc
+         |    FROM (
+         |      SELECT doc_id, b,
+         |        CAST(floor((strpos('0123456789abcdef',
+         |                substr(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1)
+         |              / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2 AS bit
+         |      FROM toks
+         |      CROSS JOIN (SELECT unnest(range(${Dedup.SimHash64Bits})) AS b)
+         |    ) GROUP BY doc_id, b
+         |  ) GROUP BY doc_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, simhash, bb.b AS band,
+         |         substr(simhash,
+         |                bb.b * ${Dedup.SimHash64Bits / (Dedup.SimHashMaxDist + 1)} + 1,
+         |                ${Dedup.SimHash64Bits / (Dedup.SimHashMaxDist + 1)}) AS bits
+         |  FROM sh CROSS JOIN
+         |       (SELECT unnest(range(${Dedup.SimHashMaxDist + 1})) AS b) bb
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                  a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST(len(list_filter(range(1, ${Dedup.SimHash64Bits} + 1),
+         |         i -> substr(sh_a, CAST(i AS INT), 1)
+         |              != substr(sh_b, CAST(i AS INT), 1))) AS INT) AS dist
+         |FROM cand
+         |WHERE len(list_filter(range(1, ${Dedup.SimHash64Bits} + 1),
+         |    i -> substr(sh_a, CAST(i AS INT), 1)
+         |         != substr(sh_b, CAST(i AS INT), 1)))
+         |  <= ${Dedup.SimHashMaxDist}
+         |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ── Embedding similarity (brute-force exact + hyperplane LSH) ──
     QEntry("q_embedding_topk", Similarity.bruteForceTopK,

@@ -32,13 +32,17 @@ object Dedup {
     * before the shuffle. The naive spelling (explode shingles ×8, group by
     * (doc, seed)) amplifies the shuffle 8× and carries a row per (doc,
     * seed); this carries a row per doc. */
-  private def sigRows(spark: SparkSession, sfDir: String): DataFrame = {
-    val mins = (0 until NumHashes).map(j =>
-      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"m$j"))
-    TextAnalysis.shingles(spark, sfDir)
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-  }
+  private def sigRows(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.frame(spark, sfDir, "minhash_sig_rows") {
+      // session-shared like its shinglesArr input: the signature frame
+      // feeds q_minhash_sigs, the banded-pairs spine, and q_dedup_recall —
+      // 8 hex strings per doc, summary-sized at any corpus
+      val mins = (0 until NumHashes).map(j =>
+        min(md5(concat(lit(s"$j|"), col("sh")))).as(s"m$j"))
+      TextAnalysis.shingles(spark, sfDir)
+        .groupBy("doc_id")
+        .agg(mins.head, mins.tail: _*)
+    }
 
   /** MinHash signatures: for seed j, min over the document's distinct
     * 3-word shingles of md5(j || '|' || shingle). Lexicographic min over hex
@@ -384,25 +388,40 @@ object Dedup {
   val SimHashBits = 16
   val SimHashMaxDist = 3
 
-  /** SimHash: per token occurrence and bit position b, extract bit b of the
-    * token's md5 (hex-digit arithmetic — portable), sum ±1 contributions,
-    * bit_b = 1 iff the sum is positive; emit the 16-char bit string. Equal
-    * simhash ⇒ near-duplicate token distribution.
+  /** Fingerprint width for the SCALE-PATH simhash: 16-bit fingerprints
+    * saturate at large corpora (the space holds 65,536 values, so at 500k
+    * docs the true within-radius pair count is quadratic BY CONTRACT — the
+    * round-7 100× posture measured 1.8 B pairs). Width must grow with the
+    * corpus: at 64 bits the random-collision density at Hamming ≤ 3 is
+    * (1+64+2016+41664)/2⁶⁴ ≈ 2.4·10⁻¹⁵, so candidates ≈ true near-dups and
+    * the same pigeonhole plan stays ~linear. md5 supplies 128 bits, so the
+    * identical per-hex-digit arithmetic extends without a new hash. */
+  val SimHash64Bits = 64
+
+  /** SimHash at width `nBits`: per token occurrence and bit position b,
+    * extract bit b of the token's md5 (hex-digit arithmetic — portable),
+    * sum ±1 contributions, bit_b = 1 iff the sum is positive; emit the
+    * nBits-char bit string. Equal simhash ⇒ near-duplicate token
+    * distribution. Bit b is computed identically at every width, so the
+    * 16-bit fingerprint is the PREFIX of the 64-bit one — certificates can
+    * price all width layouts from one wide signature frame.
     *
-    * ONE aggregate over the token stream with [[SimHashBits]] sum columns
-    * (map-side combined to 16 longs per doc per partition) — the naive
-    * spelling exploded every token ×16 and shuffled twice (by (doc, bit),
-    * then by doc). Per-bit arithmetic matches the exploded form
-    * term-for-term: same `/` (double division), floor, INT cast, %2. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sums = (0 until SimHashBits).map { b =>
+    * ONE aggregate over the token stream with nBits sum columns (map-side
+    * combined to nBits longs per doc per partition) — the naive spelling
+    * exploded every token ×nBits and shuffled twice (by (doc, bit), then
+    * by doc). Per-bit arithmetic matches the exploded form term-for-term:
+    * same `/` (double division), floor, INT cast, %2. */
+  private def simhashSigs(spark: SparkSession, sfDir: String,
+      nBits: Int): DataFrame = {
+    require(nBits <= 128, "md5 supplies 128 bits")
+    val sums = (0 until nBits).map { b =>
       val pos = b / 4 + 1 // 1-based hex digit holding bit b
       val div = 1 << (3 - b % 4) // bit weight within the digit
       sum(expr(
         s"(CAST(floor((instr('0123456789abcdef', substr(md5(tok), $pos, 1)) - 1) / $div) AS INT) % 2) * 2 - 1"))
         .as(s"s$b")
     }
-    val bits = (0 until SimHashBits).map(b =>
+    val bits = (0 until nBits).map(b =>
       when(col(s"s$b") > 0, "1").otherwise("0"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(expr(TextAnalysis.toksExpr)).as("tok"))
@@ -411,6 +430,14 @@ object Dedup {
       .select(col("doc_id"), concat(bits: _*).as("simhash"))
       .orderBy("doc_id")
   }
+
+  /** [[SimHashBits]]-bit signatures — the oracle-portable catalog width. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSigs(spark, sfDir, SimHashBits)
+
+  /** [[SimHash64Bits]]-bit signatures — the production/scale width. */
+  def simhash64(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSigs(spark, sfDir, SimHash64Bits)
 
   /** Bits per pigeonhole band: Hamming distance ≤ d means at most d bands
     * differ, so two fingerprints within distance [[SimHashMaxDist]] share at
@@ -432,13 +459,28 @@ object Dedup {
     * the scan, so the multi-band `distinct` only shuffles true survivors.
     * At a production 64-bit fingerprint the bands are 16-bit and bucket
     * skew collapses; the shape is unchanged. */
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsW(spark, simhash(spark, sfDir), SimHashBandBits)
+
+  /** [[simhashPairs]] at the [[SimHash64Bits]] production width: 4 bands
+    * of 16 bits (65,536 buckets/band), same radius-[[SimHashMaxDist]]
+    * pigeonhole guarantee. This is the width the 100× posture test showed
+    * the 16-bit fingerprint NEEDS: at 16 bits the value space saturates
+    * and the true pair count is quadratic by contract; at 64 bits random
+    * collisions are ~2·10⁻¹⁵ dense so candidates ≈ true near-dups and the
+    * banded join stays ~linear in the corpus. */
+  def simhashPairs64(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsW(spark, simhash64(spark, sfDir),
+      SimHash64Bits / (SimHashMaxDist + 1))
+
+  private def simhashPairsW(spark: SparkSession, sigs: DataFrame,
+      bandBits: Int): DataFrame = {
     graft.functions.HammingDistance.register(spark)
-    val banded = simhash(spark, sfDir)
+    val banded = sigs
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SimHashMaxDist))).as("band"))
       .withColumn("bits",
-        expr(s"substr(simhash, band * $SimHashBandBits + 1, $SimHashBandBits)"))
+        expr(s"substr(simhash, band * $bandBits + 1, $bandBits)"))
       .transform(graft.ops.QueryLocal.persistTracked)
     val a = banded.select(col("band"), col("bits"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
@@ -595,11 +637,18 @@ object Dedup {
       s"WHEN $r THEN $p"
     }.mkString("CASE r_rows ", " ", " END")
 
-  /** Pigeonhole layouts priced by [[simhashBandCost]]: (bands, width,
-    * guaranteed Hamming radius = bands − 1) splits of the
-    * [[SimHashBits]]-bit fingerprint. */
-  val BandCostConfigs: Seq[(Int, Int, Int)] =
-    Seq((2, 8, 1), (4, 4, 3), (8, 2, 7))
+  /** Pigeonhole layouts priced by [[simhashBandCost]]: (fingerprint bits,
+    * bands, band width, guaranteed Hamming radius = bands − 1). Both the
+    * oracle-portable 16-bit width and the production 64-bit width are
+    * priced — bit b is computed identically at every width (16-bit
+    * fingerprint = 64-bit prefix), so one wide signature frame prices all
+    * layouts, and the certificate shows DIRECTLY what the 100× posture
+    * measured: at a fixed radius, candidate volume is a function of
+    * fingerprint width, and 64-bit buckets de-saturate the hot 4-bit
+    * buckets that made the 16-bit pair join quadratic at 500k docs. */
+  val BandCostConfigs: Seq[(Int, Int, Int, Int)] =
+    Seq((16, 2, 8, 1), (16, 4, 4, 3), (16, 8, 2, 7),
+      (64, 2, 32, 1), (64, 4, 16, 3), (64, 8, 8, 7))
 
   /** SimHash pigeonhole COST certificate — the dual of [[lshTuning]].
     * Pigeonhole banding is lossless within its radius (distance ≤ B−1
@@ -615,22 +664,22 @@ object Dedup {
     * never the join it prices. */
   def simhashBandCost(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = simhash(spark, sfDir)
-      .transform(QueryLocal.persistTracked) // three config passes read it
-    val cfgs = BandCostConfigs.toDF("n_bands", "band_bits", "radius")
+    val sh = simhash64(spark, sfDir) // 16-bit fp = prefix; one frame prices all
+      .transform(QueryLocal.persistTracked) // each config pass reads it
+    val cfgs = BandCostConfigs.toDF("fp_bits", "n_bands", "band_bits", "radius")
     sh.crossJoin(broadcast(cfgs))
-      .select(col("n_bands"), col("band_bits"), col("radius"),
+      .select(col("fp_bits"), col("n_bands"), col("band_bits"), col("radius"),
         col("simhash"),
         explode(expr("sequence(0, n_bands - 1)")).as("band"))
       .withColumn("bits",
         expr("substr(simhash, band * band_bits + 1, band_bits)"))
-      .groupBy("n_bands", "band_bits", "radius", "band", "bits")
+      .groupBy("fp_bits", "n_bands", "band_bits", "radius", "band", "bits")
       .agg(count(lit(1)).as("n"))
-      .groupBy("n_bands", "band_bits", "radius")
+      .groupBy("fp_bits", "n_bands", "band_bits", "radius")
       .agg(expr("SUM(n * (n - 1) div 2)").as("n_candidates"),
         max(col("n")).as("hottest_bucket"),
         count(lit(1)).as("occupied_buckets"))
-      .orderBy("n_bands")
+      .orderBy("fp_bits", "n_bands")
   }
 
   /** Banding-tuning certificate: which (rows, bands) split of the

@@ -10,9 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * invocations) — so when several catalog entries consume one expensive
   * iterative result (the MinHash→CC dedup labels; the transfer-graph
   * PageRank and LPA frames), each would silently re-run the whole subtree.
-  * This holder materializes such a frame once per (session, sfDir); every
-  * shared frame is summary-sized (labels/ranks — one row per entity),
-  * far smaller than the data it summarizes at any scale.
+  * This holder materializes such a frame once per (session, sfDir). Most
+  * shared frames are summary-sized (labels/ranks — one row per entity);
+  * the two deliberate exceptions are SPINE INPUTS consumed by a dozen
+  * catalog entries each (the per-doc shingle arrays and MinHash signature
+  * rows) — compact one-row-per-doc forms at MEMORY_AND_DISK, which on a
+  * cluster are the explicitly managed scan-once caches a production
+  * dedup pipeline would maintain anyway.
   *
   * Assumes data under an sfDir is immutable for the session's lifetime
   * (true for the driver's generated parquet; a mutated sfDir would serve

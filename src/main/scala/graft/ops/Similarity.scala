@@ -71,17 +71,24 @@ object Similarity {
 
   /** Exact cosine top-K for each query vector (vec_id ≡ 0 mod stride),
     * self excluded; ties broken by neighbor id. Window formulation: every
-    * candidate row shuffles to its query's partition for ranking. */
-  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    cosinePairs(spark, sfDir)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= K)
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
-      .orderBy("query_id", "rnk")
-  }
+    * candidate row shuffles to its query's partition for ranking.
+    *
+    * Session-SHARED: this exact baseline is the recall denominator of the
+    * whole ANN certificate family (q_ann_recall, q_mrl_recall, q_pq_recall,
+    * q_ivf_nprobe_tuning, hard negatives, …) — per-query release made each
+    * re-pay the ProbeCount×N scan. The frame itself is ProbeCount·K rows —
+    * summary-sized at any corpus. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Shared.frame(spark, sfDir, "bf_topk") {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      cosinePairs(spark, sfDir)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    }
 
   /** Same result through the custom bounded [[graft.functions.TopKAggregator]]
     * — partial-aggregates to ≤K rows per partition *before* the shuffle

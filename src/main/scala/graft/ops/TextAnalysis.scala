@@ -486,16 +486,26 @@ object TextAnalysis {
   }
 
   /** Distinct 3-word shingles per document, one ARRAY row per doc — the
-    * cacheable form ([[Dedup.setSimJoin]] persists it and re-explodes from
-    * cache so multi-consumer plans tokenize once). Docs shorter than 3
-    * tokens are excluded (both engines). */
+    * compact cacheable form; consumers re-explode from cache so
+    * multi-consumer plans tokenize once. Docs shorter than 3 tokens are
+    * excluded (both engines).
+    *
+    * Session-SHARED (not query-local): this is the spine input of the
+    * whole text-dedup family — a dozen catalog entries (MinHash
+    * signatures/pairs/clusters, set-sim join, containment, Jaccard,
+    * n-gram novelty, LSH tuning, fingerprints, decontamination) all start
+    * from the same tokenize+shingle pass, and per-query release made each
+    * of them re-pay it (r8 bench: 3-6× on every shingle consumer). One
+    * compact array row per doc (MEMORY_AND_DISK — spills, never OOMs), on
+    * a cluster an explicitly managed scan-once cache of the corpus. */
   def shinglesArr(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .filter(expr("size(toks) >= 3"))
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(toks) - 3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""".stripMargin)
-        .as("shs"))
+    Shared.frame(spark, sfDir, "shingles_arr")(
+      docs(spark, sfDir)
+        .filter(expr("size(toks) >= 3"))
+        .select(col("doc_id"), expr(
+          """array_distinct(transform(sequence(0, size(toks) - 3),
+            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""".stripMargin)
+          .as("shs")))
 
   /** Distinct 3-word shingles per document, exploded — the base for
     * fingerprinting and MinHash ([[Dedup]]). */

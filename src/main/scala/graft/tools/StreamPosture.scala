@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * the MAX `numRowsTotal` any batch held (the falsifiable number), rows
   * dropped as late, and the appended output count.
   *
-  * Usage: runMain graft.tools.StreamPosture <sfDir> [shards] [agg|join]
+  * Usage: runMain graft.tools.StreamPosture <sfDir> [shards]
+  * [agg|join|fullouter]
   * Compare sf0.1 against a ScaleGen sf1.0: input_rows ×10,
   * max_state_rows ≈ flat (agg) / ∝ rows-in-horizon, not stream length
   * (join — finer shards shrink it at ANY corpus size).
@@ -85,6 +86,27 @@ object StreamPosture {
             col("value"), col("ts_t").as("t_ts"))
         graft.streaming.StreamJoins
           .transfersWithRecentPrices(txs, ticks, 3600L)
+      case "fullouter" =>
+        // the stream-stream FULL OUTER interval-join shape
+        // (q_stream_full_outer_join): same (token, bucket)-keyed state as
+        // the inner variant plus the unmatched-row declarations both sides
+        // hold until their watermark closes — the claim under test is
+        // that peak state still tracks the rows inside the watermark
+        // horizon, not stream length
+        val ticks = readShards(
+          stageShards(evAll.filter(col("event_id") % 5 === 0)),
+          "event_id LONG, event_type STRING, value DOUBLE, ts_t TIMESTAMP")
+          .select(col("event_id").as("p_id"),
+            col("event_type").as("p_contract"),
+            col("value").as("price"), col("ts_t").as("p_ts"))
+        val txs = readShards(
+          stageShards(evAll.filter(col("event_id") % 5 =!= 0)),
+          "event_id LONG, event_type STRING, value DOUBLE, ts_t TIMESTAMP")
+          .select(col("event_id").as("t_id"),
+            col("event_type").as("contract_address"),
+            col("value"), col("ts_t").as("t_ts"))
+        graft.streaming.StreamJoins
+          .transfersWithRecentPricesFullOuter(txs, ticks, 3600L)
       case _ =>
         val stage = stageShards(evAll.drop("event_id"))
         readShards(stage, "event_type STRING, value DOUBLE, ts_t TIMESTAMP")

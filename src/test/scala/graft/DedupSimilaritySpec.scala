@@ -330,29 +330,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("simhash band-cost certificate: exact local recount and " +
-    "coarser-buckets-cost-more ordering") {
+    "coarser-buckets-cost-more ordering at both widths") {
     val rows = Dedup.simhashBandCost(spark, GraftSpark.Sf)
-      .select("n_bands", "band_bits", "radius", "n_candidates",
+      .select("fp_bits", "n_bands", "band_bits", "radius", "n_candidates",
         "hottest_bucket", "occupied_buckets")
-      .as[(Int, Int, Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
-    assert(rows.map(r => (r._1, r._2, r._3)) ==
-      Seq((2, 8, 1), (4, 4, 3), (8, 2, 7)))
-    // recount every layout locally from the signature strings
-    val sigs = Dedup.simhash(spark, GraftSpark.Sf)
+      .as[(Int, Int, Int, Int, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)) ==
+      Dedup.BandCostConfigs.sortBy(c => (c._1, c._2)))
+    // recount every layout locally from the wide signature strings
+    // (16-bit layouts band the prefix — same bit construction)
+    val sigs = Dedup.simhash64(spark, GraftSpark.Sf)
       .select("simhash").as[String].collect().toSeq
-    for ((nb, w, _) <- Dedup.BandCostConfigs) {
+    for ((fp, nb, w, _) <- Dedup.BandCostConfigs) {
       val occ = sigs.flatMap(s =>
         (0 until nb).map(b => (b, s.substring(b * w, b * w + w))))
         .groupBy(identity).values.map(_.size.toLong).toSeq
       val expect = (occ.map(n => n * (n - 1) / 2).sum,
         occ.max, occ.size.toLong)
-      val got = rows.find(_._1 == nb).get
-      assert((got._4, got._5, got._6) == expect, s"layout $nb×$w: $got")
+      val got = rows.find(r => r._1 == fp && r._2 == nb).get
+      assert((got._5, got._6, got._7) == expect, s"layout $fp:$nb×$w: $got")
     }
     // wider bands refine buckets: candidate volume rises with band count
-    // (each wide-band collision persists in both sub-bands of the finer
-    // layout, so the sums are monotone in n_bands)
-    assert(rows.map(_._4) == rows.map(_._4).sorted, rows.toString)
+    // within a width (each wide-band collision persists in both sub-bands
+    // of the finer layout, so the sums are monotone in n_bands)
+    for (fp <- Seq(16, 64)) {
+      val cand = rows.filter(_._1 == fp).map(_._5)
+      assert(cand == cand.sorted, rows.toString)
+    }
+    // the scale claim itself: at the same radius-3 layout, the 64-bit
+    // fingerprint generates no more candidates than the 16-bit one
+    // (strictly fewer on any corpus with hot 4-bit buckets)
+    val c16 = rows.find(r => r._1 == 16 && r._2 == 4).get._5
+    val c64 = rows.find(r => r._1 == 64 && r._2 == 4).get._5
+    assert(c64 <= c16, s"64-bit candidates $c64 > 16-bit $c16")
+  }
+
+  test("simhash 16-bit fingerprint is the 64-bit prefix; 64-bit pairs " +
+    "are a subset of 16-bit pairs with equal distance on the prefix") {
+    val s16 = Dedup.simhash(spark, GraftSpark.Sf)
+      .as[(Long, String)].collect().toMap
+    val s64 = Dedup.simhash64(spark, GraftSpark.Sf)
+      .as[(Long, String)].collect().toMap
+    assert(s64.keySet == s16.keySet)
+    for ((id, s) <- s64) assert(s.length == 64 && s.take(16) == s16(id))
+    // within-radius 64-bit pairs: distance over all 64 bits ≤ 3 implies
+    // prefix distance ≤ 3, so each is also a 16-bit pair
+    val p64 = Dedup.simhashPairs64(spark, GraftSpark.Sf)
+      .as[(Long, Long, Int)].collect().toSeq
+    val p16 = Dedup.simhashPairs(spark, GraftSpark.Sf)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(p64.nonEmpty) // corpus has true near-dups; they survive at 64-bit
+    for ((a, b, d) <- p64) {
+      assert(p16.contains((a, b)), s"64-bit pair ($a,$b) missing at 16-bit")
+      assert(d >= p16((a, b)), s"($a,$b): 64-bit dist $d < prefix dist")
+      val local = s64(a).zip(s64(b)).count { case (x, y) => x != y }
+      assert(d == local, s"($a,$b): dist $d != local recount $local")
+    }
   }
 
   test("ivf nprobe tuning: nprobe=1 reproduces the annRecall ivf row; " +
