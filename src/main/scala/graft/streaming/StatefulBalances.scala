@@ -91,12 +91,14 @@ object StatefulBalances {
       sfDir: String): DataFrame = {
     val tableName = s"graft_stream_balances_${invocation.incrementAndGet()}"
     withRocksDb(spark) {
-      val q = runningBalances(spark, legStream(spark, sfDir))
-        .writeStream.outputMode(OutputMode.Update())
-        .format("memory").queryName(tableName)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      StreamingMetrics.withStatePartitions(spark) {
+        val q = runningBalances(spark, legStream(spark, sfDir))
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(tableName)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
     }
     compacted(spark.table(tableName))
   }
@@ -162,16 +164,19 @@ object StatefulBalances {
     val ckpt =
       java.nio.file.Files.createTempDirectory("graft_balchg_ckpt").toString
     withRocksDb(spark) {
-      val q = runningBalances(spark, legStream(spark, sfDir))
-        .toDF()
-        .writeStream.outputMode(OutputMode.Update())
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("append").parquet(out)
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      StreamingMetrics.withStatePartitions(spark) {
+        val q = runningBalances(spark, legStream(spark, sfDir))
+          .toDF()
+          .writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     compacted(spark.read.parquet(out))
   }

@@ -38,13 +38,15 @@ object StreamingMetrics {
       .groupBy(col("contract_address"), window(col("ts_t"), "1 hour"))
       .agg(sum(col("value").cast(DecimalType(25, 2))).as("dvolume"))
 
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(tableName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
 
     spark.table(tableName)
       .select(
@@ -78,6 +80,34 @@ object StreamingMetrics {
         unix_timestamp(col("window.start")).as("t"),
         col("dvolume").cast("double").as("volume"))
 
+  /** Number of state-store shards for the catalog's stateful streaming
+    * runs. A stateful operator gets ONE state store per shuffle partition,
+    * each checkpointing and committing per micro-batch (a stream-stream
+    * join runs FOUR stores per partition per side), so the partition
+    * count is a capacity knob that should track STATE VOLUME, not the
+    * session's batch-shuffle width: the posture runs measure ~10⁴ live
+    * state rows at sf0.1, where 32 shards mean 32× per-batch commit/
+    * checkpoint fixed costs for ~300 rows each. 8 shards carry that state
+    * comfortably and cut the fixed cost 4×; at production state volumes
+    * the SAME knob scales up (state_rows × row_size / ~64 MB per store),
+    * which is how a 1000-executor deployment sizes it. Set per streaming
+    * query via [[withStatePartitions]] — the count is captured into the
+    * query's checkpoint at first start, so it is a per-query property,
+    * not a session one. */
+  val StateShufflePartitions = 8
+
+  /** Run `f` (which must BUILD AND START its streaming query) with the
+    * session's shuffle-partition conf pinned to `n`, restoring the prior
+    * value after. Streaming captures the count at query start into the
+    * checkpoint; batch plans built after this returns are unaffected. */
+  private[streaming] def withStatePartitions[T](spark: SparkSession,
+      n: Int = StateShufflePartitions)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Run [[hourlyVolumeBounded]] over the static testdata into a PARQUET
     * sink (AvailableNow trigger) and return the sink's contents. Windows
     * still open when the source drains stay in state — append emits only
@@ -85,15 +115,17 @@ object StreamingMetrics {
     * keeps running; the final partial hour is not final data). */
   def runHourlyVolumeBounded(spark: SparkSession, sfDir: String,
       outDir: String, checkpointDir: String): DataFrame = {
-    val q = hourlyVolumeBounded(graft.Tables.eventsStream(spark, sfDir))
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = hourlyVolumeBounded(graft.Tables.eventsStream(spark, sfDir))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir).orderBy("contract_address", "t")
   }
 
@@ -139,15 +171,17 @@ object StreamingMetrics {
       java.nio.file.Files.createTempDirectory("graft_topk_sink").toString
     val ckpt =
       java.nio.file.Files.createTempDirectory("graft_topk_ckpt").toString
-    val q = topTokensBounded(graft.Tables.eventsStream(spark, sfDir))
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = topTokensBounded(graft.Tables.eventsStream(spark, sfDir))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
       .orderBy(col("dvol").desc, col("token").asc)
     spark.read.parquet(outDir)
@@ -184,15 +218,17 @@ object StreamingMetrics {
   def streamBoundedSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_svb_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_svb_ckpt").toString
-    val q = sessionVolumeBounded(graft.Tables.eventsStream(spark, sfDir))
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = sessionVolumeBounded(graft.Tables.eventsStream(spark, sfDir))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out).orderBy("contract_address", "s_start")
   }
 
@@ -223,15 +259,17 @@ object StreamingMetrics {
   def streamBoundedSliding(spark: SparkSession, sfDir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_slb_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_slb_ckpt").toString
-    val q = slidingVolumeBounded(graft.Tables.eventsStream(spark, sfDir))
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = slidingVolumeBounded(graft.Tables.eventsStream(spark, sfDir))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out).orderBy("contract_address", "w_start")
   }
 
@@ -248,13 +286,15 @@ object StreamingMetrics {
       .agg(sum(col("value").cast(DecimalType(25, 2))).as("dvolume"),
         count(lit(1)).as("n"))
 
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(tableName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
 
     spark.table(tableName)
       .select(col("contract_address"),
@@ -279,13 +319,15 @@ object StreamingMetrics {
       .agg(sum(col("value").cast(DecimalType(25, 2))).as("dvolume"),
         count(lit(1)).as("n"))
 
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(tableName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
 
     spark.table(tableName)
       .select(col("contract_address"),
@@ -324,13 +366,15 @@ object StreamingMetrics {
       .groupBy(graft.ops.Num.hourBucket(col("t_sec")).as("t"))
       .agg(collect_set(col("dapp_id")).as("dapps"),
         count(lit(1)).as("n_interactions"))
-    val q = enriched.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = enriched.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(tableName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(tableName)
       .select(col("t"), size(col("dapps")).cast("long").as("n_dapps"),
         col("n_interactions"))
@@ -373,15 +417,17 @@ object StreamingMetrics {
   def streamBoundedEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_enb_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_enb_ckpt").toString
-    val q = dappHourlyBounded(spark, sfDir)
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = dappHourlyBounded(spark, sfDir)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out).orderBy("t")
   }
 
@@ -413,13 +459,15 @@ object StreamingMetrics {
       .dedupedStream(stream, "ts_t", "1 hour", Seq("h"))
       .select("h")
 
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(tableName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
 
     spark.table(tableName)
       .select(col("h").as("content_hash"))
@@ -445,13 +493,15 @@ object StreamingMetrics {
       .agg(max(struct(col("version"), col("op"), col("value"))).as("last"),
         count(lit(1)).as("n_ops"))
 
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(tableName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
 
     spark.table(tableName)
       .filter(col("last.op") =!= "D")
@@ -481,16 +531,18 @@ object StreamingMetrics {
       .groupBy("contract_address", "wallet")
       .agg(max(struct(col("version"), col("op"), col("value"))).as("last"),
         count(lit(1)).as("n_ops"))
-    val q = stream.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .groupBy("contract_address", "wallet")
       .agg(max(struct(col("n_ops"), col("last"))).as("m"))
@@ -544,15 +596,17 @@ object StreamingMetrics {
       .unionByName(txSent.toDF().select(
         lit("__sentinel__").as("contract_address"), lit(0.0).as("value"),
         timestamp_micros(col("value")).as("t_ts")))
-    val q = StreamJoins.transfersWithRecentPricesOuter(txs, ticks, 3600L)
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = StreamJoins.transfersWithRecentPricesOuter(txs, ticks, 3600L)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
       .filter(col("contract_address") =!= "__sentinel__")
       .groupBy(col("contract_address"),
@@ -605,15 +659,18 @@ object StreamingMetrics {
       .unionByName(txSent.toDF().select(
         lit("__sentinel__").as("contract_address"), lit(0.0).as("value"),
         timestamp_micros(col("value")).as("t_ts"), lit(-2L).as("t_id")))
-    val q = StreamJoins.transfersWithRecentPricesFullOuter(txs, ticks, 3600L)
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = StreamJoins
+        .transfersWithRecentPricesFullOuter(txs, ticks, 3600L)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val raw = spark.read.parquet(outDir)
       .filter(coalesce(col("contract_address"), col("p_contract"))
         =!= "__sentinel__")
@@ -651,13 +708,15 @@ object StreamingMetrics {
       .groupBy(graft.ops.Num.hourBucket(col("t_sec")).as("t"), col("token"))
       .agg(sum(col("value").cast("decimal(25,2)")).as("dvol"),
         count(lit(1)).as("n"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(tableName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
       .orderBy(col("dvol").desc, col("token").asc)
     spark.table(tableName)
@@ -687,23 +746,25 @@ object StreamingMetrics {
       java.nio.file.Files.createTempDirectory("graft_ssj_sink").toString
     val ckpt =
       java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
-    val ticks = graft.Tables.eventsStream(spark, sfDir)
-      .filter(col("event_id") % 5 === 0)
-      .select(col("event_type").as("p_contract"),
-        col("value").as("price"), col("ts_t").as("p_ts"))
-    val txs = graft.Tables.eventsStream(spark, sfDir)
-      .filter(col("event_id") % 5 =!= 0)
-      .select(col("event_type").as("contract_address"),
-        col("value"), col("ts_t").as("t_ts"))
-    val q = StreamJoins.transfersWithRecentPrices(txs, ticks, 3600L)
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val ticks = graft.Tables.eventsStream(spark, sfDir)
+        .filter(col("event_id") % 5 === 0)
+        .select(col("event_type").as("p_contract"),
+          col("value").as("price"), col("ts_t").as("p_ts"))
+      val txs = graft.Tables.eventsStream(spark, sfDir)
+        .filter(col("event_id") % 5 =!= 0)
+        .select(col("event_type").as("contract_address"),
+          col("value"), col("ts_t").as("t_ts"))
+      val q = StreamJoins.transfersWithRecentPrices(txs, ticks, 3600L)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
       .groupBy(col("contract_address"),
         (expr("unix_micros(t_ts) div 3600000000") * 3600)
@@ -748,15 +809,17 @@ object StreamingMetrics {
       .unionByName(txSent.toDF().select(
         lit("__sentinel__").as("contract_address"), lit(0.0).as("value"),
         timestamp_micros(col("value")).as("t_ts")))
-    val q = StreamJoins.transfersWithRecentPricesOuter(txs, ticks, 3600L)
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = StreamJoins.transfersWithRecentPricesOuter(txs, ticks, 3600L)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
       .filter(col("contract_address") =!= "__sentinel__" &&
         col("price").isNull)
@@ -789,15 +852,17 @@ object StreamingMetrics {
       .filter(col("event_id") % 5 =!= 0)
       .select(col("event_type").as("contract_address"),
         col("value"), col("ts_t").as("t_ts"))
-    val q = StreamJoins.transfersWithRecentPricesSemi(txs, ticks, 3600L)
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = StreamJoins.transfersWithRecentPricesSemi(txs, ticks, 3600L)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
       .groupBy(col("contract_address"),
         (expr("unix_micros(t_ts) div 3600000000") * 3600)
