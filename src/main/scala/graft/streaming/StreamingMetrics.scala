@@ -96,17 +96,25 @@ object StreamingMetrics {
     * not a session one. */
   val StateShufflePartitions = 8
 
-  /** Run `f` (which must BUILD AND START its streaming query) with the
-    * session's shuffle-partition conf pinned to `n`, restoring the prior
-    * value after. Streaming captures the count at query start into the
-    * checkpoint; batch plans built after this returns are unaffected. */
+  /** Run `f` (which must BUILD, START, and DRAIN its streaming query —
+    * the first micro-batch captures the count into the checkpoint, so the
+    * conf must stay pinned through the drain) with the session's
+    * shuffle-partition conf at `n`, restoring the prior value after.
+    * Batch plans built after this returns are unaffected. The session
+    * conf is shared state, so pin-run-restore is serialized under one
+    * lock (same discipline as [[StatefulBalances]]' provider conf) —
+    * catalog runs are sequential anyway; a caller wanting genuinely
+    * concurrent streams should give each its own `spark.newSession()`,
+    * whose conf is independent. */
   private[streaming] def withStatePartitions[T](spark: SparkSession,
-      n: Int = StateShufflePartitions)(f: => T): T = {
+      n: Int = StateShufflePartitions)(f: => T): T = confLock.synchronized {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n)
     try f finally spark.conf.set(key, prev)
   }
+
+  private[this] val confLock = new Object
 
   /** Run [[hourlyVolumeBounded]] over the static testdata into a PARQUET
     * sink (AvailableNow trigger) and return the sink's contents. Windows
