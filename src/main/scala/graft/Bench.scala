@@ -122,6 +122,7 @@ object Bench {
         .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total_min_of_2","value":$total,"unit":"sec","sf":"$sfDir"""" +
+        s""","pass_semantics":"cold_incl_builds,steady_state_warm"""" +
         s""","pass_totals":[${passTotals.mkString(",")}]""" +
         s""","queries_min":${mapJson(mins, "%.4f")}""" +
         s""","pass1":${mapJson(pass1, "%.4f")}""" +
@@ -136,7 +137,7 @@ object Bench {
     // compact final line: slowest queries first until the budget is hit,
     // remainder folded into one "_other" sum — must fit the 2000-char tail
     // together with sbt's trailing "[success]" line
-    val budget = 1600
+    val budget = 1550 // headroom for the fixed fields incl. pass_semantics
     val bySlow = mins.sortBy { case (_, v) => -v }
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var len = 0
@@ -151,7 +152,8 @@ object Bench {
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total_min_of_2","value":${jnum(total, "%.2f")},"unit":"sec"""" +
-        s""","runs":2,"pass_totals":[${passTotals.map(jnum(_, "%.1f")).mkString(",")}]""" +
+        s""","runs":2,"pass_semantics":"cold_incl_builds,steady_state_warm"""" +
+        s""","pass_totals":[${passTotals.map(jnum(_, "%.1f")).mkString(",")}]""" +
         s""","n_queries":${names.size},"n_shown":${kept.size}""" +
         s""","queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
