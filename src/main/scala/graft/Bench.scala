@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   * one-bad-sample noise exactly where a bad sample costs whole seconds.
   * Pass totals are reported alongside so the cold number stays visible.
   *
+  * Two credibility fields travel with the numbers: `calib_sec` (a fixed
+  * constant-work probe run at session start and end — the same-session
+  * yardstick for dividing box drift out of cross-round comparisons) and
+  * `spread`/`spread_top` (per-query max/min over its samples — min-pricing
+  * surfaces variance instead of hiding it; heavy queries with spread > 3×
+  * get a named cause in PERF.md). The headline metric is
+  * `total_steady_min` (renamed from `total_min_of_2` when the adjacent
+  * cold→warm pair semantics landed, so round-over-round tooling cannot
+  * read the semantics change as a perf delta).
+  *
   * Output contract: the FINAL stdout line is one JSON object small enough to
   * survive the driver's 2000-char tail capture (every earlier round lost its
   * per-query map to that window — `"parsed": null` in BENCH_r{1,2,3}).
@@ -42,6 +52,23 @@ object Bench {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(ckpt.toString)
 
+    // Fixed ambient-calibration probe: constant CPU+shuffle work with no
+    // data or cache dependence, run at session start AND end — the box
+    // drifts between driver sessions (r8: unchanged code re-measured 1.6×
+    // slower), so cross-round comparisons need a same-session yardstick to
+    // divide out. First run is discarded (it pays JIT/codegen, which is
+    // exactly NOT ambient).
+    def calibProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, cpus.toInt)
+        .selectExpr("id % 997 AS b", "xxhash64(id) AS h")
+        .groupBy("b").agg(org.apache.spark.sql.functions.sum("h"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibProbe() // JIT warmup, discarded
+    val calibStart = calibProbe()
+
     // Session-shared iterative frames (ops/Shared: MinHash band pairs + CC
     // labels, transfer-graph PageRank and LPA) build exactly once per
     // session; unattributed, their cost lands on whichever query touches
@@ -51,6 +78,7 @@ object Bench {
     val warmed = try {
       Seq(ops.Dedup.clusterLabels(spark, sfDir), // + shingles/sig spine
         ops.Similarity.bruteForceTopK(spark, sfDir), // ANN recall baseline
+        ops.Similarity.labelCentroids(spark, sfDir), // + label-means model
         ops.Wallet.transferPageRank(spark, sfDir),
         ops.Wallet.transferCommunities(spark, sfDir)).foreach(_.count())
       true
@@ -100,6 +128,7 @@ object Bench {
     // joins the report as its own entry (built once — no min-of-2), so the
     // headline `value` DELIBERATELY includes it on top of the per-query
     // mins; n_queries counts real catalog entries only
+    val calibEnd = calibProbe()
     val mins = runs.map { case (n, cold, warms) =>
       val ts = cold +: warms
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -108,11 +137,21 @@ object Bench {
     val pass2 = runs.map { case (n, _, warms) => n -> warms.head }
     val pass3 = runs.collect { case (n, _, warms) if warms.size > 1 =>
       n -> warms(1) }
+    // Per-query sample SPREAD (max/min over the query's 2-3 samples):
+    // min-pricing hides variance, so surface it — a heavy query whose
+    // passes disagree >3× is flagged for a named cause in PERF.md rather
+    // than silently reported at its luckiest sample.
+    val spreads = runs.collect { case (n, cold, warms)
+        if cold >= 0 && warms.forall(_ >= 0) =>
+      val ts = cold +: warms
+      n -> ts.max / ts.min
+    }
     // the shared build ran once, cold — only the cold total carries it
     val passTotals = Seq(
       pass1.map(_._2).filter(_ >= 0).sum + math.max(warmSec, 0),
       pass2.map(_._2).filter(_ >= 0).sum)
     val total = mins.map(_._2).filter(_ >= 0).sum
+    val sampleCounts = runs.map { case (_, _, warms) => 1 + warms.size }
 
     def jnum(v: Double, fmt: String): String = fmt.format(v)
     // full-precision detail: a stdout line (fine if the tail truncates it)
@@ -121,13 +160,16 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + jnum(v, fmt) }
         .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total_min_of_2","value":$total,"unit":"sec","sf":"$sfDir"""" +
-        s""","pass_semantics":"cold_incl_builds,steady_state_warm"""" +
+      s"""{"metric":"total_steady_min","value":$total,"unit":"sec","sf":"$sfDir"""" +
+        s""","pass_semantics":"adjacent_pair:cold_incl_builds,steady_state_warm"""" +
+        s""","samples_per_query":[${sampleCounts.min},${sampleCounts.max}]""" +
+        s""","calib_sec":[$calibStart,$calibEnd]""" +
         s""","pass_totals":[${passTotals.mkString(",")}]""" +
         s""","queries_min":${mapJson(mins, "%.4f")}""" +
         s""","pass1":${mapJson(pass1, "%.4f")}""" +
         s""","pass2":${mapJson(pass2, "%.4f")}""" +
-        s""","pass3":${mapJson(pass3.sortBy(_._1), "%.4f")}}"""
+        s""","pass3":${mapJson(pass3.sortBy(_._1), "%.4f")}""" +
+        s""","spread":${mapJson(spreads.sortBy(_._1), "%.2f")}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable =>
@@ -137,7 +179,7 @@ object Bench {
     // compact final line: slowest queries first until the budget is hit,
     // remainder folded into one "_other" sum — must fit the 2000-char tail
     // together with sbt's trailing "[success]" line
-    val budget = 1550 // headroom for the fixed fields incl. pass_semantics
+    val budget = 1250 // headroom for the fixed fields incl. spread/calib
     val bySlow = mins.sortBy { case (_, v) => -v }
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var len = 0
@@ -150,11 +192,22 @@ object Bench {
     val qs = (kept.toSeq :+ ("_other" -> other))
       .map { case (k, v) => "\"" + k + "\":" + jnum(v, "%.2f") }
       .mkString("{", ",", "}")
+    // top-10 sample spreads among the HEAVY queries (min ≥ 1 s — a 0.1 s
+    // query tripling is noise, a 5 s one tripling is a finding)
+    val minByName = mins.toMap
+    val spreadTop = spreads
+      .filter { case (n, _) => minByName.getOrElse(n, -1.0) >= 1.0 }
+      .sortBy { case (_, r) => -r }.take(10)
+      .map { case (n, r) => "\"" + n + "\":" + jnum(r, "%.1f") }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total_min_of_2","value":${jnum(total, "%.2f")},"unit":"sec"""" +
-        s""","runs":2,"pass_semantics":"cold_incl_builds,steady_state_warm"""" +
+      s"""{"metric":"total_steady_min","value":${jnum(total, "%.2f")},"unit":"sec"""" +
+        s""","samples_per_query":[${sampleCounts.min},${sampleCounts.max}]""" +
+        s""","pass_semantics":"adjacent_pair:cold_incl_builds,steady_state_warm"""" +
+        s""","calib_sec":[${jnum(calibStart, "%.2f")},${jnum(calibEnd, "%.2f")}]""" +
         s""","pass_totals":[${passTotals.map(jnum(_, "%.1f")).mkString(",")}]""" +
         s""","n_queries":${names.size},"n_shown":${kept.size}""" +
+        s""","spread_top":$spreadTop""" +
         s""","queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
     // best-effort checkpoint dir cleanup (reliable checkpoint files are not

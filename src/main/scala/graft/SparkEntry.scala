@@ -7057,10 +7057,7 @@ object Catalog {
     // Per-vertex core numbers (tiers 1..4): nested k-core peeling; the
     // oracle unrolls each tier's 8 peel rounds.
     QEntry("q_coreness",
-      (s, d) => Graph.coreness(
-        graft.Tables.transfers(s, d)
-          .select(org.apache.spark.sql.functions.col("from_address").as("src"),
-            org.apache.spark.sql.functions.col("to_address").as("dst"))),
+      (s, d) => Wallet.transferCoreness(s, d),
       Some {
         // every round CTE is MATERIALIZED: each round references its
         // predecessor twice, so inlined evaluation would double per round

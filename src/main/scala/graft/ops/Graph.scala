@@ -215,8 +215,9 @@ object Graph {
     * of rounds; pathological chains would need more — raise both sides
     * together. */
   def kCore(edges: DataFrame, k: Int = 3, maxIter: Int = 8,
-      cutMode: LineageCut = LineageCut.Auto): DataFrame =
-    kCoreLiveEdges(edges, k, maxIter, cutMode)
+      cutMode: LineageCut = LineageCut.Auto,
+      symmetricInput: Boolean = false): DataFrame =
+    kCoreLiveEdges(edges, k, maxIter, cutMode, symmetricInput)
       .groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("core_degree"))
       .orderBy("v")
@@ -289,7 +290,8 @@ object Graph {
     * at the 100× posture corpus this cut coreness from three full-graph
     * peel cascades to one plus two short residual peels. */
   def coreness(edges: DataFrame,
-      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
+      cutMode: LineageCut = LineageCut.Auto,
+      symmetricInput: Boolean = false): DataFrame = {
     val base = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val verts = base.select(col("src").as("v"))
@@ -297,7 +299,7 @@ object Graph {
     var live = edges
     val tiers = (2 to CorenessMax).map { k =>
       live = kCoreLiveEdges(live, k, CorenessPeelRounds, cutMode,
-        symmetricInput = k > 2)
+        symmetricInput = symmetricInput || k > 2)
       live.select(col("src").as("v")).distinct()
         .withColumn(s"in$k", lit(1L))
     }

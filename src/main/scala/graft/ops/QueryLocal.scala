@@ -47,9 +47,20 @@ object QueryLocal {
   }
 
   /** Persist at MEMORY_AND_DISK and track — the chainable spelling for
-    * query-local cache sites: `.transform(QueryLocal.persistTracked)`. */
+    * query-local cache sites: `.transform(QueryLocal.persistTracked)`.
+    *
+    * A frame whose canonicalized plan is ALREADY cached (a [[Shared]]
+    * spine, another query's still-live local frame, a raw session-level
+    * persist like the similarity base vectors) passes through untouched:
+    * persisting it would be a no-op, but tracking it would hand its cache
+    * entry to [[release]] — Spark's CacheManager keys entries by
+    * canonical plan, so the unpersist after this one query would evict
+    * the OWNER's cache and every later consumer would silently rebuild
+    * (r8: setSimJoin tracked the shared shingle spine this way, evicting
+    * it for the rest of the 341-query session). */
   def persistTracked(df: DataFrame): DataFrame =
-    track(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else track(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Drain and unpersist (non-blocking) every tracked frame of `spark`. */
   def release(spark: SparkSession): Unit =

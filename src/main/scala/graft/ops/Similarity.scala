@@ -210,18 +210,25 @@ object Similarity {
     * per-class means are the nearest-class-mean model (and the quality
     * probe for any embedding pipeline: if classes aren't separable by
     * their centroids, the embedding is broken). Same decimal-exact mean
-    * arithmetic as [[lloydStep]], grouped by label instead of cell. */
+    * arithmetic as [[lloydStep]], grouped by label instead of cell.
+    *
+    * Session-SHARED: four catalog entries start from this model frame
+    * (q_label_centroids, q_label_classify, q_classifier_eval,
+    * q_calibration) — per-query release made each re-pay the full
+    * per-component mean pass (r8: 6.1 s on q_label_classify alone). The
+    * frame is one row per LABEL — summary-sized at any corpus. */
   private def labelMeans(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
-      .join(cachedBase(spark, sfDir).select("vec_id", "v"), Seq("vec_id"))
-      .select(col("label").as("cid"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("cid", "i")
-      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
-        .cast("double") / count(lit(1))).as("m"))
-      .groupBy("cid")
-      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
-        .as("cv"))
-      .withColumn("csq", expr(normSqOf("cv")))
+    Shared.frame(spark, sfDir, "label_means")(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+        .join(cachedBase(spark, sfDir).select("vec_id", "v"), Seq("vec_id"))
+        .select(col("label").as("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double") / count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
+          .as("cv"))
+        .withColumn("csq", expr(normSqOf("cv"))))
 
   /** (label, n_vectors, centroid) — centroid components rendered at 9
     * digits (the raw decimal-sum-cast doubles differ across engines in

@@ -101,20 +101,23 @@ object StreamingMetrics {
     * conf must stay pinned through the drain) with the session's
     * shuffle-partition conf at `n`, restoring the prior value after.
     * Batch plans built after this returns are unaffected. The session
-    * conf is shared state, so pin-run-restore is serialized under one
-    * lock (same discipline as [[StatefulBalances]]' provider conf) —
-    * catalog runs are sequential anyway; a caller wanting genuinely
-    * concurrent streams should give each its own `spark.newSession()`,
-    * whose conf is independent. */
+    * conf is shared state, so pin-run-restore is serialized PER SESSION
+    * (same discipline as [[StatefulBalances]]' provider conf) — catalog
+    * runs are sequential anyway; a caller wanting genuinely concurrent
+    * streams gives each its own `spark.newSession()`, whose conf (and
+    * lock) is independent, so independent sessions never block each
+    * other here. */
   private[streaming] def withStatePartitions[T](spark: SparkSession,
-      n: Int = StateShufflePartitions)(f: => T): T = confLock.synchronized {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n)
-    try f finally spark.conf.set(key, prev)
-  }
-
-  private[this] val confLock = new Object
+      n: Int = StateShufflePartitions)(f: => T): T =
+    // the lock IS the session's SQLConf — the exact object being mutated,
+    // unique per session, held by nothing else in this codebase; no
+    // registry of session→lock that would pin cycled sessions forever
+    spark.sessionState.conf.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n)
+      try f finally spark.conf.set(key, prev)
+    }
 
   /** Run [[hourlyVolumeBounded]] over the static testdata into a PARQUET
     * sink (AvailableNow trigger) and return the sink's contents. Windows

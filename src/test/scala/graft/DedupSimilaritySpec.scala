@@ -389,6 +389,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash64 band layout: full radius at graded corpora, 32-bit " +
+    "bands past the saturation budget, always a priced certificate row") {
+    // every graded sfDir (500-5000 docs) and the 500k-doc posture corpus
+    // select the pair oracle's 4×16 radius-3 layout
+    for (n <- Seq(500L, 5000L, 60000L,
+        Dedup.SimHashBandBudgetFactor * 65536L))
+      assert(Dedup.simhash64BandLayout(n) == ((4, 16, 3)), s"n=$n")
+    // past the budget the rule narrows to 2×32 radius-1 (sub-quadratic
+    // candidates at 1M+ docs), never anything unpriced
+    for (n <- Seq(Dedup.SimHashBandBudgetFactor * 65536L + 1, 1000000L,
+        2000000000L)) {
+      val layout = Dedup.simhash64BandLayout(n)
+      assert(layout == ((2, 32, 1)), s"n=$n")
+    }
+    // each selected layout is a row of the band-cost certificate
+    val priced = Dedup.BandCostConfigs.collect {
+      case (64, nb, bb, r) => (nb, bb, r) }.toSet
+    for (n <- Seq(1L, 5000L, 1000000L, Long.MaxValue / 2))
+      assert(priced.contains(Dedup.simhash64BandLayout(n)))
+  }
+
   test("ivf nprobe tuning: nprobe=1 reproduces the annRecall ivf row; " +
     "recall and scan cost are monotone in the budget") {
     val rows = Similarity.ivfNprobeTuning(spark, GraftSpark.Sf)

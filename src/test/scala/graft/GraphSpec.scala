@@ -321,6 +321,24 @@ class GraphSpec extends AnyFunSuite {
     assert(core2.keySet == Set(1L, 2L, 3L, 4L, 7L, 8L, 9L))
   }
 
+  test("k-core and coreness over a pre-symmetrized edge set equal the " +
+    "raw-edge paths (the shared transfer_edges_sym contract)") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 6L), // self-loop must be dropped either way
+      (7L, 8L), (8L, 9L), (7L, 9L)
+    ).toDF("src", "dst")
+    val e = edges.filter($"src" =!= $"dst")
+    val sym = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    assert(Graph.kCore(sym, k = 3, symmetricInput = true)
+      .as[(Long, Long)].collect().toMap ==
+      Graph.kCore(edges, k = 3).as[(Long, Long)].collect().toMap)
+    assert(Graph.coreness(sym, symmetricInput = true)
+      .as[(Long, Long)].collect().toMap ==
+      Graph.coreness(edges).as[(Long, Long)].collect().toMap)
+  }
+
   test("clustering coefficients: K4 is 1000 pml, star center is 0") {
     // K4 (1..4, coeff = 1) + star center 10 with leaves 11..13 (coeff 0:
     // leaves never touch each other); leaves have degree 1 → excluded

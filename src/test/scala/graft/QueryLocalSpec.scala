@@ -32,6 +32,24 @@ class QueryLocalSpec extends AnyFunSuite {
     assert(df.storageLevel == StorageLevel.NONE)
   }
 
+  test("persistTracked passes an already-cached plan through untracked") {
+    import spark.implicits._
+    // simulate a session-shared frame: cached, NOT owned by the registry
+    val shared = Seq(7L, 8L).toDF("x").persist(StorageLevel.MEMORY_AND_DISK)
+    shared.count()
+    try {
+      // a query-local site wrapping the shared frame (the r8 setSimJoin
+      // bug shape) must neither track it nor let release evict it —
+      // including via a DIFFERENT Dataset with the same canonical plan
+      val againSamePlan = Seq(7L, 8L).toDF("x")
+      ops.QueryLocal.persistTracked(shared)
+      ops.QueryLocal.persistTracked(againSamePlan)
+      ops.QueryLocal.release(spark)
+      assert(shared.storageLevel == StorageLevel.MEMORY_AND_DISK,
+        "release evicted a cache entry the registry never owned")
+    } finally shared.unpersist()
+  }
+
   test("release after a catalog query leaves no tracked frames behind") {
     // q_mis tracks its per-round decided unions; after release the
     // registry must be empty (drain returns nothing)
