@@ -122,6 +122,11 @@ object Bench {
       val warm1 = timeOnce(n, f)
       val warm2 = if (warm1 >= 2.0) Seq(timeOnce(n, f)) else Nil
       ops.QueryLocal.release(spark)
+      // bounded stream runs leave dead state-store providers registered
+      // JVM-wide; drop them so the 60 s maintenance sweep never builds a
+      // backlog that stalls whoever is running when it fires (r9:
+      // q_stream_interval_join 3.2 s isolated, 22 s under a sweep)
+      streaming.StreamState.unloadQuietly()
       (n, cold, Seq(warm1) ++ warm2)
     }
     // the one-time shared-frame build is part of the true cold cost: it

@@ -40,8 +40,10 @@ object Verify {
       }
       // drop this query's query-local caches before the next one runs —
       // over 288 queries the dead entries' eviction pressure measurably
-      // slows later queries (Shared frames stay)
+      // slows later queries (Shared frames stay) — and unload the dead
+      // state-store providers bounded stream runs leave registered
       ops.QueryLocal.release(spark)
+      streaming.StreamState.unloadQuietly()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
