@@ -75,12 +75,22 @@ object Bench {
     // them FIRST in name order (r4: q_minhash_pairs looked 14× slower than
     // its steady state). Charge them to one labeled pseudo-entry instead.
     val warm0 = System.nanoTime()
+    // per-part timing: the warmup is ~10% of the session total, so its
+    // composition is reported (detail JSON `warmup_parts`) instead of
+    // being one opaque number
+    val warmupParts = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val warmed = try {
-      Seq(ops.Dedup.clusterLabels(spark, sfDir), // + shingles/sig spine
-        ops.Similarity.bruteForceTopK(spark, sfDir), // ANN recall baseline
-        ops.Similarity.labelCentroids(spark, sfDir), // + label-means model
-        ops.Wallet.transferPageRank(spark, sfDir),
-        ops.Wallet.transferCommunities(spark, sfDir)).foreach(_.count())
+      Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        ("dedup_spine", () => ops.Dedup.clusterLabels(spark, sfDir)), // + shingles/sigs
+        ("ann_exact_baseline", () => ops.Similarity.bruteForceTopK(spark, sfDir)),
+        ("label_means", () => ops.Similarity.labelCentroids(spark, sfDir)),
+        ("transfer_pagerank", () => ops.Wallet.transferPageRank(spark, sfDir)),
+        ("transfer_lpa", () => ops.Wallet.transferCommunities(spark, sfDir)))
+        .foreach { case (part, build) =>
+          val t0 = System.nanoTime()
+          build().count()
+          warmupParts += part -> (System.nanoTime() - t0) / 1e9
+        }
       true
     } catch { case e: Throwable =>
       System.err.println(s"[bench] shared warmup failed: ${e.getMessage}"); false }
@@ -174,7 +184,8 @@ object Bench {
         s""","pass1":${mapJson(pass1, "%.4f")}""" +
         s""","pass2":${mapJson(pass2, "%.4f")}""" +
         s""","pass3":${mapJson(pass3.sortBy(_._1), "%.4f")}""" +
-        s""","spread":${mapJson(spreads.sortBy(_._1), "%.2f")}}"""
+        s""","spread":${mapJson(spreads.sortBy(_._1), "%.2f")}""" +
+        s""","warmup_parts":${mapJson(warmupParts.toSeq, "%.2f")}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable =>
