@@ -593,22 +593,33 @@ object Dedup {
       .withColumn("p", col("n") -
         expr(s"(n * $SetSimTauNum + $SetSimTauDen - 1) div $SetSimTauDen") + 1)
       .transform(graft.ops.QueryLocal.persistTracked)
+    // PPJoin LENGTH filter folded into the in-bucket pair expansion:
+    // J ≥ τ ⇔ i·(den+num) ≥ num·(n_a+n_b) for the intersection i, and
+    // i ≤ min(n_a, n_b), so a pair with min·(den+num) < num·(n_a+n_b)
+    // cannot reach the threshold for ANY intersection — killed here,
+    // BEFORE the distinct shuffle and the array-payload verify joins
+    // (exact: every killed pair fails the final integer test by algebra,
+    // and the unchanged all-pairs oracle re-proves losslessness).
     val cands = byRank
-      .select(col("doc_id"), explode(expr("slice(ss, 1, p)")).as("sh"))
+      .select(col("doc_id"), col("n"), explode(expr("slice(ss, 1, p)")).as("sh"))
       .groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(expr(
-        """flatten(transform(ds,
-          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
-          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        s"""flatten(transform(ds,
+           |  (x, i) -> filter(
+           |    transform(slice(ds, i + 2, size(ds)),
+           |      y -> struct(x.doc_id AS doc_a, x.n AS n_a,
+           |                  y.doc_id AS doc_b, y.n AS n_b)),
+           |    s -> least(s.n_a, s.n_b) * ${SetSimTauDen + SetSimTauNum}
+           |           >= $SetSimTauNum * (s.n_a + s.n_b))))""".stripMargin))
         .as("p"))
-      .select("p.doc_a", "p.doc_b").distinct()
+      .select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b").distinct()
     cands
-      .join(byRank.select(col("doc_id").as("doc_a"),
-        col("ss").as("sa"), col("n").as("n_a")), "doc_a")
-      .join(byRank.select(col("doc_id").as("doc_b"),
-        col("ss").as("sb"), col("n").as("n_b")), "doc_b")
+      .join(byRank.select(col("doc_id").as("doc_a"), col("ss").as("sa")),
+        "doc_a")
+      .join(byRank.select(col("doc_id").as("doc_b"), col("ss").as("sb")),
+        "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .filter(col("inter") * SetSimTauDen >=
         lit(SetSimTauNum) * (col("n_a") + col("n_b") - col("inter")))

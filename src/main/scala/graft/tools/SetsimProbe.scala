@@ -37,7 +37,10 @@ object SetsimProbe {
       .withColumn("p", col("n") -
         expr(s"(n * ${Dedup.SetSimTauNum} + ${Dedup.SetSimTauDen} - 1) div ${Dedup.SetSimTauDen}") + 1)
     val byRankC = timed("byRank+cut")(byRank.localCheckpoint(true))
-    val cands = byRankC
+    // the shipped pipeline's pair expansion WITH the PPJoin length filter
+    // folded in (min·(den+num) ≥ num·(n_a+n_b)); the unfiltered count is
+    // printed alongside to show the filter's kill rate
+    val candsNoLen = byRankC
       .select(col("doc_id"), explode(expr("slice(ss, 1, p)")).as("sh"))
       .groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -48,16 +51,32 @@ object SetsimProbe {
           |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
         .as("p"))
       .select("p.doc_a", "p.doc_b")
+    timed("cands-raw-nolen")(println("  raw_nolen=" + candsNoLen.count()))
+    val cands = byRankC
+      .select(col("doc_id"), col("n"), explode(expr("slice(ss, 1, p)")).as("sh"))
+      .groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(ds,
+           |  (x, i) -> filter(
+           |    transform(slice(ds, i + 2, size(ds)),
+           |      y -> struct(x.doc_id AS doc_a, x.n AS n_a,
+           |                  y.doc_id AS doc_b, y.n AS n_b)),
+           |    s -> least(s.n_a, s.n_b) * ${Dedup.SetSimTauDen + Dedup.SetSimTauNum}
+           |           >= ${Dedup.SetSimTauNum} * (s.n_a + s.n_b))))""".stripMargin))
+        .as("p"))
+      .select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b")
     timed("cands-raw")(println("  raw=" + cands.count()))
     val candsD = cands.distinct()
     val candsC = timed("cands-distinct+cut")(candsD.localCheckpoint(true))
     println("  distinct=" + candsC.count())
     timed("verify") {
       candsC
-        .join(byRankC.select(col("doc_id").as("doc_a"),
-          col("ss").as("sa"), col("n").as("n_a")), "doc_a")
-        .join(byRankC.select(col("doc_id").as("doc_b"),
-          col("ss").as("sb"), col("n").as("n_b")), "doc_b")
+        .join(byRankC.select(col("doc_id").as("doc_a"), col("ss").as("sa")),
+          "doc_a")
+        .join(byRankC.select(col("doc_id").as("doc_b"), col("ss").as("sb")),
+          "doc_b")
         .withColumn("inter",
           size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .filter(col("inter") * Dedup.SetSimTauDen >=
