@@ -5286,7 +5286,7 @@ object Catalog {
          |                substr(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1)
          |              / CAST(pow(2, 3 - b % 4) AS INT)) AS INT) % 2 AS bit
          |      FROM toks
-         |      CROSS JOIN (SELECT unnest(range(${Dedup.SimHash64Bits})) AS b)
+         |      CROSS JOIN (SELECT unnest(range(${Dedup.SimHash128Bits})) AS b)
          |    ) GROUP BY doc_id, b
          |  ) GROUP BY doc_id
          |),
@@ -5300,7 +5300,7 @@ object Catalog {
          |           AS bits,
          |         CAST(count(*) AS BIGINT) AS n
          |  FROM sh s CROSS JOIN cfg c
-         |  JOIN (SELECT unnest(range(${Dedup.SimHash64Bits})) AS b) bb
+         |  JOIN (SELECT unnest(range(${Dedup.SimHash128Bits})) AS b) bb
          |    ON bb.b < c.n_bands
          |  GROUP BY 1, 2, 3, 4, 5, 6
          |)

@@ -398,6 +398,13 @@ object Dedup {
     * identical per-hex-digit arithmetic extends without a new hash. */
   val SimHash64Bits = 64
 
+  /** Fingerprint width that keeps the FULL radius-[[SimHashMaxDist]]
+    * guarantee past [[simhash64BandLayout]]'s ~524 k-doc switchover:
+    * 4 bands × 32 bits = 4.3 B buckets per band at radius 3 — the
+    * widen-the-fingerprint alternative to narrowing the radius (md5's
+    * full 128 bits, same per-hex-digit arithmetic). */
+  val SimHash128Bits = 128
+
   /** SimHash at width `nBits`: per token occurrence and bit position b,
     * extract bit b of the token's md5 (hex-digit arithmetic — portable),
     * sum ±1 contributions, bit_b = 1 iff the sum is positive; emit the
@@ -438,6 +445,12 @@ object Dedup {
   /** [[SimHash64Bits]]-bit signatures — the production/scale width. */
   def simhash64(spark: SparkSession, sfDir: String): DataFrame =
     simhashSigs(spark, sfDir, SimHash64Bits)
+
+  /** [[SimHash128Bits]]-bit signatures — the width that retains radius
+    * [[SimHashMaxDist]] at corpora past the 64-bit band saturation point
+    * (every narrower fingerprint is a PREFIX of this one). */
+  def simhash128(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSigs(spark, sfDir, SimHash128Bits)
 
   /** Bits per pigeonhole band: Hamming distance ≤ d means at most d bands
     * differ, so two fingerprints within distance [[SimHashMaxDist]] share at
@@ -512,6 +525,19 @@ object Dedup {
       simhash64BandLayout(Tables.documents(spark, sfDir).count())
     simhashPairsW(spark, simhash64(spark, sfDir), bandBits, nBands, radius)
   }
+
+  /** The radius-PRESERVING scale path: [[SimHash128Bits]]-bit
+    * fingerprints at 4 bands × 32 bits keep the full
+    * radius-[[SimHashMaxDist]] pigeonhole guarantee at corpora where the
+    * 64-bit rule ([[simhash64BandLayout]]) must narrow to radius 1 —
+    * 4.3 B buckets per band hold random collisions ~zero past 1 M docs
+    * (the certificate's (128, 4, 32, 3) row prices it on the live
+    * corpus). Costs 2× the signature bits per doc; pairs are judged at
+    * 128-bit Hamming distance, so this is a distinct (finer) operating
+    * point from the 64-bit join, not a drop-in twin. */
+  def simhashPairs128(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsW(spark, simhash128(spark, sfDir),
+      SimHash128Bits / (SimHashMaxDist + 1))
 
   private def simhashPairsW(spark: SparkSession, sigs: DataFrame,
       bandBits: Int, nBands: Int = SimHashMaxDist + 1,
@@ -702,7 +728,8 @@ object Dedup {
     * buckets that made the 16-bit pair join quadratic at 500k docs. */
   val BandCostConfigs: Seq[(Int, Int, Int, Int)] =
     Seq((16, 2, 8, 1), (16, 4, 4, 3), (16, 8, 2, 7),
-      (64, 2, 32, 1), (64, 4, 16, 3), (64, 8, 8, 7))
+      (64, 2, 32, 1), (64, 4, 16, 3), (64, 8, 8, 7),
+      (128, 4, 32, 3)) // radius-3 KEPT at scale by widening the fingerprint
 
   /** SimHash pigeonhole COST certificate — the dual of [[lshTuning]].
     * Pigeonhole banding is lossless within its radius (distance ≤ B−1
@@ -718,7 +745,7 @@ object Dedup {
     * never the join it prices. */
   def simhashBandCost(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = simhash64(spark, sfDir) // 16-bit fp = prefix; one frame prices all
+    val sh = simhash128(spark, sfDir) // narrower fps = prefixes; one frame prices all
       .transform(QueryLocal.persistTracked) // each config pass reads it
     val cfgs = BandCostConfigs.toDF("fp_bits", "n_bands", "band_bits", "radius")
     sh.crossJoin(broadcast(cfgs))

@@ -40,12 +40,13 @@ object SimhashBandProbe {
     println(s"[bandprobe] sfDir=$sfDir n_docs=$nDocs " +
       s"selected=(bands=${sel._1},bits=${sel._2},radius=${sel._3})")
 
-    // one wide signature frame prices both layouts (the 16-bit band
-    // substring of a 64-bit fingerprint is layout-independent)
-    val sigs = Dedup.simhash64(spark, sfDir)
+    // one WIDEST signature frame prices every layout (the 64-bit
+    // fingerprint is the 128-bit prefix, band substrings are
+    // layout-independent)
+    val sigs = Dedup.simhash128(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    for ((nb, bb) <- Seq((4, 16), (2, 32))) {
+    for ((nb, bb) <- Seq((4, 16), (2, 32), (4, 32))) {
       val t0 = System.nanoTime()
       val cands = sigs
         .select(col("doc_id"),
@@ -55,8 +56,8 @@ object SimhashBandProbe {
         .groupBy("band", "bits").agg(count(lit(1)).as("n"))
         .agg(sum(expr("n * (n - 1) div 2")).as("c"))
         .head().getLong(0)
-      println(f"[bandprobe] layout=${nb}x$bb candidates=$cands%d " +
-        f"cand_per_doc=${cands.toDouble / nDocs}%.2f " +
+      println(f"[bandprobe] layout=${nb}x$bb(fp=${nb * bb}) " +
+        f"candidates=$cands%d cand_per_doc=${cands.toDouble / nDocs}%.2f " +
         f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
     }
 
@@ -64,8 +65,14 @@ object SimhashBandProbe {
       tally.reset()
       val t0 = System.nanoTime()
       val pairs = Dedup.simhashPairs64(spark, sfDir).count()
-      println(f"[bandprobe] auto pair join: rows=$pairs%d " +
+      println(f"[bandprobe] auto pair join (64-bit rule): rows=$pairs%d " +
         f"sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        f"shuffle_rw_mb=${(tally.shuffleRead + tally.shuffleWrite) / 1e6}%.0f")
+      tally.reset()
+      val t1 = System.nanoTime()
+      val pairs128 = Dedup.simhashPairs128(spark, sfDir).count()
+      println(f"[bandprobe] radius-3 128-bit pair join: rows=$pairs128%d " +
+        f"sec=${(System.nanoTime() - t1) / 1e9}%.1f " +
         f"shuffle_rw_mb=${(tally.shuffleRead + tally.shuffleWrite) / 1e6}%.0f")
     }
     spark.stop()

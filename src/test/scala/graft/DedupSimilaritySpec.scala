@@ -338,9 +338,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .sortBy(r => (r._1, r._2))
     assert(rows.map(r => (r._1, r._2, r._3, r._4)) ==
       Dedup.BandCostConfigs.sortBy(c => (c._1, c._2)))
-    // recount every layout locally from the wide signature strings
-    // (16-bit layouts band the prefix — same bit construction)
-    val sigs = Dedup.simhash64(spark, GraftSpark.Sf)
+    // recount every layout locally from the widest signature strings
+    // (16/64-bit layouts band prefixes — same bit construction)
+    val sigs = Dedup.simhash128(spark, GraftSpark.Sf)
       .select("simhash").as[String].collect().toSeq
     for ((fp, nb, w, _) <- Dedup.BandCostConfigs) {
       val occ = sigs.flatMap(s =>
@@ -364,6 +364,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val c16 = rows.find(r => r._1 == 16 && r._2 == 4).get._5
     val c64 = rows.find(r => r._1 == 64 && r._2 == 4).get._5
     assert(c64 <= c16, s"64-bit candidates $c64 > 16-bit $c16")
+    // and the radius-PRESERVING scale row: 32-bit bands of the 128-bit
+    // fingerprint collide no more than 16-bit bands of the 64-bit one
+    val c128 = rows.find(r => r._1 == 128 && r._2 == 4).get._5
+    assert(c128 <= c64, s"128-bit candidates $c128 > 64-bit $c64")
+  }
+
+  test("simhash 64-bit fingerprint is the 128-bit prefix; 128-bit " +
+    "radius-3 pairs are a subset of the 64-bit radius-3 pairs") {
+    val s64 = Dedup.simhash64(spark, GraftSpark.Sf)
+      .as[(Long, String)].collect().toMap
+    val s128 = Dedup.simhash128(spark, GraftSpark.Sf)
+      .as[(Long, String)].collect().toMap
+    assert(s128.keySet == s64.keySet)
+    for ((id, s) <- s128) assert(s.length == 128 && s.take(64) == s64(id))
+    // 128-bit distance ≤ 3 implies 64-bit-prefix distance ≤ 3, and at the
+    // graded corpus the 64-bit rule runs radius 3 — so every wide pair
+    // must also be a 64-bit pair, at no smaller distance
+    val p128 = Dedup.simhashPairs128(spark, GraftSpark.Sf)
+      .as[(Long, Long, Int)].collect().toSeq
+    val p64 = Dedup.simhashPairs64(spark, GraftSpark.Sf)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(p128.nonEmpty) // true near-dups survive at full width
+    for ((a, b, d) <- p128) {
+      assert(p64.contains((a, b)), s"128-bit pair ($a,$b) missing at 64-bit")
+      assert(d >= p64((a, b)), s"($a,$b): 128-bit dist $d < prefix dist")
+      val local = s128(a).zip(s128(b)).count { case (x, y) => x != y }
+      assert(d == local, s"($a,$b): dist $d != local recount $local")
+    }
   }
 
   test("simhash 16-bit fingerprint is the 64-bit prefix; 64-bit pairs " +
