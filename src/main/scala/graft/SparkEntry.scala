@@ -4514,10 +4514,7 @@ object Catalog {
     QEntry("q_mis",
       (s, d) => {
         import org.apache.spark.sql.functions.col
-        Graph.maximalIndependentSet(
-          graft.Tables.transfers(s, d)
-            .select(col("from_address").as("src"),
-              col("to_address").as("dst")))
+        Wallet.transferMis(s, d)
           .select(col("v").as("address"), col("state"), col("round"))
           .orderBy("address")
       },

@@ -44,6 +44,9 @@ object Verify {
       // state-store providers bounded stream runs leave registered
       ops.QueryLocal.release(spark)
       streaming.StreamState.unloadQuietly()
+      // the result parquet is already written, so the query's stream
+      // scratch dirs (sink + checkpoint) are garbage — sweep them
+      util.TempDirs.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

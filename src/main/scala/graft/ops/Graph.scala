@@ -772,8 +772,19 @@ object Graph {
     * state ∈ mis|excluded|undecided, round = when decided (0 for
     * undecided). */
   def maximalIndependentSet(edges: DataFrame, rounds: Int = MisRounds,
-      cutMode: LineageCut = LineageCut.Auto): DataFrame = {
-    val und = LineageCut.cut(
+      cutMode: LineageCut = LineageCut.Auto,
+      symmetricInput: Boolean = false): DataFrame = {
+    // symmetricInput = the caller guarantees a DISTINCT symmetric edge set
+    // without self-loops (both directions present — [[Wallet]]'s shared
+    // `transfer_edges_sym` frame): the canonical undirected pair list is
+    // then just the src<dst half, already distinct, and needs neither the
+    // least/greatest+distinct shuffle nor a lineage cut (the shared frame
+    // is persisted; its filter is one cached scan per consumer) — the same
+    // contract move as [[kCore]]/[[coreness]]'s symmetricInput.
+    val und = if (symmetricInput)
+      edges.filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+    else LineageCut.cut(
       edges.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))

@@ -43,6 +43,43 @@ object Shared {
   private val lastUsed = scala.collection.concurrent.TrieMap
     .empty[SparkSession, Long]
   private val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val heals = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  /** SELF-HEAL a shared frame whose CacheManager entry was dropped
+    * behind the holder's back: re-persist and record the event.
+    *
+    * The holder owns its frames' persists, but Spark's cache registry is
+    * keyed by CANONICAL PLAN, session-wide — so an outside actor can drop
+    * a shared frame's entry without touching the holder: a caller
+    * unpersisting a same-plan Dataset it built independently, or (the
+    * round-8/9 bench lesson) a query-local persist registered FIRST on
+    * the same plan, making the holder's later `.persist` a no-op and the
+    * query's post-run release the cache owner. Before this check, such a
+    * drop was PERMANENT: [[frame]] memoizes the DataFrame object, so every
+    * later consumer silently re-ran the frame's whole iterative lineage
+    * for the rest of the session — the exact signature of a warm pass
+    * costing multiples of the cold one. `storageLevel` is a cheap
+    * canonical-plan lookup; healing re-persists (the next action will
+    * rebuild once, then hit cache again) and logs the tag so the bench
+    * can ATTRIBUTE the rebuild instead of leaving a mystery elevation. */
+  private def healed(tag: String, df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      heals.add(tag)
+      try df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    df
+  }
+
+  /** Drain the self-heal event log (tags, oldest first) — the bench reads
+    * this after every query so a heal is attributed to the query that
+    * triggered it. */
+  def drainHeals(): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var t = heals.poll()
+    while (t != null) { out += t; t = heals.poll() }
+    out.toSeq
+  }
 
   /** Drop (and unpersist) every shared frame owned by `spark`. */
   def clear(spark: SparkSession): Unit = {
@@ -58,7 +95,7 @@ object Shared {
     * frames in one pass and stash each under its own tag: peek first,
     * rebuild-and-stash only on a full miss. */
   def peek(spark: SparkSession, sfDir: String, tag: String): Option[DataFrame] =
-    frames.get((spark, sfDir, tag))
+    frames.get((spark, sfDir, tag)).map(healed(tag, _))
 
   /** The frame for (session, sfDir, tag), building and persisting it on
     * first access. A concurrent first-build race persists both candidates
@@ -73,7 +110,7 @@ object Shared {
     if (sessions.size >= MaxSessionsPerContext)
       clear(sessions.minBy(s => lastUsed.getOrElse(s, 0L)))
     val key = (spark, sfDir, tag)
-    frames.get(key).getOrElse {
+    frames.get(key).map(healed(tag, _)).getOrElse {
       // one listener per CONTEXT (not per session): it sweeps every session
       // of that context at application end, and session churn never stacks
       // additional listeners on the bus

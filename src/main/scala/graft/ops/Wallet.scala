@@ -67,6 +67,16 @@ object Wallet {
   def transferCoreness(spark: SparkSession, sfDir: String): DataFrame =
     Graph.coreness(transferEdgesSym(spark, sfDir), symmetricInput = true)
 
+  /** Deterministic-Luby MIS over the transfer graph
+    * ([[Graph.maximalIndependentSet]]), reading the session-shared
+    * [[transferEdgesSym]] frame like k-core/coreness — round 9's driver
+    * bench showed q_mis rebuilding its undirected edge set (the
+    * least/greatest+distinct shuffle) from raw transfers on every pass
+    * while its siblings read the shared cache; same fix, same shape. */
+  def transferMis(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.maximalIndependentSet(transferEdgesSym(spark, sfDir),
+      symmetricInput = true)
+
   /** Truss order / peel budget for [[transferKTruss]] — the 3-truss
     * (every edge must survive inside ≥1 triangle of survivors; the
     * 4-truss is empty on this graph's sparse triangle fabric). */

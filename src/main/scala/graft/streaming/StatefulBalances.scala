@@ -160,9 +160,9 @@ object StatefulBalances {
   def streamTokenBalancesChangelog(spark: SparkSession,
       sfDir: String): DataFrame = lock.synchronized {
     val out =
-      java.nio.file.Files.createTempDirectory("graft_balchg_sink").toString
+      graft.util.TempDirs.scratch("graft_balchg_sink")
     val ckpt =
-      java.nio.file.Files.createTempDirectory("graft_balchg_ckpt").toString
+      graft.util.TempDirs.scratch("graft_balchg_ckpt")
     withRocksDb(spark) {
       StreamingMetrics.withStatePartitions(spark) {
         val q = runningBalances(spark, legStream(spark, sfDir))

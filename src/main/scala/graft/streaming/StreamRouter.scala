@@ -26,9 +26,9 @@ object StreamRouter {
     * `route` column (deterministic: one data batch, row-local flags;
     * null-text docs quarantine via null-coalesced `keep`). */
   def qualityRoutedDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    val keepDir = java.nio.file.Files.createTempDirectory("graft_rt_keep").toString
-    val quarDir = java.nio.file.Files.createTempDirectory("graft_rt_quar").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_rt_ckpt").toString
+    val keepDir = graft.util.TempDirs.scratch("graft_rt_keep")
+    val quarDir = graft.util.TempDirs.scratch("graft_rt_quar")
+    val ckpt = graft.util.TempDirs.scratch("graft_rt_ckpt")
 
     val flagged = graft.ops.TextAnalysis.gopherSignals(
       spark.readStream.schema(StreamingMetrics.DocumentsSchema)

@@ -150,8 +150,8 @@ object StreamingMetrics {
     * deployment would emit later are exactly the rows withheld. */
   def streamBoundedHourly(spark: SparkSession, sfDir: String): DataFrame =
     runHourlyVolumeBounded(spark, sfDir,
-      java.nio.file.Files.createTempDirectory("graft_hvb_sink").toString,
-      java.nio.file.Files.createTempDirectory("graft_hvb_ckpt").toString)
+      graft.util.TempDirs.scratch("graft_hvb_sink"),
+      graft.util.TempDirs.scratch("graft_hvb_ckpt"))
 
   /** PRODUCTION shape of the hourly top-K leaderboard: the per-(window,
     * token) volume/count aggregate streams with watermark + append into a
@@ -179,9 +179,9 @@ object StreamingMetrics {
     * batch leaderboard. */
   def streamBoundedTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir =
-      java.nio.file.Files.createTempDirectory("graft_topk_sink").toString
+      graft.util.TempDirs.scratch("graft_topk_sink")
     val ckpt =
-      java.nio.file.Files.createTempDirectory("graft_topk_ckpt").toString
+      graft.util.TempDirs.scratch("graft_topk_ckpt")
     withStatePartitions(spark) {
       val q = topTokensBounded(graft.Tables.eventsStream(spark, sfDir))
         .writeStream
@@ -227,8 +227,8 @@ object StreamingMetrics {
   /** Catalog form of [[sessionVolumeBounded]] over the events file-stream:
     * parquet sink, AvailableNow drain, fresh dirs per invocation. */
   def streamBoundedSessions(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_svb_sink").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_svb_ckpt").toString
+    val out = graft.util.TempDirs.scratch("graft_svb_sink")
+    val ckpt = graft.util.TempDirs.scratch("graft_svb_ckpt")
     withStatePartitions(spark) {
       val q = sessionVolumeBounded(graft.Tables.eventsStream(spark, sfDir))
         .writeStream
@@ -268,8 +268,8 @@ object StreamingMetrics {
   /** Catalog form of [[slidingVolumeBounded]] over the events file-stream:
     * parquet sink, AvailableNow drain, fresh dirs per invocation. */
   def streamBoundedSliding(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_slb_sink").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_slb_ckpt").toString
+    val out = graft.util.TempDirs.scratch("graft_slb_sink")
+    val ckpt = graft.util.TempDirs.scratch("graft_slb_ckpt")
     withStatePartitions(spark) {
       val q = slidingVolumeBounded(graft.Tables.eventsStream(spark, sfDir))
         .writeStream
@@ -426,8 +426,8 @@ object StreamingMetrics {
   /** Catalog form of [[dappHourlyBounded]]: parquet sink, AvailableNow
     * drain, fresh dirs per invocation. */
   def streamBoundedEnrich(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_enb_sink").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_enb_ckpt").toString
+    val out = graft.util.TempDirs.scratch("graft_enb_sink")
+    val ckpt = graft.util.TempDirs.scratch("graft_enb_ckpt")
     withStatePartitions(spark) {
       val q = dappHourlyBounded(spark, sfDir)
         .writeStream
@@ -531,9 +531,9 @@ object StreamingMetrics {
     * exactly like the memory-sink drain; same batch q_cdc_apply oracle. */
   def streamingCdcChangelog(spark: SparkSession, sfDir: String): DataFrame = {
     val out =
-      java.nio.file.Files.createTempDirectory("graft_cdcchg_sink").toString
+      graft.util.TempDirs.scratch("graft_cdcchg_sink")
     val ckpt =
-      java.nio.file.Files.createTempDirectory("graft_cdcchg_ckpt").toString
+      graft.util.TempDirs.scratch("graft_cdcchg_ckpt")
     val stream = graft.Tables.eventsStream(spark, sfDir)
       .select(col("event_type").as("contract_address"),
         col("user_id").cast("string").as("wallet"),
@@ -587,9 +587,9 @@ object StreamingMetrics {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val sentinelUs = 4102444800L * 1000000L // 2100-01-01 epoch micros
     val outDir =
-      java.nio.file.Files.createTempDirectory("graft_soj_sink").toString
+      graft.util.TempDirs.scratch("graft_soj_sink")
     val ckpt =
-      java.nio.file.Files.createTempDirectory("graft_soj_ckpt").toString
+      graft.util.TempDirs.scratch("graft_soj_ckpt")
     val ev = graft.Tables.eventsStream(spark, sfDir)
     val tickSent = MemoryStream[Long]
     tickSent.addData(sentinelUs)
@@ -649,9 +649,9 @@ object StreamingMetrics {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val sentinelUs = 4102444800L * 1000000L // 2100-01-01 epoch micros
     val outDir =
-      java.nio.file.Files.createTempDirectory("graft_sfoj_sink").toString
+      graft.util.TempDirs.scratch("graft_sfoj_sink")
     val ckpt =
-      java.nio.file.Files.createTempDirectory("graft_sfoj_ckpt").toString
+      graft.util.TempDirs.scratch("graft_sfoj_ckpt")
     val ev = graft.Tables.eventsStream(spark, sfDir)
     val tickSent = MemoryStream[Long]
     tickSent.addData(sentinelUs)
@@ -754,9 +754,9 @@ object StreamingMetrics {
     * microseconds. */
   def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir =
-      java.nio.file.Files.createTempDirectory("graft_ssj_sink").toString
+      graft.util.TempDirs.scratch("graft_ssj_sink")
     val ckpt =
-      java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
+      graft.util.TempDirs.scratch("graft_ssj_ckpt")
     withStatePartitions(spark) {
       val ticks = graft.Tables.eventsStream(spark, sfDir)
         .filter(col("event_id") % 5 === 0)
@@ -800,9 +800,9 @@ object StreamingMetrics {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val sentinelUs = 4102444800L * 1000000L // 2100-01-01 epoch micros
     val outDir =
-      java.nio.file.Files.createTempDirectory("graft_saj_sink").toString
+      graft.util.TempDirs.scratch("graft_saj_sink")
     val ckpt =
-      java.nio.file.Files.createTempDirectory("graft_saj_ckpt").toString
+      graft.util.TempDirs.scratch("graft_saj_ckpt")
     val ev = graft.Tables.eventsStream(spark, sfDir)
     val tickSent = MemoryStream[Long]
     tickSent.addData(sentinelUs)
@@ -852,9 +852,9 @@ object StreamingMetrics {
     * as an EXISTS on epoch microseconds. */
   def streamSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir =
-      java.nio.file.Files.createTempDirectory("graft_ssemi_sink").toString
+      graft.util.TempDirs.scratch("graft_ssemi_sink")
     val ckpt =
-      java.nio.file.Files.createTempDirectory("graft_ssemi_ckpt").toString
+      graft.util.TempDirs.scratch("graft_ssemi_ckpt")
     val ticks = graft.Tables.eventsStream(spark, sfDir)
       .filter(col("event_id") % 5 === 0)
       .select(col("event_type").as("p_contract"),

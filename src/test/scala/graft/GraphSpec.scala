@@ -401,6 +401,22 @@ class GraphSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
 
+  test("mis over a pre-symmetrized edge set equals the raw-edge path " +
+    "(the shared transfer_edges_sym contract, extended to MIS in r10)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 5L), // self-loop must be dropped either way
+      (8L, 9L), (9L, 8L) // duplicate direction must not double-count
+    ).toDF("src", "dst")
+    val e = edges.filter($"src" =!= $"dst")
+    val sym = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    val raw = Graph.maximalIndependentSet(edges)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    val pre = Graph.maximalIndependentSet(sym, symmetricInput = true)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(pre == raw)
+  }
+
   test("hits: star hub and shared authority, hand-computed 2-round values") {
     // 1 -> {2,3,4}, 5 -> 2: round-by-round with L-inf normalization gives
     // hub(1)=1, hub(5)=3/7; auth(2)=1, auth(3)=auth(4)=2/3

@@ -24,6 +24,46 @@ class SharedSpec extends AnyFunSuite {
     Shared.clear(spark) // leave no test frames pinned for other suites
   }
 
+  test("an externally-dropped cache entry self-heals on next access") {
+    // the round-9 driver-bench eviction class: some OTHER actor owns or
+    // drops the shared frame's CacheManager entry (same-canonical-plan
+    // persist races, a query-local release, LRU churn) — the holder used
+    // to keep handing out the dead frame, silently re-running its lineage
+    // for every consumer until session end
+    Shared.drainHeals() // start clean
+    val tag = s"shared_heal_${System.nanoTime()}"
+    val f = Shared.frame(spark, "/tmp/sfHeal", tag)(
+      Seq((1L, "a")).toDF("id", "s"))
+    f.count()
+    assert(f.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // an outside unpersist (not via Shared.clear) kills the cache entry
+    f.unpersist(true)
+    assert(f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // next access re-persists and logs the heal under the frame's tag
+    val f2 = Shared.frame(spark, "/tmp/sfHeal", tag)(
+      fail("self-heal must re-persist, not rebuild the DataFrame"))
+    assert(f2 eq f)
+    assert(f2.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    assert(Shared.drainHeals() == Seq(tag))
+    // a healthy access heals nothing and the drained log stays drained
+    Shared.frame(spark, "/tmp/sfHeal", tag)(fail("cached")).count()
+    assert(Shared.drainHeals().isEmpty)
+    Shared.clear(spark)
+  }
+
+  test("peek also self-heals") {
+    Shared.drainHeals()
+    val tag = s"shared_heal_peek_${System.nanoTime()}"
+    val f = Shared.frame(spark, "/tmp/sfHeal", tag)(
+      Seq((1L, "a")).toDF("id", "s"))
+    f.unpersist(true)
+    val p = Shared.peek(spark, "/tmp/sfHeal", tag)
+    assert(p.exists(_ eq f))
+    assert(f.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    assert(Shared.drainHeals() == Seq(tag))
+    Shared.clear(spark)
+  }
+
   test("sessions cycling over one context are LRU-evicted past the cap") {
     // the round-4 leak: newSession() frames accumulated until context end
     Shared.clear(spark) // main session must not be the LRU victim below

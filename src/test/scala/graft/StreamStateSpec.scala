@@ -30,4 +30,28 @@ class StreamStateSpec extends AnyFunSuite {
     assert(loadedProviderCount == 0,
       "unloadQuietly must empty the JVM-wide provider registry")
   }
+
+  test("loadedProviderCount mirrors the registry (the bench's evidence)") {
+    // the bench logs this count after every query as registry-empty
+    // PROOF — pin the production probe to the same reflective truth the
+    // spec-local reader sees, at both a loaded and an emptied registry
+    streaming.StreamingMetrics
+      .streamBoundedHourly(spark, GraftSpark.Sf).count()
+    assert(streaming.StreamState.loadedProviderCount() == loadedProviderCount)
+    assert(streaming.StreamState.loadedProviderCount() > 0)
+    streaming.StreamState.unloadQuietly()
+    assert(streaming.StreamState.loadedProviderCount() == 0)
+  }
+
+  test("stream scratch dirs register with TempDirs and sweep cleanly") {
+    util.TempDirs.sweep() // drain whatever earlier suites left behind
+    val before = util.TempDirs.pending()
+    assert(before == 0)
+    streaming.StreamingMetrics
+      .streamBoundedHourly(spark, GraftSpark.Sf).count()
+    assert(util.TempDirs.pending() > 0,
+      "bounded stream runners must register their sink+ckpt scratch dirs")
+    assert(util.TempDirs.sweep() > 0)
+    assert(util.TempDirs.pending() == 0)
+  }
 }
