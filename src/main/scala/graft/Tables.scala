@@ -20,6 +20,44 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     model.Boundary.conform(name, spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Exact row count of a parquet table from file FOOTERS alone — a
+    * driver-side metadata read, no Spark job. For sizing decisions made at
+    * PLAN-CONSTRUCTION time (the simhash band-layout rule), running
+    * `df.count()` is the wrong tool: it launches an eager job while the
+    * caller is still composing a lazy plan (round-9 advice flagged exactly
+    * that), and on a cluster it schedules a stage for what the footers
+    * already know. Footer row counts are exact for parquet regardless of
+    * predicate/encoding. Falls back to `count()` only if the footer read
+    * fails (corrupt footer, non-parquet layout). */
+  def parquetRowCount(spark: SparkSession, sfDir: String,
+      name: String): Long = {
+    val path = s"$sfDir/$name.parquet"
+    try {
+      val hconf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(hconf)
+      val it = fs.listFiles(root, true)
+      var total = 0L
+      var sawFile = false
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          sawFile = true
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, hconf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try total += r.getRecordCount finally r.close()
+        }
+      }
+      require(sawFile, s"no data files under $path")
+      total
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        table(spark, sfDir, name).count()
+    }
+  }
+
   /** Canonical event-time normalization: whatever the on-disk encoding of
     * `events.ts`, every consumer sees the same three columns —
     *  - `ts`     : epoch-NANOS long (what the DuckDB oracle's `epoch_ns(ts)`
