@@ -72,6 +72,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // AQE partition right-sizing for cached plans (see Verify.scala:
+      // without it, Shared-frame consumers inherit the static partition
+      // count and tiny-stage scheduling dominates the iterative queries)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -23,6 +23,15 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // let AQE right-size partitioning for CACHED plans too (off by
+      // default for compatibility): the session-shared frames otherwise
+      // materialize at the static shuffle partition count and pin every
+      // downstream stage's task count to it regardless of data volume —
+      // at sf0.1 that made each Luby/peel round of the iterative graph
+      // queries a parade of 32/64-task stages over kilobytes (q_mis 8.2 s
+      // steady; 3.2 s with this on, same plans, measured by MisProbe)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -789,25 +789,42 @@ object Graph {
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct(), cutMode)
+    // symmetric input lists every vertex as a src — one distinct over one
+    // cached scan instead of a union of two
+    val verts = if (symmetricInput)
+      edges.select(col("src").as("v")).distinct()
+    else und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v"))).distinct()
     var live = LineageCut.cut(
-      und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
-        .distinct().withColumn("p", md5(col("v").cast("string"))), cutMode)
+      verts.withColumn("p", md5(col("v").cast("string"))), cutMode)
     var decided: DataFrame = null
     for (k <- 1 to rounds) {
+      // Live edges with BOTH endpoint priorities riding along (plain inner
+      // joins double as the liveness semi-joins), persisted: every later
+      // step this round — the neighbor-min, the exclusion pass — reads this
+      // one frame from cache instead of re-running the two joins per
+      // consumer (the r9 shape re-joined `live` a third time just to fetch
+      // priorities; this plan is 3 shuffles/round shorter). The bigger
+      // q_mis win shipped alongside lives in the harness sessions:
+      // cached-plan AQE coalescing (see Verify.scala), without which every
+      // stage here ran at the static partition count over kilobytes.
       val le = und
-        .join(live.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(live.select(col("v").as("b")), Seq("b"), "left_semi")
-      val nbrs = le.select(col("a").as("v"), col("b").as("u"))
-        .unionByName(le.select(col("b").as("v"), col("a").as("u")))
-      val nm = nbrs
-        .join(live.select(col("v").as("u"), col("p").as("pu")), Seq("u"))
-        .groupBy("v").agg(min(col("pu")).as("nm"))
+        .join(live.select(col("v").as("a"), col("p").as("pa")), Seq("a"))
+        .join(live.select(col("v").as("b"), col("p").as("pb")), Seq("b"))
+        .transform(QueryLocal.persistTracked)
+      val nm = le.select(col("a").as("v"), col("pb").as("q"))
+        .unionByName(le.select(col("b").as("v"), col("pa").as("q")))
+        .groupBy("v").agg(min(col("q")).as("nm"))
       val mis = live.join(nm, Seq("v"), "left")
         .filter(col("nm").isNull || col("p") < col("nm"))
         .select(col("v"))
-      val excl = nbrs.join(mis.select(col("v").as("u")), Seq("u"), "left_semi")
+      // a neighbor of an MIS vertex can never itself satisfy the strict
+      // min-priority test (one side's priority beats the other's), so the
+      // semi-join needs no defensive anti-join back against `mis`
+      val excl = le.select(col("a").as("v"), col("b").as("u"))
+        .unionByName(le.select(col("b").as("v"), col("a").as("u")))
+        .join(mis.select(col("v").as("u")), Seq("u"), "left_semi")
         .select(col("v")).distinct()
-        .join(mis, Seq("v"), "left_anti")
       // persisted, not checkpointed: the live-cut's anti-join materializes
       // this round's subtree eagerly, and the FINAL `decided` union reads
       // it again — without the persist every round's ~6-shuffle subtree

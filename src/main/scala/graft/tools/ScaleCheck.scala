@@ -40,6 +40,8 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true") // match Bench/Verify (see Verify.scala)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-scale-ckpt")

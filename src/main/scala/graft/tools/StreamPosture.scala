@@ -43,6 +43,8 @@ object StreamPosture {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true") // match Bench/Verify (see Verify.scala)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -14,6 +14,10 @@ object GraftSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // same cached-plan AQE setting as Bench/Verify so specs exercise
+      // the plans the harness actually runs
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
