@@ -24,6 +24,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session-global mutation that made semantics order-dependent on which
   * query ran first); the `register(spark)` helpers remain as idempotent
   * fallbacks for sessions built without the extension.
+  *
+  * Recommended alongside (set by every harness session, purely a
+  * performance setting):
+  * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true` —
+  * without it, persisted frames materialize at the static shuffle
+  * partition count and pin every downstream stage's task count, which
+  * taxes iterative algorithms whose live sets shrink far below it; with
+  * it, AQE's advisory-size coalescing applies to cached-plan reads too
+  * (a no-op at full production partition sizes).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
