@@ -150,6 +150,20 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** Fan a COMPUTE-DENSE frame out to the session's core count when its
+    * current plan yields fewer partitions. A single-row-group parquet file
+    * (the embeddings table at test SFs) pins its scan to ONE task no matter
+    * the byte-range splits, serializing downstream per-row kernels — the
+    * ANN family's decimal dot products ran 3–4 s on one core with 31 idle
+    * (round-10 QueryProbe finding). Strictly widen-only: it never lowers an
+    * existing partition count, so a properly split production source
+    * passes through shuffle-free and the round-robin shuffle it does add
+    * is bounded by the (small, scan-bound) frame that needed widening. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Deterministic token-transfer fact view over `events` (FIXTURES.md §C).
     *
     * Mirrors the reference's transfer schema

@@ -1667,20 +1667,25 @@ object Graph {
     // ACCURATE size and AQE can broadcast the edge side under the big
     // wedge frame when it fits (at cluster scale it won't — same plan
     // degrades to a shuffle join, which is the right call there)
-    val oriented = LineageCut.cut(und
+    // fanOut: AQE's advisory-size coalescing right-sizes these frames for
+    // IO but not for the wedge join's compute density — a ~10 MB oriented
+    // edge list lands on 1 partition and enumerates every wedge on one
+    // core (round-10 QueryProbe finding). Widen-only, so cluster-scale
+    // frames (already past core count) pass through unchanged.
+    val oriented = graft.Tables.fanOut(LineageCut.cut(und
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-        when(aFirst, col("db")).otherwise(col("da")).as("dd")), cutMode)
+        when(aFirst, col("db")).otherwise(col("da")).as("dd")), cutMode))
     // u -> v, u -> w wedges with (dv, v) < (dw, w) — each unordered leg
     // pair once, closed by the oriented v -> w edge: every triangle
     // exactly once, keyed by its three undirected edges
     val keys = Seq("a1", "b1", "a2", "b2", "a3", "b3")
     def undKey(x: String, y: String, an: String, bn: String) = Seq(
       least(col(x), col(y)).as(an), greatest(col(x), col(y)).as(bn))
-    var tri = LineageCut.cut(
+    var tri = graft.Tables.fanOut(LineageCut.cut(
       oriented.select(col("src").as("u"), col("dst").as("v"),
           col("dd").as("dv"))
         .join(oriented.select(col("src").as("u"), col("dst").as("w"),
@@ -1691,7 +1696,7 @@ object Graph {
           Seq("v", "w"))
         .select(undKey("u", "v", "a1", "b1") ++
           undKey("u", "w", "a2", "b2") ++
-          undKey("v", "w", "a3", "b3"): _*), cutMode)
+          undKey("v", "w", "a3", "b3"): _*), cutMode))
     LineageCut.release(oriented) // enumeration happens exactly once
     // per-edge triangle count over a (live) triangle list
     def supOf(t: DataFrame): DataFrame =
@@ -1734,8 +1739,8 @@ object Graph {
         LineageCut.release(e)
         e = nextE
         if (r < rounds) { // the final round's list has no reader
-          val nextTri = LineageCut.cut(
-            tri.join(deadTri, keys, "left_anti"), cutMode)
+          val nextTri = graft.Tables.fanOut(LineageCut.cut(
+            tri.join(deadTri, keys, "left_anti"), cutMode))
           LineageCut.release(tri)
           tri = nextTri
         }

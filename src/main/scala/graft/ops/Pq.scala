@@ -45,7 +45,9 @@ object Pq {
 
   private def emb(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.DecimalDot.register(spark)
-    Tables.embeddings(spark, sfDir)
+    // fanOut: see Similarity.emb — one-row-group scans serialize the
+    // decimal L2/dot kernels on a single core otherwise
+    Tables.fanOut(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
   }

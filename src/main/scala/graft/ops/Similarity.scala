@@ -36,7 +36,9 @@ object Similarity {
     // every frame in this module descends from emb(), so graft_dot is
     // always registered before any dotOf/normSqOf expression resolves
     graft.functions.DecimalDot.register(spark)
-    Tables.embeddings(spark, sfDir)
+    // fanOut: the single-row-group test file otherwise serializes every
+    // decimal dot-product kernel in this module on one core (Tables.fanOut)
+    Tables.fanOut(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
   }
 

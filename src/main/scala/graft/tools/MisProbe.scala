@@ -17,39 +17,12 @@ object MisProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        sys.env.getOrElse("MIS_PROBE_CACHED_AQE", "false"))
+        sys.env.getOrElse("MIS_PROBE_CACHED_AQE", "true")) // A/B knob
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // stage-level attribution: names the slow stages instead of one number
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]()
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          val i = sc.stageInfo
-          val ms = (for {s <- i.submissionTime; c <- i.completionTime}
-            yield c - s).getOrElse(-1L)
-          val m = i.taskMetrics
-          val desc = i.rddInfos.sortBy(_.id).map(_.name).mkString(">").take(80) +
-            f" | task=${m.executorRunTime}ms deser=${m.executorDeserializeTime}ms " +
-            f"gc=${m.jvmGCTime}ms sRead=${m.shuffleReadMetrics.totalBytesRead} " +
-            f"sWrite=${m.shuffleWriteMetrics.bytesWritten}"
-          stages.add((desc, ms, i.numTasks))
-        }
-      })
-    def t[A](label: String)(f: => A): A = {
-      stages.clear()
-      val t0 = System.nanoTime(); val r = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      import scala.jdk.CollectionConverters._
-      val ss = stages.asScala.toSeq
-      println(f"[misprobe] $label%-28s $sec%.2f s | stages=${ss.size} " +
-        f"stageMs=${ss.map(_._2).sum} tasks=${ss.map(_._3).sum}")
-      ss.sortBy(-_._2).take(6).foreach { case (n, ms, nt) =>
-        println(f"[misprobe]    ${ms}%6d ms ${nt}%4d tasks  $n") }
-      r
-    }
+    val audit = new StageAudit(spark)
+    def t[A](label: String)(f: => A): A = audit.timed(label)(f)
     val sym = t("sym_edges build+count") {
       val d = graft.ops.Wallet.transferEdgesSym(spark, sfDir); d.count(); d
     }
