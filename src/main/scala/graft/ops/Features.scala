@@ -194,6 +194,9 @@ object Features {
            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
         .as(s"y$j")
     }
+    // deliberately NOT fanned out (cf. Similarity.emb): the zero-exchange
+    // narrow-projection shape is this query's scale contract
+    // (PlanAuditSpec), and at sub-second cost the single-task scan is fine
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id") +: cols: _*)
       .orderBy("vec_id")

@@ -137,7 +137,8 @@ object Learn {
     * noise row, densest first. */
   def dbscanGrid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pts = Tables.embeddings(spark, sfDir).select(
+    // fanOut: axisCell folds the whole embedding per row (see Similarity.emb)
+    val pts = Tables.fanOut(Tables.embeddings(spark, sfDir)).select(
       col("vec_id"),
       axisCell(8).as("cx"), axisCell(9).as("cy"))
       .withColumn("cid",

@@ -38,7 +38,9 @@ object Quantize {
     // idempotent fallbacks for sessions built without GraftExtensions
     graft.functions.IntDot.register(spark)
     graft.functions.DecimalDot.register(spark)
-    Tables.embeddings(spark, sfDir)
+    // fanOut: see Similarity.emb — one-row-group scans serialize the
+    // quantize/dot kernels on a single core otherwise
+    Tables.fanOut(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
   }
