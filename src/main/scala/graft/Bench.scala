@@ -149,6 +149,30 @@ object Bench {
       return
     }
 
+    // Which Shared tags each warmup part builds — the eviction audit
+    // downgrades a `gone` event to `cleanup` when every tag behind its
+    // label still has a live CacheManager entry: the entry pins the
+    // frame's cache RDD, so the departed RDD was a superseded build
+    // intermediate (a dead lineage-cut round block the ContextCleaner
+    // collected), not the shared frame. A real eviction (entry dropped)
+    // keeps kind `gone` and stays in evict_shared_n.
+    val warmupTags = Map(
+      "shared:dedup_spine" -> Seq("cluster_labels", "minhash_pairs",
+        "minhash_sig_rows", "shingles_arr"),
+      "shared:ann_exact_baseline" -> Seq("bf_topk"),
+      "shared:label_means" -> Seq("label_means"),
+      "shared:transfer_pagerank" -> Seq("transfer_pagerank"),
+      "shared:transfer_lpa" -> Seq("transfer_communities"),
+      "shared:transfer_edges_sym" -> Seq("transfer_edges_sym"))
+    def reclass(evs: Seq[tools.CacheAudit.Event]): Seq[tools.CacheAudit.Event] = {
+      lazy val live = ops.Shared.liveTags(spark, sfDir)
+      evs.map { e =>
+        val tags = warmupTags.getOrElse(e.label, Nil)
+        if (e.kind == "gone" && tags.nonEmpty && tags.forall(live.contains))
+          e.copy(kind = "cleanup")
+        else e
+      }
+    }
     val events = scala.collection.mutable.ArrayBuffer.empty[tools.CacheAudit.Event]
     val heals = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val stateNonzero = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -171,7 +195,8 @@ object Bench {
       val s2 = tools.CacheAudit.snapshot(spark)
       tools.CacheAudit.newIds(snap, s2)
         .foreach(id => labels.getOrElseUpdate(id, s"q:$name"))
-      events ++= tools.CacheAudit.diff(snap, s2, labels, name, pass, flagGone)
+      events ++= reclass(
+        tools.CacheAudit.diff(snap, s2, labels, name, pass, flagGone))
       snap = s2
       storagePeakMb = storagePeakMb.max(tools.CacheAudit.storageUsedMb(spark))
       (if (ok) sec else -1.0, gcd)
@@ -209,7 +234,7 @@ object Bench {
           gcFrac = if (worstPass._1 > 0) worstPass._2 / worstPass._1 else 0.0,
           recovery = if (recovery._1 >= 0) recovery._1 / valid.min else -1.0,
           sharedEvents = events.drop(evBefore)
-            .count(e => e.label.startsWith("shared:")),
+            .count(e => e.label.startsWith("shared:") && e.kind != "cleanup"),
           healsN = 0) // heals attributed just below, after the drain
       }
       // release the group's local frames, then PROVE the stream-state
@@ -231,7 +256,8 @@ object Bench {
       // lineage-cut blocks awaiting the ContextCleaner) so their later
       // cleanup is never misread as an eviction.
       val s2 = tools.CacheAudit.snapshot(spark)
-      events ++= tools.CacheAudit.diff(snap, s2, labels, n, "release", flagGone)
+      events ++= reclass(
+        tools.CacheAudit.diff(snap, s2, labels, n, "release", flagGone))
       for (id <- s2.keySet if labels.get(id).contains(s"q:$n"))
         labels(id) = s"live:$n"
       snap = s2
@@ -294,7 +320,8 @@ object Bench {
           minByName.getOrElse(n, -1.0) >= 1.0 =>
       n -> samples.head._1 / samples.drop(1).map(_._1).min
     }.filter(_._2 > 1.0).sortBy(-_._2)
-    val sharedEventCount = events.count(_.label.startsWith("shared:"))
+    val sharedEventCount = events.count(e =>
+      e.label.startsWith("shared:") && e.kind != "cleanup")
 
     // full-precision detail: a stdout line (fine if the tail truncates it)
     // and a file the judge can read whole

@@ -81,6 +81,19 @@ object Shared {
     out.toSeq
   }
 
+  /** Tags of `spark`'s shared frames for `sfDir` whose CacheManager entry
+    * is still registered (storage level non-NONE). The bench's eviction
+    * audit uses this to tell a real shared-frame eviction (entry dropped →
+    * tag absent here) from ContextCleaner collection of SUPERSEDED build
+    * intermediates that carry the same warmup label: while the entry
+    * lives, the InMemoryRelation pins its cache RDD, so an RDD leaving the
+    * storage registry under a still-live tag cannot be the frame itself. */
+  def liveTags(spark: SparkSession, sfDir: String): Set[String] =
+    frames.collect {
+      case ((s, d, tag), df) if (s eq spark) && d == sfDir &&
+        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE => tag
+    }.toSet
+
   /** Drop (and unpersist) every shared frame owned by `spark`. */
   def clear(spark: SparkSession): Unit = {
     frames.keys.filter(_._1 eq spark).foreach { k =>

@@ -27,6 +27,12 @@ import org.apache.spark.sql.SparkSession
   *                    for ContextCleaner GC of dead lineage-cut blocks;
   *                    flagged only for `shared:*`-labeled frames, whose
   *                    storage nothing should ever drop mid-session.
+  *  - `cleanup`     — a `gone` the bench downgraded after checking the
+  *                    labeled Shared frames still hold live CacheManager
+  *                    entries ([[graft.ops.Shared.liveTags]]): the
+  *                    departed RDD was a superseded build intermediate
+  *                    (dead lineage-cut round block), not the frame.
+  *                    Informational; excluded from `evict_shared_n`.
   *
   * Everything here is driver-local metadata (no jobs, no RDD reads): a
   * snapshot walks the block-manager master's per-RDD aggregates, ~O(#live

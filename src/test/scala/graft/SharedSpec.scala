@@ -64,6 +64,21 @@ class SharedSpec extends AnyFunSuite {
     Shared.clear(spark)
   }
 
+  test("liveTags reports registered entries and drops on unpersist") {
+    // the bench's eviction-audit downgrade rule: a `gone` RDD under a
+    // label whose tag is still live here was a superseded build
+    // intermediate; a tag ABSENT here means the frame's entry is really
+    // gone (a genuine eviction stays flagged)
+    val tag = s"shared_live_${System.nanoTime()}"
+    val f = Shared.frame(spark, "/tmp/sfLive", tag)(
+      Seq((1L, "a")).toDF("id", "s"))
+    assert(Shared.liveTags(spark, "/tmp/sfLive").contains(tag))
+    assert(!Shared.liveTags(spark, "/tmp/sfOther").contains(tag))
+    f.unpersist(true)
+    assert(!Shared.liveTags(spark, "/tmp/sfLive").contains(tag))
+    Shared.clear(spark)
+  }
+
   test("sessions cycling over one context are LRU-evicted past the cap") {
     // the round-4 leak: newSession() frames accumulated until context end
     Shared.clear(spark) // main session must not be the LRU victim below
