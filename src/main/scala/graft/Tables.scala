@@ -164,6 +164,18 @@ object Tables {
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
 
+  /** [[documents]] routed through [[fanOut]] — for COMPUTE-DENSE consumers
+    * only (tokenize, shingle, per-token md5, winnowing): the test-SF
+    * documents file is a single parquet row group, so its scan is ONE task
+    * and every per-row kernel fused into that stage runs on one core with
+    * the rest idle (the same round-10 QueryProbe finding as the embeddings
+    * table). Widen-only, so a properly split production corpus passes
+    * through shuffle-free. Cheap metadata selects and anything whose
+    * output depends on file layout (Layout's `input_file_name` queries)
+    * keep reading [[documents]] directly. */
+  def documentsWide(spark: SparkSession, sfDir: String): DataFrame =
+    fanOut(documents(spark, sfDir))
+
   /** Deterministic token-transfer fact view over `events` (FIXTURES.md §C).
     *
     * Mirrors the reference's transfer schema

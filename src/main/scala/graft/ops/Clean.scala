@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object Clean {
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .withColumn("toks", expr(TextAnalysis.toksExpr))
 
   /** Overlapping fixed-size chunking (RAG / context-window prep): every

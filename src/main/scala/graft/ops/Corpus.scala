@@ -328,7 +328,7 @@ object Corpus {
     * codegen'd projection over the scan; top-50 is a TakeOrdered — no
     * global sort materialization. */
   def bm25(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documentsWide(spark, sfDir)
       .select(col("doc_id"), expr(TextAnalysis.toksExpr).as("toks"))
       .withColumn("dl", expr("size(toks)").cast("long"))
       .select(col("doc_id") +: col("dl") +: QueryTerms.zipWithIndex.map {
@@ -386,7 +386,7 @@ object Corpus {
   val TfidfKeepVocabFrac = 0.8
 
   def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
+    val base = Tables.documentsWide(spark, sfDir)
       .withColumn("toks", expr(TextAnalysis.toksExpr))
       .filter(col("text").isNotNull && expr("size(toks) >= 1"))
     val docTerms = base
@@ -533,7 +533,7 @@ object Corpus {
     * no window over the corpus (the final rank runs on the quota-sized
     * result). */
   def importanceResample(spark: SparkSession, sfDir: String): DataFrame = {
-    val feats = Tables.documents(spark, sfDir)
+    val feats = Tables.documentsWide(spark, sfDir)
       .withColumn("toks", expr(TextAnalysis.toksExpr))
       .filter(expr("size(toks) >= 2"))
       .select(col("doc_id"), col("source"), explode(expr(
@@ -592,7 +592,7 @@ object Corpus {
   def invertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.{Scored, TopKAggregator}
-    val tf = Tables.documents(spark, sfDir)
+    val tf = Tables.documentsWide(spark, sfDir)
       .select(col("doc_id"), explode(expr(TextAnalysis.toksExpr)).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))

@@ -432,7 +432,7 @@ object Dedup {
     }
     val bits = (0 until nBits).map(b =>
       when(col(s"s$b") > 0, "1").otherwise("0"))
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .select(col("doc_id"), explode(expr(TextAnalysis.toksExpr)).as("tok"))
       .groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
@@ -465,15 +465,23 @@ object Dedup {
   /** Near-duplicate pairs by simhash Hamming distance ≤ [[SimHashMaxDist]].
     * Candidates come from pigeonhole multi-index banding (equi-join on
     * (band, band_bits) per the guarantee above) over a PERSISTED banded
-    * frame — the signature subtree runs once, and hot buckets (simhash bits
+    * frame — the signature subtree runs once. Hot buckets (simhash bits
     * are majority votes, so popular tokens bias them hard: the hottest
-    * 4-bit bucket holds ~40% of this corpus) stream through the join's
-    * parallel tasks (AQE can split a skewed shuffle join) instead of being
-    * materialized as one giant in-row pair array. The codegen'd
-    * [[graft.functions.HammingDistance]] refine kills ~all candidates in
-    * the scan, so the multi-band `distinct` only shuffles true survivors.
-    * At a production 64-bit fingerprint the bands are 16-bit and bucket
-    * skew collapses; the shape is unchanged. */
+    * 4-bit bucket holds ~40% of this corpus) are COMPUTE-skewed, not
+    * byte-skewed — the pair expansion and Hamming refine for a bucket of
+    * k docs is k²/2 evaluations inside one join task, on kilobytes of
+    * input, so AQE's byte-keyed skew split never fires. Narrow (≤ 8-bit)
+    * band layouts therefore shard each bucket's pair work explicitly:
+    * the probe side replicates across `defaultParallelism` shards and the
+    * build side hashes `doc_b` into them, so every pair still meets
+    * exactly once while the hot bucket's quadratic refine spreads over
+    * all cores. Wide (≥ 16-bit) production layouts skip the replication
+    * (bucket occupancy is ~uniform there, and ×cores row replication of a
+    * billion-doc banded frame would be a real cost — the shard factor is
+    * a plan-time constant keyed on band width, not a runtime count). The
+    * codegen'd [[graft.functions.HammingDistance]] refine kills ~all
+    * candidates in the scan, so the multi-band `distinct` only shuffles
+    * true survivors. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairsW(spark, simhash(spark, sfDir), SimHashBandBits)
 
@@ -624,11 +632,26 @@ object Dedup {
       .withColumn("bits",
         expr(s"substr(simhash, band * $bandBits + 1, $bandBits)"))
       .transform(graft.ops.QueryLocal.persistTracked)
+    // hot-bucket compute shards (see scaladoc): narrow bands only
+    val shards =
+      if (bandBits <= 8) spark.sparkContext.defaultParallelism else 1
     val a = banded.select(col("band"), col("bits"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .withColumn("shard", explode(sequence(lit(0), lit(shards - 1))))
     val b = banded.select(col("band"), col("bits"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "bits"))
+      .withColumn("shard", pmod(hash(col("doc_b")), lit(shards)).cast("int"))
+    // explicit-N repartition on the sharded path: a broadcast join would
+    // run the pair refine at the probe side's (byte-coalesced) partition
+    // count, and AQE folds byte-tiny join shuffles back to one task — a
+    // user-specified partition count is exempt from both, so each shard
+    // actually gets its own task
+    val (aj, bj) =
+      if (shards > 1)
+        (a.repartition(shards, col("band"), col("bits"), col("shard")),
+         b.repartition(shards, col("band"), col("bits"), col("shard")))
+      else (a, b)
+    aj.join(bj, Seq("band", "bits", "shard"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("dist", expr(s"${graft.functions.HammingDistance.Name}(sh_a, sh_b)"))
       .filter(col("dist") <= radius)
@@ -948,7 +971,7 @@ object Dedup {
     * with fewer than [[WinnowW]] grams contribute one whole-list window —
     * the standard short-document degeneration. */
   def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .withColumn("toks", expr(TextAnalysis.toksExpr))
       .filter(expr("size(toks) >= 3"))
       .withColumn("grams", expr(

@@ -218,7 +218,7 @@ object Features {
     * rendering, same convention as the other array-valued queries);
     * documents with no tokens emit the zero vector. */
   def featureHash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documentsWide(spark, sfDir)
     val cells = docs
       .select(col("doc_id"),
         explode(expr(TextAnalysis.toksExpr)).as("tok"))

@@ -54,7 +54,7 @@ object Learn {
     * ordered best-first (gini_ppm, feature). */
   def decisionStump(spark: SparkSession, sfDir: String): DataFrame = {
     val b = StumpBuckets
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documentsWide(spark, sfDir)
       .withColumn("toks", expr(TextAnalysis.toksExpr))
     val feats = docs.select(
       when(col("lang") === StumpLang, 1L).otherwise(0L).as("y"),

@@ -49,8 +49,12 @@ object Multimodal {
     * payloads). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    // fanOut: the batch-decode mapPartitions kernels downstream are the
+    // dense path; a one-row-group test file would serialize them (see
+    // Tables.documentsWide)
+    Tables.fanOut(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content")))
       .as[MediaRecord]
   }
 

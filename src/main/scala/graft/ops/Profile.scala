@@ -179,7 +179,7 @@ object Profile {
     * granularity, same trade as [[profileOf]]. */
   def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val b = Tables.documents(spark, sfDir)
+    val b = Tables.documentsWide(spark, sfDir)
       .withColumn("toks", expr(TextAnalysis.toksExpr))
       .filter(col("text").isNotNull)
       .select(col("source"), col("lang"), col("text"),

@@ -28,7 +28,7 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "zai", "le", "wo"))
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).withColumn("toks", expr(toksExpr))
+    Tables.documentsWide(spark, sfDir).withColumn("toks", expr(toksExpr))
 
   private[ops] def markerCount(lang: String): Column = {
     val list = LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -88,7 +88,7 @@ object TextAnalysis {
     * min-over-hash window on that frame (no second read, no pair work). */
   def trainingCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    Tables.documents(spark, sfDir)
+    Tables.documentsWide(spark, sfDir)
       .withColumn("toks", expr(toksExpr))
       .select(col("doc_id"), md5(col("text")).as("h"),
         expr("size(toks)").cast("long").as("n_words"),
