@@ -537,11 +537,15 @@ object Profile {
     * feeding one (token, b)-grouped map-side-combinable aggregate. */
   def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Tables.transfers(spark, sfDir)
+    // fanOut: the ×B replicate explode and its per-(row, b) md5 draw fuse
+    // into the scan stage, which a one-row-group test file pins to a
+    // single task (see Tables.documentsWide) — the densest map in the
+    // sketch family runs serial without this
+    val base = Tables.fanOut(Tables.transfers(spark, sfDir)
       .select(col("contract_address"),
         (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 2))
           * 100).cast("long").as("cents"),
-        concat(col("block_number"), lit(":"), col("log_index")).as("key"))
+        concat(col("block_number"), lit(":"), col("log_index")).as("key")))
     val point = base.groupBy("contract_address")
       .agg(count(lit(1)).as("n_rows"),
         expr("CAST(SUM(CAST(cents AS DECIMAL(38,0))) * 1000000" +
