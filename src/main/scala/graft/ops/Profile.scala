@@ -427,30 +427,57 @@ object Profile {
         Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))
     // exact side: certificate-only, via the value DISTRIBUTION (map-side
-    // collapse to distinct prices before the one rank-selection window —
-    // the same move as sourceDeciles/weightedMedian, never a row sort)
+    // collapse to distinct prices before the rank selection — never a row
+    // sort). The cumulative count is TWO-PHASE: a global-order window over
+    // every distinct price is a single-partition sort (the shape the rest
+    // of the sketch family avoids), so shard the distinct prices by their
+    // sketch bucket — monotone in x, so global cum = within-shard cum +
+    // the prefix sum of prior shards' totals (a [[SketchBuckets]]-row
+    // frame, the only thing that crosses SinglePartition).
     val distx = li.groupBy("x").agg(count(lit(1)).as("c"))
-    val cumx = distx
+    val sharded = distx.crossJoin(broadcast(bounds))
+      .withColumn("sb", least(floor((col("x") - col("mn")) * b /
+          greatest(col("mx") - col("mn"), lit(1e-12))),
+        lit(b - 1)).cast("int"))
+    val offs = sharded.groupBy("sb").agg(sum(col("c")).as("sc"))
+      .withColumn("off", coalesce(sum(col("sc")).over(
+        Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("sb", "off")
+    val cumx = sharded.join(broadcast(offs), Seq("sb"))
       .withColumn("cum", sum(col("c")).over(
-        Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-      .crossJoin(broadcast(bounds.select(col("n"))))
+        Window.partitionBy("sb").orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        + col("off"))
+      .select(col("x"), col("cum"), col("n"))
     val ps = Seq(50, 95, 99)
-    val est = ps.map { p =>
-      cum.crossJoin(broadcast(bounds))
-        .filter(col("cum") >= expr(s"($p * n + 99) div 100"))
-        .agg(min(col("bucket")).as("bucket"))
-        .crossJoin(broadcast(bounds))
-        .select(lit(p.toLong).as("p"),
-          (col("mn") + (col("bucket") + 1) * ((col("mx") - col("mn")) / b))
-            .as("estimate"),
-          ((col("mx") - col("mn")) / b).as("max_error"))
-    }.reduce(_ unionByName _)
-    val exacts = ps.map { p =>
-      cumx.filter(col("cum") >= expr(s"($p * n + 99) div 100"))
-        .agg(min(col("x")).as("exact"))
-        .select(lit(p.toLong).as("p"), col("exact"))
-    }.reduce(_ unionByName _)
+    // all three rank selections in ONE pass each (the per-p loop re-ran
+    // the full histogram scan / the distinct-price window once per p)
+    val est = cum.crossJoin(broadcast(bounds))
+      .agg(ps.map(p => min(when(
+          col("cum") >= expr(s"($p * n + 99) div 100"), col("bucket")))
+        .as(s"b$p")).head,
+        ps.tail.map(p => min(when(
+            col("cum") >= expr(s"($p * n + 99) div 100"), col("bucket")))
+          .as(s"b$p")): _*)
+      .select(expr(s"stack(${ps.size}, " +
+        ps.map(p => s"CAST($p AS BIGINT), b$p").mkString(", ") +
+        ") AS (p, bucket)"))
+      .crossJoin(broadcast(bounds))
+      .select(col("p"),
+        (col("mn") + (col("bucket") + 1) * ((col("mx") - col("mn")) / b))
+          .as("estimate"),
+        ((col("mx") - col("mn")) / b).as("max_error"))
+    val exacts = cumx
+      .agg(ps.map(p => min(when(
+          col("cum") >= expr(s"($p * n + 99) div 100"), col("x")))
+        .as(s"e$p")).head,
+        ps.tail.map(p => min(when(
+            col("cum") >= expr(s"($p * n + 99) div 100"), col("x")))
+          .as(s"e$p")): _*)
+      .select(expr(s"stack(${ps.size}, " +
+        ps.map(p => s"CAST($p AS BIGINT), e$p").mkString(", ") +
+        ") AS (p, exact)"))
     est.join(exacts, Seq("p"))
       .select(col("p"), col("estimate"), col("exact"), col("max_error"),
         (abs(col("estimate") - col("exact")) <= col("max_error") + lit(1e-6))
