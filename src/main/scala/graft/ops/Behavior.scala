@@ -381,19 +381,37 @@ object Behavior {
       .filter(col("tp") >= col("tv"))
       .groupBy("wallet", "tv").agg(min(col("tp")).as("tp"))
       .select((col("tp") - col("tv")).as("gap"))
-    val cum = gaps.groupBy("gap").agg(count(lit(1)).as("c"))
+    // two-phase cumulative count over the distinct-gap frame: distinct
+    // gap values are unbounded at scale (seconds between two events), so
+    // a globally-ordered window is a single-partition sort — shard by a
+    // monotone 256-way range bucket instead (exact Long arithmetic, the
+    // Wallet.sourceDeciles / Profile.quantileSketch pattern); only the
+    // 256-row bucket-total frame crosses SinglePartition
+    val gdist = gaps.groupBy("gap").agg(count(lit(1)).as("c"))
+    val gb = gaps.agg(min(col("gap")).as("gmn"), max(col("gap")).as("gmx"),
+      count(lit(1)).as("n"))
+    val bucketed = gdist.crossJoin(broadcast(gb))
+      .withColumn("rb",
+        expr("CAST((gap - gmn) * 256 div (gmx - gmn + 1) AS INT)"))
+    val offs = bucketed.groupBy("rb").agg(sum(col("c")).as("bc"))
+      .withColumn("boff", coalesce(sum(col("bc")).over(
+        Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("rb", "boff")
+    val cum = bucketed.join(broadcast(offs), Seq("rb"))
       .withColumn("cum", sum(col("c")).over(
-        Window.orderBy("gap").rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-      .crossJoin(broadcast(gaps.agg(count(lit(1)).as("n"))))
-    val med = cum.filter(col("cum") * 2 >= col("n"))
-      .agg(min(col("gap")).as("median_gap_sec"))
-    val p90 = cum.filter(col("cum") * 10 >= col("n") * 9)
-      .agg(min(col("gap")).as("p90_gap_sec"))
+        Window.partitionBy("rb").orderBy("gap")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        + col("boff"))
+    // both order statistics in one pass over the distribution frame
+    val sel = cum.agg(
+      min(when(col("cum") * 2 >= col("n"), col("gap")))
+        .as("median_gap_sec"),
+      min(when(col("cum") * 10 >= col("n") * 9, col("gap")))
+        .as("p90_gap_sec"))
     firstView.agg(count(lit(1)).as("n_viewers"))
       .crossJoin(broadcast(gaps.agg(count(lit(1)).as("n_converted"))))
-      .crossJoin(broadcast(med))
-      .crossJoin(broadcast(p90))
+      .crossJoin(broadcast(sel))
   }
 
   /** Cohort LTV curves: cumulative spend per acquisition cohort by cohort

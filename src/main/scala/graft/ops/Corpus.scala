@@ -397,11 +397,27 @@ object Corpus {
     // df cap = the ceil(0.8·|vocab|)-th df order statistic, selected from
     // the df DISTRIBUTION (distinct df values ≪ vocab — no term sort)
     val dfDist = dfs.groupBy("df").agg(count(lit(1)).as("c"))
-    val cap = dfDist
+    // two-phase rank selection over the df distribution: distinct df
+    // values are unbounded at corpus scale, so the globally-ordered cum
+    // window (and the partitionBy() total) would funnel the frame through
+    // one partition — shard by a monotone 256-way range bucket instead
+    // (the Profile.quantileSketch / Behavior.timeToConvert pattern)
+    val dw = org.apache.spark.sql.expressions.Window
+    val db = dfDist.agg(min("df").as("dmn"), max("df").as("dmx"),
+      sum("c").as("nv"))
+    val dfBucketed = dfDist.crossJoin(broadcast(db))
+      .withColumn("rb",
+        expr("CAST((df - dmn) * 256 div (dmx - dmn + 1) AS INT)"))
+    val dfOffs = dfBucketed.groupBy("rb").agg(sum("c").as("bc"))
+      .withColumn("boff", coalesce(sum("bc").over(
+        dw.orderBy("rb").rowsBetween(dw.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("rb", "boff")
+    val cap = dfBucketed.join(broadcast(dfOffs), Seq("rb"))
       .withColumn("cum", sum("c").over(
-        org.apache.spark.sql.expressions.Window.orderBy("df")))
-      .withColumn("nv", sum("c").over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+        dw.partitionBy("rb").orderBy("df")
+          .rowsBetween(dw.unboundedPreceding, dw.currentRow))
+        + col("boff"))
       .filter(col("cum") >=
         ceil(col("nv").cast("double") * lit(TfidfKeepVocabFrac)))
       .agg(min("df").as("df_cap"))
