@@ -135,6 +135,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(sbucket"), p)
   }
 
+  test("rank selections over unbounded distributions are two-phase sharded") {
+    // quantile sketch (distinct prices), time-to-convert (distinct gaps)
+    // and the tf-idf df-cap (distinct dfs) select order statistics from
+    // value DISTRIBUTIONS whose cardinality is unbounded at scale: the
+    // cumulative window must ride a range-bucket shard key, with only the
+    // ≤256-row bucket-total frame crossing SinglePartition. A plan whose
+    // window sort is globally ordered (no hashpartitioning under it)
+    // regressed to the single-partition-sort shape.
+    for (n <- Seq("q_quantile_sketch", "q_time_to_convert", "q_tfidf_topk")) {
+      val p = plan(n)
+      assert(p.contains("hashpartitioning"),
+        s"$n lost its two-phase shard partitioning:\n$p")
+      assert(!"rangepartitioning\\((?:gap|df|x)#".r.unanchored.matches(p),
+        s"$n re-grew a global sort over a distribution column:\n$p")
+    }
+  }
+
   test("seq packing windows are sharded — no single-partition stage at all") {
     val p = plan("q_seq_pack")
     assert(!p.contains("Exchange SinglePartition"), p)
