@@ -161,8 +161,34 @@ object Tables {
     * is bounded by the (small, scan-bound) frame that needed widening. */
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    if (df.rdd.getNumPartitions < cores) return df.repartition(cores)
+    // The partition count can LIE for a scan-rooted plan: Spark byte-range
+    // splits a parquet file into ~cores read tasks, but a split cannot
+    // cross a row group, so a single-row-group file reports >= cores
+    // partitions while every row lands in ONE of them (measured: the 100×
+    // documents corpus, 77 MB / 1 row group / 16 "partitions", ran the
+    // whole signature build in one 209 s task). When no partition-defining
+    // operator (shuffle/join/agg/sort/window) sits between df and its
+    // leaves, the reported count is only a byte-split guess — spend one
+    // bounded round-robin pass as insurance. Past [[FanOutForceBytes]] the
+    // guess is trusted: a production-scale source has many row groups, and
+    // the insurance pass would no longer be cheap.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val partitionDefining = df.queryExecution.optimizedPlan.find {
+      case _: Join | _: Aggregate | _: RepartitionOperation | _: Sort => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case _ => false
+    }.isDefined
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (!partitionDefining && bytes <= FanOutForceBytes) df.repartition(cores)
+    else df
   }
+
+  /** Size ceiling for [[fanOut]]'s hollow-split insurance repartition: one
+    * extra pass of ≤ 1 GiB is noise anywhere, and a bigger file-backed
+    * frame has many row groups (writers cap row groups well below this),
+    * so its split count is real. */
+  val FanOutForceBytes: Long = 1L << 30
 
   /** [[documents]] routed through [[fanOut]] — for COMPUTE-DENSE consumers
     * only (tokenize, shingle, per-token md5, winnowing): the test-SF

@@ -45,7 +45,10 @@ object SimhashBandProbe {
     // layout-independent)
     val sigs = Dedup.simhash128(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
+    // stage-audited: the signature build is the dominant linear cost of
+    // the family — its task layout (is the tokenize+md5 map parallel?)
+    // is the first thing to check when this number moves
+    new StageAudit(spark).timed("sig_build")(sigs.count())
     for ((nb, bb) <- Seq((4, 16), (2, 32), (4, 32))) {
       val t0 = System.nanoTime()
       val cands = sigs

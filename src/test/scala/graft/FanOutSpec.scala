@@ -28,4 +28,32 @@ class FanOutSpec extends AnyFunSuite {
     val wider = (1 to 100).toDF("x").repartition(cores * 2)
     assert(Tables.fanOut(wider) eq wider)
   }
+
+  test("hollow byte-range splits of a one-row-group file still widen") {
+    // a parquet split cannot cross a row group: a one-row-group file read
+    // under a small maxPartitionBytes reports >= cores partitions while
+    // every row lands in ONE of them — the partition count must not be
+    // trusted for a scan-rooted plan (the 100x signature build ran 209 s
+    // in a single task behind exactly this shape)
+    val cores = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("fanout_rg").toString
+    (1 to 10000).toDF("x").coalesce(1).write.mode("overwrite").parquet(dir)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "2048")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val scan = spark.read.parquet(dir)
+      assume(scan.rdd.getNumPartitions >= cores) // splits, not row groups
+      val wide = Tables.fanOut(scan)
+      assert(wide.rdd.getNumPartitions == cores,
+        s"expected a forced round-robin to $cores partitions")
+      assert(wide.as[Int].collect().sorted.toSeq == (1 to 10000))
+      // and the trust boundary: past FanOutForceBytes the guess stands
+      assert(Tables.FanOutForceBytes == (1L << 30))
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
 }
