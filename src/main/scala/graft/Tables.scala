@@ -156,9 +156,12 @@ object Tables {
     * the byte-range splits, serializing downstream per-row kernels — the
     * ANN family's decimal dot products ran 3–4 s on one core with 31 idle
     * (round-10 QueryProbe finding). Strictly widen-only: it never lowers an
-    * existing partition count, so a properly split production source
-    * passes through shuffle-free and the round-robin shuffle it does add
-    * is bounded by the (small, scan-bound) frame that needed widening. */
+    * existing partition count — including on the ≤[[FanOutForceBytes]]
+    * hollow-split insurance path, which repartitions to max(cores,
+    * reported splits) — so a properly split production source passes
+    * through shuffle-free (past the size ceiling) or keeps its real split
+    * count, and the round-robin shuffle fanOut does add is bounded by the
+    * (small, scan-bound) frame that needed widening. */
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) return df.repartition(cores)
@@ -179,9 +182,43 @@ object Tables {
       case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
       case _ => false
     }.isDefined
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (!partitionDefining && bytes <= FanOutForceBytes) df.repartition(cores)
+    val bytes = leafFileBytes(df)
+      .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+    // Insurance repartition keeps the LARGER of (cores, reported splits):
+    // the reported count may be hollow, but it may also be real (a
+    // multi-row-group file legitimately splitting past the core count) —
+    // forcing exactly `cores` there would NARROW real parallelism, the
+    // one thing this widen-only helper promises never to do.
+    if (!partitionDefining && bytes <= FanOutForceBytes)
+      df.repartition(math.max(cores, df.rdd.getNumPartitions))
     else df
+  }
+
+  /** Sum of the plan's LEAF file-relation sizes (raw file bytes from the
+    * scan's `FileIndex`), or None when any leaf is not file-backed.
+    *
+    * Used by [[fanOut]]'s hollow-split gate instead of
+    * `optimizedPlan.stats.sizeInBytes`, whose failure modes would bite
+    * here: without CBO stats a stat-less relation reports
+    * `spark.sql.defaultSizeInBytes` (Long.Max-ish — silently DISABLING
+    * the insurance), and for compressed parquet the plan stat is raw
+    * bytes scaled by `fileCompressionFactor` — while the row-group
+    * argument behind [[FanOutForceBytes]] is about raw FILE bytes
+    * (writers cap row groups by on-disk size). Non-file leaves
+    * (LocalRelation, in-memory scans) fall back to the plan estimate —
+    * for those the reported partition count is not a byte-split guess in
+    * the first place, so the gate matters less. */
+  private def leafFileBytes(df: DataFrame): Option[BigInt] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val sizes = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => Some(BigInt(fs.location.sizeInBytes))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (sizes.nonEmpty && sizes.forall(_.isDefined)) Some(sizes.flatten.sum)
+    else None
   }
 
   /** Size ceiling for [[fanOut]]'s hollow-split insurance repartition: one

@@ -644,12 +644,16 @@ object Dedup {
     // explicit-N repartition on the sharded path: a broadcast join would
     // run the pair refine at the probe side's (byte-coalesced) partition
     // count, and AQE folds byte-tiny join shuffles back to one task — a
-    // user-specified partition count is exempt from both, so each shard
-    // actually gets its own task
+    // user-specified partition count is exempt from both. Over-decompose
+    // to 4× the shard count: hashing exactly `shards` distinct shard
+    // values into `shards` partitions leaves ~1/e of partitions EMPTY by
+    // balls-into-bins (some partitions drawing 2–3 shards, whole cores
+    // idle through the quadratic refine); at 4× the collision loss is
+    // ≤ ~12% expected, and the extra partitions are byte-tiny.
     val (aj, bj) =
       if (shards > 1)
-        (a.repartition(shards, col("band"), col("bits"), col("shard")),
-         b.repartition(shards, col("band"), col("bits"), col("shard")))
+        (a.repartition(shards * 4, col("band"), col("bits"), col("shard")),
+         b.repartition(shards * 4, col("band"), col("bits"), col("shard")))
       else (a, b)
     aj.join(bj, Seq("band", "bits", "shard"))
       .filter(col("doc_a") < col("doc_b"))

@@ -231,9 +231,12 @@ object TextAnalysis {
     * the score DISTRIBUTION: all docs sharing a score share a stage, and
     * `stage(s) = 1 + ⌊4·|docs with score > s| / n⌋` — exact integer
     * arithmetic over the distinct-score frame (bounded by the 6-dp score
-    * quantization, ≪ corpus size), so the whole operator is one map-side
-    * combinable count plus window work on thousands of rows. Per-stage
-    * mean scores sum the 6-dp scores as DECIMAL — order-independent. */
+    * quantization at ≤ 1e6+1 rows), so the whole operator is one map-side
+    * combinable count plus window work on the distribution frame. The
+    * cumulative count itself is TWO-PHASE (256-way range buckets + a
+    * prefix sum over bucket totals) so even the 1e6-row worst case never
+    * sorts through one partition. Per-stage mean scores sum the 6-dp
+    * scores as DECIMAL — order-independent. */
   val CurriculumStages = 4
 
   def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
@@ -247,14 +250,32 @@ object TextAnalysis {
           * (lit(1.0) - lit(0.5) * col("n_stopwords").cast("double")
             / col("n_words").cast("double")), 6))
     val dist = scored.groupBy("quality_score").agg(count(lit(1)).as("c"))
-    val byScoreDesc = org.apache.spark.sql.expressions.Window
-      .orderBy(col("quality_score").desc)
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    dist
-      .withColumn("cum_before", coalesce(sum("c").over(byScoreDesc
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          -1)), lit(0L)))
-      .withColumn("n", sum("c").over(all))
+    // Two-phase cumulative count over the distinct-score frame: the 6-dp
+    // quantization bounds it at ≤ 1e6+1 rows, but that worst case is
+    // still a million-row SinglePartition sort under a globally-ordered
+    // window — shard by a monotone 256-way range bucket over the EXACT
+    // integer 6-dp score instead (the Corpus.tfidfTopK /
+    // Behavior.timeToConvert pattern); only the 256-row bucket-total
+    // frame crosses SinglePartition. Buckets index s6 DESCENDING so
+    // bucket order matches the cumulative direction (stage 1 = highest
+    // scores), and the full-frame total rides the same broadcast bounds
+    // row instead of a partitionBy() window.
+    val w = org.apache.spark.sql.expressions.Window
+    val withS6 = dist.withColumn("s6",
+      expr("CAST(round(quality_score * 1000000, 0) AS BIGINT)"))
+    val bounds = withS6.agg(min("s6").as("smn"), max("s6").as("smx"),
+      sum("c").as("n"))
+    val bucketed = withS6.crossJoin(broadcast(bounds))
+      .withColumn("rb",
+        expr("CAST((smx - s6) * 256 div (smx - smn + 1) AS INT)"))
+    val offs = bucketed.groupBy("rb").agg(sum("c").as("bc"))
+      .withColumn("boff", coalesce(sum("bc").over(
+        w.orderBy("rb").rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("rb", "boff")
+    bucketed.join(broadcast(offs), Seq("rb"))
+      .withColumn("cum_before", coalesce(sum("c").over(
+        w.partitionBy("rb").orderBy(col("s6").desc)
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)) + col("boff"))
       .withColumn("stage",
         expr(s"1 + ($CurriculumStages * cum_before) div n"))
       .groupBy("stage")
