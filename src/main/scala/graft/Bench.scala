@@ -49,6 +49,25 @@ import org.apache.spark.sql.SparkSession
   *    is empty (the r9 sweep-backlog fix verifying itself on the driver's
   *    exact path).
   *
+  * Round 11 closes the one diagnostic gap round 10 proved: an ELEVATED
+  * MINIMUM — every pass slow, so no pass exceeds 2× the session's own min
+  * and `warm_anomalies` stays silent (the r10 driver five:
+  * q_join_cardinality 7.85 s vs 1.70 s controlled, clean eviction/state
+  * audit, FASTER calib probe). Detection needs an expectation EXTERNAL to
+  * the session:
+  *
+  *  - `elevated_minima` — session min > [[ElevatedMinRatio]]× the query's
+  *    [[tools.BenchFloors]] floor (a controlled builder session's mins,
+  *    checked into the repo) fires the anomaly evidence bundle (calib at
+  *    that moment, best-pass GC fraction) PLUS the [[tools.StageAudit]]
+  *    stage/task/shuffle breakdown of the BEST pass — captured passively
+  *    by a pass-labeled stage listener, so the elevation is attributed
+  *    (compute? GC? tiny-stage parade?) without a re-run.
+  *  - `warm_anomalies_unresolved` — an anomaly whose recovery sample is
+  *    still >1.5× min gets ONE more sample; still above → the query is
+  *    named here instead of blending into the pass arrays (r10
+  *    q_skipping_stats: recovery 2.24× and nothing fired).
+  *
   * Output contract: the FINAL stdout line is one JSON object small enough
   * to survive the driver's 2000-char tail capture (every earlier round
   * lost its per-query map to that window — `"parsed": null` in
@@ -62,6 +81,19 @@ object Bench {
   private val WarmAnomalyRatio = 2.0
   /** ...if the query is heavy enough for the ratio to mean seconds. */
   private val WarmAnomalyMinSec = 1.0
+  /** An anomaly whose RECOVERY sample is still this far above the min has
+    * not recovered: re-sample once more, and if still above, escalate the
+    * query into `warm_anomalies_unresolved` instead of letting it blend in
+    * (round-10 q_skipping_stats: recovery 2.24× and nothing fired). */
+  private val AnomalyRecoveryRatio = 1.5
+  /** A session MIN this far above the query's [[tools.BenchFloors]] floor
+    * is an ELEVATED MINIMUM — the shape `warm_anomalies` is blind to
+    * (every pass slow, so no pass exceeds 2× the session's own min).
+    * Captures the anomaly evidence bundle plus the [[tools.StageAudit]]
+    * breakdown of the best pass. */
+  val ElevatedMinRatio = 2.0
+  /** ...if the query is heavy enough for the ratio to mean seconds. */
+  private val ElevatedMinSec = 1.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,9 +116,23 @@ object Bench {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(ckpt.toString)
 
-    def calib(): Double = tools.CalibProbe.run(spark, cpus.toInt)
+    // Stage listener for the elevated-minimum attribution: every completed
+    // stage is stamped with the pass label running at the time, so when a
+    // query's session min exceeds 2× its controlled floor the report can
+    // name where the best pass's time went (stages/tasks/GC/shuffle)
+    // without re-running anything.
+    val audit = new tools.StageAudit(spark)
+    def calib(): Double = {
+      audit.setLabel("calib")
+      tools.CalibProbe.run(spark, cpus.toInt)
+    }
     tools.CalibProbe.run(spark, cpus.toInt) // JIT warmup, discarded
     val calibStart = calib()
+    // Controlled-session floors (tools.BenchFloors): external expectation
+    // for the elevated-minimum check. Missing resource → empty map → the
+    // check no-ops (new queries without floors are likewise skipped).
+    val floors = tools.BenchFloors.load()
+    val floorCalib = floors.getOrElse("_calib", -1.0)
 
     // ── shared warmup, with every new RDD labeled by its creating part ──
     // Session-shared iterative frames (ops/Shared) build exactly once per
@@ -185,6 +231,7 @@ object Bench {
     // (seconds, gcSeconds) and folds storage diffs into `events`.
     def timeOnce(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame, pass: String): (Double, Double) = {
+      audit.setLabel(s"$name/$pass")
       val gc0 = tools.CacheAudit.gcSec()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -213,30 +260,76 @@ object Bench {
     // probe (was the box busy RIGHT THEN?), then one recovery sample
     // (does steady state come back once whatever-it-was passes?).
     final case class Anomaly(worst: Double, calibAt: Double, gcFrac: Double,
-        recovery: Double, sharedEvents: Int, healsN: Int)
+        recovery: Double, recovery2: Double, sharedEvents: Int, healsN: Int)
     val anomalies = scala.collection.mutable.LinkedHashMap.empty[String, Anomaly]
+    // session min > 2× the controlled floor (tools.BenchFloors) — the
+    // every-pass-slow shape warm_anomalies cannot see; carries the best
+    // pass's StageAudit breakdown so the elevation is attributed, not
+    // just detected
+    final case class Elevated(min: Double, floor: Double, calibAt: Double,
+        gcFracBest: Double, bestPass: String,
+        stages: Seq[tools.StageAudit.Row])
+    val elevated = scala.collection.mutable.LinkedHashMap.empty[String, Elevated]
+    // anomalies whose recovery AND re-sampled recovery both stayed above
+    // 1.5× min: (recovery_ratio, recovery2_ratio)
+    val unresolved =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val runs = names.zipWithIndex.map { case ((n, f), qi) =>
       val evBefore = events.size
-      val cold = timeOnce(n, f, "cold")
-      val warm1 = timeOnce(n, f, "warm1")
-      val warm2 = if (warm1._1 >= 2.0) Seq(timeOnce(n, f, "warm2")) else Nil
-      var samples = Seq(cold, warm1) ++ warm2
-      val valid = samples.map(_._1).filter(_ >= 0)
+      val labeled =
+        scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double))]
+      labeled += "cold" -> timeOnce(n, f, "cold")
+      labeled += "warm1" -> timeOnce(n, f, "warm1")
+      if (labeled.last._2._1 >= 2.0)
+        labeled += "warm2" -> timeOnce(n, f, "warm2")
+      def valid = labeled.map(_._2._1).filter(_ >= 0)
       if (valid.nonEmpty && valid.min >= WarmAnomalyMinSec &&
-          samples.drop(1).exists(_._1 > WarmAnomalyRatio * valid.min)) {
-        val worstPass = samples.drop(1).maxBy(_._1)
+          labeled.drop(1).exists(_._2._1 > WarmAnomalyRatio * valid.min)) {
+        val vmin = valid.min
+        val worstPass = labeled.drop(1).maxBy(_._2._1)._2
         val calibAt = calib()
         val recovery = timeOnce(n, f, "recovery")
-        samples = samples :+ recovery
+        labeled += "recovery" -> recovery
+        // a recovery sample still >1.5× min is the non-recovering shape
+        // (r10 q_skipping_stats: recovery 2.24× and nothing fired) —
+        // re-sample once; still above → escalate as UNRESOLVED
+        var recovery2 = -2.0 // -2 = not taken (recovery was clean)
+        if (recovery._1 >= 0 && recovery._1 > AnomalyRecoveryRatio * vmin) {
+          val r2 = timeOnce(n, f, "recovery2")
+          labeled += "recovery2" -> r2
+          recovery2 = if (r2._1 >= 0) r2._1 / vmin else -1.0
+          if (r2._1 < 0 || r2._1 > AnomalyRecoveryRatio * vmin)
+            unresolved(n) = (recovery._1 / vmin, recovery2)
+        }
         anomalies(n) = Anomaly(
-          worst = worstPass._1 / valid.min,
+          worst = worstPass._1 / vmin,
           calibAt = calibAt,
           gcFrac = if (worstPass._1 > 0) worstPass._2 / worstPass._1 else 0.0,
-          recovery = if (recovery._1 >= 0) recovery._1 / valid.min else -1.0,
+          recovery = if (recovery._1 >= 0) recovery._1 / vmin else -1.0,
+          recovery2 = recovery2,
           sharedEvents = events.drop(evBefore)
             .count(e => e.label.startsWith("shared:") && e.kind != "cleanup"),
           healsN = 0) // heals attributed just below, after the drain
       }
+      // ── elevated-minimum check (r10 verdict directive #1) ──
+      // The group's stage rows are drained HERE either way, so the buffer
+      // never outlives its query; stray rows from async listener delivery
+      // carry this group's labels and can never pollute the next group's
+      // best-pass filter.
+      val groupRows = audit.drainRows()
+      val vmin = if (valid.nonEmpty) valid.min else -1.0
+      floors.get(n).foreach { floor =>
+        if (vmin >= ElevatedMinSec && floor > 0 &&
+            vmin > ElevatedMinRatio * floor) {
+          val calibAt = calib()
+          val (bestLabel, best) = labeled.filter(_._2._1 >= 0).minBy(_._2._1)
+          val rows = groupRows.filter(_.label == s"$n/$bestLabel")
+            .sortBy(-_.ms).take(8)
+          elevated(n) = Elevated(vmin, floor, calibAt,
+            if (best._1 > 0) best._2 / best._1 else 0.0, bestLabel, rows)
+        }
+      }
+      val samples = labeled.map(_._2).toSeq
       // release the group's local frames, then PROVE the stream-state
       // registry is empty (r9's sweep-backlog fix verifying itself on the
       // driver's exact harness path) and sweep the group's scratch dirs
@@ -312,7 +405,24 @@ object Bench {
         s""""calib_at":${jnum(a.calibAt, "%.2f")},""" +
         s""""gc_frac":${jnum(a.gcFrac, "%.2f")},""" +
         s""""recovery":${jnum(a.recovery, "%.2f")},""" +
+        s""""recovery2":${jnum(a.recovery2, "%.2f")},""" +
         s""""shared_events":${a.sharedEvents},"heals":${a.healsN}}"""
+    }.mkString("{", ",", "}")
+    // anomalies that failed BOTH recovery samples (directive r10 #3)
+    val unresolvedJson = unresolved.toSeq.map { case (n, (r1, r2)) =>
+      "\"" + n + s"""\":{"recovery":${jnum(r1, "%.2f")},""" +
+        s""""recovery2":${jnum(r2, "%.2f")}}"""
+    }.mkString("{", ",", "}")
+    // elevated minima vs the controlled floor table, with the best pass's
+    // stage breakdown (directive r10 #1)
+    val elevatedJson = elevated.toSeq.map { case (n, e) =>
+      "\"" + n + "\":{" +
+        s""""min":${jnum(e.min, "%.2f")},"floor":${jnum(e.floor, "%.2f")},""" +
+        s""""ratio":${jnum(e.min / e.floor, "%.2f")},""" +
+        s""""calib_at":${jnum(e.calibAt, "%.2f")},""" +
+        s""""gc_frac_best":${jnum(e.gcFracBest, "%.2f")},""" +
+        s""""best_pass":"${e.bestPass}",""" +
+        s""""stages":[${e.stages.map(_.json).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     // cold-build spread (pass1 ≫ warm): benign, priced, reported apart
     val coldSpread = runs.collect { case (n, samples)
@@ -337,6 +447,9 @@ object Bench {
         s""","pass_totals":[${passTotals.mkString(",")}]""" +
         s""","storage_peak_mb":$storagePeakMb""" +
         s""","warm_anomalies":$anomaliesJson""" +
+        s""","warm_anomalies_unresolved":$unresolvedJson""" +
+        s""","elevated_minima":$elevatedJson""" +
+        s""","floor_calib_sec":${jnum(floorCalib, "%.2f")}""" +
         s""","spread_cold_top":${mapJson(coldSpread.take(15), "%.2f")}""" +
         s""","evict_events":[${events.take(400).map(_.json).mkString(",")}]""" +
         s""","evict_events_n":${events.size}""" +
@@ -361,7 +474,7 @@ object Bench {
     // compact final line: slowest queries first until the budget is hit,
     // remainder folded into one "_other" sum — must fit the 2000-char tail
     // together with sbt's trailing "[success]" line
-    val budget = 900 // headroom for the fixed fields incl. anomaly/audit
+    val budget = 840 // headroom for the fixed fields incl. anomaly/audit
     val bySlow = mins.sortBy { case (_, v) => -v }
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var len = 0
@@ -377,6 +490,10 @@ object Bench {
     val anomaliesCompact = anomalies.toSeq.take(6)
       .map { case (n, a) => "\"" + n + "\":" + jnum(a.worst, "%.1f") }
       .mkString("{", ",", "}")
+    val elevatedCompact = elevated.toSeq.sortBy { case (_, e) =>
+        -(e.min / e.floor) }.take(6)
+      .map { case (n, e) => "\"" + n + "\":" + jnum(e.min / e.floor, "%.1f") }
+      .mkString("{", ",", "}")
     val coldTop = coldSpread.take(5)
       .map { case (n, r) => "\"" + n + "\":" + jnum(r, "%.1f") }
       .mkString("{", ",", "}")
@@ -389,6 +506,8 @@ object Bench {
         s""","pass_totals":[${passTotals.map(jnum(_, "%.1f")).mkString(",")}]""" +
         s""","n_queries":${names.size},"n_shown":${kept.size}""" +
         s""","warm_anomalies":$anomaliesCompact""" +
+        s""","anomalies_unresolved_n":${unresolved.size}""" +
+        s""","elevated":$elevatedCompact""" +
         s""","spread_cold_top":$coldTop""" +
         s""","evict_shared_n":$sharedEventCount,"heals_n":${heals.size}""" +
         s""","state_nonzero_n":${stateNonzero.size}""" +

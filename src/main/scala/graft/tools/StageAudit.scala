@@ -3,44 +3,82 @@ package graft.tools
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only stage-level profiler shared by [[MisProbe]] and [[QueryProbe]]:
-  * registers a listener once, then reports per labeled block the stage
+/** Stage-level profiler shared by the dev probes ([[MisProbe]],
+  * [[QueryProbe]], [[SimhashBandProbe]]) and, since round 11, by
+  * [[graft.Bench]]'s elevated-minimum attribution: registers a listener
+  * once, stamps every completed stage with the CALLER-SET label of the
+  * work running at the time, and returns per labeled block the stage
   * count, task count, summed stage wall, and the heaviest stages with RDD
   * chain + task metrics — the attribution that separates "this query is
   * compute-bound" (task time tracks bytes) from "this query is a parade of
   * tiny stages" (tasks ≫ data, the cached-plan partition-pinning shape
-  * round 10 caught on q_mis). */
+  * round 10 caught on q_mis).
+  *
+  * Labels assume blocks run ONE AT A TIME (both the probes and Bench are
+  * strictly sequential); stage-completion events are posted async on the
+  * listener bus, so a row can land a few ms after its block's timer stops
+  * — callers that bucket rows by label (Bench) are immune, callers that
+  * drain between blocks (timed) tolerate the skew as diagnostics. */
 final class StageAudit(spark: SparkSession) {
-  private val stages =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]()
+  import StageAudit.Row
+  @volatile private var label = ""
+  private val rows = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+
+  /** Attribute subsequently completed stages to `l`. */
+  def setLabel(l: String): Unit = { label = l }
+
   spark.sparkContext.addSparkListener(new SparkListener {
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val i = sc.stageInfo
       val ms = (for {s <- i.submissionTime; c <- i.completionTime}
         yield c - s).getOrElse(-1L)
       val m = i.taskMetrics
-      val desc = i.rddInfos.sortBy(_.id).map(_.name).mkString(">").take(70) +
-        f" | task=${m.executorRunTime}ms deser=${m.executorDeserializeTime}ms " +
-        f"gc=${m.jvmGCTime}ms sRead=${m.shuffleReadMetrics.totalBytesRead} " +
-        f"sWrite=${m.shuffleWriteMetrics.bytesWritten}"
-      stages.add((desc, ms, i.numTasks))
+      rows.add(Row(label,
+        i.rddInfos.sortBy(_.id).map(_.name).mkString(">").take(70),
+        ms, i.numTasks, m.executorRunTime, m.jvmGCTime,
+        m.shuffleReadMetrics.totalBytesRead,
+        m.shuffleWriteMetrics.bytesWritten))
     }
   })
 
+  /** Return and clear every accumulated row. */
+  def drainRows(): Seq[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var r = rows.poll()
+    while (r != null) { out += r; r = rows.poll() }
+    out.toSeq
+  }
+
   /** Time `f`, then print `[probe] <label> <sec> | stages/tasks/stageMs`
-    * and the `top` heaviest stages. Stage attribution assumes blocks run
-    * one at a time (dev probes do). */
-  def timed[A](label: String, top: Int = 6)(f: => A): A = {
-    stages.clear()
+    * and the `top` heaviest stages. */
+  def timed[A](label0: String, top: Int = 6)(f: => A): A = {
+    drainRows()
+    setLabel(label0)
     val t0 = System.nanoTime(); val r = f
     val sec = (System.nanoTime() - t0) / 1e9
-    import scala.jdk.CollectionConverters._
-    val ss = stages.asScala.toSeq
-    println(f"[probe] $label%-28s $sec%.2f s | stages=${ss.size} " +
-      f"stageMs=${ss.map(_._2).sum} tasks=${ss.map(_._3).sum}")
-    ss.sortBy(-_._2).take(top).foreach { case (n, ms, nt) =>
-      println(f"[probe]    ${ms}%6d ms ${nt}%4d tasks  $n") }
+    val ss = drainRows()
+    println(f"[probe] $label0%-28s $sec%.2f s | stages=${ss.size} " +
+      f"stageMs=${ss.map(_.ms).sum} tasks=${ss.map(_.tasks).sum}")
+    ss.sortBy(-_.ms).take(top).foreach { s =>
+      println(f"[probe]    ${s.ms}%6d ms ${s.tasks}%4d tasks  ${s.desc} | " +
+        f"task=${s.taskMs}ms gc=${s.gcMs}ms sRead=${s.sReadB} " +
+        f"sWrite=${s.sWriteB}") }
     r
+  }
+}
+
+object StageAudit {
+  /** One completed stage: the caller label active when it finished, its
+    * RDD chain, wall ms, task count, summed task metrics, shuffle bytes. */
+  final case class Row(label: String, desc: String, ms: Long, tasks: Int,
+      taskMs: Long, gcMs: Long, sReadB: Long, sWriteB: Long) {
+    /** Compact JSON for BENCH_DETAIL's elevated-minimum records. */
+    def json: String = {
+      val d = desc.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"ms":$ms,"tasks":$tasks,"task_ms":$taskMs,"gc_ms":$gcMs,""" +
+        s""""sread_mb":${sReadB >> 20},"swrite_mb":${sWriteB >> 20},""" +
+        s""""desc":"$d"}"""
+    }
   }
 }
 
