@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -96,6 +96,33 @@ object LineageCut {
     * job that fills the cache the checkpoint writer then reads, so nothing
     * is computed twice. */
   def cutCounted(df: DataFrame, mode: LineageCut): (DataFrame, Long) = {
+    val (out, m) = cutObserved(df, mode,
+      Seq(count(lit(1)).as("n")))
+    val n = m.get("n").map(_.asInstanceOf[Long]).getOrElse(out.count())
+    (out, n)
+  }
+
+  /** Set false for the rest of the JVM after one observation timeout —
+    * polling 2 s per call on a session where metrics never arrive would
+    * cost far more than the saved count jobs. */
+  @volatile private var observeWorks = true
+
+  /** [[cut]] plus aggregate `metrics` collected DURING the materialization
+    * job via `Dataset.observe` — iterative algorithms read a convergence
+    * statistic every round, and computing it as a side effect of the
+    * round's one materialization action removes a whole scan job per
+    * round (the count job [[cutCounted]] used to run over the
+    * just-cached blocks; ~40 driver-scheduled jobs per q_scc pass, each
+    * with fixed submission overhead, made that a real tax at small SF —
+    * and one fewer action per round is equally free at cluster scale).
+    *
+    * The returned map is EMPTY when the metrics don't arrive (observation
+    * listeners ride the async listener bus; a bounded poll covers normal
+    * delivery) — callers must fall back to computing their statistic from
+    * the cut frame, which is correct just slower. One timeout disables
+    * observation for the JVM. */
+  def cutObserved(df: DataFrame, mode: LineageCut,
+      metrics: Seq[Column]): (DataFrame, Map[String, Any]) = {
     val reliable = mode match {
       case Reliable => true
       case Local => false
@@ -103,18 +130,30 @@ object LineageCut {
         df.sparkSession.sparkContext.getCheckpointDir.isDefined &&
           !df.sparkSession.sparkContext.isLocal
     }
-    if (!reliable) {
-      val out = df.localCheckpoint(true)
-      (out, out.count())
-    } else {
-      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        "LineageCut.Reliable needs SparkContext.setCheckpointDir")
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      val n = cached.count()
-      val out = cached.checkpoint(true)
-      cached.unpersist(false)
-      (out, n)
-    }
+    if (!observeWorks) return (cut(df, mode), Map.empty)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    val out =
+      if (!reliable) observed.localCheckpoint(true)
+      else {
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "LineageCut.Reliable needs SparkContext.setCheckpointDir")
+        val cached = observed.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        val o = cached.checkpoint(true)
+        cached.unpersist(false)
+        o
+      }
+    val m =
+      try {
+        val row = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(2, "s"))
+        row.getValuesMap[Any](row.schema.fieldNames.toIndexedSeq)
+      } catch { case _: java.util.concurrent.TimeoutException =>
+        observeWorks = false
+        Map.empty[String, Any]
+      }
+    (out, m)
   }
 }
 
@@ -1202,6 +1241,20 @@ object Graph {
     * semi-joins/aggregates over the live edge set — O(|E|) per round, and
     * the live set only shrinks. Unconverged results throw loudly (a
     * silent partial SCC labeling would mislabel merged components). */
+  /** Dev-probe round counters for [[stronglyConnectedComponents]] — which
+    * inner loop the per-pass stage count concentrates in (trim vs color vs
+    * sweep) decides which restructure pays. Written only by the SCC loop,
+    * read by [[graft.tools.SccProbe]]; zero overhead otherwise. */
+  private[graft] object SccStats {
+    @volatile var outer = 0
+    @volatile var trim = 0
+    @volatile var color = 0
+    @volatile var sweep = 0
+    def reset(): Unit = { outer = 0; trim = 0; color = 0; sweep = 0 }
+    override def toString =
+      s"outer=$outer trim=$trim color=$color sweep=$sweep"
+  }
+
   def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 12,
       maxProp: Int = 40, cutMode: LineageCut = LineageCut.Auto): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
@@ -1225,10 +1278,20 @@ object Graph {
       // ---- 1. trim to fixpoint
       var trimming = true
       while (trimming && nVerts > 0) {
-        val (keep, nKeep) = LineageCut.cutCounted(verts
-          .join(live.select(col("src").as("v")).distinct(), Seq("v"), "left_semi")
-          .join(live.select(col("dst").as("v")).distinct(), Seq("v"), "left_semi"),
-          cutMode)
+        // ONE degree pass over the live edges replaces the r10 shape's two
+        // distinct+semi-join probes (~5 stages/round fewer): a vertex
+        // stays iff it has BOTH a live out-edge and a live in-edge, and
+        // live is always verts-restricted so the agg's key set ⊆ verts —
+        // including dropping verts with no live edge at all, exactly as
+        // the semi-joins did.
+        val ends = live
+          .select(col("src").as("v"), lit(1).as("o"), lit(0).as("i"))
+          .unionByName(live
+            .select(col("dst").as("v"), lit(0).as("o"), lit(1).as("i")))
+        val (keep, nKeep) = LineageCut.cutCounted(
+          ends.groupBy("v").agg(max(col("o")).as("o"), max(col("i")).as("i"))
+            .filter(col("o") === 1 && col("i") === 1).select("v"), cutMode)
+        SccStats.trim += 1
         if (nKeep == nVerts) trimming = false
         else {
           done += LineageCut.cut(verts.join(keep, Seq("v"), "left_anti")
@@ -1243,18 +1306,37 @@ object Graph {
         var colors = LineageCut.cut(verts.withColumn("c", col("v")), cutMode)
         var converged = false
         var i = 0
+        val cType = colors.schema("c").dataType
         while (!converged && i < maxProp) {
-          val nbrMin = live
+          // One union-agg pass per round: new label = min over (self ∪
+          // in-neighbor labels), with the PREVIOUS label riding along as
+          // `old` (each v contributes exactly one self row, so max(old)
+          // recovers it through the agg) — the change test is then a flat
+          // filter over the cut frame and the r10 shape's second join
+          // (colors LEFT JOIN nbrMin, ~3 stages/round) disappears. Every
+          // prop v is also a self v (live is verts-restricted), so no
+          // group lacks its `old`.
+          val prop = live
             .join(colors.select(col("v").as("src"), col("c")), Seq("src"))
-            .groupBy(col("dst").as("v")).agg(min(col("c")).as("nc"))
-          val upd = LineageCut.cut(colors.join(nbrMin, Seq("v"), "left")
-            .select(col("v"),
-              least(col("c"), coalesce(col("nc"), col("c"))).as("c"),
-              coalesce(col("nc") < col("c"), lit(false)).as("chg")), cutMode)
+            .select(col("dst").as("v"), col("c"),
+              lit(null).cast(cType).as("old"))
+          val self = colors.select(col("v"), col("c"), col("c").as("old"))
+          // the convergence statistic rides the materialization action
+          // (cutObserved) — zero extra jobs per round; fallback scans the
+          // cut frame if observation metrics don't arrive
+          val (upd, m) = LineageCut.cutObserved(
+            prop.unionByName(self).groupBy("v")
+              .agg(min(col("c")).as("c"), max(col("old")).as("old")), cutMode,
+            Seq(max(when(col("c") < col("old"), lit(1)).otherwise(lit(0)))
+              .as("chg")))
           LineageCut.release(colors) // superseded coloring round
           colors = upd.select("v", "c")
-          converged = upd.filter(col("chg")).isEmpty
+          converged = m.get("chg") match {
+            case Some(v) => v == null || v.asInstanceOf[Int] == 0
+            case None => upd.filter(col("c") < col("old")).isEmpty
+          }
           i += 1
+          SccStats.color += 1
         }
         if (!converged) throw new IllegalStateException(
           s"scc: forward coloring not converged after $maxProp rounds — " +
@@ -1270,16 +1352,19 @@ object Graph {
         var growing = true
         var j = 0
         while (growing && j < maxProp) {
+          // union+distinct subsumes the r10 shape's anti-join dedup (~2
+          // stages/round fewer): the grown set is just (predecessors
+          // along intra edges) ∪ reached, deduped once in the same agg
           val preds = intra
             .join(reached.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
-            .select(col("src").as("v")).distinct()
-            .join(reached, Seq("v"), "left_anti")
+            .select(col("src").as("v"))
           val (r2, n2) = LineageCut.cutCounted(
-            reached.unionByName(preds), cutMode)
+            reached.unionByName(preds).distinct(), cutMode)
           growing = n2 > nReached
           LineageCut.release(reached) // superseded sweep round
           reached = r2; nReached = n2
           j += 1
+          SccStats.sweep += 1
         }
         if (growing) throw new IllegalStateException(
           s"scc: backward sweep not converged after $maxProp rounds — " +
@@ -1296,6 +1381,7 @@ object Graph {
         restrictLive()
       }
       outer += 1
+      SccStats.outer += 1
     }
     if (nVerts > 0) throw new IllegalStateException(
       s"scc: not converged after $maxOuter outer rounds — condensation " +
