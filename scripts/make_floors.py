@@ -1,36 +1,51 @@
 #!/usr/bin/env python3
-"""Regenerate src/main/resources/bench_floors.tsv from a CONTROLLED
-BENCH_DETAIL.json (Bench run alone on an otherwise idle box).
+"""Regenerate src/main/resources/bench_floors.tsv from one or more
+BENCH_DETAIL.json artifacts (controlled sessions — Bench alone, or a
+full-pipeline session on an otherwise idle box).
 
-Usage: python3 scripts/make_floors.py <bench_detail.json> [<label>]
+Usage: python3 scripts/make_floors.py <detail.json> [<detail.json> ...]
 
-Writes name<TAB>min_seconds per catalog query plus a `_calib` pseudo-entry
-(the session's CalibProbe mean) so graft.Bench's elevated-minimum detector
+With several artifacts the floor is the PER-QUERY MIN across them — a
+single session's min still carries that session's ambient, and the
+elevated-minimum detector wants the best credible steady state. Writes
+name<TAB>min_seconds per catalog query plus a `_calib` pseudo-entry (the
+MIN of the sessions' CalibProbe means, same reasoning) so graft.Bench
 can report both yardsticks. `_shared_warmup` is excluded: it is a
-one-time build, not a steady-state floor.
+one-time build, not a steady-state floor. Only queries present in EVERY
+artifact get a floor (a query added after an old artifact must wait for
+a fresh controlled run).
 """
-import json, sys, datetime
+import json, sys, datetime, os
 
-def main(path, label):
-    d = json.load(open(path))
-    calib = sum(d["calib_sec"]) / len(d["calib_sec"])
+
+def main(paths):
+    arts = [json.load(open(p)) for p in paths]
+    calib = min(sum(a["calib_sec"]) / len(a["calib_sec"]) for a in arts)
+    common = set(arts[0]["queries_min"])
+    for a in arts[1:]:
+        common &= set(a["queries_min"])
     lines = [
         "# Per-query expected-min floors for graft.Bench's elevated-minimum",
-        f"# detector. Source: {label} (total={d['value']:.2f}s,"
-        f" calib_mean={calib:.3f}s, sf={d['sf']}).",
+        "# detector: per-query MIN over the controlled artifacts",
+        f"# {', '.join(os.path.basename(p) for p in paths)}",
+        f"# (calib_min={calib:.3f}s, sf={arts[0]['sf']}).",
         f"# Generated {datetime.date.today().isoformat()} by"
         " scripts/make_floors.py — regenerate after query-code or catalog"
         " changes.",
         f"_calib\t{calib:.4f}",
     ]
-    for name, sec in sorted(d["queries_min"].items()):
-        if name.startswith("_") or sec < 0:
+    n = 0
+    for name in sorted(common):
+        secs = [a["queries_min"][name] for a in arts]
+        if name.startswith("_") or any(s < 0 for s in secs):
             continue
-        lines.append(f"{name}\t{sec:.4f}")
+        lines.append(f"{name}\t{min(secs):.4f}")
+        n += 1
     out = "src/main/resources/bench_floors.tsv"
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out}: {len(lines) - 4} query floors, _calib={calib:.3f}")
+    print(f"wrote {out}: {n} query floors, _calib={calib:.3f}")
+
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else sys.argv[1])
+    main(sys.argv[1:])

@@ -644,16 +644,22 @@ object Dedup {
     // explicit-N repartition on the sharded path: a broadcast join would
     // run the pair refine at the probe side's (byte-coalesced) partition
     // count, and AQE folds byte-tiny join shuffles back to one task — a
-    // user-specified partition count is exempt from both. Over-decompose
-    // to 4× the shard count: hashing exactly `shards` distinct shard
-    // values into `shards` partitions leaves ~1/e of partitions EMPTY by
-    // balls-into-bins (some partitions drawing 2–3 shards, whole cores
-    // idle through the quadratic refine); at 4× the collision loss is
-    // ≤ ~12% expected, and the extra partitions are byte-tiny.
+    // user-specified partition count is exempt from both. Deliberately
+    // exactly `shards` partitions: hashing `shards` distinct shard values
+    // into `shards` partitions does leave ~1/e of them empty by
+    // balls-into-bins (some cores idle through the hot bucket's refine),
+    // but the measured alternative — over-decomposing to 4× so collisions
+    // stop costing whole cores — LOST: q_simhash_pairs 1.20 → 2.02 s,
+    // q_simhash64_pairs 0.64 → 0.79 s (sf0.1, 32c, controlled pairs).
+    // The extra exchange width and per-task overhead on byte-tiny
+    // partitions outweigh the recovered idle cores; range partitioning
+    // can't help either (the join's HashPartitioning requirement would
+    // force a re-shuffle). Revisit only with a measured hot-bucket case
+    // where the k²/2 refine dominates end-to-end.
     val (aj, bj) =
       if (shards > 1)
-        (a.repartition(shards * 4, col("band"), col("bits"), col("shard")),
-         b.repartition(shards * 4, col("band"), col("bits"), col("shard")))
+        (a.repartition(shards, col("band"), col("bits"), col("shard")),
+         b.repartition(shards, col("band"), col("bits"), col("shard")))
       else (a, b)
     aj.join(bj, Seq("band", "bits", "shard"))
       .filter(col("doc_a") < col("doc_b"))

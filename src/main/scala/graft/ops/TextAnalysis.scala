@@ -249,7 +249,13 @@ object TextAnalysis {
         round(least(lit(1.0), col("n_words").cast("double") / 20.0)
           * (lit(1.0) - lit(0.5) * col("n_stopwords").cast("double")
             / col("n_words").cast("double")), 6))
-    val dist = scored.groupBy("quality_score").agg(count(lit(1)).as("c"))
+    // persistTracked: the distribution frame feeds THREE consumers below
+    // (bounds agg, bucket offsets, the bucketed cum join) — uncached, each
+    // would recompute the tokenize-heavy document scan above (measured
+    // +1.0 s at sf0.1 when the two-phase restructure first landed without
+    // this; the frame itself is ≤ 1e6+1 rows by the 6-dp quantization)
+    val dist = graft.ops.QueryLocal.persistTracked(
+      scored.groupBy("quality_score").agg(count(lit(1)).as("c")))
     // Two-phase cumulative count over the distinct-score frame: the 6-dp
     // quantization bounds it at ≤ 1e6+1 rows, but that worst case is
     // still a million-row SinglePartition sort under a globally-ordered
