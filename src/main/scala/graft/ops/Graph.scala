@@ -1790,22 +1790,36 @@ object Graph {
         .unionByName(t.select(col("a2").as("a"), col("b2").as("b")))
         .unionByName(t.select(col("a3").as("a"), col("b3").as("b")))
         .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-    var e = LineageCut.cut(
+    // The under-threshold count rides each edge-frame materialization
+    // (cutObserved, the SCC convention): the peel loop's "any deletions
+    // this round?" probe costs zero extra jobs — the PREVIOUS round's
+    // materialization already measured it.
+    def cutE(df: DataFrame): (DataFrame, Long) = {
+      val (out, m) = LineageCut.cutObserved(df, cutMode,
+        Seq(sum(when(col("sup") < k - 2, lit(1L)).otherwise(lit(0L)))
+          .as("ndead")))
+      val n = m.get("ndead") match {
+        case Some(null) => 0L // sum over an empty frame
+        case Some(v) => v.asInstanceOf[Long]
+        case None => out.filter(col("sup") < k - 2).count() // fallback
+      }
+      (out, n)
+    }
+    var (e, nDead) = cutE(
       und.join(supOf(tri), Seq("a", "b"), "left")
         .select(col("a"), col("b"),
-          coalesce(col("sup"), lit(0L)).as("sup")), cutMode)
+          coalesce(col("sup"), lit(0L)).as("sup")))
     LineageCut.release(und)
     var r = 1
     var converged = false
     while (r <= rounds && !converged) {
-      val dead = e.filter(col("sup") < k - 2).select("a", "b")
       // no deletions ⇒ support is already a fixed point and every later
       // round is a provable no-op — identical output, so the fixed round
       // budget stays the CONTRACT (oracle-unrollable) while the engine
-      // stops paying for converged rounds (the count is a narrow job
-      // over the checkpointed edge frame)
-      if (dead.count() == 0L) converged = true
+      // stops paying for converged rounds
+      if (nDead == 0L) converged = true
       else {
+        val dead = e.filter(col("sup") < k - 2).select("a", "b")
         // triangles that lose ≥1 edge this round, each exactly once;
         // persisted (not cut): both consumers below materialize inside
         // their own cut jobs, so a lazy cache saves the third job
@@ -1815,15 +1829,15 @@ object Graph {
         val deadTri = touch("a1", "b1").unionByName(touch("a2", "b2"))
           .unionByName(touch("a3", "b3")).distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val nextE = LineageCut.cut(
+        val (nextE, nd) = cutE(
           e.filter(col("sup") >= k - 2)
             .join(supOf(deadTri).withColumnRenamed("sup", "dec"),
               Seq("a", "b"), "left")
             .select(col("a"), col("b"),
-              (col("sup") - coalesce(col("dec"), lit(0L))).as("sup")),
-          cutMode)
+              (col("sup") - coalesce(col("dec"), lit(0L))).as("sup")))
         LineageCut.release(e)
         e = nextE
+        nDead = nd
         if (r < rounds) { // the final round's list has no reader
           val nextTri = graft.Tables.fanOut(LineageCut.cut(
             tri.join(deadTri, keys, "left_anti"), cutMode))

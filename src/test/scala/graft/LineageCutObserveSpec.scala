@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins [[ops.LineageCut.cutObserved]] — the round-11 move that collects
+  * an iterative round's convergence statistic DURING its one
+  * materialization action (removing a scan job per round for every
+  * cutCounted consumer): the metrics arrive, the count is exact, and the
+  * cut frame stays a usable, released-on-demand local checkpoint. */
+class LineageCutObserveSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("cutCounted count rides the materialization and is exact") {
+    val df = (1 to 1234).toDF("x").repartition(4)
+    val (cut, n) = ops.LineageCut.cutCounted(df, ops.LineageCut.Local)
+    assert(n == 1234)
+    // the frame is a real lineage cut: still fully readable
+    assert(cut.as[Int].collect().sorted.toSeq == (1 to 1234))
+    ops.LineageCut.release(cut)
+  }
+
+  test("cutObserved returns caller metrics alongside the cut frame") {
+    val df = (1 to 100).toDF("x")
+    val (cut, m) = ops.LineageCut.cutObserved(df, ops.LineageCut.Local,
+      Seq(count(lit(1)).as("n"), max(col("x")).as("mx")))
+    // observation metrics normally arrive within the bounded await; if
+    // the environment ever makes them time out, the contract is an EMPTY
+    // map (callers fall back) — both outcomes keep the cut frame valid
+    if (m.nonEmpty) {
+      assert(m("n") == 100L)
+      assert(m("mx") == 100)
+    }
+    assert(cut.count() == 100)
+    ops.LineageCut.release(cut)
+  }
+
+  test("empty frame: count 0, convergence-style max metric is null") {
+    val df = spark.range(0).selectExpr("id AS x")
+    val (cut, m) = ops.LineageCut.cutObserved(df, ops.LineageCut.Local,
+      Seq(max(when(col("x") > 0, lit(1)).otherwise(lit(0))).as("chg")))
+    if (m.nonEmpty) assert(m("chg") == null) // max over zero rows
+    assert(cut.count() == 0)
+    ops.LineageCut.release(cut)
+  }
+}

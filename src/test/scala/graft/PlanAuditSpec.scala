@@ -152,6 +152,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum staging cumulates inside range-bucket shards") {
+    // r10 verdict directive #4: the distinct-score cumulative count is
+    // bounded (≤1e6+1 rows by 6-dp quantization) but that worst case is
+    // still a million-row single-partition sort — the cum window must
+    // ride the 256-way range bucket, with only the bucket-total offset
+    // frame crossing SinglePartition
+    val p = plan("q_curriculum")
+    assert(p.contains("hashpartitioning(rb"),
+      s"curriculum lost its two-phase shard partitioning:\n$p")
+    // the cumulative window must be PARTITIONED by the range bucket
+    // (windowspecdefinition lists partition cols first): a global window
+    // ordered by the distribution column itself is the regressed
+    // single-partition-sort shape. SinglePartition exchanges remain for
+    // the constant-size frames only (single-row bounds agg, 256-row
+    // bucket offsets).
+    assert(!"windowspecdefinition\\((?:s6|quality_score)#".r
+      .unanchored.matches(p),
+      s"curriculum re-grew a global window over the score column:\n$p")
+  }
+
   test("seq packing windows are sharded — no single-partition stage at all") {
     val p = plan("q_seq_pack")
     assert(!p.contains("Exchange SinglePartition"), p)

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the [[tools.StageAudit]] contract Bench's elevated-minimum
+  * attribution depends on: completed stages are stamped with the
+  * caller-set label active at the time, drainRows clears, and Row.json
+  * emits valid JSON (quotes/backslashes in RDD names escaped). */
+class StageAuditSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+
+  test("stages are stamped with the active label and drain clears") {
+    val audit = new tools.StageAudit(spark)
+    audit.drainRows()
+    audit.setLabel("blockA")
+    spark.range(0, 100000, 1, 4).selectExpr("id % 7 AS k")
+      .groupBy("k").count().count()
+    // stage-completion events ride the async listener bus — poll briefly
+    var rows = Seq.empty[tools.StageAudit.Row]
+    var waited = 0
+    while (rows.size < 2 && waited < 5000) {
+      Thread.sleep(50); waited += 50
+      rows = rows ++ audit.drainRows()
+    }
+    assert(rows.size >= 2, "a groupBy query must complete >= 2 stages")
+    assert(rows.forall(_.label == "blockA"))
+    assert(rows.map(_.tasks).sum >= 5) // 4 map + >=1 reduce
+    // drained means drained
+    assert(audit.drainRows().isEmpty)
+  }
+
+  test("Row.json escapes quotes and backslashes in stage descriptions") {
+    val r = tools.StageAudit.Row("""l""", """Rdd"with\quote""", 12, 3,
+      34, 5, 6L << 20, 7L << 20)
+    val j = r.json
+    assert(j.contains("\"desc\":\"Rdd\\\"with\\\\quote\""))
+    assert(j.contains("\"ms\":12") && j.contains("\"tasks\":3"))
+    assert(j.contains("\"sread_mb\":6") && j.contains("\"swrite_mb\":7"))
+  }
+}
