@@ -29,11 +29,23 @@ object SccProbe {
     val audit = new StageAudit(spark)
     val edges = graft.Tables.transfers(spark, sfDir)
       .select(col("from_address").as("src"), col("to_address").as("dst"))
-    for (pass <- 1 to 3) {
+    val passes = sys.env.getOrElse("SCC_PROBE_PASSES", "3").toInt
+    for (pass <- 1 to passes) {
       graft.ops.Graph.SccStats.reset()
-      audit.timed(s"scc pass$pass", top = 4) {
-        graft.ops.Graph.stronglyConnectedComponents(edges).count()
-      }
+      audit.drainRows()
+      audit.setLabel(s"pass$pass")
+      val t0 = System.nanoTime()
+      val n = graft.ops.Graph.stronglyConnectedComponents(edges).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = audit.drainRows()
+      println(f"[probe] scc pass$pass  ${sec}%.2f s | rows=$n " +
+        f"stages=${rows.size} tasks=${rows.map(_.tasks).sum} " +
+        f"stageMs=${rows.map(_.ms).sum} " +
+        f"sReadMB=${rows.map(_.sReadB).sum >> 20} " +
+        f"sWriteMB=${rows.map(_.sWriteB).sum >> 20} " +
+        f"gcMs=${rows.map(_.gcMs).sum}")
+      rows.sortBy(-_.ms).take(4).foreach { s =>
+        println(f"[probe]    ${s.ms}%6d ms ${s.tasks}%4d tasks  ${s.desc}") }
       println(s"[probe]    rounds: ${graft.ops.Graph.SccStats}")
     }
     spark.stop()
