@@ -20,10 +20,18 @@ import json, sys, datetime, os
 
 def main(paths):
     arts = [json.load(open(p)) for p in paths]
+    # mixing scales would silently collapse every floor to the smaller
+    # SF's timings while the header claims the larger — refuse
+    sfs = {a["sf"] for a in arts}
+    assert len(sfs) == 1, f"artifacts span different scale factors: {sfs}"
     calib = min(sum(a["calib_sec"]) / len(a["calib_sec"]) for a in arts)
     common = set(arts[0]["queries_min"])
     for a in arts[1:]:
         common &= set(a["queries_min"])
+    only = {len(a["queries_min"]) - len(common) - 1 for a in arts}
+    assert max(only) <= 5, (
+        f"artifacts disagree on up to {max(only)} catalog entries — "
+        "regenerate all inputs from the same catalog era")
     lines = [
         "# Per-query expected-min floors for graft.Bench's elevated-minimum",
         "# detector: per-query MIN over the controlled artifacts",

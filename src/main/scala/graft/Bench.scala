@@ -316,7 +316,8 @@ object Bench {
       // never outlives its query; stray rows from async listener delivery
       // carry this group's labels and can never pollute the next group's
       // best-pass filter.
-      val groupRows = audit.drainRows()
+      val groupRows =
+        scala.collection.mutable.ArrayBuffer(audit.drainRows(): _*)
       val vmin = if (valid.nonEmpty) valid.min else -1.0
       floors.get(n).foreach { floor =>
         if (vmin >= ElevatedMinSec && floor > 0 &&
@@ -324,14 +325,24 @@ object Bench {
           // cap the per-elevation calib probes: a session that is slow
           // ACROSS THE BOARD (co-tenant for its whole duration) would
           // otherwise spend 0.6 s × hundreds of queries re-measuring the
-          // same ambient; past the cap, reuse the latest reading (the
-          // stage capture stays free and per-query)
-          val calibAt =
-            if (elevated.size < 12) calib()
-            else elevated.last._2.calibAt
+          // same ambient; past the cap, -1 marks the reading NOT TAKEN
+          // (an hours-stale copy would misattribute exactly the sessions
+          // this feature exists for; fresher ambient context still lands
+          // in calib_series every 64 queries)
+          val calibAt = if (elevated.size < 12) calib() else -1.0
           val (bestLabel, best) = labeled.filter(_._2._1 >= 0).minBy(_._2._1)
-          val rows = groupRows.filter(_.label == s"$n/$bestLabel")
-            .sortBy(-_.ms).take(8)
+          // stage-completed events ride the ASYNC listener bus: when the
+          // best pass was the last thing run, its rows may not have been
+          // delivered yet — poll briefly (elevation is rare, the wait is
+          // bounded, and an empty breakdown under exactly the busy-box
+          // conditions this diagnoses would defeat the feature)
+          def bestRows() = groupRows.filter(_.label == s"$n/$bestLabel")
+          var waited = 0
+          while (bestRows().isEmpty && waited < 2000) {
+            Thread.sleep(50); waited += 50
+            groupRows ++= audit.drainRows()
+          }
+          val rows = bestRows().sortBy(-_.ms).take(8).toSeq
           elevated(n) = Elevated(vmin, floor, calibAt,
             if (best._1 > 0) best._2 / best._1 else 0.0, bestLabel, rows)
         }

@@ -27,6 +27,7 @@ import org.apache.spark.storage.StorageLevel
   */
 sealed trait LineageCut
 object LineageCut {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
   case object Auto extends LineageCut
   case object Local extends LineageCut
   case object Reliable extends LineageCut
@@ -98,14 +99,21 @@ object LineageCut {
   def cutCounted(df: DataFrame, mode: LineageCut): (DataFrame, Long) = {
     val (out, m) = cutObserved(df, mode,
       Seq(count(lit(1)).as("n")))
-    val n = m.get("n").map(_.asInstanceOf[Long]).getOrElse(out.count())
+    // "_rows": the reliable path's mandatory cache-fill count, threaded
+    // through so a metrics timeout there never re-scans the checkpoint
+    val n = m.get("n").orElse(m.get("_rows"))
+      .map(_.asInstanceOf[Long]).getOrElse(out.count())
     (out, n)
   }
 
   /** Set false for the rest of the JVM after one observation timeout —
     * polling 2 s per call on a session where metrics never arrive would
-    * cost far more than the saved count jobs. */
+    * cost far more than the saved count jobs. Also tripped by the
+    * adaptive guard below: three consecutive SLOW (>500 ms) metric
+    * awaits mean the listener bus is lagging enough that the removed
+    * count job (~30-60 ms over cached blocks) was the cheaper probe. */
   @volatile private var observeWorks = true
+  @volatile private var slowAwaits = 0
 
   /** [[cut]] plus aggregate `metrics` collected DURING the materialization
     * job via `Dataset.observe` — iterative algorithms read a convergence
@@ -116,11 +124,15 @@ object LineageCut {
     * with fixed submission overhead, made that a real tax at small SF —
     * and one fewer action per round is equally free at cluster scale).
     *
-    * The returned map is EMPTY when the metrics don't arrive (observation
-    * listeners ride the async listener bus; a bounded poll covers normal
-    * delivery) — callers must fall back to computing their statistic from
-    * the cut frame, which is correct just slower. One timeout disables
-    * observation for the JVM. */
+    * The returned map lacks the caller's metrics when they don't arrive
+    * (observation listeners ride the async listener bus; a bounded await
+    * covers normal delivery) — callers must fall back to computing their
+    * statistic from the cut frame, which is correct just slower. One
+    * await timeout, or three consecutive >500 ms awaits (bus lag pricier
+    * than the count job this saves), disables observation for the JVM.
+    * Reserved key `_rows`: on the Reliable path the mandatory cache-fill
+    * count is threaded through under it, so [[cutCounted]] never
+    * re-scans a checkpoint on fallback. */
   def cutObserved(df: DataFrame, mode: LineageCut,
       metrics: Seq[Column]): (DataFrame, Map[String, Any]) = {
     val reliable = mode match {
@@ -133,27 +145,37 @@ object LineageCut {
     if (!observeWorks) return (cut(df, mode), Map.empty)
     val obs = org.apache.spark.sql.Observation()
     val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    var reliableCount = -1L
     val out =
       if (!reliable) observed.localCheckpoint(true)
       else {
         require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
           "LineageCut.Reliable needs SparkContext.setCheckpointDir")
         val cached = observed.persist(StorageLevel.MEMORY_AND_DISK)
-        cached.count()
+        reliableCount = cached.count()
         val o = cached.checkpoint(true)
         cached.unpersist(false)
         o
       }
+    val t0 = System.nanoTime()
     val m =
       try {
         val row = scala.concurrent.Await.result(obs.future,
           scala.concurrent.duration.Duration(2, "s"))
+        val awaitMs = (System.nanoTime() - t0) / 1000000
+        if (awaitMs > 500) { slowAwaits += 1; if (slowAwaits >= 3) {
+          observeWorks = false
+          log.warn(s"cutObserved: disabled after $slowAwaits consecutive " +
+            s"slow metric awaits (last ${awaitMs}ms) — listener bus lag " +
+            "exceeds the cost of the count job this replaces")
+        }} else slowAwaits = 0
         row.getValuesMap[Any](row.schema.fieldNames.toIndexedSeq)
       } catch { case _: java.util.concurrent.TimeoutException =>
         observeWorks = false
         Map.empty[String, Any]
       }
-    (out, m)
+    if (reliableCount >= 0) (out, m + ("_rows" -> reliableCount))
+    else (out, m)
   }
 }
 

@@ -25,13 +25,14 @@ class LineageCutObserveSpec extends AnyFunSuite {
     val df = (1 to 100).toDF("x")
     val (cut, m) = ops.LineageCut.cutObserved(df, ops.LineageCut.Local,
       Seq(count(lit(1)).as("n"), max(col("x")).as("mx")))
-    // observation metrics normally arrive within the bounded await; if
-    // the environment ever makes them time out, the contract is an EMPTY
-    // map (callers fall back) — both outcomes keep the cut frame valid
-    if (m.nonEmpty) {
-      assert(m("n") == 100L)
-      assert(m("mx") == 100)
-    }
+    // the metrics MUST arrive on an idle local session — a guard here
+    // would let a delivery regression (wrong listener registration, the
+    // observe node optimized away) ship silently behind the count
+    // fallback, re-growing the per-round scan job this mechanism removed
+    assert(m.nonEmpty,
+      "observation metrics did not arrive within the bounded await")
+    assert(m("n") == 100L)
+    assert(m("mx") == 100)
     assert(cut.count() == 100)
     ops.LineageCut.release(cut)
   }
@@ -40,7 +41,9 @@ class LineageCutObserveSpec extends AnyFunSuite {
     val df = spark.range(0).selectExpr("id AS x")
     val (cut, m) = ops.LineageCut.cutObserved(df, ops.LineageCut.Local,
       Seq(max(when(col("x") > 0, lit(1)).otherwise(lit(0))).as("chg")))
-    if (m.nonEmpty) assert(m("chg") == null) // max over zero rows
+    assert(m.nonEmpty,
+      "observation metrics did not arrive within the bounded await")
+    assert(m("chg") == null) // max over zero rows
     assert(cut.count() == 0)
     ops.LineageCut.release(cut)
   }
