@@ -226,23 +226,34 @@ object Graph {
           .withColumn("label", col("id")), cutMode)
       var converged = false
       var i = 0
+      val lType = labels.schema("label").dataType
       while (!converged && i < maxIter) {
-        // min label among each vertex's neighbors; the change flag rides
-        // along into the checkpoint so convergence detection is a filter
-        // over already-materialized blocks, not another join over labels
-        val neighborMin = sym
+        // One union-agg pass per round (the SCC coloring shape): new
+        // label = min over (self ∪ neighbor labels) with the PREVIOUS
+        // label riding through the agg as `old` (each id contributes
+        // exactly one self row — sym's src set IS the label universe),
+        // so the round runs one join + one aggregation and the change
+        // flag needs no second join. The convergence statistic rides the
+        // materialization action itself (cutObserved) — zero extra jobs;
+        // fallback scans the cut frame if metrics don't arrive.
+        val prop = sym
           .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(min(col("label")).as("nlabel"))
-        val updated = LineageCut.cut(labels
-          .join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("new_label"),
-            coalesce(col("nlabel") < col("label"), lit(false)).as("chg")),
-          cutMode)
+          .select(col("src").as("id"), col("label"),
+            lit(null).cast(lType).as("old"))
+        val self = labels.select(col("id"), col("label"),
+          col("label").as("old"))
+        val (updated, m) = LineageCut.cutObserved(
+          prop.unionByName(self).groupBy("id")
+            .agg(min(col("label")).as("label"), max(col("old")).as("old")),
+          cutMode,
+          Seq(max(when(col("label") < col("old"), lit(1)).otherwise(lit(0)))
+            .as("chg")))
         LineageCut.release(labels) // superseded round (the cut above consumed it)
-        labels = updated.select(col("id"), col("new_label").as("label"))
-        converged = updated.filter(col("chg")).isEmpty
+        labels = updated.select("id", "label")
+        converged = m.get("chg") match {
+          case Some(v) => v == null || v.asInstanceOf[Int] == 0
+          case None => updated.filter(col("label") < col("old")).isEmpty
+        }
         i += 1
       }
       // an unconverged result is silently WRONG (multiple keepers inside
