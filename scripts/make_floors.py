@@ -15,7 +15,7 @@ one-time build, not a steady-state floor. Only queries present in EVERY
 artifact get a floor (a query added after an old artifact must wait for
 a fresh controlled run).
 """
-import json, sys, datetime, os
+import json, re, sys, datetime, os
 
 
 def main(paths):
@@ -24,11 +24,24 @@ def main(paths):
     # SF's timings while the header claims the larger — refuse
     sfs = {a["sf"] for a in arts}
     assert len(sfs) == 1, f"artifacts span different scale factors: {sfs}"
+    # numeric sf for the `_sf` pseudo-entry: graft.Bench compares it to
+    # the session's SPARK_GRAFT_SF_DIR at runtime and no-ops the
+    # elevated-minimum check on mismatch (floors from one scale are
+    # meaningless expectations at another)
+    sf_m = re.findall(r"sf([0-9]+(?:\.[0-9]+)?)", arts[0]["sf"])
+    assert sf_m, f"cannot parse a numeric sf from {arts[0]['sf']!r}"
+    sf_num = sf_m[-1]
     calib = min(sum(a["calib_sec"]) / len(a["calib_sec"]) for a in arts)
     common = set(arts[0]["queries_min"])
     for a in arts[1:]:
         common &= set(a["queries_min"])
-    only = {len(a["queries_min"]) - len(common) - 1 for a in arts}
+    # drift guard over REAL catalog entries only: pseudo-entries
+    # (`_shared_warmup`) are present in every artifact, so subtracting a
+    # constant 1 made the check read -1 on identical artifacts and
+    # silently tolerate 6 divergent entries instead of the stated 5
+    def real(names):
+        return {n for n in names if not n.startswith("_")}
+    only = {len(real(a["queries_min"])) - len(real(common)) for a in arts}
     assert max(only) <= 5, (
         f"artifacts disagree on up to {max(only)} catalog entries — "
         "regenerate all inputs from the same catalog era")
@@ -41,6 +54,7 @@ def main(paths):
         " scripts/make_floors.py — regenerate after query-code or catalog"
         " changes.",
         f"_calib\t{calib:.4f}",
+        f"_sf\t{sf_num}",
     ]
     n = 0
     for name in sorted(common):

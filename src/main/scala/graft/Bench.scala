@@ -68,6 +68,24 @@ import org.apache.spark.sql.SparkSession
   *    named here instead of blending into the pass arrays (r10
   *    q_skipping_stats: recovery 2.24× and nothing fired).
   *
+  * Round 12 closes the remaining judgment call: a flagged query's QUIET
+  * reading had to come from a separate controlled session.
+  *
+  *  - `post_burst_min` — end-of-session re-sample: every query that fired
+  *    `elevated_minima` or landed in `warm_anomalies_unresolved` gets one
+  *    more cold→warm pair AFTER the catalog completes (minutes later —
+  *    past any co-tenant burst), with its own calib probe. ≤2× floor
+  *    closes the case in-artifact; still-slow becomes a named plan
+  *    investigation. Evidence-only — totals/mins are not updated.
+  *  - `calib_adj_series` — the headline total re-weighted by the probes
+  *    BRACKETING each query's catalog segment (the endpoint `calib_adj`
+  *    under-corrects mid-session bursts by construction; r11 driver:
+  *    endpoints 0.50/0.76 vs a 0.95 in-catalog peak).
+  *  - floors carry an `_sf` scale tag and the check disables itself on a
+  *    session at a different scale; elevation straggler-polls and
+  *    post-burst pairs are capped so a whole-session burst can't multiply
+  *    its own cost.
+  *
   * Output contract: the FINAL stdout line is one JSON object small enough
   * to survive the driver's 2000-char tail capture (every earlier round
   * lost its per-query map to that window — `"parsed": null` in
@@ -131,7 +149,22 @@ object Bench {
     // Controlled-session floors (tools.BenchFloors): external expectation
     // for the elevated-minimum check. Missing resource → empty map → the
     // check no-ops (new queries without floors are likewise skipped).
-    val floors = tools.BenchFloors.load()
+    // SCALE GUARD: the table's `_sf` pseudo-entry must match the numeric
+    // sf of this session's dir — floors measured at sf0.1 fired against
+    // an sf0.01 (or ScaleGen) session would mass-misfire, each elevation
+    // paying the straggler poll and bloating BENCH_DETAIL. Mismatch or
+    // an sf-less dir disables the check loudly. A legacy table without
+    // `_sf` keeps the old always-on behavior.
+    val floorsRaw = tools.BenchFloors.load()
+    val floors = (floorsRaw.get("_sf"), tools.BenchFloors.sfOf(sfDir)) match {
+      case (Some(fs), Some(ds)) if math.abs(fs - ds) < 1e-9 => floorsRaw
+      case (Some(fs), ds) =>
+        System.err.println(s"[bench] floor table sf=$fs does not match " +
+          s"session dir $sfDir (${ds.fold("no sf segment")(_.toString)}) — " +
+          "elevated-minimum check disabled")
+        Map.empty[String, Double]
+      case (None, _) => floorsRaw
+    }
     val floorCalib = floors.getOrElse("_calib", -1.0)
 
     // ── shared warmup, with every new RDD labeled by its creating part ──
@@ -292,14 +325,18 @@ object Bench {
         labeled += "recovery" -> recovery
         // a recovery sample still >1.5× min is the non-recovering shape
         // (r10 q_skipping_stats: recovery 2.24× and nothing fired) —
-        // re-sample once; still above → escalate as UNRESOLVED
+        // re-sample once; still above → escalate as UNRESOLVED. A FAILED
+        // recovery (-1: the pass errored outright) is the WORST
+        // non-recovery shape, not a reason to skip escalation — it takes
+        // the second sample and escalates on the same terms.
         var recovery2 = -2.0 // -2 = not taken (recovery was clean)
-        if (recovery._1 >= 0 && recovery._1 > AnomalyRecoveryRatio * vmin) {
+        if (recovery._1 < 0 || recovery._1 > AnomalyRecoveryRatio * vmin) {
           val r2 = timeOnce(n, f, "recovery2")
           labeled += "recovery2" -> r2
           recovery2 = if (r2._1 >= 0) r2._1 / vmin else -1.0
           if (r2._1 < 0 || r2._1 > AnomalyRecoveryRatio * vmin)
-            unresolved(n) = (recovery._1 / vmin, recovery2)
+            unresolved(n) =
+              (if (recovery._1 >= 0) recovery._1 / vmin else -1.0, recovery2)
         }
         anomalies(n) = Anomaly(
           worst = worstPass._1 / vmin,
@@ -319,9 +356,14 @@ object Bench {
       val groupRows =
         scala.collection.mutable.ArrayBuffer(audit.drainRows(): _*)
       val vmin = if (valid.nonEmpty) valid.min else -1.0
+      // dev-only harness self-test (driver never sets it): treat matching
+      // queries as elevated so the detection→post-burst-re-sample path can
+      // be exercised deterministically on a quiet box
+      val forced = sys.env.get("SPARK_GRAFT_BENCH_FORCE_ELEVATE")
+        .exists(_.r.findFirstIn(n).isDefined)
       floors.get(n).foreach { floor =>
-        if (vmin >= ElevatedMinSec && floor > 0 &&
-            vmin > ElevatedMinRatio * floor) {
+        if ((vmin >= ElevatedMinSec && floor > 0 &&
+            vmin > ElevatedMinRatio * floor) || (forced && vmin > 0)) {
           // cap the per-elevation calib probes: a session that is slow
           // ACROSS THE BOARD (co-tenant for its whole duration) would
           // otherwise spend 0.6 s × hundreds of queries re-measuring the
@@ -337,7 +379,12 @@ object Bench {
           // bounded, and an empty breakdown under exactly the busy-box
           // conditions this diagnoses would defeat the feature)
           def bestRows() = groupRows.filter(_.label == s"$n/$bestLabel")
-          var waited = 0
+          // same cap as the calib probes: a whole-session co-tenant burst
+          // can elevate dozens of queries (r11 session D: 13), and paying
+          // the up-to-2 s straggler poll on each would tax exactly the
+          // sessions this diagnoses — past the cap, take whatever rows
+          // already arrived
+          var waited = if (elevated.size < 12) 0 else 2000
           while (bestRows().isEmpty && waited < 2000) {
             Thread.sleep(50); waited += 50
             groupRows ++= audit.drainRows()
@@ -381,6 +428,60 @@ object Bench {
     // headline `value` DELIBERATELY includes it on top of the per-query
     // mins; n_queries counts real catalog entries only
     val calibEnd = calib()
+
+    // ── post-burst re-sample (round-12 verdict directive #1) ──
+    // The detector can name an elevated query and the ambient AT the
+    // elevation, but a judge still had to diff controlled sessions to
+    // decide whether the box or the plan was slow. Close that loop inside
+    // the artifact: after the whole catalog (minutes later — a co-tenant
+    // burst has had time to pass), every query that fired elevated_minima
+    // or landed in warm_anomalies_unresolved gets one more cold→warm pair,
+    // recorded as `post_burst_min` with its own at-the-moment calib probe.
+    // post_burst_min ≤ 2× floor ⇒ burst confirmed, case closed in-artifact;
+    // still high on a quiet probe ⇒ a real plan investigation, named.
+    // Evidence-only: totals and per-query mins are NOT updated (the
+    // headline stays the catalog-window number).
+    final case class PostBurst(min: Double, calibAt: Double)
+    val postBurst = scala.collection.mutable.LinkedHashMap.empty[String, PostBurst]
+    val fnByName = names.toMap
+    val sessionMin = runs.map { case (n, samples) =>
+      val ts = samples.map(_._1).filter(_ >= 0)
+      n -> (if (ts.nonEmpty) ts.min else -1.0)
+    }.toMap
+    // bounded: a whole-session burst can elevate dozens (r11 session D:
+    // 13); 20 pairs ≈ the cost of one more catalog percent, enough to
+    // close any realistic burst cluster
+    val resample = (elevated.keySet ++ unresolved.keySet).toSeq.sorted
+    resample.take(20).foreach { n =>
+      fnByName.get(n).foreach { f =>
+        val calibAt = calib()
+        val a = timeOnce(n, f, "post_burst_cold")
+        val b = timeOnce(n, f, "post_burst_warm")
+        ops.QueryLocal.release(spark)
+        streaming.StreamState.unloadQuietly()
+        util.TempDirs.sweep()
+        ops.Shared.drainHeals().foreach(tag => heals += ((n, tag)))
+        // re-baseline the storage snapshot post-release so the released
+        // local frames never read as evictions on a later diff
+        snap = tools.CacheAudit.snapshot(spark)
+        val vs = Seq(a._1, b._1).filter(_ >= 0)
+        postBurst(n) = PostBurst(if (vs.nonEmpty) vs.min else -1.0, calibAt)
+      }
+    }
+    if (resample.size > 20)
+      System.err.println(s"[bench] post-burst re-sample capped at 20 of " +
+        s"${resample.size} flagged queries")
+    audit.drainRows() // discard post-burst stage rows; evidence is the timing
+    // closed = the re-sample sits within the detector's own gate
+    // (≤2× floor for elevations; ≤1.5× session min for unresolved
+    // anomalies) — the count a reader can trust without re-deriving
+    val postBurstClosed = postBurst.count { case (n, pb) =>
+      pb.min >= 0 && (floors.get(n) match {
+        case Some(fl) if fl > 0 => pb.min <= ElevatedMinRatio * fl
+        case _ => sessionMin.get(n).exists(m =>
+          m > 0 && pb.min <= AnomalyRecoveryRatio * m)
+      })
+    }
     val mins = runs.map { case (n, samples) =>
       val ts = samples.map(_._1)
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -409,6 +510,31 @@ object Bench {
     val calibAdj =
       if (calibMean > 0) total * tools.CalibProbe.RefCalibSec / calibMean
       else total
+    // SERIES-WEIGHTED calib adjustment (round-12 verdict directive #5):
+    // the endpoint probes under-correct mid-session bursts by construction
+    // (r11 driver: endpoints 0.50/0.76 while the in-catalog calib_series
+    // peaked at 0.95) — weight each query's min by the mean of the probes
+    // BRACKETING its segment of the name-sorted catalog instead. The
+    // endpoint `calib_adj` stays alongside for cross-round comparability.
+    val breakpoints: Seq[(Int, Double)] =
+      ((-1, calibStart) +:
+        calibSeries.map { case (qi, c, _) => (qi, c) }.toSeq) :+
+        (names.size, calibEnd)
+    def segCalib(qi: Int): Double = {
+      val before = breakpoints.filter(_._1 < qi).lastOption.map(_._2)
+        .getOrElse(calibStart)
+      val after = breakpoints.find(_._1 >= qi).map(_._2).getOrElse(calibEnd)
+      (before + after) / 2
+    }
+    def adj(sec: Double, c: Double): Double =
+      if (sec < 0) 0.0
+      else if (c > 0) sec * tools.CalibProbe.RefCalibSec / c else sec
+    val calibAdjSeries =
+      adj(math.max(warmSec, 0), segCalib(0)) +
+        runs.zipWithIndex.map { case ((n, samples), qi) =>
+          val ts = samples.map(_._1)
+          adj(if (ts.exists(_ < 0)) -1.0 else ts.min, segCalib(qi))
+        }.sum
     val sampleCounts = runs.map { case (_, samples) => samples.size }
 
     def jnum(v: Double, fmt: String): String = fmt.format(v)
@@ -426,10 +552,21 @@ object Bench {
         s""""recovery2":${jnum(a.recovery2, "%.2f")},""" +
         s""""shared_events":${a.sharedEvents},"heals":${a.healsN}}"""
     }.mkString("{", ",", "}")
+    // post-burst evidence shared by both record kinds (directive r11 #1):
+    // min of the end-of-session cold→warm pair, its own calib, and the
+    // ratio against the record's own gate yardstick
+    def postBurstFields(n: String, yardstick: Double): String =
+      postBurst.get(n).map { pb =>
+        val ratio = if (pb.min >= 0 && yardstick > 0) pb.min / yardstick else -1.0
+        s""","post_burst_min":${jnum(pb.min, "%.2f")}""" +
+          s""","post_burst_ratio":${jnum(ratio, "%.2f")}""" +
+          s""","post_burst_calib":${jnum(pb.calibAt, "%.2f")}"""
+      }.getOrElse("")
     // anomalies that failed BOTH recovery samples (directive r10 #3)
     val unresolvedJson = unresolved.toSeq.map { case (n, (r1, r2)) =>
       "\"" + n + s"""\":{"recovery":${jnum(r1, "%.2f")},""" +
-        s""""recovery2":${jnum(r2, "%.2f")}}"""
+        s""""recovery2":${jnum(r2, "%.2f")}""" +
+        postBurstFields(n, sessionMin.getOrElse(n, -1.0)) + "}"
     }.mkString("{", ",", "}")
     // elevated minima vs the controlled floor table, with the best pass's
     // stage breakdown (directive r10 #1)
@@ -439,8 +576,9 @@ object Bench {
         s""""ratio":${jnum(e.min / e.floor, "%.2f")},""" +
         s""""calib_at":${jnum(e.calibAt, "%.2f")},""" +
         s""""gc_frac_best":${jnum(e.gcFracBest, "%.2f")},""" +
-        s""""best_pass":"${e.bestPass}",""" +
-        s""""stages":[${e.stages.map(_.json).mkString(",")}]}"""
+        s""""best_pass":"${e.bestPass}"""" +
+        postBurstFields(n, e.floor) +
+        s""","stages":[${e.stages.map(_.json).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     // cold-build spread (pass1 ≫ warm): benign, priced, reported apart
     val coldSpread = runs.collect { case (n, samples)
@@ -456,6 +594,9 @@ object Bench {
     val detail =
       s"""{"metric":"total_steady_min","value":$total,"unit":"sec","sf":"$sfDir"""" +
         s""","total_steady_min_calib_adj":${jnum(calibAdj, "%.2f")}""" +
+        s""","calib_adj_series":${jnum(calibAdjSeries, "%.2f")}""" +
+        s""","post_burst_n":${postBurst.size}""" +
+        s""","post_burst_closed":$postBurstClosed""" +
         s""","ref_calib_sec":${tools.CalibProbe.RefCalibSec}""" +
         s""","pass_semantics":"adjacent_pair:cold_incl_builds,steady_state_warm"""" +
         s""","samples_per_query":[${sampleCounts.min},${sampleCounts.max}]""" +
@@ -491,8 +632,54 @@ object Bench {
 
     // compact final line: slowest queries first until the budget is hit,
     // remainder folded into one "_other" sum — must fit the 2000-char tail
-    // together with sbt's trailing "[success]" line
-    val budget = 840 // headroom for the fixed fields incl. anomaly/audit
+    // together with sbt's trailing "[success]" line. The query-map budget
+    // is DERIVED from the measured length of the fixed fields (a hand-tuned
+    // constant under-covered the worst case: 6 long-named anomalies AND 6
+    // elevations AND 6 post-burst entries), so growth in the variable-size
+    // diagnostic maps squeezes the query map instead of the tail contract.
+    val anomaliesCompact = anomalies.toSeq.take(6)
+      .map { case (n, a) => "\"" + n + "\":" + jnum(a.worst, "%.1f") }
+      .mkString("{", ",", "}")
+    val elevatedCompact = elevated.toSeq.sortBy { case (_, e) =>
+        -(e.min / e.floor) }.take(6)
+      .map { case (n, e) => "\"" + n + "\":" + jnum(e.min / e.floor, "%.1f") }
+      .mkString("{", ",", "}")
+    // post-burst ratios against each record's own gate yardstick (floor
+    // for elevations, session min for unresolved anomalies): ≤2.0 / ≤1.5
+    // reads as burst-confirmed directly off the compact line
+    val postBurstCompact = postBurst.toSeq.take(6).map { case (n, pb) =>
+      val yard = floors.get(n).filter(_ > 0)
+        .getOrElse(sessionMin.getOrElse(n, -1.0))
+      val r = if (pb.min >= 0 && yard > 0) pb.min / yard else -1.0
+      "\"" + n + "\":" + jnum(r, "%.1f")
+    }.mkString("{", ",", "}")
+    val coldTop = coldSpread.take(5)
+      .map { case (n, r) => "\"" + n + "\":" + jnum(r, "%.1f") }
+      .mkString("{", ",", "}")
+    def compactLine(qs: String, nShown: Int): String =
+      s"""{"metric":"total_steady_min","value":${jnum(total, "%.2f")},"unit":"sec"""" +
+        s""","calib_adj":${jnum(calibAdj, "%.2f")}""" +
+        s""","calib_adj_series":${jnum(calibAdjSeries, "%.2f")}""" +
+        s""","samples_per_query":[${sampleCounts.min},${sampleCounts.max}]""" +
+        s""","pass_semantics":"adjacent_pair:cold_incl_builds,steady_state_warm"""" +
+        s""","calib_sec":[${jnum(calibStart, "%.2f")},${jnum(calibEnd, "%.2f")}]""" +
+        s""","pass_totals":[${passTotals.map(jnum(_, "%.1f")).mkString(",")}]""" +
+        s""","n_queries":${names.size},"n_shown":$nShown""" +
+        s""","warm_anomalies":$anomaliesCompact""" +
+        s""","anomalies_unresolved_n":${unresolved.size}""" +
+        s""","elevated":$elevatedCompact""" +
+        s""","post_burst":$postBurstCompact""" +
+        s""","post_burst_closed":$postBurstClosed""" +
+        s""","spread_cold_top":$coldTop""" +
+        s""","evict_shared_n":$sharedEventCount,"heals_n":${heals.size}""" +
+        s""","state_nonzero_n":${stateNonzero.size}""" +
+        s""","storage_peak_mb":$storagePeakMb""" +
+        s""","queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+    // measure the fixed fields with an empty query map, then spend what's
+    // left of the 2000-char tail (minus margin for sbt's own trailing
+    // lines) on the slowest queries; n_shown's own width is ≤4 chars off
+    // between the probe and final render — covered by the margin
+    val budget = 2000 - compactLine("{}", 0).length - 80
     val bySlow = mins.sortBy { case (_, v) => -v }
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var len = 0
@@ -505,32 +692,7 @@ object Bench {
     val qs = (kept.toSeq :+ ("_other" -> other))
       .map { case (k, v) => "\"" + k + "\":" + jnum(v, "%.2f") }
       .mkString("{", ",", "}")
-    val anomaliesCompact = anomalies.toSeq.take(6)
-      .map { case (n, a) => "\"" + n + "\":" + jnum(a.worst, "%.1f") }
-      .mkString("{", ",", "}")
-    val elevatedCompact = elevated.toSeq.sortBy { case (_, e) =>
-        -(e.min / e.floor) }.take(6)
-      .map { case (n, e) => "\"" + n + "\":" + jnum(e.min / e.floor, "%.1f") }
-      .mkString("{", ",", "}")
-    val coldTop = coldSpread.take(5)
-      .map { case (n, r) => "\"" + n + "\":" + jnum(r, "%.1f") }
-      .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total_steady_min","value":${jnum(total, "%.2f")},"unit":"sec"""" +
-        s""","calib_adj":${jnum(calibAdj, "%.2f")}""" +
-        s""","samples_per_query":[${sampleCounts.min},${sampleCounts.max}]""" +
-        s""","pass_semantics":"adjacent_pair:cold_incl_builds,steady_state_warm"""" +
-        s""","calib_sec":[${jnum(calibStart, "%.2f")},${jnum(calibEnd, "%.2f")}]""" +
-        s""","pass_totals":[${passTotals.map(jnum(_, "%.1f")).mkString(",")}]""" +
-        s""","n_queries":${names.size},"n_shown":${kept.size}""" +
-        s""","warm_anomalies":$anomaliesCompact""" +
-        s""","anomalies_unresolved_n":${unresolved.size}""" +
-        s""","elevated":$elevatedCompact""" +
-        s""","spread_cold_top":$coldTop""" +
-        s""","evict_shared_n":$sharedEventCount,"heals_n":${heals.size}""" +
-        s""","state_nonzero_n":${stateNonzero.size}""" +
-        s""","storage_peak_mb":$storagePeakMb""" +
-        s""","queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    println(compactLine(qs, kept.size))
     spark.stop()
     // best-effort checkpoint dir cleanup (reliable checkpoint files are not
     // removed by the context cleaner for frames still referenced at exit)

@@ -106,14 +106,42 @@ object LineageCut {
     (out, n)
   }
 
-  /** Set false for the rest of the JVM after one observation timeout —
-    * polling 2 s per call on a session where metrics never arrive would
-    * cost far more than the saved count jobs. Also tripped by the
-    * adaptive guard below: three consecutive SLOW (>500 ms) metric
-    * awaits mean the listener bus is lagging enough that the removed
-    * count job (~30-60 ms over cached blocks) was the cheaper probe. */
-  @volatile private var observeWorks = true
+  /** Observation breaker. Tripped by one await timeout (polling 2 s per
+    * call on a session where metrics never arrive would cost far more
+    * than the saved count jobs) or by three consecutive SLOW (>500 ms)
+    * metric awaits (bus lag pricier than the ~30-60 ms count job this
+    * replaces). Round 12: the trip is a COOLDOWN, not a JVM-wide kill —
+    * on this box the likeliest trip cause is a transient co-tenant
+    * burst, and the r11 shape (disable forever) let one early spike
+    * silently degrade every later iterative query of a 341-query session
+    * to the extra-count-job shape. After [[observeCooldownNanos]] the
+    * breaker re-arms automatically (logged), so a burst costs at most
+    * one 2 s wait per cooldown window and recovery is self-evidencing
+    * in the session log. */
+  private[graft] var observeCooldownNanos: Long = 60L * 1000 * 1000 * 1000
+  @volatile private var observeDisabledUntil = 0L // 0 = armed
   @volatile private var slowAwaits = 0
+  /** Armed state, with the re-arm side effect: first check past the
+    * cooldown deadline flips the breaker back on and logs it. */
+  private[graft] def observeArmed: Boolean = {
+    val until = observeDisabledUntil
+    if (until == 0L) true
+    else if (System.nanoTime() - until >= 0) { // overflow-safe compare
+      observeDisabledUntil = 0L
+      slowAwaits = 0
+      log.warn("cutObserved: observation RE-ARMED after cooldown — " +
+        "convergence metrics ride the materialization again")
+      true
+    } else false
+  }
+  private def disableObservation(reason: String): Unit = {
+    observeDisabledUntil = System.nanoTime() + observeCooldownNanos
+    slowAwaits = 0
+    log.warn("cutObserved: observation disabled for " +
+      s"${observeCooldownNanos / 1e9} s — $reason (re-arms automatically)")
+  }
+  private[graft] def tripObservationForTest(): Unit =
+    disableObservation("test trip")
 
   /** [[cut]] plus aggregate `metrics` collected DURING the materialization
     * job via `Dataset.observe` — iterative algorithms read a convergence
@@ -129,7 +157,9 @@ object LineageCut {
     * covers normal delivery) — callers must fall back to computing their
     * statistic from the cut frame, which is correct just slower. One
     * await timeout, or three consecutive >500 ms awaits (bus lag pricier
-    * than the count job this saves), disables observation for the JVM.
+    * than the count job this saves), disables observation for a cooldown
+    * window, after which the breaker re-arms itself (see [[observeArmed]]
+    * — a transient co-tenant burst must not tax the rest of the session).
     * Reserved key `_rows`: on the Reliable path the mandatory cache-fill
     * count is threaded through under it, so [[cutCounted]] never
     * re-scans a checkpoint on fallback. */
@@ -142,7 +172,7 @@ object LineageCut {
         df.sparkSession.sparkContext.getCheckpointDir.isDefined &&
           !df.sparkSession.sparkContext.isLocal
     }
-    if (!observeWorks) return (cut(df, mode), Map.empty)
+    if (!observeArmed) return (cut(df, mode), Map.empty)
     val obs = org.apache.spark.sql.Observation()
     val observed = df.observe(obs, metrics.head, metrics.tail: _*)
     var reliableCount = -1L
@@ -163,15 +193,14 @@ object LineageCut {
         val row = scala.concurrent.Await.result(obs.future,
           scala.concurrent.duration.Duration(2, "s"))
         val awaitMs = (System.nanoTime() - t0) / 1000000
-        if (awaitMs > 500) { slowAwaits += 1; if (slowAwaits >= 3) {
-          observeWorks = false
-          log.warn(s"cutObserved: disabled after $slowAwaits consecutive " +
-            s"slow metric awaits (last ${awaitMs}ms) — listener bus lag " +
-            "exceeds the cost of the count job this replaces")
-        }} else slowAwaits = 0
+        if (awaitMs > 500) { slowAwaits += 1; if (slowAwaits >= 3)
+          disableObservation(s"$slowAwaits consecutive slow metric awaits " +
+            s"(last ${awaitMs}ms) — listener bus lag exceeds the cost of " +
+            "the count job this replaces")
+        } else slowAwaits = 0
         row.getValuesMap[Any](row.schema.fieldNames.toIndexedSeq)
       } catch { case _: java.util.concurrent.TimeoutException =>
-        observeWorks = false
+        disableObservation("metric await timed out after 2 s")
         Map.empty[String, Any]
       }
     if (reliableCount >= 0) (out, m + ("_rows" -> reliableCount))
@@ -194,6 +223,21 @@ object LineageCut {
   * computation is reproducible in a DuckDB recursive CTE.
   */
 object Graph {
+
+  /** Dev-probe round counters for [[connectedComponents]] — read by
+    * [[graft.tools.CcProbe]] (round-12: the 100× posture measurement for
+    * the dedup spine's clustering, mirroring [[SccStats]]/SccProbe).
+    * `observed` vs `fallback` additionally evidences whether the round's
+    * convergence flag rode the materialization (cutObserved) or paid the
+    * extra filter probe; zero overhead otherwise. */
+  private[graft] object CcStats {
+    @volatile var rounds = 0
+    @volatile var observed = 0
+    @volatile var fallback = 0
+    def reset(): Unit = { rounds = 0; observed = 0; fallback = 0 }
+    override def toString =
+      s"rounds=$rounds observed=$observed fallback=$fallback"
+  }
 
   /** Component label (= minimum reachable id) for every vertex of `edges`
     * (columns `src`, `dst`; undirected). Vertices only appear if they have
@@ -251,10 +295,12 @@ object Graph {
         LineageCut.release(labels) // superseded round (the cut above consumed it)
         labels = updated.select("id", "label")
         converged = m.get("chg") match {
-          case Some(v) => v == null || v.asInstanceOf[Int] == 0
-          case None => updated.filter(col("label") < col("old")).isEmpty
+          case Some(v) => CcStats.observed += 1
+            v == null || v.asInstanceOf[Int] == 0
+          case None => CcStats.fallback += 1
+            updated.filter(col("label") < col("old")).isEmpty
         }
-        i += 1
+        i += 1; CcStats.rounds += 1
       }
       // an unconverged result is silently WRONG (multiple keepers inside
       // one duplicate cluster) — fail loudly instead

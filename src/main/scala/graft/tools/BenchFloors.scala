@@ -26,6 +26,20 @@ package graft.tools
 object BenchFloors {
   val Resource = "/bench_floors.tsv"
 
+  /** Numeric scale factor parsed from an sf-dir path (`…/sf0.1` → 0.1);
+    * None when the path carries no `sf<number>` segment (e.g. a ScaleGen
+    * output dir like `/tmp/scale100ev`). The floor table's `_sf`
+    * pseudo-entry (written by `scripts/make_floors.py`) is compared
+    * against this at Bench startup: floors measured at one scale are
+    * meaningless expectations at another — a mismatch (or an
+    * unparseable dir) disables the elevated-minimum check instead of
+    * firing a mass false elevation that pays the 2 s straggler poll per
+    * query and floods BENCH_DETAIL. */
+  private val SfPattern = "sf([0-9]+(?:\\.[0-9]+)?)".r
+  def sfOf(dir: String): Option[Double] =
+    SfPattern.findAllMatchIn(dir).toSeq.lastOption
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+
   /** name → controlled floor seconds (incl. the `_calib` pseudo-entry);
     * empty when the resource is absent (elevation checks then no-op). */
   def load(): Map[String, Double] = {

@@ -15,17 +15,46 @@ import org.apache.spark.sql.SparkSession
   * round 10 caught on q_mis).
   *
   * Labels assume blocks run ONE AT A TIME (both the probes and Bench are
-  * strictly sequential); stage-completion events are posted async on the
-  * listener bus, so a row can land a few ms after its block's timer stops
-  * — callers that bucket rows by label (Bench) are immune, callers that
-  * drain between blocks (timed) tolerate the skew as diagnostics. */
+  * strictly sequential). Stage events ride the ASYNC listener bus, so a
+  * completion event can be DELIVERED well after its block's timer stops —
+  * labeling by the value read at delivery time mislabels exactly the
+  * laggy-bus sessions the elevated-minimum feature diagnoses (a best
+  * pass's final stages delivered after the next setLabel would carry the
+  * next pass's — or the calib probe's — label, and Bench's best-pass
+  * filter would come up empty). Rows are therefore bucketed by the
+  * stage's own SUBMISSION wall-clock against the recorded (time, label)
+  * transition history: a stage is always submitted while its block is
+  * running, so the mapping is delivery-lag-immune. The transition list
+  * grows one entry per setLabel (~a few thousand per Bench session —
+  * negligible) and is never pruned, because a stale completion event may
+  * reference an arbitrarily old window. */
 final class StageAudit(spark: SparkSession) {
   import StageAudit.Row
   @volatile private var label = ""
+  // (wall-clock ms of the transition, label) — append-only, read under
+  // iteration by the listener thread
+  private val transitions =
+    new java.util.concurrent.CopyOnWriteArrayList[(Long, String)]()
   private val rows = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
 
-  /** Attribute subsequently completed stages to `l`. */
-  def setLabel(l: String): Unit = { label = l }
+  /** Attribute stages SUBMITTED from now on to `l`. */
+  def setLabel(l: String): Unit = {
+    label = l
+    transitions.add((System.currentTimeMillis(), l))
+  }
+
+  /** The label active at wall-clock `t` (last transition at or before
+    * it); the current label when `t` predates every transition. */
+  private def labelAt(t: Long): String = {
+    var res: String = null
+    val it = transitions.iterator()
+    while (it.hasNext) {
+      val (ts, l) = it.next()
+      if (ts <= t) res = l
+      else return if (res == null) label else res
+    }
+    if (res == null) label else res
+  }
 
   spark.sparkContext.addSparkListener(new SparkListener {
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -33,7 +62,7 @@ final class StageAudit(spark: SparkSession) {
       val ms = (for {s <- i.submissionTime; c <- i.completionTime}
         yield c - s).getOrElse(-1L)
       val m = i.taskMetrics
-      rows.add(Row(label,
+      rows.add(Row(i.submissionTime.map(labelAt).getOrElse(label),
         i.rddInfos.sortBy(_.id).map(_.name).mkString(">").take(70),
         ms, i.numTasks, m.executorRunTime, m.jvmGCTime,
         m.shuffleReadMetrics.totalBytesRead,

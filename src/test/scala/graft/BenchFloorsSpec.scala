@@ -28,7 +28,26 @@ class BenchFloorsSpec extends AnyFunSuite {
     // a sub-10ms floor would make the 2x elevation gate fire on pure
     // scheduling noise; ElevatedMinSec guards the detector, but the
     // table itself should never carry such a value for a Spark query
-    val floors = tools.BenchFloors.load() - "_calib"
+    val floors = tools.BenchFloors.load() - "_calib" - "_sf"
     assert(floors.values.forall(_ >= 0.01))
+  }
+
+  test("table carries the _sf scale tag matching its provenance") {
+    // floors measured at one scale are meaningless expectations at
+    // another: Bench compares this tag to the session dir and disables
+    // the elevated-minimum check on mismatch instead of mass-misfiring
+    val floors = tools.BenchFloors.load()
+    assert(floors.get("_sf").contains(0.1),
+      s"_sf=${floors.get("_sf")} — floor table not generated at sf0.1?")
+  }
+
+  test("sfOf parses sf dirs and refuses sf-less dirs") {
+    assert(tools.BenchFloors.sfOf("/root/testdata/sf0.1").contains(0.1))
+    assert(tools.BenchFloors.sfOf("/root/testdata/sf0.001").contains(0.001))
+    assert(tools.BenchFloors.sfOf("/data/sf1").contains(1.0))
+    // ScaleGen output dirs carry no sf segment — the guard must refuse
+    // to compare rather than guess
+    assert(tools.BenchFloors.sfOf("/tmp/scale100ev").isEmpty)
+    assert(tools.BenchFloors.sfOf("/tmp/work").isEmpty)
   }
 }

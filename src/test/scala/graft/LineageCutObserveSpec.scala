@@ -37,6 +37,34 @@ class LineageCutObserveSpec extends AnyFunSuite {
     ops.LineageCut.release(cut)
   }
 
+  test("observation breaker re-arms after its cooldown (burst-tolerant)") {
+    // round 12: one await timeout used to disable observation for the
+    // REST OF THE JVM — on this box that means one co-tenant burst early
+    // in a 341-query session silently degraded every later iterative
+    // query to the extra-count-job shape. The breaker is now a cooldown:
+    // tripped → fall back to plain cut (empty metrics), past the
+    // deadline → re-armed (logged), metrics flow again.
+    val df = (1 to 50).toDF("x")
+    val saved = ops.LineageCut.observeCooldownNanos
+    try {
+      ops.LineageCut.observeCooldownNanos = 50L * 1000 * 1000 // 50 ms
+      ops.LineageCut.tripObservationForTest()
+      assert(!ops.LineageCut.observeArmed, "trip must disable immediately")
+      val (cut1, m1) = ops.LineageCut.cutObserved(df, ops.LineageCut.Local,
+        Seq(count(lit(1)).as("n")))
+      assert(m1.isEmpty, "tripped breaker must fall back to plain cut")
+      assert(cut1.count() == 50) // fallback frame still correct
+      ops.LineageCut.release(cut1)
+      Thread.sleep(150)
+      assert(ops.LineageCut.observeArmed, "cooldown elapsed — must re-arm")
+      val (cut2, m2) = ops.LineageCut.cutObserved(df, ops.LineageCut.Local,
+        Seq(count(lit(1)).as("n")))
+      assert(m2.get("n").contains(50L),
+        "metrics must ride the materialization again after the re-arm")
+      ops.LineageCut.release(cut2)
+    } finally ops.LineageCut.observeCooldownNanos = saved
+  }
+
   test("empty frame: count 0, convergence-style max metric is null") {
     val df = spark.range(0).selectExpr("id AS x")
     val (cut, m) = ops.LineageCut.cutObserved(df, ops.LineageCut.Local,

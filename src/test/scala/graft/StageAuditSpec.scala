@@ -29,6 +29,33 @@ class StageAuditSpec extends AnyFunSuite {
     assert(audit.drainRows().isEmpty)
   }
 
+  test("rows keep the submit-time label across a later label change") {
+    // stage-completion events ride the ASYNC listener bus: under the old
+    // delivery-time stamping, a pass's final stages delivered after the
+    // next setLabel carried the WRONG label and Bench's best-pass filter
+    // came up empty on exactly the laggy busy-box sessions the
+    // elevated-minimum feature diagnoses. Rows are now bucketed by the
+    // stage's own submission wall-clock against the label-transition
+    // history, so this is deterministic: every stage below was submitted
+    // while "passX" was active, and the immediate label flip before any
+    // draining must not re-attribute a single row.
+    val audit = new tools.StageAudit(spark)
+    audit.drainRows()
+    audit.setLabel("passX")
+    spark.range(0, 100000, 1, 4).selectExpr("id % 13 AS k")
+      .groupBy("k").count().count()
+    audit.setLabel("calib") // the elevated branch's probe, in Bench terms
+    var rows = Seq.empty[tools.StageAudit.Row]
+    var waited = 0
+    while (rows.size < 2 && waited < 5000) {
+      Thread.sleep(50); waited += 50
+      rows = rows ++ audit.drainRows()
+    }
+    assert(rows.size >= 2, "a groupBy query must complete >= 2 stages")
+    assert(rows.forall(_.label == "passX"),
+      s"delivery-lag mislabeling: ${rows.map(_.label).distinct}")
+  }
+
   test("Row.json escapes quotes and backslashes in stage descriptions") {
     val r = tools.StageAudit.Row("""l""", """Rdd"with\quote""", 12, 3,
       34, 5, 6L << 20, 7L << 20)
