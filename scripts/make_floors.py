@@ -7,7 +7,14 @@ Usage: python3 scripts/make_floors.py <detail.json> [<detail.json> ...]
 
 With several artifacts the floor is the PER-QUERY MIN across them — a
 single session's min still carries that session's ambient, and the
-elevated-minimum detector wants the best credible steady state. Writes
+elevated-minimum detector wants the best credible steady state. CREDIBLE
+is load-bearing: a reading more than 40% below every other session's min
+is the box's one-time scheduling luck, not a reproducible steady state
+(r11 q_importance_resample: 1.02 in one session vs 1.88/1.89 in the
+others — the 1.02 floor then made the query's TYPICAL ~1.9-2.0 steady
+fire 2x elevations on quiet post-burst probes). Such outliers are
+rejected: floor = min unless min < 0.6 x second-smallest, else the
+second-smallest. Writes
 name<TAB>min_seconds per catalog query plus a `_calib` pseudo-entry (the
 MIN of the sessions' CalibProbe means, same reasoning) so graft.Bench
 can report both yardsticks. `_shared_warmup` is excluded: it is a
@@ -57,16 +64,24 @@ def main(paths):
         f"_sf\t{sf_num}",
     ]
     n = 0
+    rejected = []
     for name in sorted(common):
         secs = [a["queries_min"][name] for a in arts]
         if name.startswith("_") or any(s < 0 for s in secs):
             continue
-        lines.append(f"{name}\t{min(secs):.4f}")
+        srt = sorted(secs)
+        floor = srt[0]
+        if len(srt) >= 3 and srt[0] < 0.6 * srt[1]:
+            floor = srt[1]
+            rejected.append((name, srt[0], srt[1]))
+        lines.append(f"{name}\t{floor:.4f}")
         n += 1
     out = "src/main/resources/bench_floors.tsv"
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}: {n} query floors, _calib={calib:.3f}")
+    for name, lo, kept in rejected:
+        print(f"  outlier rejected: {name} {lo:.2f} -> floor {kept:.2f}")
 
 
 if __name__ == "__main__":
