@@ -38,7 +38,13 @@ def main(paths):
     sf_m = re.findall(r"sf([0-9]+(?:\.[0-9]+)?)", arts[0]["sf"])
     assert sf_m, f"cannot parse a numeric sf from {arts[0]['sf']!r}"
     sf_num = sf_m[-1]
-    calib = min(sum(a["calib_sec"]) / len(a["calib_sec"]) for a in arts)
+    # same outlier rule as the per-query floors: one session's lucky
+    # calib mean must not become a permanently-uncloseable yardstick
+    calibs = sorted(sum(a["calib_sec"]) / len(a["calib_sec"]) for a in arts)
+    calib = calibs[0]
+    if len(calibs) >= 3 and calibs[0] < 0.6 * calibs[1]:
+        calib = calibs[1]
+        print(f"  calib outlier rejected: {calibs[0]:.3f} -> {calibs[1]:.3f}")
     common = set(arts[0]["queries_min"])
     for a in arts[1:]:
         common &= set(a["queries_min"])

@@ -162,7 +162,9 @@ object Bench {
         System.err.println(s"[bench] floor table sf=$fs does not match " +
           s"session dir $sfDir (${ds.fold("no sf segment")(_.toString)}) — " +
           "elevated-minimum check disabled")
-        Map.empty[String, Double]
+        // keep the pseudo-entries: `_calib` measures box compute, which
+        // is scale-independent and still a valid ambient yardstick here
+        floorsRaw.view.filterKeys(_.startsWith("_")).toMap
       case (None, _) => floorsRaw
     }
     val floorCalib = floors.getOrElse("_calib", -1.0)
@@ -472,16 +474,28 @@ object Bench {
       System.err.println(s"[bench] post-burst re-sample capped at 20 of " +
         s"${resample.size} flagged queries")
     audit.drainRows() // discard post-burst stage rows; evidence is the timing
-    // closed = the re-sample sits within the detector's own gate
-    // (≤2× floor for elevations; ≤1.5× session min for unresolved
-    // anomalies) — the count a reader can trust without re-deriving
-    val postBurstClosed = postBurst.count { case (n, pb) =>
-      pb.min >= 0 && (floors.get(n) match {
-        case Some(fl) if fl > 0 => pb.min <= ElevatedMinRatio * fl
-        case _ => sessionMin.get(n).exists(m =>
-          m > 0 && pb.min <= AnomalyRecoveryRatio * m)
-      })
-    }
+    // closed = the re-sample sits within the gate of EVERY record that
+    // flagged the query (≤2× floor for an elevation; ≤1.5× session min
+    // for an unresolved anomaly — a query flagged by both must satisfy
+    // both). Yardstick selection follows the FLAGGING record, not floor
+    // presence: every catalog query has a floor, so gating unresolved
+    // anomalies on floors would silently replace their documented 1.5×
+    // recovery gate.
+    def postBurstRatios(n: String, pbMin: Double): Seq[Double] =
+      (elevated.get(n).filter(_.floor > 0).map(e => pbMin / e.floor) ++
+        (if (unresolved.contains(n))
+          sessionMin.get(n).filter(_ > 0).map(m => pbMin / m)
+        else None)).toSeq
+    def postBurstClosedFor(n: String, pbMin: Double): Boolean =
+      pbMin >= 0 && {
+        val elevOk = elevated.get(n).forall(e =>
+          e.floor > 0 && pbMin <= ElevatedMinRatio * e.floor)
+        val unresOk = !unresolved.contains(n) || sessionMin.get(n).exists(m =>
+          m > 0 && pbMin <= AnomalyRecoveryRatio * m)
+        elevOk && unresOk
+      }
+    val postBurstClosed =
+      postBurst.count { case (n, pb) => postBurstClosedFor(n, pb.min) }
     val mins = runs.map { case (n, samples) =>
       val ts = samples.map(_._1)
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -645,12 +659,12 @@ object Bench {
       .map { case (n, e) => "\"" + n + "\":" + jnum(e.min / e.floor, "%.1f") }
       .mkString("{", ",", "}")
     // post-burst ratios against each record's own gate yardstick (floor
-    // for elevations, session min for unresolved anomalies): ≤2.0 / ≤1.5
-    // reads as burst-confirmed directly off the compact line
+    // for elevations, session min for unresolved anomalies; a query
+    // flagged by both shows its WORST ratio): ≤2.0 elevations / ≤1.5
+    // anomalies reads as burst-confirmed directly off the compact line
     val postBurstCompact = postBurst.toSeq.take(6).map { case (n, pb) =>
-      val yard = floors.get(n).filter(_ > 0)
-        .getOrElse(sessionMin.getOrElse(n, -1.0))
-      val r = if (pb.min >= 0 && yard > 0) pb.min / yard else -1.0
+      val ratios = postBurstRatios(n, pb.min)
+      val r = if (pb.min >= 0 && ratios.nonEmpty) ratios.max else -1.0
       "\"" + n + "\":" + jnum(r, "%.1f")
     }.mkString("{", ",", "}")
     val coldTop = coldSpread.take(5)

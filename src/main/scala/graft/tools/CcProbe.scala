@@ -42,7 +42,7 @@ object CcProbe {
       val t0 = System.nanoTime()
       val n = graft.ops.Graph.connectedComponents(edges).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val rows = audit.drainRows()
+      val rows = audit.drainRowsSettled()
       println(f"[probe] cc pass$pass  ${sec}%.2f s | rows=$n " +
         f"stages=${rows.size} tasks=${rows.map(_.tasks).sum} " +
         f"stageMs=${rows.map(_.ms).sum} " +

@@ -44,16 +44,21 @@ final class StageAudit(spark: SparkSession) {
   }
 
   /** The label active at wall-clock `t` (last transition at or before
-    * it); the current label when `t` predates every transition. */
+    * it). A `t` that predates every transition maps to the INITIAL empty
+    * label — that is what was actually active; falling back to the
+    * current label would re-introduce delivery-time mislabeling for
+    * stages submitted before the caller's first setLabel (e.g. another
+    * suite's job on a shared test SparkContext, or Bench's discarded
+    * JIT-warmup probe). */
   private def labelAt(t: Long): String = {
-    var res: String = null
+    var res = ""
     val it = transitions.iterator()
     while (it.hasNext) {
       val (ts, l) = it.next()
       if (ts <= t) res = l
-      else return if (res == null) label else res
+      else return res
     }
-    if (res == null) label else res
+    res
   }
 
   spark.sparkContext.addSparkListener(new SparkListener {
@@ -75,6 +80,24 @@ final class StageAudit(spark: SparkSession) {
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     var r = rows.poll()
     while (r != null) { out += r; r = rows.poll() }
+    out.toSeq
+  }
+
+  /** [[drainRows]], then keep polling until the async bus delivers no new
+    * row for `settleMs` (bounded by `timeoutMs`). Probe mains that report
+    * a pass's stage TOTALS (CcProbe/SccProbe posture tables) need the
+    * stragglers a plain drain misses on a laggy bus — otherwise the final
+    * stages of a pass are silently discarded by the next pass's clearing
+    * drain and the recorded profile under-reports. */
+  def drainRowsSettled(settleMs: Int = 200, timeoutMs: Int = 2000): Seq[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer(drainRows(): _*)
+    var idle = 0
+    var waited = 0
+    while (idle < settleMs && waited < timeoutMs) {
+      Thread.sleep(50); waited += 50
+      val more = drainRows()
+      if (more.isEmpty) idle += 50 else { idle = 0; out ++= more }
+    }
     out.toSeq
   }
 
