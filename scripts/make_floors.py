@@ -8,24 +8,61 @@ Usage: python3 scripts/make_floors.py <detail.json> [<detail.json> ...]
 With several artifacts the floor is the PER-QUERY MIN across them — a
 single session's min still carries that session's ambient, and the
 elevated-minimum detector wants the best credible steady state. CREDIBLE
-is load-bearing: a reading more than 40% below every other session's min
-is the box's one-time scheduling luck, not a reproducible steady state
-(r11 q_importance_resample: 1.02 in one session vs 1.88/1.89 in the
-others — the 1.02 floor then made the query's TYPICAL ~1.9-2.0 steady
-fire 2x elevations on quiet post-burst probes). Such outliers are
-rejected: floor = min unless min < 0.6 x second-smallest, else the
-second-smallest. Writes
-name<TAB>min_seconds per catalog query plus a `_calib` pseudo-entry (the
-MIN of the sessions' CalibProbe means, same reasoning) so graft.Bench
-can report both yardsticks. `_shared_warmup` is excluded: it is a
-one-time build, not a steady-state floor. Only queries present in EVERY
-artifact get a floor (a query added after an old artifact must wait for
-a fresh controlled run).
+is load-bearing: a reading far below every other session's is the box's
+one-time scheduling luck, not a reproducible steady state (r11
+q_importance_resample: 1.02 in one session vs 1.88/1.89 in the others —
+the 1.02 floor then made the query's TYPICAL ~1.9-2.0 steady fire 2x
+elevations on quiet post-burst probes; note the committed r12 table
+intentionally KEPT that 1.02 floor, because session E's 1.417 later
+corroborated it under the pairwise rule — the guard is judgement about
+reproducibility, not a clamp). Round 13 hardens the rule against
+CORRELATED luck (two sessions both catching the same favorable
+scheduling window, which the old smallest-vs-second-smallest compare
+waved through): the floor is the smallest reading that is >= 0.6 x the
+MEDIAN of all sessions' readings (>=3 sessions; with fewer, plain min).
+
+RETENTION (round-13 directive #7): floors must stay regenerable, so the
+provenance list is bounded — at most the 6 NEWEST artifacts (by file
+mtime) are used; older ones are dropped loudly. Artifacts predating a
+query-code or catalog change must not be passed at all (their floors
+describe retired plans); the drift guard below catches catalog-era
+mixing but cannot see plan changes.
+
+Writes name<TAB>floor_seconds per catalog query plus a `_calib`
+pseudo-entry (the sessions' CalibProbe means under the same outlier
+rule) so graft.Bench can report both yardsticks. `_shared_warmup` is
+excluded: it is a one-time build, not a steady-state floor. Only
+queries present in EVERY artifact get a floor (a query added after an
+old artifact must wait for a fresh controlled run).
 """
 import json, re, sys, datetime, os
 
 
+MAX_ARTIFACTS = 6
+
+
+def credible_floor(readings):
+    """Smallest reading that is >= 0.6 x the median — one or two sessions'
+    correlated scheduling luck must not lock in a floor the box cannot
+    reproduce on a quiet day. The median itself always qualifies, so the
+    result is total; with <3 sessions there is no robust center, keep the
+    plain min."""
+    srt = sorted(readings)
+    if len(srt) < 3:
+        return srt[0]
+    med = srt[len(srt) // 2]
+    return next(s for s in srt if s >= 0.6 * med)
+
+
 def main(paths):
+    # retention: bound the provenance list to the newest artifacts so the
+    # table stays regenerable and old burst-struck sessions age out
+    if len(paths) > MAX_ARTIFACTS:
+        by_age = sorted(paths, key=os.path.getmtime, reverse=True)
+        kept, dropped = by_age[:MAX_ARTIFACTS], by_age[MAX_ARTIFACTS:]
+        print(f"retention: using the {MAX_ARTIFACTS} newest artifacts; "
+              f"dropped {', '.join(os.path.basename(p) for p in dropped)}")
+        paths = sorted(kept)  # stable header order
     arts = [json.load(open(p)) for p in paths]
     # mixing scales would silently collapse every floor to the smaller
     # SF's timings while the header claims the larger — refuse
@@ -41,10 +78,9 @@ def main(paths):
     # same outlier rule as the per-query floors: one session's lucky
     # calib mean must not become a permanently-uncloseable yardstick
     calibs = sorted(sum(a["calib_sec"]) / len(a["calib_sec"]) for a in arts)
-    calib = calibs[0]
-    if len(calibs) >= 3 and calibs[0] < 0.6 * calibs[1]:
-        calib = calibs[1]
-        print(f"  calib outlier rejected: {calibs[0]:.3f} -> {calibs[1]:.3f}")
+    calib = credible_floor(calibs)
+    if calib != calibs[0]:
+        print(f"  calib outlier rejected: {calibs[0]:.3f} -> {calib:.3f}")
     common = set(arts[0]["queries_min"])
     for a in arts[1:]:
         common &= set(a["queries_min"])
@@ -60,12 +96,17 @@ def main(paths):
         "regenerate all inputs from the same catalog era")
     lines = [
         "# Per-query expected-min floors for graft.Bench's elevated-minimum",
-        "# detector: per-query MIN over the controlled artifacts",
+        "# detector: per-query smallest CREDIBLE reading (>= 0.6 x median)",
+        "# over the controlled artifacts",
         f"# {', '.join(os.path.basename(p) for p in paths)}",
         f"# (calib_min={calib:.3f}s, sf={arts[0]['sf']}).",
         f"# Generated {datetime.date.today().isoformat()} by"
         " scripts/make_floors.py — regenerate after query-code or catalog"
         " changes.",
+        f"# Retention: at most the {MAX_ARTIFACTS} newest controlled"
+        " artifacts of the current code generation (the script enforces"
+        " the count; the caller must not pass artifacts predating a plan"
+        " change).",
         f"_calib\t{calib:.4f}",
         f"_sf\t{sf_num}",
     ]
@@ -75,11 +116,9 @@ def main(paths):
         secs = [a["queries_min"][name] for a in arts]
         if name.startswith("_") or any(s < 0 for s in secs):
             continue
-        srt = sorted(secs)
-        floor = srt[0]
-        if len(srt) >= 3 and srt[0] < 0.6 * srt[1]:
-            floor = srt[1]
-            rejected.append((name, srt[0], srt[1]))
+        floor = credible_floor(secs)
+        if floor != min(secs):
+            rejected.append((name, min(secs), floor))
         lines.append(f"{name}\t{floor:.4f}")
         n += 1
     out = "src/main/resources/bench_floors.tsv"

@@ -112,6 +112,24 @@ object Bench {
   val ElevatedMinRatio = 2.0
   /** ...if the query is heavy enough for the ratio to mean seconds. */
   private val ElevatedMinSec = 1.0
+  /** Generous ceiling on the session's cached-storage peak (observed
+    * peaks: 143-212 MB controlled, 641 MB the busiest driver session, on
+    * a 128 GiB heap). Exceeding it is not an error — storage pressure
+    * only matters if frames evict — but it IS unexplained growth, so the
+    * session flags it loudly next to the `storage_peak_top` attribution
+    * instead of letting the number drift up round over round. */
+  private[graft] val StoragePeakCeilingMb = 2048L
+  /** Post-burst re-sample priority: worst flagged ratio first, so when
+    * the pair cap or time budget bites it drops the marginal 2.1× cases,
+    * never the 14× ones the verdict needs closed. A FAILED sample
+    * (negative ratio: the pass errored outright) is the worst
+    * non-recovery shape there is, so it sorts AHEAD of every numeric
+    * ratio — mapping it to -1 severity (the r12 spelling) made the cap
+    * drop error shapes FIRST. */
+  private[graft] def resampleSeverity(ratios: Seq[Double]): Double =
+    if (ratios.exists(_ < 0)) Double.MaxValue
+    else if (ratios.isEmpty) 0.0
+    else ratios.max
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -259,6 +277,11 @@ object Bench {
     val stateNonzero = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val calibSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
     var storagePeakMb = 0L
+    // the cached frames (by creator label) holding the storage at its
+    // peak — r12's 641 MB driver peak was benign (zero evictions) but
+    // unattributed; naming the frames makes growth reviewable, and the
+    // ceiling check below makes it loud
+    var storagePeakTop = Seq.empty[(String, Long)]
     val flagGone = (label: String) => label.startsWith("shared:")
 
     // One timed execution; the caller controls cache lifetimes. Failures
@@ -280,7 +303,11 @@ object Bench {
       events ++= reclass(
         tools.CacheAudit.diff(snap, s2, labels, name, pass, flagGone))
       snap = s2
-      storagePeakMb = storagePeakMb.max(tools.CacheAudit.storageUsedMb(spark))
+      val usedMb = tools.CacheAudit.storageUsedMb(spark)
+      if (usedMb > storagePeakMb) {
+        storagePeakMb = usedMb
+        storagePeakTop = tools.CacheAudit.topFrames(s2, labels, 5)
+      }
       (if (ok) sec else -1.0, gcd)
     }
 
@@ -450,19 +477,28 @@ object Bench {
       val ts = samples.map(_._1).filter(_ >= 0)
       n -> (if (ts.nonEmpty) ts.min else -1.0)
     }.toMap
-    // bounded: a whole-session burst can elevate dozens (r11 session D:
-    // 13); 20 pairs ≈ the cost of one more catalog percent, enough to
-    // close any realistic burst cluster. Worst ratios first, so when the
-    // cap bites it drops the marginal 2.1× cases, never the 14× ones the
-    // verdict actually needs closed (name tiebreak keeps order stable).
+    // bounded two ways: a whole-session burst can elevate dozens (r11
+    // session D: 13), and the worst-first order means the selected
+    // queries are the SLOW ones — 20 cold+warm pairs of multi-second
+    // queries realistically cost minutes on a burst-hit session, not the
+    // one catalog percent the r12 comment claimed. The pair cap bounds
+    // the count; the time budget bounds the walls (a still-busy box
+    // doubles every pair, and evidence gathered under the same burst is
+    // worth less anyway). Worst ratios first ([[resampleSeverity]]:
+    // failed samples ahead of everything), so whichever bound bites
+    // drops the marginal 2.1× cases, never the 14× ones the verdict
+    // actually needs closed (name tiebreak keeps order stable).
     val resample = (elevated.keySet ++ unresolved.keySet).toSeq
       .sortBy { n =>
-        val sev = elevated.get(n).map(e => e.min / e.floor)
-          .getOrElse(unresolved(n)._1)
-        (-sev, n)
+        (-resampleSeverity(
+          elevated.get(n).map(e => e.min / e.floor).toSeq ++
+            unresolved.get(n).toSeq.flatMap(p => Seq(p._1, p._2))), n)
       }
+    val resampleDeadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    var resampled = 0
     resample.take(20).foreach { n =>
-      fnByName.get(n).foreach { f =>
+      if (System.nanoTime() - resampleDeadline < 0) fnByName.get(n).foreach { f =>
+        resampled += 1
         val calibAt = calib()
         val a = timeOnce(n, f, "post_burst_cold")
         val b = timeOnce(n, f, "post_burst_warm")
@@ -477,9 +513,10 @@ object Bench {
         postBurst(n) = PostBurst(if (vs.nonEmpty) vs.min else -1.0, calibAt)
       }
     }
-    if (resample.size > 20)
-      System.err.println(s"[bench] post-burst re-sample capped at 20 of " +
-        s"${resample.size} flagged queries")
+    if (resampled < resample.size)
+      System.err.println("[bench] post-burst re-sample bounded at " +
+        s"$resampled of ${resample.size} flagged queries " +
+        s"(pair cap 20, time budget 180 s)")
     audit.drainRows() // discard post-burst stage rows; evidence is the timing
     // closed = the re-sample sits within the gate of EVERY record that
     // flagged the query (≤2× floor for an elevation; ≤1.5× session min
@@ -612,10 +649,16 @@ object Bench {
 
     // full-precision detail: a stdout line (fine if the tail truncates it)
     // and a file the judge can read whole
+    // series first (round-13 convention): calib_adj_series is the
+    // HEADLINE adjusted number — it brackets each query's segment of the
+    // catalog, so it corrects mid-session bursts the endpoint probes
+    // can't see, and it demonstrably tightens same-code session spread
+    // (r11 A-C recomputed + r12 A-F live). The endpoint calib_adj stays
+    // emitted for cross-round comparability with r4-r12 artifacts.
     val detail =
       s"""{"metric":"total_steady_min","value":$total,"unit":"sec","sf":"$sfDir"""" +
-        s""","total_steady_min_calib_adj":${jnum(calibAdj, "%.2f")}""" +
         s""","calib_adj_series":${jnum(calibAdjSeries, "%.2f")}""" +
+        s""","total_steady_min_calib_adj":${jnum(calibAdj, "%.2f")}""" +
         s""","post_burst_n":${postBurst.size}""" +
         s""","post_burst_closed":$postBurstClosed""" +
         s""","ref_calib_sec":${tools.CalibProbe.RefCalibSec}""" +
@@ -626,6 +669,9 @@ object Bench {
           s"""[$qi,${jnum(c, "%.2f")},$mb]""" }.mkString(",")}]""" +
         s""","pass_totals":[${passTotals.mkString(",")}]""" +
         s""","storage_peak_mb":$storagePeakMb""" +
+        s""","storage_peak_top":${mapJson(
+          storagePeakTop.map { case (l, m) => l -> m.toDouble }, "%.0f")}""" +
+        s""","storage_peak_over_ceiling":${storagePeakMb > StoragePeakCeilingMb}""" +
         s""","warm_anomalies":$anomaliesJson""" +
         s""","warm_anomalies_unresolved":$unresolvedJson""" +
         s""","elevated_minima":$elevatedJson""" +
@@ -649,6 +695,10 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    if (storagePeakMb > StoragePeakCeilingMb)
+      System.err.println(s"[bench] storage peak ${storagePeakMb} MB exceeds " +
+        s"the $StoragePeakCeilingMb MB ceiling — top frames: " +
+        storagePeakTop.map { case (l, m) => s"$l=${m}MB" }.mkString(", "))
     println(detail)
 
     // compact final line: slowest queries first until the budget is hit,
@@ -679,8 +729,8 @@ object Bench {
       .mkString("{", ",", "}")
     def compactLine(qs: String, nShown: Int): String =
       s"""{"metric":"total_steady_min","value":${jnum(total, "%.2f")},"unit":"sec"""" +
-        s""","calib_adj":${jnum(calibAdj, "%.2f")}""" +
         s""","calib_adj_series":${jnum(calibAdjSeries, "%.2f")}""" +
+        s""","calib_adj":${jnum(calibAdj, "%.2f")}""" +
         s""","samples_per_query":[${sampleCounts.min},${sampleCounts.max}]""" +
         s""","pass_semantics":"adjacent_pair:cold_incl_builds,steady_state_warm"""" +
         s""","calib_sec":[${jnum(calibStart, "%.2f")},${jnum(calibEnd, "%.2f")}]""" +
@@ -695,6 +745,10 @@ object Bench {
         s""","evict_shared_n":$sharedEventCount,"heals_n":${heals.size}""" +
         s""","state_nonzero_n":${stateNonzero.size}""" +
         s""","storage_peak_mb":$storagePeakMb""" +
+        s""","storage_peak_top":${mapJson(
+          storagePeakTop.map { case (l, m) => l -> m.toDouble }, "%.0f")}""" +
+        (if (storagePeakMb > StoragePeakCeilingMb)
+          s""","storage_peak_over_ceiling":true""" else "") +
         s""","queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
     // measure the fixed fields with an empty query map, then spend what's
     // left of the 2000-char tail (minus margin for sbt's own trailing

@@ -1779,6 +1779,31 @@ object Graph {
     out.orderBy("walk", "step")
   }
 
+  /** Dev-probe counters for [[kTruss]] — read by
+    * [[graft.tools.KtrussProbe]] (round-13: the 100× posture measurement
+    * for the heaviest catalog query, mirroring [[CcStats]]/[[SccStats]]).
+    * `supSum3` is Σ support over the initial edge frame = 3 × enumerated
+    * triangles, riding the initial materialization's observe — zero extra
+    * jobs; `deletions(i)` is the under-threshold edge count observed at
+    * materialization i (index 0 = initial support, then one per peel
+    * round). `observed`/`fallback` evidence whether each statistic rode
+    * the round's one action or paid the extra filter-count probe. */
+  private[graft] object TrussStats {
+    @volatile var rounds = 0
+    @volatile var observed = 0
+    @volatile var fallback = 0
+    @volatile var supSum3 = -1L
+    val deletions = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def reset(): Unit = {
+      rounds = 0; observed = 0; fallback = 0; supSum3 = -1L
+      deletions.clear()
+    }
+    override def toString =
+      s"rounds=$rounds observed=$observed fallback=$fallback " +
+        s"triangles=${if (supSum3 >= 0) supSum3 / 3 else -1} " +
+        s"deletions=${deletions.mkString("[", ",", "]")}"
+  }
+
   /** k-truss: the subgraph where every surviving edge closes ≥ k−2
     * triangles WITH other surviving edges — the community-core filter
     * one notch stronger than [[kCore]] (degree can be faked by a hub;
@@ -1873,21 +1898,28 @@ object Graph {
     // (cutObserved, the SCC convention): the peel loop's "any deletions
     // this round?" probe costs zero extra jobs — the PREVIOUS round's
     // materialization already measured it.
-    def cutE(df: DataFrame): (DataFrame, Long) = {
+    def cutE(df: DataFrame, extra: Seq[Column] = Nil): (DataFrame, Long) = {
       val (out, m) = LineageCut.cutObserved(df, cutMode,
         Seq(sum(when(col("sup") < k - 2, lit(1L)).otherwise(lit(0L)))
-          .as("ndead")))
+          .as("ndead")) ++ extra)
       val n = m.get("ndead") match {
-        case Some(null) => 0L // sum over an empty frame
-        case Some(v) => v.asInstanceOf[Long]
-        case None => out.filter(col("sup") < k - 2).count() // fallback
+        case Some(null) => TrussStats.observed += 1; 0L // empty frame
+        case Some(v) => TrussStats.observed += 1; v.asInstanceOf[Long]
+        case None => TrussStats.fallback += 1
+          out.filter(col("sup") < k - 2).count() // fallback
       }
+      m.get("suptot").foreach(v =>
+        TrussStats.supSum3 = if (v == null) 0L else v.asInstanceOf[Long])
+      TrussStats.deletions += n
       (out, n)
     }
+    // suptot (Σ initial support = 3 × triangles) rides the same observe —
+    // probe evidence only, zero extra jobs
     var (e, nDead) = cutE(
       und.join(supOf(tri), Seq("a", "b"), "left")
         .select(col("a"), col("b"),
-          coalesce(col("sup"), lit(0L)).as("sup")))
+          coalesce(col("sup"), lit(0L)).as("sup")),
+      Seq(sum(col("sup")).as("suptot")))
     LineageCut.release(und)
     var r = 1
     var converged = false
@@ -1917,6 +1949,7 @@ object Graph {
         LineageCut.release(e)
         e = nextE
         nDead = nd
+        TrussStats.rounds += 1
         if (r < rounds) { // the final round's list has no reader
           val nextTri = graft.Tables.fanOut(LineageCut.cut(
             tri.join(deadTri, keys, "left_anti"), cutMode))

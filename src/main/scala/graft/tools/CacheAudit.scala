@@ -56,6 +56,18 @@ object CacheAudit {
       i.id -> Snap(i.id, i.name, i.numPartitions, i.numCachedPartitions,
         i.memSize, i.diskSize)).toMap
 
+  /** Top cached frames by storage memory at a snapshot, aggregated by
+    * creator label (round-12 verdict: the driver session's 641 MB storage
+    * peak was benign but unattributed — name the frames). Pure over the
+    * snapshot + label map so the aggregation is spec-testable; ids the
+    * labeler never saw report as "?". */
+  def topFrames(snap: Map[Int, Snap],
+      labels: scala.collection.Map[Int, String], k: Int): Seq[(String, Long)] =
+    snap.values.toSeq.groupBy(s => labels.getOrElse(s.id, "?"))
+      .map { case (l, ss) => l -> ss.map(_.mem).sum / (1024L * 1024) }
+      .toSeq.filter(_._2 > 0)
+      .sortBy { case (l, m) => (-m, l) }.take(k)
+
   /** Driver storage-memory in use (MB) — max minus remaining across the
     * block managers; in local mode that is the one driver JVM. */
   def storageUsedMb(spark: SparkSession): Long =
