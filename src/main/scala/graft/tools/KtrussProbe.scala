@@ -46,22 +46,31 @@ object KtrussProbe {
     val edges = graft.Tables.transfers(spark, sfDir)
       .select(col("from_address").as("src"), col("to_address").as("dst"))
     val passes = sys.env.getOrElse("KTRUSS_PROBE_PASSES", "3").toInt
+    // k/rounds knobs: the catalog's k=3 converges in one peel round at
+    // both scales, so the incremental-maintenance path (work ∝ deletions)
+    // barely runs — k=4+ forces real deletion volume and peel rounds,
+    // which is what a posture claim about the peel needs
+    val k = sys.env.getOrElse("KTRUSS_PROBE_K", Wallet.KTrussK.toString).toInt
+    val rounds = sys.env.getOrElse("KTRUSS_PROBE_ROUNDS",
+      Wallet.KTrussRounds.toString).toInt
     for (pass <- 1 to passes) {
       Graph.TrussStats.reset()
       audit.drainRows()
       audit.setLabel(s"pass$pass")
       val t0 = System.nanoTime()
-      val n = Graph.kTruss(edges, Wallet.KTrussK, Wallet.KTrussRounds).count()
+      val n = Graph.kTruss(edges, k, rounds).count()
       val sec = (System.nanoTime() - t0) / 1e9
       val rows = audit.drainRowsSettled()
-      println(f"[probe] ktruss pass$pass  ${sec}%.2f s | rows=$n " +
-        f"stages=${rows.size} tasks=${rows.map(_.tasks).sum} " +
+      println(f"[probe] ktruss(k=$k,r=$rounds) pass$pass  ${sec}%.2f s | " +
+        f"rows=$n stages=${rows.size} tasks=${rows.map(_.tasks).sum} " +
         f"stageMs=${rows.map(_.ms).sum} " +
         f"sReadMB=${rows.map(_.sReadB).sum >> 20} " +
         f"sWriteMB=${rows.map(_.sWriteB).sum >> 20} " +
         f"gcMs=${rows.map(_.gcMs).sum}")
-      rows.sortBy(-_.ms).take(6).foreach { s =>
-        println(f"[probe]    ${s.ms}%6d ms ${s.tasks}%4d tasks  ${s.desc}") }
+      rows.sortBy(-_.ms).take(8).foreach { s =>
+        println(f"[probe]    ${s.ms}%6d ms ${s.tasks}%4d tasks " +
+          f"sR=${s.sReadB >> 20}%5d MB sW=${s.sWriteB >> 20}%5d MB  " +
+          s.desc.take(60)) }
       println(s"[probe]    rounds: ${Graph.TrussStats}")
     }
     spark.stop()
