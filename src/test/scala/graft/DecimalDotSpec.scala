@@ -94,4 +94,59 @@ class DecimalDotSpec extends AnyFunSuite {
       Seq((1.0, 2.0)).toDF("a", "b")
         .select(expr(s"${DecimalDot.Name}(a, b)")).collect())
   }
+
+  test("dec18 == BigDecimal.valueOf(p).setScale(18, HALF_UP) across magnitudes") {
+    // the round-13 fixed-point fast path must be bit-identical to the
+    // BigDecimal spelling for every finite double: exhaustive-by-sampling
+    // differential check over 2M values spanning subnormals to 1e21, plus
+    // the structured edge set (rounding boundaries, overflow edge, ±0)
+    val rnd = new scala.util.Random(20260818L)
+    def ref(x: Double): Option[Long] =
+      try Some(java.math.BigDecimal.valueOf(x)
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact())
+      catch { case _: ArithmeticException => None }
+    var i = 0
+    while (i < 2000000) {
+      val x = (rnd.nextDouble() - 0.5) * 2.0 * math.pow(10, rnd.nextInt(44) - 22)
+      ref(x) match {
+        case Some(w) => assert(DecimalDot.dec18(x) == w, s"x=$x")
+        case None => assert(DecimalDot.dec18(x) == Long.MinValue, s"x=$x")
+      }
+      i += 1
+    }
+    val edges = Seq(0.0, -0.0, 1e-19, -1e-19, 5e-19, 4.9e-324, -4.9e-324,
+      1.5e-18, 0.5, 0.1, 1.0, -1.0, 1e-3, 9.999999999999999e6, 1e7,
+      9.223372036854775, -9.223372036854775, 9.3, 123456.78901234567,
+      2.5e-18, 3.5e-18, -2.5e-18, 1.0000000000000002, Double.MinPositiveValue)
+    edges.foreach { x =>
+      ref(x) match {
+        case Some(w) => assert(DecimalDot.dec18(x) == w, s"edge x=$x")
+        case None => assert(DecimalDot.dec18(x) == Long.MinValue, s"edge x=$x")
+      }
+    }
+  }
+
+  test("overflow fallback: big products and big accumulations stay exact") {
+    DecimalDot.register(spark)
+    // per-element overflow (|p·1e18| > Long.Max) and accumulator overflow
+    // (sum of in-range terms past Long.Max) must both route to the
+    // BigDecimal path and agree with the exact decimal SUM spelling
+    val rows = Seq(
+      (Seq(3e9, 1.0), Seq(4e9, 2.0)), // element 1.2e19 overflows a long
+      (Seq(5.0, 5.0, 5.0), Seq(1.0, 1.0, 1.0)), // fits
+      (Seq(3.0, 3.0, 3.0, 3.0), Seq(1.0, 1.0, 1.0, 1.0)), // 12: acc 1.2e19 overflows
+      (Seq(-3.0, -3.0, -3.0, -3.0), Seq(1.0, 1.0, 1.0, 1.0)),
+      (Seq(1e300, 1.0), Seq(1e-300, 1.0))
+    ).toDF("a", "b")
+    val got = rows.select(expr(s"${DecimalDot.Name}(a, b)").as("fast"),
+      posexplode(expr("zip_with(a, b, (x, y) -> x * y)")).as(Seq("i", "p")))
+      .groupBy("fast")
+      .agg(sum(expr("CAST(p AS DECIMAL(38,18))")).cast("double").as("exact"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+  }
 }
