@@ -145,6 +145,7 @@ object Bench {
       // count and tiny-stage scheduling dominates the iterative queries)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -32,6 +32,7 @@ object Verify {
       // steady; 3.2 s with this on, same plans, measured by MisProbe)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -28,22 +28,29 @@ object Dedup {
   val NumHashes = 8
   val BandRows = 2 // 4 bands × 2 rows
 
-  /** Wide per-document signature row (doc_id, m0..m7): ONE aggregate over
-    * the shingle stream with [[NumHashes]] min columns — each partition
-    * partial-aggregates every document's shingles down to 8 hex strings
-    * before the shuffle. The naive spelling (explode shingles ×8, group by
-    * (doc, seed)) amplifies the shuffle 8× and carries a row per (doc,
-    * seed); this carries a row per doc. */
+  /** Wide per-document signature row (doc_id, m0..m7): ONE pass over each
+    * document's shingle ARRAY via the [[graft.functions.MinHashSig]]
+    * kernel — no explode, no aggregate at all (the doc's shingles are
+    * already one row in [[TextAnalysis.shinglesArr]]). Earlier forms:
+    * explode ×8 + group by (doc, seed) shuffled a row per (doc, seed);
+    * then one agg with 8 min(md5(concat…)) columns — still 36 s of task
+    * time at sf0.1 in exploded-row machinery and per-shingle string
+    * allocation. The kernel computes the same eight minima in raw digest
+    * bytes with a reused MessageDigest (~10× on the stage; identical
+    * values — the q_minhash_* oracle checks them). */
   private def sigRows(spark: SparkSession, sfDir: String): DataFrame =
     Shared.frame(spark, sfDir, "minhash_sig_rows") {
       // session-shared like its shinglesArr input: the signature frame
       // feeds q_minhash_sigs, the banded-pairs spine, and q_dedup_recall —
       // 8 hex strings per doc, summary-sized at any corpus
-      val mins = (0 until NumHashes).map(j =>
-        min(md5(concat(lit(s"$j|"), col("sh")))).as(s"m$j"))
-      TextAnalysis.shingles(spark, sfDir)
-        .groupBy("doc_id")
-        .agg(mins.head, mins.tail: _*)
+      require(graft.functions.MinHashSig.NumHashes == NumHashes,
+        "MinHashSig kernel seed count must match Dedup.NumHashes")
+      graft.functions.MinHashSig.register(spark)
+      TextAnalysis.shinglesArr(spark, sfDir)
+        .select(col("doc_id"),
+          expr(s"${graft.functions.MinHashSig.Name}(shs)").as("ms"))
+        .select(col("doc_id") +:
+          (0 until NumHashes).map(j => col("ms")(j).as(s"m$j")): _*)
     }
 
   /** MinHash signatures: for seed j, min over the document's distinct
@@ -718,11 +725,19 @@ object Dedup {
     // particular order) — one build, one persist, where the window
     // formulation paid two sorted window passes plus a second full
     // shingle aggregation for the sets.
+    // the (df, sh) struct array is kept WHOLE: its prefix (first p under
+    // the global rare-first order) seeds candidates, and the verify step
+    // intersects the sorted struct arrays directly with the merge-pass
+    // kernel [[graft.functions.SortedInterCount]] — r13: the previous
+    // `size(array_intersect(ss_a, ss_b))` spelling owned ~65% of the
+    // query's runnable samples in OpenHashSet build/probe/materialize per
+    // candidate pair (df is a function of sh, so (df, sh) equality is sh
+    // equality and the count is unchanged; the all-pairs oracle re-proves)
+    graft.functions.SortedInterCount.register(spark)
     val byRank = sh.join(dfCounts, "sh")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
-      .select(col("doc_id"),
-        expr("transform(arr, x -> x.sh)").as("ss"),
+      .select(col("doc_id"), col("arr"),
         size(col("arr")).cast("long").as("n"))
       .withColumn("p", col("n") -
         expr(s"(n * $SetSimTauNum + $SetSimTauDen - 1) div $SetSimTauDen") + 1)
@@ -735,7 +750,8 @@ object Dedup {
     // (exact: every killed pair fails the final integer test by algebra,
     // and the unchanged all-pairs oracle re-proves losslessness).
     val cands = byRank
-      .select(col("doc_id"), col("n"), explode(expr("slice(ss, 1, p)")).as("sh"))
+      .select(col("doc_id"), col("n"),
+        explode(expr("transform(slice(arr, 1, p), x -> x.sh)")).as("sh"))
       .groupBy("sh")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -750,11 +766,12 @@ object Dedup {
         .as("p"))
       .select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b").distinct()
     cands
-      .join(byRank.select(col("doc_id").as("doc_a"), col("ss").as("sa")),
+      .join(byRank.select(col("doc_id").as("doc_a"), col("arr").as("sa")),
         "doc_a")
-      .join(byRank.select(col("doc_id").as("doc_b"), col("ss").as("sb")),
+      .join(byRank.select(col("doc_id").as("doc_b"), col("arr").as("sb")),
         "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("inter",
+        expr(s"${graft.functions.SortedInterCount.Name}(sa, sb)"))
       .filter(col("inter") * SetSimTauDen >=
         lit(SetSimTauNum) * (col("n_a") + col("n_b") - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"),

@@ -75,5 +75,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.IntDot.Name),
       binary(graft.functions.IntDot.Name,
         graft.functions.IntDot(_, _))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.MinHashSig.Name),
+      new ExpressionInfo(
+        classOf[graft.functions.MinHashSig].getName,
+        graft.functions.MinHashSig.Name),
+      exprs => graft.functions.MinHashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.SortedInterCount.Name),
+      new ExpressionInfo(
+        classOf[graft.functions.SortedInterCount].getName,
+        graft.functions.SortedInterCount.Name),
+      binary(graft.functions.SortedInterCount.Name,
+        graft.functions.SortedInterCount(_, _))))
   }
 }

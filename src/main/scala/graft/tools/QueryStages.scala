@@ -18,7 +18,14 @@ object QueryStages {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.getOrElse("QUERY_STAGES_ONLY", "^q_jaccard_top1$").r
-    val spark = SparkSession.builder()
+    // knob A/B harness: QUERY_STAGES_CONFS="k=v;k=v" applied on top of the
+    // Bench baseline, so a config's effect is measured on the same pass
+    // discipline before touching the Bench session itself
+    val extra = sys.env.getOrElse("QUERY_STAGES_CONFS", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    var b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,8 +33,10 @@ object QueryStages {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
+    extra.foreach { case (k, v) => b = b.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString)

@@ -42,6 +42,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sig1.toSeq != sig3.toSeq)
   }
 
+  test("MinHashSig kernel == the explode + 8×min(md5) spelling (twin equality)") {
+    // the round-13 one-pass signature kernel must reproduce the exploded
+    // aggregate it replaced, value for value, on the real corpus
+    graft.functions.MinHashSig.register(spark)
+    val arr = TextAnalysis.shinglesArr(spark, GraftSpark.Sf)
+    val fast = arr.select(col("doc_id"),
+      expr(s"${graft.functions.MinHashSig.Name}(shs)").as("ms"))
+      .select(col("doc_id") +:
+        (0 until Dedup.NumHashes).map(j => col("ms")(j).as(s"m$j")): _*)
+    val mins = (0 until Dedup.NumHashes).map(j =>
+      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"m$j"))
+    val slow = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    assert(fast.count() == slow.count())
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("SortedInterCount == size(array_intersect) on the setsim verify arrays") {
+    // the merge-pass kernel must reproduce the hash-based array_intersect
+    // count on the exact (df, sh)-sorted struct arrays setSimJoin builds
+    graft.functions.SortedInterCount.register(spark)
+    val sh = TextAnalysis.shingles(spark, GraftSpark.Sf)
+    val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byRank = sh.join(dfc, "sh").groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
+    val pairs = byRank.select(col("doc_id").as("a"), col("arr").as("sa"))
+      .join(byRank.select(col("doc_id").as("b"), col("arr").as("sb")),
+        col("a") % 13 === col("b") % 17)
+      .select(
+        expr(s"${graft.functions.SortedInterCount.Name}(sa, sb)").as("fast"),
+        size(array_intersect(expr("transform(sa, x -> x.sh)"),
+          expr("transform(sb, x -> x.sh)"))).cast("long").as("slow"))
+    assert(pairs.filter(col("fast") =!= col("slow")).isEmpty)
+    assert(pairs.filter(col("fast") > 0).count() > 0) // non-trivial witness
+  }
+
   test("jaccard top-1 is symmetric-consistent and within (0,1]") {
     val j = Dedup.jaccardTop1(spark, GraftSpark.Sf)
     assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
