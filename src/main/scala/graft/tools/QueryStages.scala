@@ -33,6 +33,17 @@ object QueryStages {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // sort-based shuffle writer for wide exchanges: the bypass writer
+      // opens one file per reducer per map task and NIO-merges them
+      // (32 partitions x 32 map tasks = 1024 creates+mmaps per exchange) --
+      // measured 42% of warm wall on the shuffle-heavy catalog subset. At
+      // production partition counts (>200) bypass never engages, so this
+      // pins wide local exchanges to the same writer path a cluster run
+      // uses. 8 keeps the STREAMING state shards (8 stores, tiny rows,
+      // many micro-batches) on the bypass path, where 8 files per map
+      // task is mild and the sort writer's per-task buffering measured
+      // 1.4-3.9x worse on the stream-stream join family.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     extra.foreach { case (k, v) => b = b.config(k, v) }
