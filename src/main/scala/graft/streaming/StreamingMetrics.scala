@@ -87,14 +87,16 @@ object StreamingMetrics {
     * count is a capacity knob that should track STATE VOLUME, not the
     * session's batch-shuffle width: the posture runs measure ~10⁴ live
     * state rows at sf0.1, where 32 shards mean 32× per-batch commit/
-    * checkpoint fixed costs for ~300 rows each. 8 shards carry that state
+    * checkpoint fixed costs for ~300 rows each. 4 shards (r13: measured
+    * 5–15% off the stream-join walls vs 8, with ~2,500 rows per shard
+    * still ~25,000× under the ~64 MB/store comfort line) carry that state
     * comfortably and cut the fixed cost 4×; at production state volumes
     * the SAME knob scales up (state_rows × row_size / ~64 MB per store),
     * which is how a 1000-executor deployment sizes it. Set per streaming
     * query via [[withStatePartitions]] — the count is captured into the
     * query's checkpoint at first start, so it is a per-query property,
     * not a session one. */
-  val StateShufflePartitions = 8
+  val StateShufflePartitions = 4
 
   /** Run `f` (which must BUILD, START, and DRAIN its streaming query —
     * the first micro-batch captures the count into the checkpoint, so the
