@@ -151,11 +151,15 @@ object Bench {
       // measured 42% of warm wall on the shuffle-heavy catalog subset. At
       // production partition counts (>200) bypass never engages, so this
       // pins wide local exchanges to the same writer path a cluster run
-      // uses. 8 keeps the STREAMING state shards (8 stores, tiny rows,
-      // many micro-batches) on the bypass path, where 8 files per map
-      // task is mild and the sort writer's per-task buffering measured
-      // 1.4-3.9x worse on the stream-stream join family.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+      // uses. 4 = the streaming state shard count: state exchanges (tiny
+      // rows, many micro-batches) stay on the bypass path, where a
+      // file per reducer is mild and the sort writer's per-task
+      // buffering measured 1.4-3.9x worse on the stream-join family --
+      // while batch exchanges stay sort-based even in the driver's
+      // LOWER-core-count scaling run (8 cores -> 8 shuffle partitions,
+      // which a threshold of 8 would have flipped back to bypass;
+      // measured -17% on the shuffle-heavy subset at 8 cores).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "4")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -39,7 +39,7 @@ object CalibProbe {
     *
     * RE-ANCHORED in round 13 (declared in OPTIMIZATION_r13.md): the probe's
     * constant work includes one 32-partition shuffle, and the round-13
-    * engine sessions pin `spark.shuffle.sort.bypassMergeThreshold=8`, which
+    * engine sessions pin `spark.shuffle.sort.bypassMergeThreshold=4`, which
     * moves that shuffle from the bypass writer (1024 file creates + NIO
     * merges) to the sort writer — the probe reading fell from ~0.59 to
     * ~0.19 s on a quiet box for IDENTICAL ambient conditions. Against the
@@ -62,7 +62,7 @@ object CalibProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "4")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
