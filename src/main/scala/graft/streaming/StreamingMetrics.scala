@@ -111,15 +111,47 @@ object StreamingMetrics {
     * other here. */
   private[streaming] def withStatePartitions[T](spark: SparkSession,
       n: Int = StateShufflePartitions)(f: => T): T =
-    // the lock IS the session's SQLConf — the exact object being mutated,
-    // unique per session, held by nothing else in this codebase; no
-    // registry of session→lock that would pin cycled sessions forever
+    withSessionConfs(spark,
+      Seq("spark.sql.shuffle.partitions" -> n.toString))(f)
+
+  /** Pin-run-restore a set of session confs around a streaming
+    * build+start+drain, serialized per session (see [[withStatePartitions]]
+    * — this is its generalization; the lock IS the session's SQLConf, the
+    * exact object being mutated, unique per session, held by nothing else
+    * in this codebase). A conf unset before the call is restored to unset. */
+  private[streaming] def withSessionConfs[T](spark: SparkSession,
+      confs: Seq[(String, String)])(f: => T): T =
     spark.sessionState.conf.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, n)
-      try f finally spark.conf.set(key, prev)
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
+
+  /** State shards + NO no-data micro-batch, for bounded drains whose
+    * DECLARED OUTPUT is complete after the data batch: inner and semi
+    * stream-stream joins emit each result row the moment both sides are
+    * present (the watermark only EVICTS state, it never gates their
+    * output), and streaming dedup admits first-seen rows immediately. For
+    * those shapes the engine's extra watermark-advance batch does nothing
+    * but evict state that a bounded run discards with its checkpoint
+    * anyway — while costing a full per-batch fixed round (incremental
+    * re-plan, offset/commit WAL writes, and a state-store commit that
+    * re-serializes every eviction; measured ~35–45% of the inner/semi
+    * join walls at sf0.1). A CONTINUOUS deployment of the same plan keeps
+    * the default (no-data batches on) so state is evicted promptly during
+    * idle periods — this wrapper exists for the drain-then-discard
+    * harness shape only, which is why the conf is pinned per query here
+    * and not set session-wide. NEVER use it for watermark-GATED output
+    * (outer/anti joins, append-mode windowed aggregations): their final
+    * rows emit IN the no-data batch and would be silently withheld. */
+  private[streaming] def withStatePartitionsNoFlush[T](
+      spark: SparkSession, n: Int = StateShufflePartitions)(f: => T): T =
+    withSessionConfs(spark, Seq(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))(f)
 
   /** Run [[hourlyVolumeBounded]] over the static testdata into a PARQUET
     * sink (AvailableNow trigger) and return the sink's contents. Windows
@@ -472,7 +504,9 @@ object StreamingMetrics {
       .dedupedStream(stream, "ts_t", "1 hour", Seq("h"))
       .select("h")
 
-    withStatePartitions(spark) {
+    // dedup admits first-seen rows in the data batch (the watermark only
+    // evicts state); the no-data batch adds no output — skip it
+    withStatePartitionsNoFlush(spark) {
       val q = deduped.writeStream
         .outputMode("append")
         .format("memory")
@@ -759,7 +793,9 @@ object StreamingMetrics {
       graft.util.TempDirs.scratch("graft_ssj_sink")
     val ckpt =
       graft.util.TempDirs.scratch("graft_ssj_ckpt")
-    withStatePartitions(spark) {
+    // inner join: every pair emits in the data batch; the no-data batch
+    // would only evict state this bounded run discards — skip it
+    withStatePartitionsNoFlush(spark) {
       val ticks = graft.Tables.eventsStream(spark, sfDir)
         .filter(col("event_id") % 5 === 0)
         .select(col("event_type").as("p_contract"),
@@ -823,7 +859,19 @@ object StreamingMetrics {
         lit("__sentinel__").as("contract_address"), lit(0.0).as("value"),
         timestamp_micros(col("value")).as("t_ts")))
     withStatePartitions(spark) {
+      // the anti set IS the NULL-padded rows: filter in-stream (a filter on
+      // the outer join's appended output, batch by batch), so matched pairs
+      // never hit the sink — same emitted set, a fraction of the sink
+      // write/read bytes (§2.3 project-before-the-exchange, applied to the
+      // sink boundary). ONLY the null-tolerant `price.isNull` may sit here:
+      // it cannot be pushed below the join (right-side predicate of a LEFT
+      // OUTER) nor converted to inner (IsNull is satisfied by the padding),
+      // so the join's state/watermark machinery is untouched. The sentinel
+      // filter must NOT move in-stream — it would be pushed below the left
+      // side's EventTimeWatermark and the sentinel would stop advancing
+      // the watermark (measured: one boundary group withheld at sf0.001).
       val q = StreamJoins.transfersWithRecentPricesOuter(txs, ticks, 3600L)
+        .filter(col("price").isNull)
         .writeStream
         .outputMode("append")
         .format("parquet")
@@ -834,8 +882,7 @@ object StreamingMetrics {
       q.awaitTermination()
     }
     spark.read.parquet(outDir)
-      .filter(col("contract_address") =!= "__sentinel__" &&
-        col("price").isNull)
+      .filter(col("contract_address") =!= "__sentinel__")
       .groupBy(col("contract_address"),
         (expr("unix_micros(t_ts) div 3600000000") * 3600)
           .cast("long").as("t"))
@@ -865,7 +912,9 @@ object StreamingMetrics {
       .filter(col("event_id") % 5 =!= 0)
       .select(col("event_type").as("contract_address"),
         col("value"), col("ts_t").as("t_ts"))
-    withStatePartitions(spark) {
+    // semi join: matched left rows emit on match, in the data batch; the
+    // no-data batch would only evict discarded state — skip it
+    withStatePartitionsNoFlush(spark) {
       val q = StreamJoins.transfersWithRecentPricesSemi(txs, ticks, 3600L)
         .writeStream
         .outputMode("append")
