@@ -490,10 +490,26 @@ object Graph {
         .join(deg, Seq("v"), "left"), cutMode)
     val n = base.count() // driver-side scalar only (like the CC loop's flag)
     var ranks = base.withColumn("r", lit(1.0 / n))
-    // the initial ranks frame is BASE-backed — releasing it would drop
-    // base's blocks, which every later round re-joins; only this loop's
-    // own round cuts are ever superseded-and-releasable
-    var ranksOwned = false
+    // Dangling mass as a DRIVER SCALAR: round k+1 needs the decimal-exact
+    // dangling-rank sum of round k's output, which rides round k's one cut
+    // materialization as an OBSERVED metric (same pattern as the CC
+    // convergence flag) — the old spelling attached it as a one-row
+    // aggregate via crossJoin(broadcast(...)), paying a SinglePartition
+    // exchange + IdentityBroadcast + BroadcastNestedLoopJoin + a second
+    // scan of the ranks frame EVERY round. The literal is the same
+    // decimal-summed double, folded through the same IEEE ops — ranks are
+    // bit-identical (the unrolled oracle re-checks them). Round 1's mass
+    // comes from one tiny aggregate over the base-backed initial ranks.
+    val dangOf = (df: DataFrame, m: Map[String, Any]) => m.get("dang") match {
+      case Some(d: java.lang.Double) => d.doubleValue()
+      case Some(null) => 0.0 // metric arrived; sum over zero dangling rows
+      case _ => // metric not delivered: recompute from the cut frame
+        val r = df.filter(col("deg").isNull)
+          .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")).first()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    var dang = dangOf(ranks, Map.empty)
+    var ranksOwned = false // initial ranks is base-backed (see comment above)
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.filter(col("deg").isNotNull)
@@ -502,22 +518,18 @@ object Graph {
         .groupBy(col("dst").as("v"))
         .agg(expr("CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE)")
           .as("contrib"))
-      // dangling vertices spread their mass uniformly: one-row aggregate,
-      // broadcast into the update (sum over an empty set is a null row —
-      // coalesced below, same as SQL)
-      val dangling = ranks.filter(col("deg").isNull)
-        .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")
-          .as("dang"))
-      val next = LineageCut.cut(
+      val (next, m) = LineageCut.cutObserved(
         base.join(contribs, Seq("v"), "left")
-          .crossJoin(broadcast(dangling))
           .select(col("v"), col("deg"),
             (lit((1.0 - alpha) / n) +
               lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
-                coalesce(col("dang"), lit(0.0)) / n)).as("r")),
-        cutMode)
+                lit(dang / n))).as("r")),
+        cutMode,
+        Seq(expr("CAST(SUM(CASE WHEN deg IS NULL THEN " +
+          "CAST(r AS DECIMAL(38,18)) END) AS DOUBLE)").as("dang")))
       if (ranksOwned) LineageCut.release(ranks)
       ranks = next; ranksOwned = true
+      dang = dangOf(ranks, m)
     }
     ranks.select(col("v"), col("r").as("rank"))
   }
@@ -982,34 +994,57 @@ object Graph {
       cutMode: LineageCut = LineageCut.Auto): DataFrame = {
     val e = LineageCut.cut(
       edges.select(col("src"), col("dst")).distinct(), cutMode)
-    val verts = e.select(col("src").as("v"))
-      .unionByName(e.select(col("dst").as("v"))).distinct()
-    def normalized(raw: DataFrame, c: String): DataFrame = {
+    // cut ONCE: the vertex universe is loop-invariant, but as a lazy plan
+    // it was re-executed (union + two-level distinct + exchange) inside
+    // EVERY half-round's normalization — r14 RoundPlans measured 7
+    // exchanges per half-round action, two of them this subtree (§2.4:
+    // compute loop invariants once, iterate over the cut)
+    val verts = LineageCut.cut(
+      e.select(col("src").as("v"))
+        .unionByName(e.select(col("dst").as("v"))).distinct(), cutMode)
+    // L∞ normalization with the max riding the half-round's one
+    // materialization as an OBSERVED metric (the cutObserved pattern the
+    // CC loop uses for its convergence flag): the old spelling computed
+    // the max as a second aggregate subtree and attached it with
+    // crossJoin(broadcast(max-row)) — one SinglePartition exchange, one
+    // IdentityBroadcast, one BroadcastNestedLoopJoin and a duplicated
+    // join-agg subtree per half-round, all to divide by a scalar. The
+    // literal division is the same IEEE op on the same max value, so
+    // scores are bit-identical (the unrolled oracle re-checks them).
+    def normalizedCut(raw: DataFrame, c: String): DataFrame = {
       val full = verts.join(raw, Seq("v"), "left")
         .select(col("v"), coalesce(col(c), lit(0.0)).as("raw"))
-      val m = full.agg(max(col("raw")).as("m"))
-      full.crossJoin(broadcast(m))
-        .select(col("v"),
-          when(col("m") > 0, col("raw") / col("m")).otherwise(0.0).as(c))
+      val (cutFull, metrics) = LineageCut.cutObserved(full, cutMode,
+        Seq(max(col("raw")).as("m")))
+      val m = metrics.get("m") match {
+        case Some(d: java.lang.Double) => d.doubleValue()
+        case Some(null) => 0.0 // metric arrived; max over an empty frame
+        case _ => // metric not delivered: recompute from the cut frame
+          val r = cutFull.agg(max(col("raw"))).first()
+          if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+      cutFull.select(col("v"),
+        (if (m > 0) col("raw") / lit(m) else lit(0.0)).as(c))
     }
     var h = verts.withColumn("h", lit(1.0))
     var a = verts.withColumn("a", lit(0.0))
-    // initial h/a are VERTS-backed (lazy over e) — releasing them would
-    // drop e's blocks; only this loop's own cuts are releasable
+    // initial h/a are VERTS-backed — releasing them would drop verts'
+    // blocks, which every later round re-joins; only this loop's own
+    // round cuts are ever superseded-and-releasable
     var owned = false
     for (_ <- 1 to rounds) {
-      val na = LineageCut.cut(normalized(
+      val na = normalizedCut(
         e.join(h.select(col("v").as("src"), col("h")), Seq("src"))
           .groupBy(col("dst").as("v"))
           .agg(expr("CAST(SUM(CAST(h AS DECIMAL(38,18))) AS DOUBLE)")
-            .as("a")), "a"), cutMode)
+            .as("a")), "a")
       if (owned) LineageCut.release(a)
       a = na
-      val nh = LineageCut.cut(normalized(
+      val nh = normalizedCut(
         e.join(a.select(col("v").as("dst"), col("a")), Seq("dst"))
           .groupBy(col("src").as("v"))
           .agg(expr("CAST(SUM(CAST(a AS DECIMAL(38,18))) AS DOUBLE)")
-            .as("h")), "h"), cutMode)
+            .as("h")), "h")
       if (owned) LineageCut.release(h)
       h = nh; owned = true
     }
@@ -1126,6 +1161,18 @@ object Graph {
         .join(deg, Seq("v"), "left"), cutMode)
     val n = base.count()
     var ranks = base.withColumn("r", lit(1.0 / n))
+    // dangling mass as an observed driver scalar — see [[pageRank]]'s
+    // loop for the full rationale (identical change: the per-round
+    // crossJoin(broadcast(one-row-agg)) becomes a metric riding the cut)
+    val dangOf = (df: DataFrame, m: Map[String, Any]) => m.get("dang") match {
+      case Some(d: java.lang.Double) => d.doubleValue()
+      case Some(null) => 0.0
+      case _ =>
+        val r = df.filter(col("ws").isNull)
+          .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")).first()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    var dang = dangOf(ranks, Map.empty)
     var ranksOwned = false // initial ranks is base-backed (see pageRank)
     for (_ <- 1 to iterations) {
       val contribs = e
@@ -1135,19 +1182,18 @@ object Graph {
         .groupBy(col("dst").as("v"))
         .agg(expr("CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE)")
           .as("contrib"))
-      val dangling = ranks.filter(col("ws").isNull)
-        .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")
-          .as("dang"))
-      val next = LineageCut.cut(
+      val (next, m) = LineageCut.cutObserved(
         base.join(contribs, Seq("v"), "left")
-          .crossJoin(broadcast(dangling))
           .select(col("v"), col("ws"),
             (lit((1.0 - alpha) / n) +
               lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
-                coalesce(col("dang"), lit(0.0)) / n)).as("r")),
-        cutMode)
+                lit(dang / n))).as("r")),
+        cutMode,
+        Seq(expr("CAST(SUM(CASE WHEN ws IS NULL THEN " +
+          "CAST(r AS DECIMAL(38,18)) END) AS DOUBLE)").as("dang")))
       if (ranksOwned) LineageCut.release(ranks)
       ranks = next; ranksOwned = true
+      dang = dangOf(ranks, m)
     }
     ranks.select(col("v"), col("r").as("rank"))
   }
@@ -1182,6 +1228,17 @@ object Graph {
     require(s > 0, "pageRankPersonalized: no seed vertex present in the graph")
     var ranks = base.withColumn("r",
       when(col("is_seed"), lit(1.0 / s)).otherwise(lit(0.0)))
+    // dangling mass as an observed driver scalar — see [[pageRank]]'s
+    // loop for the full rationale (identical change)
+    val dangOf = (df: DataFrame, m: Map[String, Any]) => m.get("dang") match {
+      case Some(d: java.lang.Double) => d.doubleValue()
+      case Some(null) => 0.0
+      case _ =>
+        val r = df.filter(col("deg").isNull)
+          .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")).first()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    var dang = dangOf(ranks, Map.empty)
     var ranksOwned = false // initial ranks is base-backed (see pageRank)
     for (_ <- 1 to iterations) {
       val contribs = e
@@ -1191,21 +1248,20 @@ object Graph {
         .groupBy(col("dst").as("v"))
         .agg(expr("CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE)")
           .as("contrib"))
-      val dangling = ranks.filter(col("deg").isNull)
-        .agg(expr("CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)")
-          .as("dang"))
-      val next = LineageCut.cut(
+      val (next, m) = LineageCut.cutObserved(
         base.join(contribs, Seq("v"), "left")
-          .crossJoin(broadcast(dangling))
           .select(col("v"), col("deg"), col("is_seed"),
             (when(col("is_seed"),
               lit((1.0 - alpha) / s) +
-                lit(alpha) * (coalesce(col("dang"), lit(0.0)) / s))
+                lit(alpha) * lit(dang / s))
               .otherwise(lit(0.0)) +
               lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("r")),
-        cutMode)
+        cutMode,
+        Seq(expr("CAST(SUM(CASE WHEN deg IS NULL THEN " +
+          "CAST(r AS DECIMAL(38,18)) END) AS DOUBLE)").as("dang")))
       if (ranksOwned) LineageCut.release(ranks)
       ranks = next; ranksOwned = true
+      dang = dangOf(ranks, m)
     }
     ranks.select(col("v"), col("r").as("rank"))
   }
