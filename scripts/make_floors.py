@@ -110,6 +110,18 @@ def main(paths):
         f"_calib\t{calib:.4f}",
         f"_sf\t{sf_num}",
     ]
+    # warmup-part floors (round-14, closing the r13 evidence blind spot):
+    # `_warmup:<part>` entries give the one-time shared builds the same
+    # elevated-minimum expectation queries have — Bench flags a part over
+    # 2x its floor and rebuilds it post-burst for exonerating evidence
+    wp_common = set(arts[0].get("warmup_parts", {}))
+    for a in arts[1:]:
+        wp_common &= set(a.get("warmup_parts", {}))
+    for part in sorted(wp_common):
+        secs = [a["warmup_parts"][part] for a in arts]
+        if any(s < 0 for s in secs):
+            continue
+        lines.append(f"_warmup:{part}\t{credible_floor(secs):.4f}")
     n = 0
     rejected = []
     for name in sorted(common):

@@ -196,9 +196,11 @@ object Bench {
         System.err.println(s"[bench] floor table sf=$fs does not match " +
           s"session dir $sfDir (${ds.fold("no sf segment")(_.toString)}) — " +
           "elevated-minimum check disabled")
-        // keep the pseudo-entries: `_calib` measures box compute, which
-        // is scale-independent and still a valid ambient yardstick here
-        floorsRaw.view.filterKeys(_.startsWith("_")).toMap
+        // keep only the scale-independent pseudo-entries: `_calib`
+        // measures box compute, a valid ambient yardstick at any scale;
+        // `_warmup:*` part floors are scale-DEPENDENT timings and must
+        // disable with the per-query floors
+        floorsRaw.view.filterKeys(Set("_calib", "_sf")).toMap
       case (None, _) => floorsRaw
     }
     val floorCalib = floors.getOrElse("_calib", -1.0)
@@ -218,28 +220,50 @@ object Bench {
     }
     val warm0 = System.nanoTime()
     val warmupParts = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // hoisted so the post-burst pass can REBUILD a burst-flagged part for
+    // exonerating evidence (round-13 verdict "what's wrong" #1: warmup
+    // parts had no floor and no post-burst coverage, so a burst-struck
+    // transfer_lpa shipped as an unexplained 0.81× warmup regression)
+    val warmupBuilds = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      ("dedup_spine", () => ops.Dedup.clusterLabels(spark, sfDir)), // + shingles/sigs
+      ("ann_exact_baseline", () => ops.Similarity.bruteForceTopK(spark, sfDir)),
+      ("label_means", () => ops.Similarity.labelCentroids(spark, sfDir)),
+      ("transfer_pagerank", () => ops.Wallet.transferPageRank(spark, sfDir)),
+      ("transfer_lpa", () => ops.Wallet.transferCommunities(spark, sfDir)),
+      // r10: the symmetrized edge spine (kcore/coreness/ktruss/mis) joins
+      // the labeled warmup so its one-time build stops landing on
+      // q_coreness's cold pass
+      ("transfer_edges_sym", () => ops.Wallet.transferEdgesSym(spark, sfDir)))
     val warmed = try {
-      Seq[(String, () => org.apache.spark.sql.DataFrame)](
-        ("dedup_spine", () => ops.Dedup.clusterLabels(spark, sfDir)), // + shingles/sigs
-        ("ann_exact_baseline", () => ops.Similarity.bruteForceTopK(spark, sfDir)),
-        ("label_means", () => ops.Similarity.labelCentroids(spark, sfDir)),
-        ("transfer_pagerank", () => ops.Wallet.transferPageRank(spark, sfDir)),
-        ("transfer_lpa", () => ops.Wallet.transferCommunities(spark, sfDir)),
-        // r10: the symmetrized edge spine (kcore/coreness/ktruss/mis) joins
-        // the labeled warmup so its one-time build stops landing on
-        // q_coreness's cold pass
-        ("transfer_edges_sym", () => ops.Wallet.transferEdgesSym(spark, sfDir)))
-        .foreach { case (part, build) =>
-          val t0 = System.nanoTime()
-          build().count()
-          warmupParts += part -> (System.nanoTime() - t0) / 1e9
-          labelNew(s"shared:$part")
-        }
+      warmupBuilds.foreach { case (part, build) =>
+        val t0 = System.nanoTime()
+        build().count()
+        warmupParts += part -> (System.nanoTime() - t0) / 1e9
+        labelNew(s"shared:$part")
+      }
       true
     } catch { case e: Throwable =>
       System.err.println(s"[bench] shared warmup failed: ${e.getMessage}"); false }
     val warmSec =
       if (warmed) (System.nanoTime() - warm0) / 1e9 else -1.0
+    // elevated-minimum check for warmup parts (`_warmup:<part>` floors,
+    // written by make_floors.py from the artifacts' warmup_parts maps):
+    // one-time builds have no warm pass, so the floor is the only
+    // expectation that can catch a burst landing on them
+    val warmupElevated =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // dev-only harness self-test (driver never sets it): force matching
+    // warmup parts into the elevation path so detection→post-burst-rebuild
+    // can be exercised deterministically (same convention as
+    // SPARK_GRAFT_BENCH_FORCE_ELEVATE for queries)
+    val forceWarmup = sys.env.get("SPARK_GRAFT_BENCH_FORCE_ELEVATE_WARMUP")
+    warmupParts.foreach { case (part, sec) =>
+      val forced = forceWarmup.exists(_.r.findFirstIn(part).isDefined)
+      val floor = floors.getOrElse(s"_warmup:$part", -1.0)
+      if ((sec >= ElevatedMinSec && floor > 0 &&
+          sec > ElevatedMinRatio * floor) || (forced && sec > 0))
+        warmupElevated(part) = (sec, if (floor > 0) floor else sec)
+    }
 
     // anything the warmup tracked as query-local stays alive for both
     // passes (it is de-facto shared); drain so per-query releases below
@@ -504,12 +528,29 @@ object Bench {
     // failed samples ahead of everything), so whichever bound bites
     // drops the marginal 2.1× cases, never the 14× ones the verdict
     // actually needs closed (name tiebreak keeps order stable).
+    // SOFT elevations (round-13 verdict "what's wrong" #1): a min in the
+    // 1.5–2.0× floor band is under the hard gate but was exactly the
+    // shape that shipped unexonerated in r13 (q_skipping_stats at 1.83×,
+    // same burst window as two confirmed elevations). They spend only
+    // LEFTOVER re-sample budget: appended after every hard-flagged query,
+    // so the cap/time budget always serves the worst cases first.
+    val SoftElevRatio = 1.5
+    val softElev = runs.collect { case (n, _)
+        if !elevated.contains(n) && !unresolved.contains(n) =>
+      (n, sessionMin.getOrElse(n, -1.0), floors.getOrElse(n, -1.0))
+    }.collect { case (n, vmin, floor)
+        if vmin >= ElevatedMinSec && floor > 0 &&
+          vmin > SoftElevRatio * floor && vmin <= ElevatedMinRatio * floor =>
+      n -> (vmin, floor)
+    }.toMap
     val resample = (elevated.keySet ++ unresolved.keySet).toSeq
       .sortBy { n =>
         (-resampleSeverity(
           elevated.get(n).map(e => e.min / e.floor).toSeq ++
             unresolved.get(n).toSeq.flatMap(p => Seq(p._1, p._2))), n)
-      }
+      } ++
+      softElev.toSeq.sortBy { case (n, (vmin, floor)) => (-(vmin / floor), n) }
+        .map(_._1)
     val resampleDeadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
     var resampled = 0
     resample.take(20).foreach { n =>
@@ -533,6 +574,34 @@ object Bench {
       System.err.println("[bench] post-burst re-sample bounded at " +
         s"$resampled of ${resample.size} flagged queries " +
         s"(pair cap 20, time budget 180 s)")
+    // ── warmup-part post-burst rebuild (round-13 "what's wrong" #1) ──
+    // A flagged one-time build gets its exonerating evidence the only way
+    // a build can: drop every session-shared frame and REBUILD the
+    // flagged parts, minutes after the catalog (same post-burst logic as
+    // the query re-samples). Runs LAST: the query re-samples above still
+    // need the live shared frames, and nothing after this reads them.
+    // Evidence-only — the priced warmup number is not updated.
+    final case class WarmupPB(sec: Double, calibAt: Double)
+    val warmupPostBurst =
+      scala.collection.mutable.LinkedHashMap.empty[String, WarmupPB]
+    if (warmupElevated.nonEmpty &&
+        System.nanoTime() - resampleDeadline < 0) {
+      ops.Shared.clear(spark)
+      val calibAt = calib()
+      warmupBuilds.filter(p => warmupElevated.contains(p._1))
+        .foreach { case (part, build) =>
+          if (System.nanoTime() - resampleDeadline < 0) {
+            val t0 = System.nanoTime()
+            try build().count()
+            catch { case e: Throwable => System.err.println(
+              s"[bench] warmup post-burst $part failed: ${e.getMessage}") }
+            warmupPostBurst(part) =
+              WarmupPB((System.nanoTime() - t0) / 1e9, calibAt)
+          }
+        }
+      ops.QueryLocal.drain(spark)
+      ops.Shared.drainHeals()
+    }
     audit.drainRows() // discard post-burst stage rows; evidence is the timing
     // closed = the re-sample sits within the gate of EVERY record that
     // flagged the query (≤2× floor for an elevation; ≤1.5× session min
@@ -545,14 +614,19 @@ object Bench {
       (elevated.get(n).filter(_.floor > 0).map(e => pbMin / e.floor) ++
         (if (unresolved.contains(n))
           sessionMin.get(n).filter(_ > 0).map(m => pbMin / m)
-        else None)).toSeq
+        else None) ++
+        softElev.get(n).map { case (_, floor) => pbMin / floor }).toSeq
     def postBurstClosedFor(n: String, pbMin: Double): Boolean =
       pbMin >= 0 && {
         val elevOk = elevated.get(n).forall(e =>
           e.floor > 0 && pbMin <= ElevatedMinRatio * e.floor)
         val unresOk = !unresolved.contains(n) || sessionMin.get(n).exists(m =>
           m > 0 && pbMin <= AnomalyRecoveryRatio * m)
-        elevOk && unresOk
+        // a soft elevation closes when the re-sample is back UNDER the
+        // soft gate — the reading the session should have seen
+        val softOk = softElev.get(n).forall { case (_, floor) =>
+          pbMin <= SoftElevRatio * floor }
+        elevOk && unresOk && softOk
       }
     val postBurstClosed =
       postBurst.count { case (n, pb) => postBurstClosedFor(n, pb.min) }
@@ -691,6 +765,26 @@ object Bench {
         s""","warm_anomalies":$anomaliesJson""" +
         s""","warm_anomalies_unresolved":$unresolvedJson""" +
         s""","elevated_minima":$elevatedJson""" +
+        s""","elevated_soft":${softElev.toSeq.sortBy(_._1).map {
+          case (n, (vmin, floor)) => "\"" + n +
+            s"""\":{"min":${jnum(vmin, "%.2f")},""" +
+            s""""floor":${jnum(floor, "%.2f")},""" +
+            s""""ratio":${jnum(vmin / floor, "%.2f")}""" +
+            postBurstFields(n, floor) + "}"
+        }.mkString("{", ",", "}")}""" +
+        s""","warmup_elevated":${warmupElevated.toSeq.map {
+          case (p, (sec, floor)) => "\"" + p +
+            s"""\":{"sec":${jnum(sec, "%.2f")},""" +
+            s""""floor":${jnum(floor, "%.2f")},""" +
+            s""""ratio":${jnum(sec / floor, "%.2f")}}"""
+        }.mkString("{", ",", "}")}""" +
+        s""","warmup_post_burst":${warmupPostBurst.toSeq.map {
+          case (p, pb) => "\"" + p +
+            s"""\":{"sec":${jnum(pb.sec, "%.2f")},""" +
+            s""""ratio":${jnum(warmupElevated.get(p)
+              .map(pb.sec / _._2).getOrElse(-1.0), "%.2f")},""" +
+            s""""calib_at":${jnum(pb.calibAt, "%.2f")}}"""
+        }.mkString("{", ",", "}")}""" +
         s""","floor_calib_sec":${jnum(floorCalib, "%.2f")}""" +
         s""","spread_cold_top":${mapJson(coldSpread.take(15), "%.2f")}""" +
         s""","evict_events":[${events.take(400).map(_.json).mkString(",")}]""" +
@@ -757,6 +851,15 @@ object Bench {
         s""","elevated":$elevatedCompact""" +
         s""","post_burst":$postBurstCompact""" +
         s""","post_burst_closed":$postBurstClosed""" +
+        s""","soft_n":${softElev.size}""" +
+        s""","warmup_elev":${warmupElevated.toSeq.take(3).map {
+          case (p, (sec, floor)) =>
+            "\"" + p + "\":" + jnum(sec / floor, "%.1f") }
+          .mkString("{", ",", "}")}""" +
+        s""","warmup_pb":${warmupPostBurst.toSeq.take(3).map {
+          case (p, pb) => "\"" + p + "\":" + jnum(warmupElevated.get(p)
+            .map(pb.sec / _._2).getOrElse(-1.0), "%.1f") }
+          .mkString("{", ",", "}")}""" +
         s""","spread_cold_top":$coldTop""" +
         s""","evict_shared_n":$sharedEventCount,"heals_n":${heals.size}""" +
         s""","state_nonzero_n":${stateNonzero.size}""" +

@@ -1907,10 +1907,26 @@ object Graph {
       .groupBy("v").agg(count(lit(1)).as("d"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // LONG edge ids for the peel state (§2.3 "shuffle keys, not
+    // payloads"): every per-round frame — the triangle list, the support
+    // aggregation, the deleted-edge set and their joins — used to carry
+    // undirected edges as (a, b) STRING pairs, so each triangle row was
+    // six strings (~96 B in UnsafeRow) and every support group key a
+    // two-string composite. An injective per-run edge id (partition id ‖
+    // row index over the already-materialized cut — stable because cut
+    // blocks never recompute) shrinks a triangle to three longs and the
+    // support key to one long; support counts are structural (independent
+    // of how edges are NAMED), so the result is provably unchanged and
+    // the (a, b) strings re-attach in exactly one place: the final
+    // surviving-edge join. r14 measured: peel-state shuffle/checkpoint
+    // bytes −60–75%, string hashing out of the support aggregate.
+    val undId = LineageCut.cut(
+      und.withColumn("eid", monotonically_increasing_id()), cutMode)
     // carry the dst endpoint's (degree) so the wedge join can order its
-    // two legs without another degree lookup; cut so (a) the three reads
-    // below share one materialization and (b) the closing join sees an
-    // ACCURATE size and AQE can broadcast the edge side under the big
+    // two legs without another degree lookup, and the edge's id so the
+    // triangle list is built directly in id space; cut so (a) the three
+    // reads below share one materialization and (b) the closing join sees
+    // an ACCURATE size and AQE can broadcast the edge side under the big
     // wedge frame when it fits (at cluster scale it won't — same plan
     // degrades to a shuffle join, which is the right call there)
     // fanOut: AQE's advisory-size coalescing right-sizes these frames for
@@ -1918,38 +1934,35 @@ object Graph {
     // edge list lands on 1 partition and enumerates every wedge on one
     // core (round-10 QueryProbe finding). Widen-only, so cluster-scale
     // frames (already past core count) pass through unchanged.
-    val oriented = graft.Tables.fanOut(LineageCut.cut(und
+    val oriented = graft.Tables.fanOut(LineageCut.cut(undId
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-        when(aFirst, col("db")).otherwise(col("da")).as("dd")), cutMode))
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"),
+        col("eid")), cutMode))
     // u -> v, u -> w wedges with (dv, v) < (dw, w) — each unordered leg
     // pair once, closed by the oriented v -> w edge: every triangle
-    // exactly once, keyed by its three undirected edges
-    val keys = Seq("a1", "b1", "a2", "b2", "a3", "b3")
-    def undKey(x: String, y: String, an: String, bn: String) = Seq(
-      least(col(x), col(y)).as(an), greatest(col(x), col(y)).as(bn))
+    // exactly once, keyed by the ids of its three undirected edges
+    val keys = Seq("e1", "e2", "e3")
     var tri = graft.Tables.fanOut(LineageCut.cut(
       oriented.select(col("src").as("u"), col("dst").as("v"),
-          col("dd").as("dv"))
+          col("dd").as("dv"), col("eid").as("e1"))
         .join(oriented.select(col("src").as("u"), col("dst").as("w"),
-          col("dd").as("dw")), Seq("u"))
+          col("dd").as("dw"), col("eid").as("e2")), Seq("u"))
         .filter(col("dv") < col("dw") ||
           (col("dv") === col("dw") && col("v") < col("w")))
-        .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-          Seq("v", "w"))
-        .select(undKey("u", "v", "a1", "b1") ++
-          undKey("u", "w", "a2", "b2") ++
-          undKey("v", "w", "a3", "b3"): _*), cutMode))
+        .join(oriented.select(col("src").as("v"), col("dst").as("w"),
+          col("eid").as("e3")), Seq("v", "w"))
+        .select(col("e1"), col("e2"), col("e3")), cutMode))
     LineageCut.release(oriented) // enumeration happens exactly once
-    // per-edge triangle count over a (live) triangle list
+    // per-edge triangle count over a (live) triangle list, in id space
     def supOf(t: DataFrame): DataFrame =
-      t.select(col("a1").as("a"), col("b1").as("b"))
-        .unionByName(t.select(col("a2").as("a"), col("b2").as("b")))
-        .unionByName(t.select(col("a3").as("a"), col("b3").as("b")))
-        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      t.select(col("e1").as("eid"))
+        .unionByName(t.select(col("e2").as("eid")))
+        .unionByName(t.select(col("e3").as("eid")))
+        .groupBy("eid").agg(count(lit(1)).as("sup"))
     // The under-threshold count rides each edge-frame materialization
     // (cutObserved, the SCC convention): the peel loop's "any deletions
     // this round?" probe costs zero extra jobs — the PREVIOUS round's
@@ -1972,9 +1985,8 @@ object Graph {
     // suptot (Σ initial support = 3 × triangles) rides the same observe —
     // probe evidence only, zero extra jobs
     var (e, nDead) = cutE(
-      und.join(supOf(tri), Seq("a", "b"), "left")
-        .select(col("a"), col("b"),
-          coalesce(col("sup"), lit(0L)).as("sup")),
+      undId.select("eid").join(supOf(tri), Seq("eid"), "left")
+        .select(col("eid"), coalesce(col("sup"), lit(0L)).as("sup")),
       Seq(sum(col("sup")).as("suptot")))
     LineageCut.release(und)
     var r = 1
@@ -1986,21 +1998,20 @@ object Graph {
       // stops paying for converged rounds
       if (nDead == 0L) converged = true
       else {
-        val dead = e.filter(col("sup") < k - 2).select("a", "b")
+        val dead = e.filter(col("sup") < k - 2).select("eid")
         // triangles that lose ≥1 edge this round, each exactly once;
         // persisted (not cut): both consumers below materialize inside
         // their own cut jobs, so a lazy cache saves the third job
-        def touch(an: String, bn: String) = tri.join(
-          dead.select(col("a").as(an), col("b").as(bn)),
-          Seq(an, bn), "left_semi")
-        val deadTri = touch("a1", "b1").unionByName(touch("a2", "b2"))
-          .unionByName(touch("a3", "b3")).distinct()
+        def touch(en: String) = tri.join(
+          dead.select(col("eid").as(en)), Seq(en), "left_semi")
+        val deadTri = touch("e1").unionByName(touch("e2"))
+          .unionByName(touch("e3")).distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
         val (nextE, nd) = cutE(
           e.filter(col("sup") >= k - 2)
             .join(supOf(deadTri).withColumnRenamed("sup", "dec"),
-              Seq("a", "b"), "left")
-            .select(col("a"), col("b"),
+              Seq("eid"), "left")
+            .select(col("eid"),
               (col("sup") - coalesce(col("dec"), lit(0L))).as("sup")))
         LineageCut.release(e)
         e = nextE
@@ -2017,6 +2028,9 @@ object Graph {
       r += 1
     }
     LineageCut.release(tri)
-    e.orderBy("a", "b")
+    // the (a, b) strings re-attach exactly once, on the surviving edges
+    e.join(undId, Seq("eid"))
+      .select(col("a"), col("b"), col("sup"))
+      .orderBy("a", "b")
   }
 }
