@@ -1108,9 +1108,9 @@ object Graph {
     * tie-breaks); this variant is synchronous with a total tie order, so
     * the result is a pure function of the graph and round count —
     * partition-independent and oracle-checkable. Per round: one equi-join
-    * + two grouped aggregations + one per-vertex max window, all keyed by
-    * vertex — O(|E|) shuffled bytes, same envelope as the other
-    * iterative algorithms; rounds are lineage-cut. */
+    * + two grouped aggregations, all keyed by vertex — O(|E|) shuffled
+    * bytes, same envelope as the other iterative algorithms; rounds are
+    * lineage-cut. */
   def labelPropagation(edges: DataFrame, rounds: Int = 3,
       cutMode: LineageCut = LineageCut.Auto): DataFrame = {
     val e = edges.filter(col("src") =!= col("dst"))
@@ -1126,11 +1126,20 @@ object Graph {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"), col("label"))
         .agg(count(lit(1)).as("c"))
+      // winner per id = (max count, ties → smallest label) as ONE
+      // map-side-combinable aggregate: min over (−count, label) structs.
+      // The r13 spelling computed the same winner via a per-id max
+      // window + filter + a second group-by — the window re-shuffled the
+      // counts frame by id AND sorted every partition, per round, to
+      // pick what a struct-ordered min picks in the aggregate itself
+      // (guide §2.4: a window keyed like the preceding aggregation is a
+      // shuffle that can usually be folded away). Same result by
+      // construction: struct ordering compares −c first (largest count
+      // wins), then label ascending (smallest label on ties).
       val next = LineageCut.cut(
-        counts
-          .withColumn("mc", max("c").over(Window.partitionBy("id")))
-          .filter(col("c") === col("mc"))
-          .groupBy("id").agg(min("label").as("label")), cutMode)
+        counts.groupBy("id")
+          .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+          .select(col("id"), col("m.label").as("label")), cutMode)
       LineageCut.release(labels) // superseded round
       labels = next
     }
