@@ -482,13 +482,13 @@ object Graph {
       edges.select(col("src"), col("dst")).distinct(), cutMode)
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
     // base carries each vertex's out-degree (null = dangling) so the loop
-    // never re-joins the degree table
-    val base = LineageCut.cut(
+    // never re-joins the degree table; the vertex count rides base's one
+    // materialization (cutCounted) instead of a second scan job
+    val (base, n) = LineageCut.cutCounted(
       e.select(col("src").as("v"))
         .unionByName(e.select(col("dst").as("v")))
         .distinct()
         .join(deg, Seq("v"), "left"), cutMode)
-    val n = base.count() // driver-side scalar only (like the CC loop's flag)
     var ranks = base.withColumn("r", lit(1.0 / n))
     // Dangling mass as a DRIVER SCALAR: round k+1 needs the decimal-exact
     // dangling-rank sum of round k's output, which rides round k's one cut
@@ -510,7 +510,7 @@ object Graph {
     }
     var dang = dangOf(ranks, Map.empty)
     var ranksOwned = false // initial ranks is base-backed (see comment above)
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val contribs = e
         .join(ranks.filter(col("deg").isNotNull)
           .select(col("v").as("src"), (col("r") / col("deg")).as("c")),
@@ -518,18 +518,21 @@ object Graph {
         .groupBy(col("dst").as("v"))
         .agg(expr("CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE)")
           .as("contrib"))
-      val (next, m) = LineageCut.cutObserved(
-        base.join(contribs, Seq("v"), "left")
-          .select(col("v"), col("deg"),
-            (lit((1.0 - alpha) / n) +
-              lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
-                lit(dang / n))).as("r")),
-        cutMode,
-        Seq(expr("CAST(SUM(CASE WHEN deg IS NULL THEN " +
-          "CAST(r AS DECIMAL(38,18)) END) AS DOUBLE)").as("dang")))
+      val updated = base.join(contribs, Seq("v"), "left")
+        .select(col("v"), col("deg"),
+          (lit((1.0 - alpha) / n) +
+            lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
+              lit(dang / n))).as("r"))
+      // the FINAL round's dangling mass is never consumed — observe (and
+      // its metric await) only on rounds whose output feeds another round
+      val (next, m) =
+        if (it < iterations) LineageCut.cutObserved(updated, cutMode,
+          Seq(expr("CAST(SUM(CASE WHEN deg IS NULL THEN " +
+            "CAST(r AS DECIMAL(38,18)) END) AS DOUBLE)").as("dang")))
+        else (LineageCut.cut(updated, cutMode), Map.empty[String, Any])
       if (ranksOwned) LineageCut.release(ranks)
       ranks = next; ranksOwned = true
-      dang = dangOf(ranks, m)
+      if (it < iterations) dang = dangOf(ranks, m)
     }
     ranks.select(col("v"), col("r").as("rank"))
   }
@@ -1163,12 +1166,11 @@ object Graph {
       edges.select(col("src"), col("dst"), col("w")), cutMode)
     val deg = e.groupBy(col("src").as("v"))
       .agg(expr("CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE)").as("ws"))
-    val base = LineageCut.cut(
+    val (base, n) = LineageCut.cutCounted(
       e.select(col("src").as("v"))
         .unionByName(e.select(col("dst").as("v")))
         .distinct()
         .join(deg, Seq("v"), "left"), cutMode)
-    val n = base.count()
     var ranks = base.withColumn("r", lit(1.0 / n))
     // dangling mass as an observed driver scalar — see [[pageRank]]'s
     // loop for the full rationale (identical change: the per-round
@@ -1183,7 +1185,7 @@ object Graph {
     }
     var dang = dangOf(ranks, Map.empty)
     var ranksOwned = false // initial ranks is base-backed (see pageRank)
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val contribs = e
         .join(ranks.filter(col("ws").isNotNull)
           .select(col("v").as("src"), col("r"), col("ws")), Seq("src"))
@@ -1191,18 +1193,20 @@ object Graph {
         .groupBy(col("dst").as("v"))
         .agg(expr("CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE)")
           .as("contrib"))
-      val (next, m) = LineageCut.cutObserved(
-        base.join(contribs, Seq("v"), "left")
-          .select(col("v"), col("ws"),
-            (lit((1.0 - alpha) / n) +
-              lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
-                lit(dang / n))).as("r")),
-        cutMode,
-        Seq(expr("CAST(SUM(CASE WHEN ws IS NULL THEN " +
-          "CAST(r AS DECIMAL(38,18)) END) AS DOUBLE)").as("dang")))
+      val updated = base.join(contribs, Seq("v"), "left")
+        .select(col("v"), col("ws"),
+          (lit((1.0 - alpha) / n) +
+            lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
+              lit(dang / n))).as("r"))
+      // final round's dangling mass is never consumed — see [[pageRank]]
+      val (next, m) =
+        if (it < iterations) LineageCut.cutObserved(updated, cutMode,
+          Seq(expr("CAST(SUM(CASE WHEN ws IS NULL THEN " +
+            "CAST(r AS DECIMAL(38,18)) END) AS DOUBLE)").as("dang")))
+        else (LineageCut.cut(updated, cutMode), Map.empty[String, Any])
       if (ranksOwned) LineageCut.release(ranks)
       ranks = next; ranksOwned = true
-      dang = dangOf(ranks, m)
+      if (it < iterations) dang = dangOf(ranks, m)
     }
     ranks.select(col("v"), col("r").as("rank"))
   }
@@ -1224,7 +1228,9 @@ object Graph {
     val e = LineageCut.cut(
       edges.select(col("src"), col("dst")).distinct(), cutMode)
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-    val base = LineageCut.cut(
+    // the seed count rides base's one materialization as an observed
+    // metric (fallback: the filter-count job the r13 spelling always ran)
+    val (base, sm) = LineageCut.cutObserved(
       e.select(col("src").as("v"))
         .unionByName(e.select(col("dst").as("v")))
         .distinct()
@@ -1232,8 +1238,12 @@ object Graph {
         .join(broadcast(seeds.select(col("v")).distinct()
           .withColumn("is_seed", lit(true))), Seq("v"), "left")
         .withColumn("is_seed", coalesce(col("is_seed"), lit(false))),
-      cutMode)
-    val s = base.filter(col("is_seed")).count()
+      cutMode,
+      Seq(count(when(col("is_seed"), lit(1))).as("s")))
+    val s = sm.get("s") match {
+      case Some(c: java.lang.Long) => c.longValue()
+      case _ => base.filter(col("is_seed")).count()
+    }
     require(s > 0, "pageRankPersonalized: no seed vertex present in the graph")
     var ranks = base.withColumn("r",
       when(col("is_seed"), lit(1.0 / s)).otherwise(lit(0.0)))
@@ -1249,7 +1259,7 @@ object Graph {
     }
     var dang = dangOf(ranks, Map.empty)
     var ranksOwned = false // initial ranks is base-backed (see pageRank)
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val contribs = e
         .join(ranks.filter(col("deg").isNotNull)
           .select(col("v").as("src"), (col("r") / col("deg")).as("c")),
@@ -1257,20 +1267,22 @@ object Graph {
         .groupBy(col("dst").as("v"))
         .agg(expr("CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE)")
           .as("contrib"))
-      val (next, m) = LineageCut.cutObserved(
-        base.join(contribs, Seq("v"), "left")
-          .select(col("v"), col("deg"), col("is_seed"),
-            (when(col("is_seed"),
-              lit((1.0 - alpha) / s) +
-                lit(alpha) * lit(dang / s))
-              .otherwise(lit(0.0)) +
-              lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("r")),
-        cutMode,
-        Seq(expr("CAST(SUM(CASE WHEN deg IS NULL THEN " +
-          "CAST(r AS DECIMAL(38,18)) END) AS DOUBLE)").as("dang")))
+      val updated = base.join(contribs, Seq("v"), "left")
+        .select(col("v"), col("deg"), col("is_seed"),
+          (when(col("is_seed"),
+            lit((1.0 - alpha) / s) +
+              lit(alpha) * lit(dang / s))
+            .otherwise(lit(0.0)) +
+            lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("r"))
+      // final round's dangling mass is never consumed — see [[pageRank]]
+      val (next, m) =
+        if (it < iterations) LineageCut.cutObserved(updated, cutMode,
+          Seq(expr("CAST(SUM(CASE WHEN deg IS NULL THEN " +
+            "CAST(r AS DECIMAL(38,18)) END) AS DOUBLE)").as("dang")))
+        else (LineageCut.cut(updated, cutMode), Map.empty[String, Any])
       if (ranksOwned) LineageCut.release(ranks)
       ranks = next; ranksOwned = true
-      dang = dangOf(ranks, m)
+      if (it < iterations) dang = dangOf(ranks, m)
     }
     ranks.select(col("v"), col("r").as("rank"))
   }
